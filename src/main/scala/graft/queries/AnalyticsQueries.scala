@@ -1,0 +1,186 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Standard analytics surface: aggregation, multi-join with broadcast dims,
+  * window functions, top-k, sessionization, JSON extraction.
+  *
+  * Scale posture (100 TB): dims (`region`, `nation`, `supplier`, `part` at
+  * dim-scale) are broadcast so fact-table joins are shuffle-free on the
+  * dim side; aggregations are partial (hash-agg map-side combine is
+  * automatic for `sum`/`count`/`avg`); windows partition on high-cardinality
+  * keys so no single partition is skewed; every filter/projection is
+  * DataFrame-declarative so Catalyst pushes it into the Parquet scan.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: ListMap[String, Q] = ListMap(
+    // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark
+    "q1_pricing_summary" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // Revenue top-k through a 3-way join (broadcast customer at this scale
+    // is wrong — it's a fact-side key; Catalyst/AQE picks sort-merge or
+    // shuffled hash as sizes dictate)
+    "q3_top_orders" -> ((spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+      val lineitem = Tables.load(spark, dir, "lineitem")
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderstatus") =!= "F")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+    // Multi-join star query with explicitly broadcast dimensions
+    "q5_nation_revenue" -> ((spark, dir) => {
+      val nation = Tables.load(spark, dir, "nation")
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      val lineitem = Tables.load(spark, dir, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("n_name")
+    }),
+    // Window: per-supplier running revenue in deterministic ship order
+    "window_running_revenue" -> ((spark, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          round(sum(col("l_extendedprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_revenue"))
+        .orderBy("l_suppkey", "rn")
+    }),
+    // Top-k per group: 3 priciest parts per brand
+    "topk_parts_per_brand" -> ((spark, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))
+      Tables.load(spark, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 3)
+        .orderBy("p_brand", "rank")
+    }),
+    // Sessionization: 30-minute-gap sessions per user via lag + running sum.
+    // Scale path: partition by user (high cardinality), single window pass,
+    // no self-join; streaming variant uses session_window (see
+    // graft.streaming).
+    "sessionize_events" -> ((spark, dir) => {
+      val events = Tables.load(spark, dir, "events")
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val withGap = events.select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)).as("gap_us"))
+      val withSession = withGap.withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0)).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSession.groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+    // JSON extraction from the props column (multimodal/dynamic metadata)
+    "json_extract_props" -> ((spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    }))
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "topk_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rank FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rank
+        |  FROM part) t
+        |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+    "sessionize_events" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, value,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY tsu, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "json_extract_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
