@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,15 @@ import graft.Tables
 object AnalyticsQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-compatible rounding (shadows functions.round): round the scaled
+    * double half-away-from-zero, i.e. round(x*10^n)/10^n — the same
+    * computation DuckDB's round() performs, so values landing exactly on a
+    * scaled .5 boundary agree between engines. */
+  private def round(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    org.apache.spark.sql.functions.round(c * p, 0) / p
+  }
 
   val queries: ListMap[String, Q] = ListMap(
     // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark

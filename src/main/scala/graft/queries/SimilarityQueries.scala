@@ -1,0 +1,127 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embedding column (`array<float>`):
+  *
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    full corpus — one scan, no shuffle of the corpus, exact results. This
+  *    is the correctness baseline and is the right plan whenever
+  *    |queries| << |corpus| (the corpus side streams through codegen'd
+  *    higher-order functions; 100 TB of vectors never leaves its partitions).
+  *  - LSH-bucketed top-k (BucketedRandomProjectionLSH): sub-linear candidate
+  *    generation for query sets too large to broadcast-scan.
+  *  - IVF-style top-k: KMeans coarse quantizer; probe only the query's cell.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-compatible rounding (shadows functions.round): round the scaled
+    * double half-away-from-zero, i.e. round(x*10^n)/10^n — the same
+    * computation DuckDB's round() performs, so values landing exactly on a
+    * scaled .5 boundary agree between engines. */
+  private def round(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    org.apache.spark.sql.functions.round(c * p, 0) / p
+  }
+
+  /** Embeddings with doubles + precomputed L2 norm. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+
+  private val dot =
+    expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+
+  val queries: ListMap[String, Q] = ListMap(
+    // Exact brute-force cosine top-5 for query vectors vec_id < 5
+    "ann_bruteforce_topk" -> ((spark, dir) => {
+      val emb = withNorm(Tables.load(spark, dir, "embeddings"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "rank", "cosine")
+        .orderBy("q_id", "rank")
+    }),
+    // LSH-bucketed approximate neighbors (scale path): random-projection
+    // buckets bound the candidate set; rows-only check (approximate).
+    "ann_lsh_topk" -> ((spark, dir) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.linalg.Vectors
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+      val model = lsh.fit(emb)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("features").as("qf"))
+      val joined = model.approxSimilarityJoin(
+          q.withColumnRenamed("qf", "features"), emb, 1.6, "dist")
+        .select(col("datasetA.q_id").as("q_id"),
+          col("datasetB.vec_id").as("c_id"),
+          round(col("dist"), 6).as("dist"))
+        .filter(col("q_id") =!= col("c_id"))
+      val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "rank", "dist")
+        .orderBy("q_id", "rank")
+    }),
+    // IVF-style: KMeans coarse cells, probe the query's own cell only
+    "ann_ivf_topk" -> ((spark, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"),
+          array_to_vector(col("embedding")).as("features"))
+        .withColumn("nrm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+      val km = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cell")
+      val cells = km.fit(emb).transform(emb)
+      val q = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val c = cells.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+      val scored = c.join(broadcast(q), Seq("cell")).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "rank", "cosine")
+        .orderBy("q_id", "rank")
+    }))
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "ann_bruteforce_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, rank, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: token/char stats,
+  * n-gram-heuristic language ID, quality scoring, regex tokenization,
+  * document fingerprinting.
+  *
+  * All heuristics are expressed purely in deterministic arithmetic +
+  * codegen'd built-ins (no UDFs, no transcendentals), so (a) they stay
+  * inside whole-stage codegen at 100 TB and (b) the DuckDB oracles can
+  * mirror them exactly.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-compatible rounding (shadows functions.round): round the scaled
+    * double half-away-from-zero, i.e. round(x*10^n)/10^n — the same
+    * computation DuckDB's round() performs, so values landing exactly on a
+    * scaled .5 boundary agree between engines. */
+  private def round(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    org.apache.spark.sql.functions.round(c * p, 0) / p
+  }
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Marker-token score: how many tokens fall in the language's stopword
+    * marker list. */
+  private def score(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(markers)))
+
+  private val enM = Seq("the", "and", "is", "of")
+  private val esM = Seq("el", "la", "de", "que")
+  private val frM = Seq("le", "les", "et", "des")
+  private val deM = Seq("der", "die", "und", "ist")
+  private val stopwords = Seq("the", "and", "is", "of", "to", "a", "in")
+
+  val queries: ListMap[String, Q] = ListMap(
+    // Char/token statistics per document
+    "text_stats" -> ((spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(toks(col("text"))).as("n_tokens"),
+          size(array_distinct(toks(col("text")))).as("n_distinct_tokens"),
+          round(length(regexp_replace(col("text"), " ", ""))
+            / size(toks(col("text"))), 4).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+    // Language ID: n-gram/stopword-marker heuristic with a fixed priority
+    // argmax (en > es > fr > de > und)
+    "lang_id" -> ((spark, dir) => {
+      val t = toks(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          score(t, enM).as("s_en"), score(t, esM).as("s_es"),
+          score(t, frM).as("s_fr"), score(t, deM).as("s_de"))
+        .withColumn("lang_pred",
+          when(col("s_en") > 0 && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") > 0 && col("s_es") >= col("s_fr") &&
+              col("s_es") >= col("s_de"), "es")
+            .when(col("s_fr") > 0 && col("s_fr") >= col("s_de"), "fr")
+            .when(col("s_de") > 0, "de")
+            .otherwise("und"))
+        .orderBy("doc_id")
+    }),
+    // Quality score: linear blend of stopword ratio, length saturation and
+    // token-length shape; clamped to [0,1]. Arithmetic only — no exp/ln —
+    // so the oracle is bit-identical.
+    "text_quality" -> ((spark, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val stopRatio = score(t, stopwords) / nTok
+      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
+      val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
+      val sizeSat = least(nTok / 100.0, lit(1.0))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          round(stopRatio, 4).as("stopword_ratio"),
+          round(sizeSat, 4).as("size_saturation"),
+          round(lenShape, 4).as("len_shape"),
+          round(least(lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
+            lit(1.0)), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // Regex tokenizer (BPE-ish classes: letter runs, single digits, other)
+    "token_count_regex" -> ((spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0))")
+            .as("n_tokens_regex"),
+          expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))").as("n_word_tokens"),
+          expr("size(regexp_extract_all(lower(text), '[0-9]', 0))").as("n_digit_tokens"))
+        .orderBy("doc_id")
+    }),
+    // Content fingerprint: md5 of whitespace-normalized lowercase text
+    "doc_fingerprint" -> ((spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+        .orderBy("doc_id")
+    }))
+
+  private def duckScore(markers: Seq[String]): String =
+    s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      (s"""SELECT doc_id,
+        |  CAST(${duckScore(enM)} AS INTEGER) AS s_en,
+        |  CAST(${duckScore(esM)} AS INTEGER) AS s_es,
+        |  CAST(${duckScore(frM)} AS INTEGER) AS s_fr,
+        |  CAST(${duckScore(deM)} AS INTEGER) AS s_de,
+        |  CASE
+        |    WHEN ${duckScore(enM)} > 0 AND ${duckScore(enM)} >= ${duckScore(esM)}
+        |      AND ${duckScore(enM)} >= ${duckScore(frM)} AND ${duckScore(enM)} >= ${duckScore(deM)} THEN 'en'
+        |    WHEN ${duckScore(esM)} > 0 AND ${duckScore(esM)} >= ${duckScore(frM)}
+        |      AND ${duckScore(esM)} >= ${duckScore(deM)} THEN 'es'
+        |    WHEN ${duckScore(frM)} > 0 AND ${duckScore(frM)} >= ${duckScore(deM)} THEN 'fr'
+        |    WHEN ${duckScore(deM)} > 0 THEN 'de'
+        |    ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "text_quality" ->
+      (s"""WITH b AS (
+        |  SELECT doc_id,
+        |    ${duckScore(stopwords)} * 1.0 / len(string_split(lower(text), ' ')) AS stop_ratio,
+        |    least(len(string_split(lower(text), ' ')) / 100.0, 1.0) AS size_sat,
+        |    1.0 - least(abs(length(replace(text, ' ', '')) * 1.0
+        |      / len(string_split(lower(text), ' ')) - 5.0) / 5.0, 1.0) AS len_shape
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(stop_ratio, 4) AS stopword_ratio,
+        |  round(size_sat, 4) AS size_saturation,
+        |  round(len_shape, 4) AS len_shape,
+        |  round(least(0.3 * stop_ratio + 0.3 * size_sat + 0.4 * len_shape, 1.0), 4) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin),
+    "token_count_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS n_tokens_regex,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS INTEGER) AS n_digit_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column <-> Expression converters
+  * (Spark 4 moved Column to sql-api and hid the catalyst constructor).
+  * Lives in the org.apache.spark.sql namespace solely to satisfy the
+  * access qualifier; no Spark internals are modified.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
