@@ -1,0 +1,77 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal-column queries: binary payload metadata + the stubbed decode
+  * pipeline (real Spark plumbing, deterministic fake codec). The batch
+  * `session_window` aggregation also lives here as the batch twin of the
+  * streaming session operator. */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: ListMap[String, Q] = ListMap(
+    // Binary payload metadata: byte length + content digest
+    "multimodal_bytes" -> ((spark, dir) => {
+      Multimodal.asMediaTable(Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          sha2(col("payload"), 256).as("digest"))
+        .orderBy("doc_id")
+    }),
+    // Partition-streamed decode (stub codec) -> typed feature columns
+    "multimodal_decode" -> ((spark, dir) => {
+      val media = Multimodal.asMediaTable(Tables.load(spark, dir, "documents"))
+      Multimodal.decodeFeatures(spark, media).toDF()
+        .select("doc_id", "n_bytes", "width", "height", "channels", "n_pixels")
+        .orderBy("doc_id")
+    }),
+    // Native session_window batch aggregation (twin of the streaming op);
+    // oracle reproduces it with the lag/running-sum formulation — a genuine
+    // cross-check of Spark's session semantics
+    "session_window_agg" -> ((spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }))
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "multimodal_bytes" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CAST(64 + n_bytes % 576 AS INTEGER) AS width,
+        |  CAST(64 + (n_bytes * 31) % 448 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  CAST((64 + n_bytes % 576) * (64 + (n_bytes * 31) % 448) * 3 AS BIGINT) AS n_pixels
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "session_window_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY tsu
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(tsu) AS session_start,
+        |  max(tsu) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin)
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the events table consumed as a stream.
+  *
+  * All operators follow the scale rules for streaming state: every stateful
+  * aggregation is bounded by a watermark (state for closed windows is
+  * dropped), keys are high-cardinality (`user_id`, `event_type`) so state is
+  * evenly sharded across executors, and the custom-state path uses
+  * `flatMapGroupsWithState` with an explicit timeout so abandoned keys
+  * expire instead of accumulating forever.
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Read the events parquet as a bounded stream (one file per
+    * micro-batch), with the same nanos->micros normalization as the batch
+    * path. FileStreamSource wants a directory to watch, so the single file
+    * is staged into one (in production this is the landing directory files
+    * arrive into). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.prepare(spark)
+    val staged = java.nio.file.Paths.get(
+      "target/stream-src", dir.replaceAll("[^A-Za-z0-9_.-]", "_"))
+    java.nio.file.Files.createDirectories(staged)
+    val target = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    graft.Tables.normalizeNanos(raw, "ts")
+  }
+
+  /** Tumbling 5-minute windowed counts per event type, 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming sessionization: 30-minute-gap session windows per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Custom state: running per-user totals emitted on every update. State
+    * expires on an event-time timeout one hour past the user's last event
+    * (watermark-driven, so expiry is deterministic and replayable — at scale
+    * abandoned keys are dropped instead of accumulating forever). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            var maxTs = 0L
+            batch.foreach { e => n += 1; tot += e.value; maxTs = math.max(maxTs, e.ts.getTime) }
+            val next = UserRunning(userId, n, tot)
+            state.update(next)
+            state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
+            Iterator.single(next)
+          }
+        })
+  }
+}

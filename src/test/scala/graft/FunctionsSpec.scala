@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+import graft.functions.functions.simhash64
+import graft.operators.Multimodal
+
+/** Native expression + multimodal plumbing unit tests. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash64: identical token sets hash identically; near sets are close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text").withColumn("h", simhash64(split(col("text"), " ")))
+    val h = df.select("id", "h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    val near = SimHash64.hamming(h(1L), h(3L))
+    val far = SimHash64.hamming(h(1L), h(4L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("simhash64: interpreted eval agrees with codegen") {
+    val df = Seq(Tuple1("alpha beta gamma delta epsilon")).toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val viaCodegen = df.withColumn("h", simhash64(col("toks")))
+      .select("h").collect()(0).getLong(0)
+    // interpreted path
+    val toks = "alpha beta gamma delta epsilon".split(" ")
+    val arrData = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    val viaEval = SimHash64.compute(arrData)
+    assert(viaCodegen == viaEval)
+  }
+
+  test("multimodal decode stub: typed features via mapPartitions") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.decodeFeatures(spark, media)
+    val row = feats.filter(_.doc_id == 0L).collect()(0)
+    assert(row.channels == 3)
+    assert(row.n_pixels == row.width.toLong * row.height * 3)
+    assert(feats.count() == docs.count())
+  }
+
+  test("multimodal frame sampling produces bounded frame arrays") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val media = Multimodal.asMediaTable(docs)
+    val framed = Multimodal.sampleFrames(media, stride = 64, maxFrames = 8)
+    val sizes = framed.select(size(col("frames")).as("nf")).agg(
+      min("nf"), max("nf")).collect()(0)
+    assert(sizes.getInt(0) >= 1 && sizes.getInt(1) <= 8)
+  }
+}

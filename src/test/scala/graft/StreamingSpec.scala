@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming operators driven synchronously against the events
+  * parquet via memory sinks. */
+class StreamingSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("windowed counts with watermark match the batch equivalent") {
+    val stream = StreamingOps.windowedCounts(StreamingOps.readEventsStream(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("win_counts")
+      .agg(sum("n")).collect()(0).getLong(0)
+    // append mode only emits windows closed by the watermark; the final
+    // (unclosed) windows stay in state, so emitted <= total
+    val total = Tables.load(spark, dir, "events").count()
+    assert(got > 0 && got <= total)
+
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val batchByKey = batch.select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    // every emitted streaming row agrees with the batch computation
+    spark.table("win_counts").collect().foreach { r =>
+      val key = (r.get(0).toString, r.getString(1))
+      assert(batchByKey(key) == r.getLong(2), s"window $key")
+    }
+  }
+
+  test("streaming session windows agree with batch session_window") {
+    val stream = StreamingOps.sessionAgg(StreamingOps.readEventsStream(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString) -> r.getLong(2)).toMap
+    val emitted = spark.table("sess").collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { r =>
+      val key = (r.getLong(0), r.get(1).toString)
+      assert(batch(key) == r.getLong(2), s"session $key")
+    }
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    val stream = StreamingOps.runningUserTotals(spark,
+      StreamingOps.readEventsStream(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("running").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // last emitted row per user equals the batch total
+    val lastPerUser = spark.table("running")
+      .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCounts = Tables.load(spark, dir, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lastPerUser == batchCounts)
+  }
+}
