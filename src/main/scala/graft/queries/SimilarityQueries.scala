@@ -32,13 +32,15 @@ object SimilarityQueries {
     org.apache.spark.sql.functions.round(c * p, 0) / p
   }
 
-  /** Embeddings with doubles + precomputed L2 norm. */
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+  import graft.functions.functions.{vec_dot, vec_l2norm}
 
-  private val dot =
-    expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+  /** Embeddings (raw float arrays) + precomputed L2 norm via the native
+    * codegen'd kernel. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", vec_l2norm(col("v")))
+
+  private val dot = vec_dot(col("qv"), col("cv"))
 
   val queries: ListMap[String, Q] = ListMap(
     // Exact brute-force cosine top-5 for query vectors vec_id < 5
@@ -86,10 +88,9 @@ object SimilarityQueries {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"),
+        .select(col("vec_id"), col("embedding").as("v"),
           array_to_vector(col("embedding")).as("features"))
-        .withColumn("nrm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+        .withColumn("nrm", vec_l2norm(col("v")))
       val km = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cell")
       val cells = km.fit(emb).transform(emb)

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: time query variants / dump plans. Not part of the driver
+  * contract. Usage: runMain graft.tools.Profile <name> [sfDir] */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("jaccard")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+
+    def shingleEx(persist: Boolean): DataFrame = {
+      val docs = graft.Tables.load(spark, dir, "documents")
+      val ex = docs.withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 3)
+        .withColumn("shingles", array_distinct(expr(
+          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
+        .select(col("doc_id"), size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
+      if (persist) { ex.persist(); ex.count(); ex } else ex
+    }
+
+    def jacc(ex: DataFrame, bcast: Boolean): Long = {
+      val a = ex.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
+      val b0 = ex.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
+      val b = if (bcast) broadcast(b0) else b0
+      a.join(b, Seq("s")).filter(col("doc_id_1") < col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(count(lit(1)).as("inter"), first("n1").as("n1"), first("n2").as("n2"))
+        .withColumn("j", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("j") >= 0.8).count()
+    }
+
+    what match {
+      case "jaccard" =>
+        time("shuffle-join")(jacc(shingleEx(persist = false), bcast = false))
+        val exP = shingleEx(persist = true)
+        time("persist+shuffle")(jacc(exP, bcast = false))
+        time("persist+broadcast")(jacc(exP, bcast = true))
+        exP.unpersist()
+        time("broadcast-no-persist")(jacc(shingleEx(persist = false), bcast = true))
+      case "explain" =>
+        graft.SparkEntry.queries.get(args(2)) match {
+          case Some(fn) => fn(spark, dir).explain("formatted")
+          case None => println(s"unknown query ${args(2)}")
+        }
+      case other => println(s"unknown profile $other")
+    }
+    spark.stop()
+  }
+}
