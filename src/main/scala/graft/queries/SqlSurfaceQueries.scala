@@ -1,0 +1,128 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Standard-SQL operator surface beyond the core analytics set: distinct
+  * aggregation, set operations, ROLLUP grouping, semi/anti joins, and the
+  * scalar function library (string/date/math built-ins). These are the
+  * operators a user of the generated trifecta views runs day-to-day; all
+  * are Catalyst built-ins (codegen'd, pushdown-friendly). */
+object SqlSurfaceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-compatible rounding (shadows functions.round); see
+    * AnalyticsQueries for rationale. */
+  private def round(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    org.apache.spark.sql.functions.round(c * p, 0) / p
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    // Exact distinct aggregation (expand + two-phase agg in Spark)
+    "distinct_agg" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+    // Set operations: INTERSECT / EXCEPT with distinct semantics
+    "set_ops_customers" -> ((spark, dir) => {
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      val rich = customer.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+      val active = orders.select(col("o_custkey").as("k"))
+      val both = rich.intersect(active).withColumn("category", lit("rich_active"))
+      val inactive = rich.except(active).withColumn("category", lit("rich_inactive"))
+      both.union(inactive).select(col("category"), col("k").as("c_custkey"))
+        .orderBy("category", "c_custkey")
+    }),
+    // ROLLUP subtotals (keys coalesced so both engines sort identically)
+    "rollup_revenue" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("revenue"), col("n"))
+        .orderBy("rflag", "lstatus")
+    }),
+    // Semi join (EXISTS) and anti join (NOT EXISTS) over the same key
+    "semi_anti_join" -> ((spark, dir) => {
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      val withOrders = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val without = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withOrders.union(without).orderBy("c_custkey")
+    }),
+    // Scalar function library: string, date and math built-ins in one pass
+    "scalar_functions" -> ((spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          upper(substring(col("o_orderstatus"), 1, 1)).as("status_u"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          length(col("o_orderpriority")).as("prio_len"),
+          abs(col("o_totalprice") - 1000.0).as("price_delta"),
+          round(col("o_totalprice") / 100.0, 2).as("price_h"),
+          floor(col("o_totalprice")).as("price_floor"),
+          ceil(col("o_totalprice")).as("price_ceil"))
+        .orderBy("o_orderkey")
+    }))
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "set_ops_customers" ->
+      """WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        |active AS (SELECT o_custkey AS k FROM orders)
+        |SELECT 'rich_active' AS category, k AS c_custkey FROM (SELECT k FROM rich INTERSECT SELECT k FROM active)
+        |UNION ALL
+        |SELECT 'rich_inactive' AS category, k AS c_custkey FROM (SELECT k FROM rich EXCEPT SELECT k FROM active)
+        |ORDER BY category, c_custkey""".stripMargin,
+    "rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "scalar_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        |  upper(substring(o_orderstatus, 1, 1)) AS status_u,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  abs(o_totalprice - 1000.0) AS price_delta,
+        |  round(o_totalprice / 100.0, 2) AS price_h,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
