@@ -112,6 +112,23 @@ object VectorKernels {
     acc
   }
 
+  /** Dot of a plain float array against an ArrayData of floats (used by the
+    * CosineTopK physical operator where the query side is a JVM array). */
+  def dotFloatsArray(a: Array[Float], b: ArrayData): Double = {
+    val n = math.min(a.length, b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def l2normFloats(a: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
   def l2norm(a: ArrayData, aFloat: Boolean): Double = {
     val n = a.numElements()
     var acc = 0.0

@@ -57,6 +57,19 @@ object SimilarityQueries {
         .select("q_id", "c_id", "rank", "cosine")
         .orderBy("q_id", "rank")
     }),
+    // Same top-k through the custom whole-operator plan (logical node +
+    // strategy + physical exec): one corpus scan, bounded per-partition
+    // heaps, kilobytes shuffled instead of the scored cross join. Results
+    // are identical to ann_bruteforce_topk (same oracle).
+    "ann_topk_native" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      graft.plans.CosineTopK.topK(spark, emb, queries, 5, "vec_id", "embedding")
+        .orderBy("q_id", "rank")
+    }),
     // LSH-bucketed approximate neighbors (scale path): random-projection
     // buckets bound the candidate set; rows-only check (approximate).
     "ann_lsh_topk" -> ((spark, dir) => {
@@ -108,8 +121,7 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }))
 
-  val oracleSql: ListMap[String, String] = ListMap(
-    "ann_bruteforce_topk" ->
+  private val bruteForceOracle =
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
@@ -124,5 +136,9 @@ object SimilarityQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, c_id, rank, cosine FROM ranked
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "ann_bruteforce_topk" -> bruteForceOracle,
+    "ann_topk_native" -> bruteForceOracle)
 }
