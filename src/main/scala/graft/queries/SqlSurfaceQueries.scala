@@ -66,6 +66,40 @@ object SqlSurfaceQueries {
         .select(col("c_custkey"), lit("no_orders").as("status"))
       withOrders.union(without).orderBy("c_custkey")
     }),
+    // As-of event attribution: each event carries the timestamp of the
+    // user's most recent prior-or-same-time signup event — the as-of-join
+    // pattern expressed as a single running window (no join, no shuffle
+    // beyond the user partitioning)
+    "asof_last_signup" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          coalesce(max(when(col("event_type") === "signup", col("ts"))).over(w),
+            lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))).as("last_signup_ts"))
+        .orderBy("event_id")
+    }),
+    // Custom typed aggregate (Aggregator/udaf surface): value-weighted mean
+    // price per order status, weighted by quantity
+    "weighted_mean_price" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(graft.functions.WeightedMean.weightedMean(
+          col("l_extendedprice"), col("l_quantity")), 4).as("wmean_price"))
+        .orderBy("l_returnflag")
+    }),
+    // Sketch aggregates: HLL distinct + approximate quantiles. Approximate
+    // by design -> rows-only check (deterministic for fixed input).
+    "approx_sketches" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
+        .orderBy("l_returnflag")
+    }),
     // Scalar function library: string, date and math built-ins in one pass
     "scalar_functions" -> ((spark, dir) => {
       Tables.load(spark, dir, "orders")
@@ -85,6 +119,17 @@ object SqlSurfaceQueries {
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
+    "asof_last_signup" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  coalesce(max(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) OVER
+        |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    TIMESTAMP '1970-01-01 00:00:00') AS last_signup_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "weighted_mean_price" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,

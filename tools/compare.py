@@ -22,6 +22,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    try:  # NaT/NaN of any flavor
+        if a != a and b != b:
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
