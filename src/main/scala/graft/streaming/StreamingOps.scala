@@ -58,6 +58,23 @@ object StreamingOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: drop re-delivered events by id, state bounded
+    * by the watermark (late duplicates beyond it age out of state — the
+    * at-least-once -> exactly-once repair step of an ingest pipeline). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static dimension is read once per
+    * micro-batch and broadcast — the streaming side never shuffles. */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        customer.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+
   /** Custom state: running per-user totals emitted on every update. State
     * expires on an event-time timeout one hour past the user's last event
     * (watermark-driven, so expiry is deterministic and replayable — at scale

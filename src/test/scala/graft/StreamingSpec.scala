@@ -56,6 +56,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops nothing on already-unique ids; keeps all rows") {
+    val stream = StreamingOps.dedupEvents(StreamingOps.readEventsStream(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(spark.table("dedup").count() ==
+      Tables.load(spark, dir, "events").count())
+    assert(spark.table("dedup").select("event_id").distinct().count() ==
+      spark.table("dedup").count())
+  }
+
+  test("stream-static broadcast join enriches events with customer segment") {
+    val events = StreamingOps.readEventsStream(spark, dir)
+    val customer = Tables.load(spark, dir, "customer")
+    val stream = StreamingOps.enrichWithCustomer(events, customer)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("enriched")
+    assert(got.count() == Tables.load(spark, dir, "events").count())
+    // matched rows carry a segment; the join is left so nothing is dropped
+    assert(got.filter(col("c_mktsegment").isNotNull).count() > 0)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = StreamingOps.runningUserTotals(spark,
       StreamingOps.readEventsStream(spark, dir))
