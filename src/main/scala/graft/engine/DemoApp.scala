@@ -45,8 +45,17 @@ object DemoApp {
     * over `sfDir`. Idempotent; artifacts land under target/graft-out. */
   def build(spark: SparkSession, sfDir: String): BuildResult =
     cache.computeIfAbsent(sfDir, { _ =>
-      val out = "target/graft-out/" + sfDir.replaceAll("[^A-Za-z0-9_.-]", "_")
-      new SchemaBuilderEngine(spark, config, (_, _) => sfDir, out)
-        .buildApp(AppDest, config.schemaConfig(AppDest))
+      val sub = sfDir.replaceAll("[^A-Za-z0-9_.-]", "_")
+      try
+        new SchemaBuilderEngine(spark, config, (_, _) => sfDir, s"target/graft-out/$sub")
+          .buildApp(AppDest, config.schemaConfig(AppDest))
+      catch {
+        // cwd may not be the repo (driver-run): fall back to a temp dir so
+        // artifact IO never takes the registered views down with it
+        case _: java.io.IOException | _: java.nio.file.FileSystemException =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft-out").toString
+          new SchemaBuilderEngine(spark, config, (_, _) => sfDir, tmp)
+            .buildApp(AppDest, config.schemaConfig(AppDest))
+      }
     })
 }
