@@ -170,9 +170,7 @@ object CosineTopK {
       queries: Seq[(Long, Array[Float])], k: Int,
       idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.graft.bridge
-    if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ CosineTopKStrategy
+    GraftExtensions.install(spark)
     bridge.ofRows(spark,
       CosineTopKPlan(bridge.logicalPlan(corpus), queries, k, idCol, vecCol,
         CosineTopKPlan.freshOutput()))
