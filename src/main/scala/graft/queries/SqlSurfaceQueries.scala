@@ -66,6 +66,38 @@ object SqlSurfaceQueries {
         .select(col("c_custkey"), lit("no_orders").as("status"))
       withOrders.union(without).orderBy("c_custkey")
     }),
+    // Pivot: one column per return flag (conditional-agg equivalent)
+    "pivot_returnflag" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("A", "qty_a")
+        .withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+        .na.fill(0.0, Seq("qty_a", "qty_n", "qty_r"))
+        .orderBy("l_linestatus")
+    }),
+    // CUBE: all grouping-set combinations
+    "cube_revenue" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("revenue"))
+        .orderBy("rflag", "lstatus")
+    }),
+    // Correlated scalar subquery: parts priced above their brand's average
+    "correlated_subquery" -> ((spark, dir) => {
+      Tables.load(spark, dir, "part").createOrReplaceTempView("part_sq")
+      spark.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_sq p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+                               FROM part_sq p2 WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey""")
+    }),
     // As-of event attribution: each event carries the timestamp of the
     // user's most recent prior-or-same-time signup event — the as-of-join
     // pattern expressed as a single running window (no join, no shuffle
@@ -119,6 +151,24 @@ object SqlSurfaceQueries {
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
+    "pivot_returnflag" ->
+      """SELECT l_linestatus,
+        |  coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2), 0.0) AS qty_a,
+        |  coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2), 0.0) AS qty_n,
+        |  coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0.0) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "cube_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "correlated_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+        |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "asof_last_signup" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |  coalesce(max(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) OVER
