@@ -6,22 +6,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.functions.simhash64
+import graft.operators.Dedup
 
-/** Deduplication family for a training-data pipeline:
-  *
-  *  - exact (content-hash groupBy)
-  *  - n-gram Jaccard (shingle-bucket join — exact similarity, candidate
-  *    pairs pruned to those sharing a shingle)
-  *  - MinHash LSH (spark.ml banding — the sub-quadratic scale path)
-  *  - SimHash (constant-size sketch + 16-bit-band self-join)
-  *  - embedding cosine near-dup (exact; LSH variant in SimilarityQueries)
-  *
-  * Scale posture: nothing here is O(n^2) except the *verification* of
-  * candidate pairs produced by a bucket join; every candidate generator is
-  * a shuffle on a bounded key (shingle, band, LSH bucket). At 100 TB the
-  * shingle join's hot keys (very common shingles) are handled by AQE skew
-  * splitting; the MinHash/SimHash paths bound candidates regardless of skew.
+/** Driver-facing dedup queries — thin wrappers over the library operators
+  * in `graft.operators.Dedup` (see there for the scale rationale): exact
+  * content-hash, n-gram Jaccard (shingle-bucket join), MinHash LSH,
+  * SimHash banding, embedding cosine. Thresholds are applied on the
+  * DuckDB-rounded value so the oracles agree at boundaries.
   */
 object DedupQueries {
 
@@ -36,108 +27,32 @@ object DedupQueries {
     org.apache.spark.sql.functions.round(c * p, 0) / p
   }
 
-  private def toks(c: Column): Column = split(lower(c), " ")
-
-  /** Distinct word 3-gram shingles of `text` (docs with <3 tokens get none),
-    * via the native single-pass kernel. */
-  private def shingled(df: DataFrame): DataFrame =
-    df.withColumn("w", toks(col("text")))
-      .filter(size(col("w")) >= 3)
-      .withColumn("shingles", graft.functions.functions.word_shingles(col("w"), 3))
-
   val queries: ListMap[String, Q] = ListMap(
-    // Exact dedup via content hash: one shuffle on a 256-bit key; at scale
-    // the hash groupBy avoids shipping full texts through the exchange
     "dedup_exact" -> ((spark, dir) => {
-      Tables.load(spark, dir, "documents")
-        .groupBy(sha2(col("text"), 256).as("h"))
-        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
-        .select("keep_doc_id", "n_copies")
+      Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text")
         .orderBy("keep_doc_id")
     }),
-    // Exact n-gram Jaccard >= 0.8 over candidate pairs sharing a shingle
     "dedup_ngram_jaccard" -> ((spark, dir) => {
-      // materialize the exploded shingles once — the self-join would
-      // otherwise recompute the (expensive) shingle transform on both
-      // sides, and putting size(shingles) in the same projection as
-      // explode(shingles) re-evaluates the transform per exploded row.
-      // Explode once, persist (MEMORY_AND_DISK: spill, don't OOM), and
-      // derive each doc's shingle count by aggregation of the cached rows.
-      val ex0 = shingled(Tables.load(spark, dir, "documents"))
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ex0.count()
-      val counts = ex0.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ex = ex0.join(broadcast(counts), Seq("doc_id"))
-      val a = ex.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
-      val b = ex.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
-      a.join(b, Seq("s")).filter(col("doc_id_1") < col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(count(lit(1)).as("inter"), first("n1").as("n1"), first("n2").as("n2"))
-        .withColumn("jaccard",
-          round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= 0.8)
-        .select("doc_id_1", "doc_id_2", "jaccard")
         .orderBy("doc_id_1", "doc_id_2")
     }),
-    // MinHash LSH near-dup candidates (sub-quadratic; spark.ml banding).
-    // Approximate by construction -> rows-only check, fixed seed.
     "dedup_minhash_lsh" -> ((spark, dir) => {
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-      val docs = shingled(Tables.load(spark, dir, "documents"))
-        .select(col("doc_id"), col("shingles"))
-      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-        .setNumFeatures(1 << 18).setBinary(true)
-      // persist: fit + both sides of the self-join otherwise re-evaluate
-      // the shingle + hashing pipeline three times
-      val feat = tf.transform(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      feat.count()
-      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(4).setSeed(42L)
-      val model = mh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.4, "jaccard_dist")
-        .select(col("datasetA.doc_id").as("doc_id_1"),
-          col("datasetB.doc_id").as("doc_id_2"),
-          round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
-        .filter(col("doc_id_1") < col("doc_id_2"))
-        .orderBy("doc_id_1", "doc_id_2")
-    }),
-    // SimHash sketch + banded self-join, hamming <= 8
-    "dedup_simhash" -> ((spark, dir) => {
-      val sh = Tables.load(spark, dir, "documents")
-        .withColumn("w", toks(col("text")))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), simhash64(col("w")).as("h"))
-      val bands = sh.select(col("doc_id"), col("h"),
-        explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(h, b*16) & 65535 as key))")).as("bk"))
-        .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
-      val a = bands.select(col("doc_id").as("doc_id_1"), col("h").as("h1"),
-        col("band"), col("key"))
-      val b = bands.select(col("doc_id").as("doc_id_2"), col("h").as("h2"),
-        col("band"), col("key"))
-      a.join(b, Seq("band", "key")).filter(col("doc_id_1") < col("doc_id_2"))
+      Dedup.minhashPairs(Tables.load(spark, dir, "documents"), "doc_id", "text")
         .select(col("doc_id_1"), col("doc_id_2"),
-          expr("bit_count(h1 ^ h2)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 8)
+          round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     }),
-    // Exact embedding cosine near-dup (>= 0.5); norms precomputed per side,
-    // dot product via the native codegen'd kernel (float arrays widened to
-    // double inside the loop — bit-identical to cast-then-fold)
+    "dedup_simhash" -> ((spark, dir) => {
+      Dedup.simhashPairs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id_1", "doc_id_2")
+    }),
     "dedup_embedding_cosine" -> ((spark, dir) => {
-      import graft.functions.functions.{vec_dot, vec_l2norm}
-      val emb = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", vec_l2norm(col("v")))
-      val a = emb.select(col("vec_id").as("vec_id_1"), col("v").as("v1"), col("nrm").as("nrm1"))
-      val b = emb.select(col("vec_id").as("vec_id_2"), col("v").as("v2"), col("nrm").as("nrm2"))
-      a.crossJoin(broadcast(b)).filter(col("vec_id_1") < col("vec_id_2"))
-        .withColumn("cosine", round(
-          vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6))
+      Dedup.embeddingCosinePairs(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", minCosine = -2.0)
+        .withColumn("cosine", round(col("cosine"), 6))
         .filter(col("cosine") >= 0.5)
-        .select("vec_id_1", "vec_id_2", "cosine")
         .orderBy("vec_id_1", "vec_id_2")
     }))
 

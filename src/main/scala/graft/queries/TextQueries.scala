@@ -29,18 +29,13 @@ object TextQueries {
     org.apache.spark.sql.functions.round(c * p, 0) / p
   }
 
-  private def toks(c: Column): Column = split(lower(c), " ")
+  import graft.operators.TextAnalysis
+  import TextAnalysis.{enMarkers => enM, esMarkers => esM, frMarkers => frM,
+    deMarkers => deM, stopwords}
 
-  /** Marker-token score: how many tokens fall in the language's stopword
-    * marker list. */
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
   private def score(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(markers)))
-
-  private val enM = Seq("the", "and", "is", "of")
-  private val esM = Seq("el", "la", "de", "que")
-  private val frM = Seq("le", "les", "et", "des")
-  private val deM = Seq("der", "die", "und", "ist")
-  private val stopwords = Seq("the", "and", "is", "of", "to", "a", "in")
 
   val queries: ListMap[String, Q] = ListMap(
     // Char/token statistics per document
@@ -61,15 +56,8 @@ object TextQueries {
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
           score(t, enM).as("s_en"), score(t, esM).as("s_es"),
-          score(t, frM).as("s_fr"), score(t, deM).as("s_de"))
-        .withColumn("lang_pred",
-          when(col("s_en") > 0 && col("s_en") >= col("s_es") &&
-            col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
-            .when(col("s_es") > 0 && col("s_es") >= col("s_fr") &&
-              col("s_es") >= col("s_de"), "es")
-            .when(col("s_fr") > 0 && col("s_fr") >= col("s_de"), "fr")
-            .when(col("s_de") > 0, "de")
-            .otherwise("und"))
+          score(t, frM).as("s_fr"), score(t, deM).as("s_de"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
     // Quality score: linear blend of stopword ratio, length saturation and
@@ -105,7 +93,7 @@ object TextQueries {
     "doc_fingerprint" -> ((spark, dir) => {
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }))
 
