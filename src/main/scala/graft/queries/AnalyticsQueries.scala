@@ -115,6 +115,30 @@ object AnalyticsQueries {
           round(sum("value"), 2).as("session_value"))
         .orderBy("user_id", "session_id")
     }),
+    // Range (interval) join, binned: pairs of orders by the same customer
+    // placed within 7 days of each other. The naive formulation is a
+    // theta-join (nested-loop at scale); binning the time axis turns it
+    // into an equi-join on (customer, week-bucket) with the exact predicate
+    // applied only to in-bucket candidates — the standard interval-join
+    // scale pattern. One side explodes to adjacent buckets so cross-bucket
+    // pairs are not missed.
+    "range_join_orders" -> ((spark, dir) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      val a = orders.select(col("o_custkey"), col("o_orderkey").as("k1"), col("us").as("us1"))
+        .withColumn("bucket", expr(s"us1 div $weekUs"))
+      val b = orders.select(col("o_custkey"), col("o_orderkey").as("k2"), col("us").as("us2"))
+        .withColumn("bucket", explode(expr(
+          s"array(us2 div $weekUs - 1, us2 div $weekUs, us2 div $weekUs + 1)")))
+      a.join(b, Seq("o_custkey", "bucket"))
+        .filter(col("k1") < col("k2") && abs(col("us1") - col("us2")) <= weekUs)
+        .select(col("o_custkey"), col("k1"), col("k2"),
+          abs(col("us1") - col("us2")).as("gap_us"))
+        .distinct()
+        .orderBy("o_custkey", "k1", "k2")
+    }),
     // JSON extraction from the props column (multimodal/dynamic metadata)
     "json_extract_props" -> ((spark, dir) => {
       Tables.load(spark, dir, "events")
@@ -187,6 +211,13 @@ object AnalyticsQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "range_join_orders" ->
+      """SELECT a.o_custkey AS o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |  CAST(abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) AS BIGINT) AS gap_us
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) <= 604800000000
+        |ORDER BY a.o_custkey, k1, k2""".stripMargin,
     "json_extract_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
