@@ -89,6 +89,19 @@ object TextQueries {
           expr("size(regexp_extract_all(lower(text), '[0-9]', 0))").as("n_digit_tokens"))
         .orderBy("doc_id")
     }),
+    // Array/higher-order ops over the token array (outputs scalarized so
+    // the oracle hash compare stays type-simple)
+    "array_ops_docs" -> ((spark, dir) => {
+      val t = toks(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(t, 1, 3), " ").as("first3"),
+          array_join(array_sort(slice(t, 1, 3)), " ").as("first3_sorted"),
+          array_contains(t, "the").as("has_the"),
+          size(array_distinct(t)).as("n_distinct"),
+          element_at(t, -1).as("last_token"))
+        .orderBy("doc_id")
+    }),
     // Content fingerprint: md5 of whitespace-normalized lowercase text
     "doc_fingerprint" -> ((spark, dir) => {
       Tables.load(spark, dir, "documents")
@@ -143,6 +156,15 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS INTEGER) AS n_digit_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "array_ops_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(w[1:3], ' ') AS first3,
+        |  array_to_string(list_sort(w[1:3]), ' ') AS first3_sorted,
+        |  list_contains(w, 'the') AS has_the,
+        |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        |  w[-1] AS last_token
+        |FROM t ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
