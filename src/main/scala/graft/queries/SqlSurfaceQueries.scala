@@ -56,6 +56,18 @@ object SqlSurfaceQueries {
           col("revenue"), col("n"))
         .orderBy("rflag", "lstatus")
     }),
+    // Explicit GROUPING SETS (distinct from rollup/cube): by-flag and
+    // by-status subtotals only, no grand total
+    "grouping_sets_revenue" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               round(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) / 100, 2) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY rflag, lstatus""")
+    }),
     // Semi join (EXISTS) and anti join (NOT EXISTS) over the same key
     "semi_anti_join" -> ((spark, dir) => {
       val customer = Tables.load(spark, dir, "customer")
@@ -199,6 +211,13 @@ object SqlSurfaceQueries {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "grouping_sets_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  round(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) / 100, 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY rflag, lstatus""".stripMargin,
     "semi_anti_join" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer

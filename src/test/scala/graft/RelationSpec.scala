@@ -79,6 +79,25 @@ class RelationSpec extends AnyFunSuite {
     assert(!noSd.contains("WHERE"))
   }
 
+  test("redaction of a reserved-keyword column matches on the quoted name (reference parity)") {
+    // the reference's template looks up redactions by the *prepped* column
+    // name, which for keyword columns includes the quotes — a redaction
+    // configured under the bare name does not match (model_sql_safe.tpl:7-9)
+    val quoted = mkRelation(cols = Seq("select", "normal"),
+      keywords = ReservedKeywords.all,
+      redactions = Map("LMS.THIS_TABLE" -> Map("\"SELECT\"" -> "'x'")))
+    val sqlQuoted = Trifecta.renderSql("LMS", "SAFE", quoted.prepMetaData,
+      rawSchema(), quoted.redactions)
+    assert(sqlQuoted.contains("'x' as \"SELECT\""))
+
+    val bare = mkRelation(cols = Seq("select", "normal"),
+      keywords = ReservedKeywords.all,
+      redactions = Map("LMS.THIS_TABLE" -> Map("SELECT" -> "'x'")))
+    val sqlBare = Trifecta.renderSql("LMS", "SAFE", bare.prepMetaData,
+      rawSchema(), bare.redactions)
+    assert(!sqlBare.contains("'x'"))
+  }
+
   test("rendered PII SQL passes columns through unredacted") {
     val r = mkRelation(cols = Seq("COLUMN_1", "COLUMN_2"),
       redactions = Map("LMS.THIS_TABLE" -> Map("COLUMN_1" -> "'<redacted>'")))
