@@ -75,6 +75,25 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within 2 hours before the purchase. Both sides carry
+    * watermarks and the join condition is time-bounded, so each side's
+    * buffered state is dropped once the other side's watermark passes the
+    * interval — bounded state, the requirement for an unbounded run. */
+  def purchasesAfterSignup(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
+  }
+
   /** Custom state: running per-user totals emitted on every update. State
     * expires on an event-time timeout one hour past the user's last event
     * (watermark-driven, so expiry is deterministic and replayable — at scale

@@ -53,6 +53,34 @@ object Profile {
         time("persist+broadcast")(jacc(exP, bcast = true))
         exP.unpersist()
         time("broadcast-no-persist")(jacc(shingleEx(persist = false), bcast = true))
+      case "jaccard2" =>
+        def run(dfFilter: Boolean): Long = {
+          val docs = graft.Tables.load(spark, dir, "documents")
+          val ex0 = docs.withColumn("w", split(lower(col("text")), " "))
+            .filter(size(col("w")) >= 3)
+            .select(col("doc_id"),
+              explode(graft.functions.functions.word_shingles(col("w"), 3)).as("s"))
+            .persist()
+          ex0.count()
+          val counts = ex0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          val exBase = ex0.join(broadcast(counts), Seq("doc_id"))
+          val ex = if (dfFilter) {
+            val shared = ex0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > 1)
+              .select("s")
+            exBase.join(shared, Seq("s"))
+          } else exBase
+          val a = ex.select(col("doc_id").as("d1"), col("n").as("n1"), col("s"))
+          val b = ex.select(col("doc_id").as("d2"), col("n").as("n2"), col("s"))
+          val out = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+            .groupBy("d1", "d2")
+            .agg(count(lit(1)).as("i"), first("n1").as("n1"), first("n2").as("n2"))
+            .filter(col("i") / (col("n1") + col("n2") - col("i")) >= 0.8).count()
+          ex0.unpersist()
+          out
+        }
+        time("warm")(run(false))
+        time("no-df-filter")(run(false))
+        time("df>1 filter")(run(true))
       case "explain" =>
         graft.SparkEntry.queries.get(args(2)) match {
           case Some(fn) => fn(spark, dir).explain("formatted")

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{SimHash64, VectorKernels, WordShingles}
+
+/** Property tests for the native kernels against naive reference
+  * implementations, over ScalaCheck-generated inputs. */
+class PropertySpec extends AnyFunSuite {
+
+  private def sample[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val tokenGen: Gen[Seq[String]] =
+    Gen.listOfN(40, Gen.oneOf("a", "bb", "ccc", "dddd", "ee", "f", "gg", "hhh"))
+
+  private def toArrayData(tokens: Seq[String]): ArrayData =
+    ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+
+  test("word_shingles equals the naive sliding-window distinct") {
+    for (tokens <- sample(tokenGen, 50); k <- Seq(2, 3, 5)) {
+      val got = WordShingles.compute(toArrayData(tokens), k)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val expected = tokens.sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toSeq.distinct
+      assert(got == expected, s"tokens=$tokens k=$k")
+    }
+  }
+
+  test("simhash64 is permutation-invariant for multiset-equal token bags and differs rarely on edits") {
+    for (tokens <- sample(tokenGen, 30)) {
+      val h1 = SimHash64.compute(toArrayData(tokens))
+      val h2 = SimHash64.compute(toArrayData(scala.util.Random.shuffle(tokens.toList)))
+      assert(h1 == h2, "simhash must not depend on token order")
+    }
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+
+  test("vector kernels equal naive fold") {
+    for (a <- sample(vecGen, 40); b <- sample(vecGen, 1)) {
+      val ad = ArrayData.toArrayData(a)
+      val bd = ArrayData.toArrayData(b)
+      val naiveDot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }
+        .foldLeft(0.0)(_ + _)
+      assert(VectorKernels.dot(ad, bd, true, true) == naiveDot)
+      assert(VectorKernels.dotFloatsArray(a, bd) == naiveDot)
+      val naiveNorm = math.sqrt(a.map(x => x.toDouble * x.toDouble).foldLeft(0.0)(_ + _))
+      assert(VectorKernels.l2norm(ad, true) == naiveNorm)
+      assert(VectorKernels.l2normFloats(a) == naiveNorm)
+    }
+  }
+
+  test("YAML docs round-trip preserves structure and extra keys") {
+    import graft.generate.YamlDocs
+    import graft.model.{Docs, ModelSection, SchemaDoc, SourceSection}
+    import scala.collection.mutable
+    val nameGen = Gen.listOfN(8, Gen.alphaNumChar).map("T_" + _.mkString)
+    for (names <- sample(Gen.listOfN(5, nameGen), 20)) {
+      val doc = SchemaDoc(2,
+        mutable.Buffer(SourceSection("APP", "DB",
+          names.map(n => Docs.tableEntry("name" -> n, "description" -> s"d-$n",
+            "freshness" -> Map("warn_after" -> Map("count" -> 1)))).toBuffer)),
+        mutable.Buffer(ModelSection("M", names)))
+      val back = YamlDocs.parse(YamlDocs.emit(doc))
+      assert(back.sources.head.tables.map(_("name")) == names.toBuffer)
+      assert(back.sources.head.tables.forall(t =>
+        String.valueOf(t("description")).startsWith("d-")))
+      assert(back.models.head.columns == names)
+    }
+  }
+}

@@ -80,6 +80,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("c_mktsegment").isNotNull).count() > 0)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val stream = StreamingOps.purchasesAfterSignup(StreamingOps.readEventsStream(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("p_ts"), col("s_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString)).toSet
+
+    val got = spark.table("ssjoin")
+      .select("user_id", "p_ts", "s_ts")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString)).toSet
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = StreamingOps.runningUserTotals(spark,
       StreamingOps.readEventsStream(spark, dir))
