@@ -133,6 +133,18 @@ object SqlSurfaceQueries {
           col("l_extendedprice"), col("l_quantity")), 4).as("wmean_price"))
         .orderBy("l_returnflag")
     }),
+    // Custom TypedImperativeAggregate: bounded top-k-by buffer (the sketch
+    // aggregate tier) — top-3 order keys by extended price per return flag,
+    // emitted as a comma-joined string for oracle stability
+    "topk_by_agg" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.TopKBy.top_k_by(
+          col("l_orderkey"), col("l_extendedprice"), 3).as("keys"))
+        .select(col("l_returnflag"),
+          concat_ws(",", expr("transform(keys, x -> cast(x as string))")).as("top_keys"))
+        .orderBy("l_returnflag")
+    }),
     // Sketch aggregates: HLL distinct + approximate quantiles. Approximate
     // by design -> rows-only check (deterministic for fixed input).
     "approx_sketches" -> ((spark, dir) => {
@@ -212,6 +224,15 @@ object SqlSurfaceQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+    "topk_by_agg" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  string_agg(CAST(l_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_keys
+        |FROM r WHERE rn <= 3 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "grouping_sets_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
