@@ -49,8 +49,12 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     }),
     "dedup_embedding_cosine" -> ((spark, dir) => {
+      // operator pre-filter strictly below the 0.5 rounding boundary (no
+      // candidate that could round up is lost, and the full corpus isn't
+      // re-scored by a second predicate); exact threshold on the rounded
+      // value to match the oracle
       Dedup.embeddingCosinePairs(Tables.load(spark, dir, "embeddings"),
-          "vec_id", "embedding", minCosine = -2.0)
+          "vec_id", "embedding", minCosine = 0.4999)
         .withColumn("cosine", round(col("cosine"), 6))
         .filter(col("cosine") >= 0.5)
         .orderBy("vec_id_1", "vec_id_2")
