@@ -28,10 +28,15 @@ object Tables {
   }
 
   /** Replace a nanos-as-long column with a micros TimestampType column of
-    * the same name, preserving column position. */
+    * the same name, preserving column position. Floor division (not SQL
+    * `div`, which truncates toward zero) so pre-epoch nanos round to the
+    * earlier microsecond, agreeing with any floor-semantics oracle; integer
+    * arithmetic throughout — nanos exceed 2^53, double division would lose
+    * precision. */
   def normalizeNanos(df: DataFrame, colName: String): DataFrame =
     if (df.schema.fieldNames.contains(colName) &&
         df.schema(colName).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      df.withColumn(colName, timestamp_micros(expr(
+        s"($colName div 1000) + (CASE WHEN $colName % 1000 < 0 THEN -1 ELSE 0 END)")))
     else df
 }

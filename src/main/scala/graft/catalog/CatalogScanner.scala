@@ -32,24 +32,35 @@ object CatalogScanner {
     graft.Tables.prepare(spark)
     val banned = bannedColumnNames.toSet
     listTables(schemaDir).flatMap { case (table, path) =>
-      val schema = spark.read.parquet(path).schema
-      schema.fields.iterator.zipWithIndex.collect {
-        // ORDINAL_POSITION is 1-based in information schema
-        case (f, i) if !banned.contains(f.name) => CatalogRow(table, f.name, i + 1)
-      }
+      scanTable(spark, table, path, banned)
     }
   }
 
-  /** Chunked fallback — 27 scans keyed on first letter `_,A..Z`
-    * (builder.py:101-147). Obsolete under Spark (no result-size ceiling) but
-    * kept for behavioral parity; the letter match is case-insensitive on the
-    * first character like `LIKE 'A%'` against uppercase Snowflake names. */
+  /** One table's catalog rows (footer read only). */
+  private def scanTable(spark: SparkSession, table: String, path: String,
+      banned: Set[String]): Seq[CatalogRow] = {
+    val schema = spark.read.parquet(path).schema
+    schema.fields.iterator.zipWithIndex.collect {
+      // ORDINAL_POSITION is 1-based in information schema
+      case (f, i) if !banned.contains(f.name) => CatalogRow(table, f.name, i + 1)
+    }.toSeq
+  }
+
+  /** Chunked fallback — 27 INDEPENDENT scans keyed on first letter `_,A..Z`
+    * (builder.py:101-147, queries.py:23-33): each chunk lists and reads only
+    * its own tables' footers, so no single scan ever covers the whole
+    * schema — the property the reference relies on to duck the result-size
+    * ceiling. The letter match is case-insensitive on the first character
+    * like `LIKE 'A%'` against uppercase Snowflake names; tables starting
+    * with a character outside `_A-Z` fall in no chunk, as in the reference. */
   def fetchCatalogByLetter(spark: SparkSession, schemaDir: String,
       bannedColumnNames: Seq[String]): Seq[CatalogRow] = {
-    val full = fetchFullCatalog(spark, schemaDir, bannedColumnNames)
+    graft.Tables.prepare(spark)
+    val banned = bannedColumnNames.toSet
     ("_" + ('A' to 'Z').mkString).flatMap { letter =>
-      full.filter(r => r.tableName.nonEmpty &&
-        r.tableName.charAt(0).toUpper == letter)
+      listTables(schemaDir)
+        .filter { case (t, _) => t.nonEmpty && t.charAt(0).toUpper == letter }
+        .flatMap { case (table, path) => scanTable(spark, table, path, banned) }
     }
   }
 

@@ -61,7 +61,9 @@ case class TopKBy(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (keyExpr.dataType, valueExpr.dataType) match {
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"top_k_by requires k >= 1, got $k")
+    else (keyExpr.dataType, valueExpr.dataType) match {
       case (LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"top_k_by requires (bigint, double), got $other")

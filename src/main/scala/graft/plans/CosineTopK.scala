@@ -169,6 +169,7 @@ object CosineTopK {
   def topK(spark: SparkSession, corpus: DataFrame,
       queries: Seq[(Long, Array[Float])], k: Int,
       idCol: String, vecCol: String): DataFrame = {
+    require(k >= 1, s"topK requires k >= 1, got $k")
     import org.apache.spark.sql.graft.bridge
     GraftExtensions.install(spark)
     bridge.ofRows(spark,

@@ -50,18 +50,29 @@ object DedupQueries {
     }),
     "dedup_embedding_cosine" -> ((spark, dir) => {
       // operator pre-filter strictly below the 0.5 rounding boundary (no
-      // candidate that could round up is lost, and the full corpus isn't
-      // re-scored by a second predicate); exact threshold on the rounded
-      // value to match the oracle
+      // candidate that could round up is lost; the LSH radius derives from
+      // the same bound, so candidate generation can't lose a qualifying
+      // pair either); exact threshold on the rounded value to match the
+      // oracle
       Dedup.embeddingCosinePairs(Tables.load(spark, dir, "embeddings"),
           "vec_id", "embedding", minCosine = 0.4999)
         .withColumn("cosine", round(col("cosine"), 6))
         .filter(col("cosine") >= 0.5)
         .orderBy("vec_id_1", "vec_id_2")
+    }),
+    "dedup_cluster_resolve" -> ((spark, dir) => {
+      // pairs -> transitive closure -> keep-min-id per cluster, for every
+      // corpus row (docs in no pair keep themselves)
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .filter(col("jaccard") >= 0.8)
+      Dedup.resolveClusters(docs, "doc_id", pairs, "doc_id_1", "doc_id_2")
+        .orderBy("doc_id")
     }))
 
-  private val duckShingles =
-    """WITH tok AS (
+  private val duckShinglesBody =
+    """tok AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
       |  WHERE len(string_split(lower(text), ' ')) >= 3),
       |sh AS (
@@ -70,6 +81,8 @@ object DedupQueries {
       |                   for i in range(1, len(w) - 1)]) AS shingles
       |  FROM tok),
       |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh)""".stripMargin
+
+  private val duckShingles = "WITH " + duckShinglesBody
 
   val oracleSql: ListMap[String, String] = ListMap(
     "dedup_exact" ->
@@ -95,5 +108,22 @@ object DedupQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
         |    / (a.nrm * b.nrm), 6) >= 0.5
-        |ORDER BY vec_id_1, vec_id_2""".stripMargin)
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+    "dedup_cluster_resolve" ->
+      ("WITH RECURSIVE " + duckShinglesBody +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS u, b.doc_id AS v
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |  HAVING round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.8),
+          |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT u, u FROM edges
+          |  UNION
+          |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.r),
+          |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_doc_id
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+          |ORDER BY doc_id""".stripMargin))
 }

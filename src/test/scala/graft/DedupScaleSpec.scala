@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Scale-shape guarantees for the dedup tier: candidate generation must be
+  * a bucket join (never a cartesian/broadcast-nested-loop), the LSH
+  * embedding path must agree with the exact formulation at the near-dup
+  * threshold, and cluster resolution must compute the true transitive
+  * closure. */
+class DedupScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def embeddings = Tables.load(spark, TestSpark.sfDir, "embeddings")
+
+  test("embedding-cosine dedup plan has no cartesian or broadcast-nested-loop join") {
+    val pairs = Dedup.embeddingCosinePairs(embeddings, "vec_id", "embedding", 0.4999)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"broadcast nested loop join in plan:\n$plan")
+  }
+
+  test("LSH embedding-cosine pairs match the exact all-pairs formulation") {
+    val lsh = Dedup.embeddingCosinePairs(embeddings, "vec_id", "embedding", 0.4999)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingCosinePairsExact(embeddings, "vec_id", "embedding", 0.4999)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"LSH pairs ${lsh.size} != exact pairs ${exact.size}")
+  }
+
+  test("n-gram jaccard plan is a single shingle-bucket equi-join") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val plan = pairs.queryExecution.executedPlan.toString
+    // one self-join on the shingle key; NO second join re-attaching per-doc
+    // counts (they ride through the explode). The planner may choose
+    // broadcast for the toy fixture — what matters is join count and kind.
+    val joins = "(?m)^\\s*(:|\\+)?[-\\s]*\\*?\\(?\\d*\\)?\\s*\\w*Join".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in jaccard plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in jaccard plan:\n$plan")
+  }
+
+  test("connected components on a known graph: min-id labels, partition property") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("u", "v")
+    val comp = Dedup.connectedComponents(edges, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components match a union-find oracle on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (u, v) => u != v }
+    // union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v)); if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("resolveClusters keeps singletons and maps cluster members to min id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (3L, 5L)).toDF("doc_id_1", "doc_id_2")
+    val got = Dedup.resolveClusters(docs, "doc_id", pairs, "doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 2L))
+  }
+
+  test("simhash banding has exact recall at the default hamming radius") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    // exact all-pairs hamming over the same sketches (test-only cross join)
+    import graft.functions.functions.simhash64
+    val sh = docs.withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), simhash64(col("w")).as("h"))
+    val a = sh.select(col("doc_id").as("doc_id_1"), col("h").as("h1"))
+    val b = sh.select(col("doc_id").as("doc_id_2"), col("h").as("h2"))
+    val exact = a.crossJoin(b).filter(col("doc_id_1") < col("doc_id_2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 3)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(banded == exact, s"banded ${banded.size} != exact ${exact.size}")
+  }
+}
