@@ -114,13 +114,16 @@ object Dedup {
     * corpus shuffles by bucket key, nothing is broadcast, no cross join),
     * and only candidates are exact-scored with the native dot/norm kernels.
     * With `numHashTables` independent tables at `bucketLength` 2x the
-    * radius, the per-table miss probability for a true pair is bounded by
-    * radius/bucketLength and the joint miss by its 8th power — negligible
-    * for near-dup thresholds (t >= 0.5), so the output matches the exact
-    * formulation (`embeddingCosinePairsExact`) in practice.
+    * radius, the per-table miss probability for a true pair is
+    * E|(a-b)·w| / bucketLength ≈ (radius * sqrt(2/(pi*d))) / (2*radius)
+    * ≈ 0.05 at d=64, and the joint miss its numHashTables-th power
+    * (~1e-5 at the default 4) — negligible for near-dup thresholds
+    * (t >= 0.5), so the output matches the exact formulation
+    * (`embeddingCosinePairsExact`) in practice; DedupScaleSpec asserts
+    * equality on the fixture.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
+      minCosine: Double, numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
     val radius = math.sqrt(2.0 * (1.0 - minCosine)) + 1e-6
@@ -182,6 +185,14 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever DECREASE (min-propagation), so sum(comp) strictly
+    // decreases iff any label changed — the convergence probe is one
+    // aggregate over the cached labels, not a join. Decimal sum: no overflow
+    // for any id range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -199,12 +210,11 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.comp"), coalesce(col("b.ccomp"), col("a.comp"))).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = jumped.alias("n")
-        .join(labels.select(col("id"), col("comp").as("old")).alias("o"), Seq("id"))
-        .filter(col("comp") =!= col("old")).limit(1).count()
+      val newSum = labelSum(jumped) // materializes the cache too
       labels.unpersist()
       labels = jumped
-      converged = changed == 0L
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()

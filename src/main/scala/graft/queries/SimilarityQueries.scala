@@ -17,7 +17,9 @@ import graft.Tables
   *    higher-order functions; 100 TB of vectors never leaves its partitions).
   *  - LSH-bucketed top-k (BucketedRandomProjectionLSH): sub-linear candidate
   *    generation for query sets too large to broadcast-scan.
-  *  - IVF-style top-k: KMeans coarse quantizer; probe only the query's cell.
+  *  - IVF-style top-k: KMeans coarse quantizer; multi-probe (the nprobe
+  *    centroid-closest cells per query — recall@5 >= 0.9 on the fixture,
+  *    asserted by RecallSpec).
   */
 object SimilarityQueries {
 
@@ -96,23 +98,41 @@ object SimilarityQueries {
         .select("q_id", "c_id", "rank", "dist")
         .orderBy("q_id", "rank")
     }),
-    // IVF-style: KMeans coarse cells, probe the query's own cell only
+    // IVF-style: KMeans coarse quantizer; MULTI-PROBE — each query scans
+    // the nprobe closest cells (by centroid distance), not just its own,
+    // so near-boundary neighbors aren't missed. Probe selection is a
+    // bounded |q| x k cross (k = 8 centroid rows, metadata-sized); the
+    // corpus still joins by its single cell assignment, so each candidate
+    // is scored at most once per query.
     "ann_ivf_topk" -> ((spark, dir) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
+      import spark.implicits._
+      val nprobe = 4
       val emb = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"),
           array_to_vector(col("embedding")).as("features"))
         .withColumn("nrm", vec_l2norm(col("v")))
       val km = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cell")
-      val cells = km.fit(emb).transform(emb)
-      val q = cells.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cell"))
+      val model = km.fit(emb)
+      val cells = model.transform(emb)
+      val centroids = model.clusterCenters.zipWithIndex
+        .map { case (ctr, i) => (i, ctr.toArray.map(_.toFloat)) }.toSeq
+        .toDF("cell", "centroid")
+      val q0 = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val cw = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
+      val probes = q0.crossJoin(broadcast(centroids))
+        .withColumn("cdist",
+          col("qn") * col("qn") + vec_l2norm(col("centroid")) * vec_l2norm(col("centroid"))
+            - lit(2.0) * vec_dot(col("qv"), col("centroid")))
+        .withColumn("crk", row_number().over(cw))
+        .filter(col("crk") <= nprobe)
+        .select("q_id", "qv", "qn", "cell")
       val c = cells.select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("cell"))
-      val scored = c.join(broadcast(q), Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      val scored = c.join(broadcast(probes), Seq("cell")).filter(col("q_id") =!= col("c_id"))
         .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
       val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
       scored.withColumn("rank", row_number().over(w))

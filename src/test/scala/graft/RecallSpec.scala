@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Quantitative recall of every approximate path against the in-repo exact
+  * formulation, so a silent recall regression fails the build. Bounds are
+  * documented per operator; measured values on the sf0.001 fixture are
+  * printed in the assertion message.
+  *
+  * - ann_lsh_topk ranks by Euclidean distance while the exact baseline
+  *   ranks by cosine, so its bound reflects the metric mismatch as well as
+  *   bucketing loss.
+  * - ann_ivf_topk (multi-probe, nprobe=4 of 8 cells) must reach
+  *   recall@5 >= 0.9.
+  * - dedup_minhash_lsh generates candidates by MinHash banding but
+  *   exact-scores them, so against exact Jaccard pairs at its own
+  *   threshold (dist <= 0.4) only banding loss remains.
+  * - dedup_simhash has EXACT recall at hamming <= 3 by pigeonhole — parity
+  *   (recall 1.0) is asserted in DedupScaleSpec.
+  */
+class RecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def topkPairs(name: String): Map[Long, Set[Long]] =
+    SimilarityQueries.queries(name)(spark, TestSpark.sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+
+  /** recall@k: fraction of exact top-k neighbors found by the approx path. */
+  private def recallAtK(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val hits = exact.map { case (q, ex) =>
+      ex.intersect(approx.getOrElse(q, Set.empty)).size
+    }.sum
+    hits.toDouble / exact.values.map(_.size).sum
+  }
+
+  test("ann_lsh_topk recall@5 vs exact cosine top-k >= 0.5") {
+    val r = recallAtK(topkPairs("ann_lsh_topk"), topkPairs("ann_bruteforce_topk"))
+    assert(r >= 0.5, s"ann_lsh_topk recall@5 = $r")
+  }
+
+  test("ann_ivf_topk (multi-probe) recall@5 vs exact cosine top-k >= 0.9") {
+    val r = recallAtK(topkPairs("ann_ivf_topk"), topkPairs("ann_bruteforce_topk"))
+    assert(r >= 0.9, s"ann_ivf_topk recall@5 = $r")
+  }
+
+  test("dedup_minhash_lsh recall vs exact jaccard pairs at dist <= 0.4 is >= 0.9") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val approx = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture has no jaccard>=0.6 pairs; recall undefined")
+    val r = exact.intersect(approx).size.toDouble / exact.size
+    assert(r >= 0.9, s"dedup_minhash_lsh recall = $r (exact=${exact.size})")
+  }
+}
