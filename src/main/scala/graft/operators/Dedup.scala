@@ -182,8 +182,10 @@ object Dedup {
       col(dstCol).cast("long").as("v"))
     val edges = edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // init fuses the first propagation round: l0(v) = min(v, neighbors(v))
+    // (edges are symmetric, so every vertex appears as u)
+    var labels = edges.groupBy("u").agg(min("v").as("mnv"))
+      .select(col("u").as("id"), least(col("u"), col("mnv")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // labels only ever DECREASE (min-propagation), so sum(comp) strictly
     // decreases iff any label changed — the convergence probe is one
@@ -232,5 +234,18 @@ object Dedup {
     df.select(col(idCol).cast("long").as("doc_id"))
       .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_doc_id"))
+  }
+
+  /** Apply cluster resolution to the corpus: the rows of `df` that SURVIVE
+    * dedup (one per near-dup cluster — the min-id member — plus every row
+    * in no pair), with all original columns. Non-survivors are dropped via
+    * an anti-join against the cluster members whose id != keep id, so the
+    * corpus itself never routes through the label iteration. */
+  def dropDuplicatesByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+    val drop = comp.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 }

@@ -15,6 +15,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** RocksDB state store provider — the state backend for corpus-scale
+    * streaming: state lives on executor local disk (SST files) with an
+    * incremental changelog in the checkpoint instead of multiplying
+    * executor heap, so watermark-bounded state can hold hundreds of
+    * millions of keys per executor. Spark ships the provider + rocksdbjni
+    * in its own jars; enabling it is one session conf. */
+  val RocksDBProviderClass =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Route all subsequent streaming state through RocksDB (picked up by
+    * queries STARTED after this call; running queries keep their backend). */
+  def useRocksDBStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RocksDBProviderClass)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -75,6 +75,15 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("dropDuplicatesByCluster keeps one row per cluster plus all singletons") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "b2"), (4L, "c"), (5L, "b3"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (3L, 5L)).toDF("doc_id_1", "doc_id_2")
+    val kept = Dedup.dropDuplicatesByCluster(docs, "doc_id", pairs, "doc_id_1", "doc_id_2")
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("resolveClusters keeps singletons and maps cluster members to min id") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 3L), (3L, 5L)).toDF("doc_id_1", "doc_id_2")
