@@ -69,6 +69,25 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.8)
       Dedup.resolveClusters(docs, "doc_id", pairs, "doc_id_1", "doc_id_2")
         .orderBy("doc_id")
+    }),
+    // Edit-distance verification stage over candidate pairs: exact
+    // levenshtein + normalized similarity computed ONLY on the bounded
+    // candidate set (never all-pairs — O(len^2) per pair is affordable
+    // exactly because candidates are bucket-generated)
+    "dedup_fuzzy_verify" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .filter(col("jaccard") >= 0.8)
+      val t1 = docs.select(col("doc_id").as("doc_id_1"), col("text").as("t1"))
+      val t2 = docs.select(col("doc_id").as("doc_id_2"), col("text").as("t2"))
+      val lev = levenshtein(col("t1"), col("t2"))
+      pairs.join(t1, Seq("doc_id_1")).join(t2, Seq("doc_id_2"))
+        .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
+          lev.as("edit_dist"),
+          round(lit(1.0) - lev / greatest(length(col("t1")), length(col("t2")))
+            .cast("double"), 6).as("edit_sim"))
+        .orderBy("doc_id_1", "doc_id_2")
     }))
 
   private val duckShinglesBody =
@@ -125,5 +144,21 @@ object DedupQueries {
           |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
           |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_doc_id
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin),
+    "dedup_fuzzy_verify" ->
+      (duckShingles +
+        """,
+          |p AS (
+          |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+          |    round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |  HAVING round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.8)
+          |SELECT p.doc_id_1, p.doc_id_2, p.jaccard,
+          |  CAST(levenshtein(d1.text, d2.text) AS INTEGER) AS edit_dist,
+          |  round(1.0 - levenshtein(d1.text, d2.text) * 1.0
+          |    / greatest(length(d1.text), length(d2.text)), 6) AS edit_sim
+          |FROM p JOIN documents d1 ON p.doc_id_1 = d1.doc_id
+          |       JOIN documents d2 ON p.doc_id_2 = d2.doc_id
+          |ORDER BY doc_id_1, doc_id_2""".stripMargin))
 }

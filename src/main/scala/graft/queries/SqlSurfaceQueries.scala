@@ -172,6 +172,34 @@ object SqlSurfaceQueries {
           floor(col("o_totalprice")).as("price_floor"),
           ceil(col("o_totalprice")).as("price_ceil"))
         .orderBy("o_orderkey")
+    }),
+    // Window-function breadth: navigation (lag/lead), ranking (rank,
+    // percent_rank, ntile) over a TOTAL per-customer order (date, key) so
+    // every function is deterministic
+    "window_functions" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wPrice = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+          rank().over(wPrice).as("price_rank"),
+          round(percent_rank().over(wPrice), 6).as("price_pct_rank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+    // Outer-join aggregation (TPC-H Q13 shape): orders-per-customer
+    // distribution including zero-order customers via LEFT OUTER JOIN
+    "orders_per_customer_dist" -> ((spark, dir) => {
+      val c = Tables.load(spark, dir, "customer")
+      val o = Tables.load(spark, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -259,5 +287,22 @@ object SqlSurfaceQueries {
         |  round(o_totalprice / 100.0, 2) AS price_h,
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
         |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "window_functions" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(rank() OVER wp AS INTEGER) AS price_rank,
+        |  round(percent_rank() OVER wp, 6) AS price_pct_rank,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "orders_per_customer_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
 }

@@ -108,6 +108,27 @@ object TextQueries {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+    // Corpus term statistics for frequency-based filtering: document
+    // frequency, total term frequency, and a pure-arithmetic inverse
+    // document frequency (N+1)/(df+1) — the log is deliberately omitted so
+    // the oracle is bit-identical (callers compose log() trivially). The
+    // N-docs scalar rides in as a 1-row broadcast, not a collected literal.
+    "term_stats" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      terms.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf_total"))
+        .crossJoin(broadcast(total))
+        .filter(col("df") >= 2)
+        .select(col("term"), col("df"), col("tf_total"),
+          round((col("n_docs") + 1).cast("double") / (col("df") + 1), 6)
+            .as("inv_doc_freq"),
+          round(col("tf_total") * (col("n_docs") + 1).cast("double") / (col("df") + 1), 6)
+            .as("tfidf_total"))
+        .orderBy(desc("df"), col("term"))
+        .limit(100)
     }))
 
   private def duckScore(markers: Seq[String]): String =
@@ -168,5 +189,16 @@ object TextQueries {
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "term_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+        |      FROM t GROUP BY term)
+        |SELECT term, CAST(df AS BIGINT) AS df, CAST(tf_total AS BIGINT) AS tf_total,
+        |  round((n.n_docs + 1) * 1.0 / (df + 1), 6) AS inv_doc_freq,
+        |  round(tf_total * (n.n_docs + 1) * 1.0 / (df + 1), 6) AS tfidf_total
+        |FROM s, n WHERE df >= 2
+        |ORDER BY df DESC, term LIMIT 100""".stripMargin)
 }

@@ -77,6 +77,40 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join splits the hot key's partition and preserves results") {
+    import spark.implicits._
+    // 90% of rows share key 0 — one shuffle partition dwarfs the rest
+    val skewed = (1 to 200000)
+      .map(i => (if (i % 10 == 0) (i % 50).toLong else 0L, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L to 49L).map(k => (k, s"dim_$k")).toDF("k", "label")
+    // sum(v) keeps the distinct-valued v column in the shuffle, so the hot
+    // partition stays large after compression (an all-constant column
+    // would compress below any skew threshold)
+    val expected = skewed.groupBy("k").agg(sum("v").as("s"))
+      .as[(Long, Long)].collect().toMap
+      .map { case (k, s) => s"dim_$k" -> s }
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // grouping by label (not the join key) forces an exchange after the
+      // join, so AQE is free to split the skewed partition — grouping by
+      // the join key would pin the join's output partitioning and
+      // (correctly) suppress the optimization
+      val joined = skewed.join(dim, Seq("k"))
+        .groupBy("label").agg(sum("v").as("n"))
+      val rows = joined.collect()
+      // AQE final plan must carry the skew-split marker
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"skew join not engaged:\n$plan")
+      assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+    }
+  }
+
   test("dynamic partition pruning engages through the join against a partitioned fact") {
     val base = "target/scale-features/orders_by_status"
     Tables.load(spark, dir, "orders").write.mode("overwrite")
