@@ -139,6 +139,21 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "rank", "cosine")
         .orderBy("q_id", "rank")
+    }),
+    // Embedding hygiene: per-shard norm statistics + zero-vector counts —
+    // the sanity pass before any embedding-based dedup/search (a zero or
+    // wildly-scaled norm poisons cosine math downstream). Single scan,
+    // codegen'd norm kernel, 8-row output.
+    "embedding_norm_stats" -> ((spark, dir) => {
+      val emb = withNorm(Tables.load(spark, dir, "embeddings"))
+        .withColumn("shard", col("vec_id") % 8)
+      emb.groupBy("shard")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"),
+          round(avg("nrm"), 6).as("avg_norm"))
+        .orderBy("shard")
     }))
 
   private val bruteForceOracle =
@@ -160,5 +175,16 @@ object SimilarityQueries {
 
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_bruteforce_topk" -> bruteForceOracle,
-    "ann_topk_native" -> bruteForceOracle)
+    "ann_topk_native" -> bruteForceOracle,
+    "embedding_norm_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, vec_id % 8 AS shard,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings)
+        |SELECT shard, count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm,
+        |  round(avg(nrm), 6) AS avg_norm
+        |FROM e GROUP BY shard ORDER BY shard""".stripMargin)
 }

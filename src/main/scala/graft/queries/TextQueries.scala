@@ -129,6 +129,41 @@ object TextQueries {
             .as("tfidf_total"))
         .orderBy(desc("df"), col("term"))
         .limit(100)
+    }),
+    // PII scrubbing: count + redact emails / URLs / long digit runs — the
+    // compliance-filtering stage of a training-data pipeline. Patterns are
+    // dialect-portable (same semantics in Java regex and DuckDB's RE2);
+    // the scrubbed text is fingerprinted rather than emitted so the result
+    // stays hash-compact.
+    "text_scrub_pii" -> ((spark, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val urlRe = "https?://[^ ]+"
+      val numRe = "[0-9]{7,}"
+      val low = lower(col("text"))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(low,
+        emailRe, "[EMAIL]"), urlRe, "[URL]"), numRe, "[NUM]")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"size(regexp_extract_all(lower(text), '$emailRe', 0))").as("n_emails"),
+          expr(s"size(regexp_extract_all(lower(text), '$urlRe', 0))").as("n_urls"),
+          expr(s"size(regexp_extract_all(lower(text), '$numRe', 0))").as("n_long_nums"),
+          md5(scrubbed).as("scrubbed_fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // Repetition / boilerplate detection: most-common-token share and
+    // distinct-token share per document (high top_token_ratio or low
+    // distinct_ratio flags templated/spammy text)
+    "text_repetition" -> ((spark, dir) => {
+      val ex = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"), max("tf").as("max_tf"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"), col("max_tf"), col("n_distinct"),
+          round(col("max_tf") / col("n_tokens"), 6).as("top_token_ratio"),
+          round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"))
+        .orderBy("doc_id")
     }))
 
   private def duckScore(markers: Seq[String]): String =
@@ -200,5 +235,26 @@ object TextQueries {
         |  round((n.n_docs + 1) * 1.0 / (df + 1), 6) AS inv_doc_freq,
         |  round(tf_total * (n.n_docs + 1) * 1.0 / (df + 1), 6) AS tfidf_total
         |FROM s, n WHERE df >= 2
-        |ORDER BY df DESC, term LIMIT 100""".stripMargin)
+        |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    "text_scrub_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(lower(text), 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(lower(text), '[0-9]{7,}')) AS INTEGER) AS n_long_nums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    'https?://[^ ]+', '[URL]', 'g'),
+        |    '[0-9]{7,}', '[NUM]', 'g')) AS scrubbed_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |g AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |        CAST(max(tf) AS BIGINT) AS max_tf, count(*) AS n_distinct
+        |      FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, max_tf, n_distinct,
+        |  round(max_tf * 1.0 / n_tokens, 6) AS top_token_ratio,
+        |  round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio
+        |FROM d ORDER BY doc_id""".stripMargin)
 }
