@@ -73,29 +73,36 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
     // LSH-bucketed approximate neighbors (scale path): random-projection
-    // buckets bound the candidate set; rows-only check (approximate).
+    // buckets over UNIT vectors, so Euclidean bucket geometry is monotone
+    // in the cosine search metric (||â-b̂||^2 = 2(1-cos)); candidates are
+    // re-ranked by exact cosine on the raw vectors. Rows-only check
+    // (approximate); recall@5 asserted in RecallSpec.
     "ann_lsh_topk" -> ((spark, dir) => {
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-      import org.apache.spark.ml.linalg.Vectors
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", vec_l2norm(col("v")))
+        .filter(col("nrm") > 0)
+        .withColumn("u", array_to_vector(expr("transform(v, x -> x / nrm)")))
       val lsh = new BucketedRandomProjectionLSH()
-        .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+        .setInputCol("u").setOutputCol("hashes")
+        .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
       val model = lsh.fit(emb)
       val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("features").as("qf"))
-      val joined = model.approxSimilarityJoin(
-          q.withColumnRenamed("qf", "features"), emb, 1.6, "dist")
-        .select(col("datasetA.q_id").as("q_id"),
-          col("datasetB.vec_id").as("c_id"),
-          round(col("dist"), 6).as("dist"))
+      // radius 1.4 on unit vectors covers every pair with cosine >= 0.02 —
+      // comfortably past any top-5 neighbor in a corpus with planted dups
+      val joined = model.approxSimilarityJoin(q, emb, 1.4, "udist")
+        .select(col("datasetA.vec_id").as("q_id"), col("datasetA.v").as("qv"),
+          col("datasetA.nrm").as("qn"),
+          col("datasetB.vec_id").as("c_id"), col("datasetB.v").as("cv"),
+          col("datasetB.nrm").as("cn"))
         .filter(col("q_id") =!= col("c_id"))
-      val w = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
       joined.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
-        .select("q_id", "c_id", "rank", "dist")
+        .select("q_id", "c_id", "rank", "cosine")
         .orderBy("q_id", "rank")
     }),
     // IVF-style: KMeans coarse quantizer; MULTI-PROBE — each query scans

@@ -111,6 +111,39 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered file layout prunes row groups a scattered layout reads in full") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.load(spark, dir, "lineitem")
+    val key = li.select("l_partkey").head().getLong(0)
+    val clustered = "target/scale-features/li_clustered"
+    val scattered = "target/scale-features/li_scattered"
+    // same data, tiny row groups; one layout range-clusters the filter key
+    // (sorted min/max stats -> parquet skips non-matching row groups), the
+    // other scatters it so every row group's [min,max] spans the key
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024).parquet(clustered)
+    li.repartition(8)
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024).parquet(scattered)
+    def scanRows(path: String): (Long, Long) = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val q = spark.read.parquet(path).filter(col("l_partkey") === key)
+      val n = q.collect().length.toLong // executes THIS QueryExecution
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scanned = plan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+      (n, scanned)
+    }
+    val (nClustered, scannedClustered) = scanRows(clustered)
+    val (nScattered, scannedScattered) = scanRows(scattered)
+    assert(nClustered == nScattered && nClustered > 0)
+    assert(scannedClustered * 2 < scannedScattered,
+      s"clustered layout scanned $scannedClustered rows vs scattered $scannedScattered — no pruning")
+  }
+
   test("dynamic partition pruning engages through the join against a partitioned fact") {
     val base = "target/scale-features/orders_by_status"
     Tables.load(spark, dir, "orders").write.mode("overwrite")
