@@ -236,6 +236,33 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_doc_id"))
   }
 
+  /** Cluster resolution keeping the BEST member per cluster by a priority
+    * expression (quality score, length, recency) instead of the minimum
+    * id — what a real pipeline wants when duplicates differ in
+    * completeness. Ties break by ascending id. Returns (doc_id,
+    * keep_doc_id) for every row of `df`; singletons keep themselves. The
+    * window runs over cluster members only (dup-pair vertices), never the
+    * corpus. */
+  def resolveClustersBy(df: DataFrame, idCol: String, priority: Column,
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+    val prio = df.select(col(idCol).cast("long").as("doc_id"), priority.as("__prio"))
+    // inner join: only pair vertices enter the window; the corpus at large
+    // never shuffles into per-cluster partitions
+    val clustered = prio
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"))
+    val w = Window.partitionBy("comp").orderBy(desc("__prio"), col("doc_id"))
+    val keepers = clustered
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("comp"), col("doc_id").as("keep_doc_id"))
+    val mapped = clustered.join(keepers, Seq("comp"))
+      .select(col("doc_id"), col("keep_doc_id"))
+    prio.select("doc_id").join(mapped, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_doc_id"), col("doc_id")).as("keep_doc_id"))
+  }
+
   /** Apply cluster resolution to the corpus: the rows of `df` that SURVIVE
     * dedup (one per near-dup cluster — the min-id member — plus every row
     * in no pair), with all original columns. Non-survivors are dropped via

@@ -70,6 +70,18 @@ object DedupQueries {
       Dedup.resolveClusters(docs, "doc_id", pairs, "doc_id_1", "doc_id_2")
         .orderBy("doc_id")
     }),
+    // Keep-BEST-per-cluster resolution: longest text survives (ties by
+    // min id) — the realistic policy when duplicates differ in
+    // completeness
+    "dedup_cluster_keep_best" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .filter(col("jaccard") >= 0.8)
+      Dedup.resolveClustersBy(docs, "doc_id", length(col("text")).cast("long"),
+          pairs, "doc_id_1", "doc_id_2")
+        .orderBy("doc_id")
+    }),
     // Edit-distance verification stage over candidate pairs: exact
     // levenshtein + normalized similarity computed ONLY on the bounded
     // candidate set (never all-pairs — O(len^2) per pair is affordable
@@ -144,6 +156,32 @@ object DedupQueries {
           |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
           |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_doc_id
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+          |ORDER BY doc_id""".stripMargin),
+    "dedup_cluster_keep_best" ->
+      ("WITH RECURSIVE " + duckShinglesBody +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS u, b.doc_id AS v
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |  HAVING round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.8),
+          |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT u, u FROM edges
+          |  UNION
+          |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.r),
+          |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          |ranked AS (
+          |  SELECT c.comp, c.id,
+          |    row_number() OVER (PARTITION BY c.comp
+          |      ORDER BY length(d.text) DESC, c.id) AS rn
+          |  FROM comp c JOIN documents d ON c.id = d.doc_id),
+          |keepers AS (SELECT comp, id AS keep_id FROM ranked WHERE rn = 1)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(k.keep_id, d.doc_id) AS BIGINT) AS keep_doc_id
+          |FROM documents d
+          |LEFT JOIN comp c ON d.doc_id = c.id
+          |LEFT JOIN keepers k ON c.comp = k.comp
           |ORDER BY doc_id""".stripMargin),
     "dedup_fuzzy_verify" ->
       (duckShingles +

@@ -150,6 +150,21 @@ object TextQueries {
           md5(scrubbed).as("scrubbed_fingerprint"))
         .orderBy("doc_id")
     }),
+    // Deterministic corpus split + sampling: md5-range assignment — the
+    // reproducible-at-scale alternative to Bernoulli sampling (stable
+    // under reruns, partition layout, and engine: both engines hash the
+    // same bytes). First hex digit: 0-9 train (~62.5%), a-c val (~18.75%),
+    // d-f test (~18.75%); sampled flag = first two digits < '1a' (~10%).
+    "doc_split_assign" -> ((spark, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val d1 = substring(h, 1, 1)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), h.as("split_hash"),
+          when(d1 <= "9", "train").when(d1 <= "c", "val").otherwise("test")
+            .as("split"),
+          (substring(h, 1, 2) < "1a").as("in_10pct_sample"))
+        .orderBy("doc_id")
+    }),
     // Repetition / boilerplate detection: most-common-token share and
     // distinct-token share per document (high top_token_ratio or low
     // distinct_ratio flags templated/spammy text)
@@ -245,6 +260,13 @@ object TextQueries {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
         |    'https?://[^ ]+', '[URL]', 'g'),
         |    '[0-9]{7,}', '[NUM]', 'g')) AS scrubbed_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_split_assign" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS split_hash,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS in_10pct_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (

@@ -84,6 +84,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("resolveClustersBy keeps the highest-priority member, ties by min id") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 2L))
+      .toDF("doc_id", "prio")
+    val pairs = Seq((2L, 3L), (3L, 5L)).toDF("doc_id_1", "doc_id_2")
+    // cluster {2,3,5}: prio 9,9,2 -> tie between 2 and 3 -> keep 2
+    val got = Dedup.resolveClustersBy(docs, "doc_id", col("prio"),
+        pairs, "doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 2L))
+    // flip priorities so 5 wins its cluster
+    val docs2 = Seq((1L, 5L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 9L))
+      .toDF("doc_id", "prio")
+    val got2 = Dedup.resolveClustersBy(docs2, "doc_id", col("prio"),
+        pairs, "doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 5L, 3L -> 5L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("resolveClusters keeps singletons and maps cluster members to min id") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 3L), (3L, 5L)).toDF("doc_id_1", "doc_id_2")
