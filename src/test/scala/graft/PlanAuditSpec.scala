@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-hygiene audit over the ENTIRE driver query surface: no query may
+  * plan an unbounded cartesian product, and broadcast-nested-loop joins
+  * are allowed only where a side is bounded by construction (documented
+  * allowlist). A regression that sneaks an all-pairs join into any of the
+  * 58 queries fails here, not at 100 TB. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Queries whose plan legitimately contains a broadcast-nested-loop
+    * join over a side that is bounded by construction:
+    *  - ann_bruteforce_topk: the <=5-row query set is broadcast
+    *  - ann_ivf_topk: the 8-row centroid table is broadcast
+    *  - term_stats: the 1-row corpus-count aggregate is broadcast */
+  private val boundedBroadcastNL =
+    Set("ann_bruteforce_topk", "ann_ivf_topk", "term_stats")
+
+  test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin")
+      (if (cart) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (bnlj && !boundedBroadcastNL(name)) Seq(s"$name: unexpected BNLJ") else Nil)
+    }
+    assert(failures.isEmpty, s"scale-hostile joins found:\n${failures.mkString("\n")}")
+  }
+}
