@@ -81,6 +81,49 @@ object Multimodal {
       }
   }
 
+  /** Fixed-size thumbnail features: doc id + a tw*th grid of packed RGB
+    * ints. The embedding-ready output of an image pipeline's
+    * decode -> transform -> fixed-width-feature stage. */
+  final case class ThumbFeatures(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Int])
+
+  /** Deterministic nearest-neighbor thumbnail per payload, in the same
+    * partition-streamed pass as decode: real pixel sampling for
+    * JDK-decodable images, a byte-derived fake for everything else (same
+    * shape, so downstream schema is uniform). Output is fixed-width
+    * (tw*th ints/row) regardless of source resolution — the property that
+    * makes the column safe to shuffle and index at corpus scale. */
+  def thumbnails(spark: SparkSession, media: DataFrame,
+      tw: Int = 4, th: Int = 4): Dataset[ThumbFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes) =>
+          val img = if (imageTypes.contains(mt))
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          else null
+          val px = new Array[Int](tw * th)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              px(y * tw + x) =
+                if (img != null)
+                  img.getRGB(x * img.getWidth / tw, y * img.getHeight / th) & 0xffffff
+                else if (bytes.nonEmpty) {
+                  val b = bytes(((y * tw + x) * 31) % bytes.length) & 0xff
+                  (b << 16) | (b << 8) | b // gray fake, deterministic
+                } else 0
+              x += 1
+            }
+            y += 1
+          }
+          ThumbFeatures(id, tw, th, px)
+        }
+      }
+  }
+
   /** Deterministic "frame sampling" over a payload: every stride-th byte,
     * as a bounded-size array column — the shape of audio/video frame
     * extraction (array<struct> per row) without the codec. */

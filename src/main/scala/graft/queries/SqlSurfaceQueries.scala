@@ -173,6 +173,18 @@ object SqlSurfaceQueries {
           ceil(col("o_totalprice")).as("price_ceil"))
         .orderBy("o_orderkey")
     }),
+    // Exact percentiles per group (the sort-based aggregate twin of the
+    // approx_sketches path — use this when the group is small enough to
+    // sort, the sketch when it isn't)
+    "median_price_by_flag" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
     // Window-function breadth: navigation (lag/lead), ranking (rank,
     // percent_rank, ntile) over a TOTAL per-customer order (date, key) so
     // every function is deterministic
@@ -288,6 +300,12 @@ object SqlSurfaceQueries {
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
         |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "median_price_by_flag" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "window_functions" ->
       """SELECT o_orderkey, o_custkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

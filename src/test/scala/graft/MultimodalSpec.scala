@@ -39,6 +39,29 @@ class MultimodalSpec extends AnyFunSuite {
       f.n_pixels == f.width.toLong * f.height * f.channels))
   }
 
+  test("thumbnails sample true pixels from decodable images") {
+    import spark.implicits._
+    // 8x8 image: left half red, right half blue
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(x => (0 until 8).foreach(y =>
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val media = Seq((1L, "image/png", bos.toByteArray))
+      .toDF("doc_id", "media_type", "payload")
+    val t = graft.operators.Multimodal.thumbnails(spark, media, tw = 2, th = 2)
+      .collect()(0)
+    assert(t.width == 2 && t.height == 2 && t.pixels.length == 4)
+    // nearest-neighbor at x=0 samples the red half, x=1 the blue half
+    assert(t.pixels(0) == 0xff0000 && t.pixels(1) == 0x0000ff)
+    assert(t.pixels(2) == 0xff0000 && t.pixels(3) == 0x0000ff)
+    // non-image payloads produce the same SHAPE deterministically
+    val fake = graft.operators.Multimodal.thumbnails(spark,
+        Seq((2L, "audio/wav", Array.fill[Byte](10)(7))).toDF("doc_id", "media_type", "payload"),
+        tw = 2, th = 2).collect()(0)
+    assert(fake.pixels.length == 4 && fake.pixels.forall(_ == 0x070707))
+  }
+
   test("non-image and corrupt payloads fall back to the deterministic stub") {
     val junk = Array.fill[Byte](100)(42)
     val stub = Multimodal.decodeStub(7L, "audio/wav", junk)
