@@ -120,4 +120,9 @@ object functions {
   /** Distinct word k-gram shingles of a token array (codegen'd). */
   def word_shingles(tokens: Column, k: Int): Column =
     bridge.column(WordShingles(bridge.expression(tokens), k))
+
+  /** Generator: one row per distinct shingle — explode(word_shingles)
+    * fused, no per-row shingle array materialized. */
+  def shingle_rows(tokens: Column, k: Int): Column =
+    bridge.column(ShingleGenerator(bridge.expression(tokens), k))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{DotProduct, L2Norm, SimHash64, WordShingles}
+import graft.functions.{DotProduct, L2Norm, ShingleGenerator, SimHash64, WordShingles}
 
 /** Optimizer rule: prune the CosineTopK query set when a literal q_id
   * equality filter sits on top of it.
@@ -77,6 +77,9 @@ object GraftExtensions {
       exprs => L2Norm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("shingle_rows",
+      exprs => ShingleGenerator(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -59,4 +59,28 @@ class FunctionsSpec extends AnyFunSuite {
       min("nf"), max("nf")).collect()(0)
     assert(sizes.getInt(0) >= 1 && sizes.getInt(1) <= 8)
   }
+
+  test("shingle_rows generator equals explode(word_shingles) row-for-row") {
+    import graft.functions.functions.{shingle_rows, word_shingles}
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+    val viaGen = docs.select(col("doc_id"), shingle_rows(col("w"), 3).as("s"))
+      .as[(Long, String)].collect().toSeq
+    val viaExplode = docs
+      .select(col("doc_id"), explode(word_shingles(col("w"), 3)).as("s"))
+      .as[(Long, String)].collect().toSeq
+    assert(viaGen == viaExplode) // same rows AND same first-occurrence order
+    assert(viaGen.nonEmpty)
+  }
+
+  test("shingle_rows is SQL-callable via the extension registry") {
+    graft.plans.GraftExtensions.install(spark)
+    Tables.load(spark, TestSpark.sfDir, "documents").createOrReplaceTempView("docs_sql")
+    val n = spark.sql(
+      """SELECT doc_id, shingle_rows(split(lower(text), ' '), 3) AS s
+        |FROM docs_sql WHERE size(split(lower(text), ' ')) >= 3""".stripMargin)
+      .count()
+    assert(n > 0)
+  }
 }
