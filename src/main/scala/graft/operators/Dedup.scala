@@ -171,26 +171,40 @@ object Dedup {
     * Near-dup clusters are near-cliques, so 2-3 rounds is typical.
     *
     * NOTE: this is an algorithm, not a lazy view — each round materializes
-    * the label table (persist + a limit-1 convergence probe) exactly like
-    * GraphX/Pregel does. Edges shuffle by endpoint; labels are one row per
-    * vertex *appearing in a pair* (dup pairs, not the corpus), so the
-    * iterated state is small even when the corpus is 100 TB.
+    * the label table exactly like GraphX/Pregel does, via an EAGER
+    * localCheckpoint: the jump step references the labels twice, so
+    * without lineage truncation the logical plan doubles per round and
+    * planning goes exponential (a persist caches data but keeps the
+    * plan). Edges shuffle by endpoint; labels are one row per vertex
+    * *appearing in a pair* (dup pairs, not the corpus), so the iterated
+    * state is small even when the corpus is 100 TB. On a cluster with
+    * flaky executors, swap localCheckpoint for reliable checkpoint() —
+    * same shape, fault-tolerant storage.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
     val edges0 = pairs.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
-    val edges = edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
+    // symmetrized + SELF-LOOPED edge list: (v,v) for every vertex makes
+    // "min over incoming neighbor labels" include the vertex's own label,
+    // so each propagation round is a single join+groupBy (no union — a
+    // union of a checkpointed plan with a plan sharing its attribute ids
+    // trips Catalyst's union constraint rewriting)
+    val edges = edges0
+      .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .union(edges0.select(col("u").as("u"), col("u").as("v")))
+      .union(edges0.select(col("v").as("u"), col("v").as("v")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // init fuses the first propagation round: l0(v) = min(v, neighbors(v))
-    // (edges are symmetric, so every vertex appears as u)
-    var labels = edges.groupBy("u").agg(min("v").as("mnv"))
-      .select(col("u").as("id"), least(col("u"), col("mnv")).as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (self-loops make the min include v itself). localCheckpoint is
+    // EAGER: it materializes AND truncates lineage to a LogicalRDD.
+    var labels = edges.groupBy("v").agg(min("u").as("comp"))
+      .select(col("v").as("id"), col("comp"))
+      .localCheckpoint()
     // labels only ever DECREASE (min-propagation), so sum(comp) strictly
     // decreases iff any label changed — the convergence probe is one
-    // aggregate over the cached labels, not a join. Decimal sum: no overflow
-    // for any id range.
+    // aggregate over the checkpointed labels, not a join. Decimal sum: no
+    // overflow for any id range.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
@@ -198,10 +212,10 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // propagate each vertex's label to its neighbors, keep the min
-      val viaEdges = edges.join(labels, edges("u") === labels("id"))
+      // propagate each vertex's label to its neighbors (self-loops carry
+      // the vertex's own label), keep the min
+      val propagated = edges.join(labels, edges("u") === labels("id"))
         .select(edges("v").as("id"), col("comp"))
-      val propagated = labels.select("id", "comp").union(viaEdges)
         .groupBy("id").agg(min("comp").as("comp"))
       // pointer jump: follow the label's own label (labels cover all ids,
       // and comp is always an id, so the self-join always matches)
@@ -211,9 +225,8 @@ object Dedup {
           col("a.comp") === col("b.cid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.comp"), coalesce(col("b.ccomp"), col("a.comp"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = labelSum(jumped) // materializes the cache too
-      labels.unpersist()
+        .localCheckpoint() // eager; lineage reset for the next round
+      val newSum = labelSum(jumped)
       labels = jumped
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

@@ -55,6 +55,17 @@ class DedupScaleSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components converge on a 400-vertex path within the iteration budget") {
+    // worst case for label propagation: one long chain. Plain min-label
+    // propagation needs ~400 rounds; pointer jumping makes it O(log d),
+    // so finishing inside maxIters=25 PROVES the jump is effective.
+    val edges = (0L until 399L).map(i => (i, i + 1)).toDF("u", "v")
+    val comp = Dedup.connectedComponents(edges, "u", "v")
+      .as[(Long, Long)].collect()
+    assert(comp.length == 400)
+    assert(comp.forall(_._2 == 0L), "chain did not fully converge to min label")
+  }
+
   test("connected components match a union-find oracle on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
