@@ -65,9 +65,16 @@ object SimilarityQueries {
     // are identical to ann_bruteforce_topk (same oracle).
     "ann_topk_native" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      // the custom plan needs driver-side literals; cap the collect so a
+      // miswired caller can't pull a corpus onto the driver (the operator
+      // contract is |queries| << |corpus|)
+      val maxQueries = 10000
+      val rows = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").limit(maxQueries + 1).collect()
+      require(rows.length <= maxQueries,
+        s"ann_topk_native query set exceeds $maxQueries rows — broadcast-scan " +
+          "contract violated; use the LSH/IVF path for large query sets")
+      val queries = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1).toSeq
       graft.plans.CosineTopK.topK(spark, emb, queries, 5, "vec_id", "embedding")
         .orderBy("q_id", "rank")
