@@ -173,6 +173,33 @@ object SqlSurfaceQueries {
           ceil(col("o_totalprice")).as("price_ceil"))
         .orderBy("o_orderkey")
     }),
+    // Date/time function breadth: truncation, arithmetic, calendar fields
+    "date_functions" -> ((spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("order_month"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_95"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .as("due_date"),
+          // DATE-typed outputs coerce inconsistently between the engines'
+          // dataframe bridges — emit calendar dates as strings
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")
+    }),
+    // Conditional aggregation: count_if / filtered sums / boolean aggs
+    "conditional_agg" -> ((spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(0.0)), 2).as("discounted_revenue"),
+          every(col("l_quantity") > 0).as("all_positive_qty"),
+          some(col("l_tax") > 0.07).as("any_high_tax"))
+        .orderBy("l_returnflag")
+    }),
     // Exact percentiles per group (the sort-based aggregate twin of the
     // approx_sketches path — use this when the group is small enough to
     // sort, the sketch when it isn't)
@@ -300,6 +327,22 @@ object SqlSurfaceQueries {
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
         |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "date_functions" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS discounted_revenue,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_or(l_tax > 0.07) AS any_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "median_price_by_flag" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
