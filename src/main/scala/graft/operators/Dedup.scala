@@ -205,9 +205,12 @@ object Dedup {
     // decreases iff any label changed — the convergence probe is one
     // aggregate over the checkpointed labels, not a join. Decimal sum: no
     // overflow for any id range.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+    // sum over an EMPTY label table is null -> zero (no pairs at all:
+    // the loop below converges immediately on the empty fixpoint)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+      if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -121,6 +121,17 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 2L))
   }
 
+  test("cluster resolution on an empty pair set is the identity mapping") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    val resolved = Dedup.resolveClusters(docs, "doc_id", noPairs, "doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect().toMap
+    assert(resolved == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val kept = Dedup.dropDuplicatesByCluster(docs, "doc_id", noPairs,
+      "doc_id_1", "doc_id_2").count()
+    assert(kept == 3L)
+  }
+
   test("simhash banding has exact recall at the default hamming radius") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val banded = Dedup.simhashPairs(docs, "doc_id", "text")
