@@ -109,6 +109,27 @@ object StreamingOps {
       .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant of the interval join: every purchase is emitted,
+    * with null signup columns for purchases no signup preceded within the
+    * window. The outer row is released only once the signup-side watermark
+    * proves no match can still arrive — same bounded state as the inner
+    * join, plus the correctness of never losing an unattributed purchase
+    * (the row a training pipeline's attrition analysis needs). */
+  def purchasesWithOptionalSignup(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+      .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
+  }
+
   /** Custom state: running per-user totals emitted on every update. State
     * expires on an event-time timeout one hour past the user's last event
     * (watermark-driven, so expiry is deterministic and replayable — at scale

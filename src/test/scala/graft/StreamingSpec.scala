@@ -104,6 +104,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched purchases with null signup") {
+    val stream = StreamingOps.purchasesWithOptionalSignup(
+      StreamingOps.readEventsStream(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssleft").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ssleft").collect()
+      .map(r => (r.getLong(0), r.get(1).toString,
+        Option(r.get(2)).map(_.toString), r.getDouble(3))).toSet
+
+    // batch truth: purchases left-joined to preceding signups within 2h
+    val ev = Tables.load(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"), "left_outer")
+      .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString,
+        Option(r.get(2)).map(_.toString), r.getDouble(3))).toSet
+
+    // the stream may hold back outer rows whose no-match proof needs a
+    // watermark advance past end-of-data; everything EMITTED must agree,
+    // matched rows must all be present, and some outer (null) row exists
+    assert(got.subsetOf(batch))
+    assert(batch.filter(_._3.isDefined).subsetOf(got), "matched rows missing")
+    assert(got.exists(_._3.isEmpty), "no unmatched purchase emitted")
+  }
+
   test("checkpointed windowed agg recovers across restart with no re-emission") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val events = Tables.load(spark, dir, "events")
