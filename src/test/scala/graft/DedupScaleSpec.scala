@@ -121,6 +121,19 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 2L))
   }
 
+  test("dedup operators tolerate null and too-short texts") {
+    val docs = Seq((1L, "a b c d e"), (2L, null), (3L, "x"), (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    // null/short docs are excluded from shingling, not crashed on
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.99).count() == 1L) // the (1,4) exact pair
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 1L)
+    // exact dedup groups null content like any other key
+    val ex = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(ex == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("cluster resolution on an empty pair set is the identity mapping") {
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
