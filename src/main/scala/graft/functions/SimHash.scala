@@ -125,4 +125,12 @@ object functions {
     * fused, no per-row shingle array materialized. */
   def shingle_rows(tokens: Column, k: Int): Column =
     bridge.column(ShingleGenerator(bridge.expression(tokens), k))
+
+  /** Unicode NFC canonicalization (codegen'd; JDK Normalizer). */
+  def nfc_normalize(text: Column): Column =
+    bridge.column(NormalizeText(bridge.expression(text), stripAccents = false))
+
+  /** Accent stripping: NFD + combining-mark removal (codegen'd). */
+  def strip_accents(text: Column): Column =
+    bridge.column(NormalizeText(bridge.expression(text), stripAccents = true))
 }

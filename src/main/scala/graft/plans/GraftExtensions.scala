@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{DotProduct, L2Norm, ShingleGenerator, SimHash64, WordShingles}
+import graft.functions.{DotProduct, L2Norm, NormalizeText, ShingleGenerator, SimHash64, WordShingles}
 
 /** Optimizer rule: prune the CosineTopK query set when a literal q_id
   * equality filter sits on top of it.
@@ -81,5 +81,9 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("shingle_rows",
       exprs => ShingleGenerator(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NormalizeText(exprs.head, stripAccents = false), "built-in")
+    reg.createOrReplaceTempFunction("strip_accents",
+      exprs => NormalizeText(exprs.head, stripAccents = true), "built-in")
   }
 }

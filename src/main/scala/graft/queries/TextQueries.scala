@@ -165,6 +165,17 @@ object TextQueries {
           (substring(h, 1, 2) < "1a").as("in_10pct_sample"))
         .orderBy("doc_id")
     }),
+    // Unicode canonicalization fingerprints (NFC + accent-strip via the
+    // native codegen'd kernel): visually-identical strings with different
+    // codepoint sequences must fingerprint identically before dedup
+    "text_normalize" -> ((spark, dir) => {
+      import graft.functions.functions.{nfc_normalize, strip_accents}
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(nfc_normalize(col("text"))).as("nfc_fingerprint"),
+          length(strip_accents(col("text"))).as("len_no_accents"))
+        .orderBy("doc_id")
+    }),
     // Repetition / boilerplate detection: most-common-token share and
     // distinct-token share per document (high top_token_ratio or low
     // distinct_ratio flags templated/spammy text)
@@ -267,6 +278,11 @@ object TextQueries {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'val'
         |       ELSE 'test' END AS split,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS in_10pct_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text)) AS nfc_fingerprint,
+        |  CAST(length(strip_accents(text)) AS INTEGER) AS len_no_accents
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (

@@ -74,6 +74,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaGen.nonEmpty)
   }
 
+  test("normalize_text: NFC composition, accent stripping, SQL surface") {
+    import graft.functions.functions.{nfc_normalize, strip_accents}
+    val composed = "café"    // é as one codepoint
+    val decomposed = "café" // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed)).toDF("id", "t")
+    val nfc = df.select(nfc_normalize(col("t"))).as[String].collect()
+    // both representations canonicalize to the SAME codepoints
+    assert(nfc(0) == nfc(1) && nfc(0) == composed)
+    val stripped = df.select(strip_accents(col("t"))).as[String].collect()
+    assert(stripped.toSeq == Seq("cafe", "cafe"))
+    // dedup relevance: fingerprints agree only after canonicalization
+    assert(md5Str(composed) != md5Str(decomposed))
+    assert(md5Str(nfc(0)) == md5Str(nfc(1)))
+    // SQL surface via the extension registry
+    graft.plans.GraftExtensions.install(spark)
+    df.createOrReplaceTempView("norm_t")
+    val viaSql = spark.sql("SELECT strip_accents(nfc_normalize(t)) FROM norm_t")
+      .as[String].collect()
+    assert(viaSql.toSeq == Seq("cafe", "cafe"))
+  }
+
+  private def md5Str(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("shingle_rows is SQL-callable via the extension registry") {
     graft.plans.GraftExtensions.install(spark)
     Tables.load(spark, TestSpark.sfDir, "documents").createOrReplaceTempView("docs_sql")
