@@ -75,4 +75,20 @@ class PropertySpec extends AnyFunSuite {
       assert(back.models.head.columns == names)
     }
   }
+
+  test("normalize_text is idempotent and accent-strip output carries no combining marks") {
+    import graft.functions.NormalizeText
+    val uniGen: Gen[String] = Gen.listOfN(24, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ü', 'ñ', 'ā', 'ő', 'ç'),
+      Gen.oneOf('́', '̈', '̄'), // combining marks
+      Gen.oneOf(' ', '.'))).map(_.mkString)
+    for (s <- sample(uniGen, 60); strip <- Seq(false, true)) {
+      val once = NormalizeText.compute(UTF8String.fromString(s), strip).toString
+      val twice = NormalizeText.compute(UTF8String.fromString(once), strip).toString
+      assert(once == twice, s"not idempotent on ${s.codePoints().toArray.toSeq}")
+      if (strip)
+        assert(!once.codePoints().toArray.exists(c => Character.getType(c) ==
+          Character.NON_SPACING_MARK), s"marks survive strip: $s")
+    }
+  }
 }

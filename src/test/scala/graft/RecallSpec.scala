@@ -50,6 +50,14 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.9, s"ann_ivf_topk recall@5 = $r")
   }
 
+  test("minhash pairs are deterministic across runs for a fixed seed") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    def run(): Set[(Long, Long)] = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val a = run(); val b = run()
+    assert(a == b && a.nonEmpty, "minhash banding must be seed-deterministic")
+  }
+
   test("dedup_minhash_lsh recall vs exact jaccard pairs at dist <= 0.4 is >= 0.9") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val approx = Dedup.minhashPairs(docs, "doc_id", "text")
