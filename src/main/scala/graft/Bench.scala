@@ -12,11 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state warm-up: first parquet touch pays one-off classloading,
-    // codegen-compiler and FileSourceStrategy init that would otherwise be
-    // charged to whichever query happens to run first
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    // steady-state warm-up: first parquet touch + first shuffle pay
+    // one-off classloading, codegen-compiler, FileSourceStrategy and
+    // shuffle-machinery init that would otherwise be charged to whichever
+    // query happens to run first
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      import org.apache.spark.sql.functions.col
+      spark.range(10000).groupBy((col("id") % 10).as("k")).count().collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
