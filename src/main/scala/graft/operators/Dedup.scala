@@ -161,6 +161,49 @@ object Dedup {
       .select("vec_id_1", "vec_id_2", "cosine")
   }
 
+  /** Incremental exact dedup for an append-only ingest: the rows of
+    * `newDf` whose content does NOT already exist in `corpusDf`.
+    *
+    * The corpus is distilled into a Bloom filter ONCE via Spark's
+    * partial-aggregated `bloom_filter_agg` (only the filter's bits travel
+    * and land on the driver — ~1 MB for a million docs, never the
+    * corpus), then broadcast as a literal inside a codegen'd
+    * `might_contain` prefilter over the new batch:
+    *
+    *  - bloom-NEGATIVE rows are definitively new (no false negatives) and
+    *    skip the join entirely — at a typical ingest dup rate this is
+    *    ~all of the batch, which therefore never shuffles;
+    *  - bloom-POSITIVE rows (true dups + ~2% false positives) are
+    *    verified exactly with an anti-join against the corpus hashes.
+    *
+    * The result is EXACT; the Bloom filter only bounds how much of the
+    * batch pays the join. Building the filter runs one job at call time
+    * (algorithm, not a lazy view — same caveat as connectedComponents).
+    * `expectedCorpusItems` sizes the filter (8 bits/item ≈ 2% fpp). */
+  def incrementalNew(newDf: DataFrame, corpusDf: DataFrame, textCol: String,
+      expectedCorpusItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val h = sha2(col(textCol), 256)
+    val corpusHashes = corpusDf.select(h.as("__h"))
+    val bloomAgg = bridge.column(BloomFilterAggregate(
+      new XxHash64(Seq(bridge.expression(col("__h")))),
+      Literal(expectedCorpusItems), Literal(expectedCorpusItems * 8L), 0, 0)
+      .toAggregateExpression())
+    val bloomBytes = corpusHashes.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) return newDf // empty corpus: everything is new
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      new XxHash64(Seq(bridge.expression(col("__h"))))))
+    val withH = newDf.withColumn("__h", h)
+    val sureNew = withH.filter(!mightContain)
+    val verifiedNew = withH.filter(mightContain)
+      .join(corpusHashes, Seq("__h"), "left_anti")
+    sureNew.unionByName(verifiedNew).drop("__h")
+  }
+
   /** Connected components over an undirected pair list: (id, component)
     * where `component` is the minimum vertex id reachable from `id`.
     *

@@ -70,6 +70,16 @@ object DedupQueries {
       Dedup.resolveClusters(docs, "doc_id", pairs, "doc_id_1", "doc_id_2")
         .orderBy("doc_id")
     }),
+    // Incremental ingest dedup: the doc_id%5==0 slice plays the "new
+    // batch", the rest the existing corpus; Bloom-prefiltered exact
+    // anti-join returns batch rows whose content is genuinely new
+    "dedup_incremental" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val newBatch = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.incrementalNew(newBatch, corpus, "text", expectedCorpusItems = 1L << 16)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Keep-BEST-per-cluster resolution: longest text survives (ties by
     // min id) — the realistic policy when duplicates differ in
     // completeness
@@ -157,6 +167,12 @@ object DedupQueries {
           |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_doc_id
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
           |ORDER BY doc_id""".stripMargin),
+    "dedup_incremental" ->
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 5 <> 0 AND c.text = n.text)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_cluster_keep_best" ->
       ("WITH RECURSIVE " + duckShinglesBody +
         """,

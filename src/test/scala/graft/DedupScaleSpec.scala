@@ -121,6 +121,26 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 2L))
   }
 
+  test("incremental dedup: bloom-prefiltered exact anti-join against a corpus") {
+    // file-backed so the bloom prefilter survives to the physical plan (a
+    // LocalRelation would constant-fold might_contain away at optimize time)
+    val base = "target/dedup-incremental"
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$base/corpus")
+    Seq((10L, "alpha beta"), (11L, "brand new doc"), (12L, "another new one"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$base/batch")
+    val corpus = spark.read.parquet(s"$base/corpus")
+    val batch = spark.read.parquet(s"$base/batch")
+    val fresh = Dedup.incrementalNew(batch, corpus, "text", expectedCorpusItems = 64)
+    val plan = fresh.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
+    assert(fresh.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    assert(fresh.columns.toSeq == Seq("doc_id", "text"))
+    // empty corpus: the whole batch is new, no bloom/join at all
+    val none = corpus.filter(lit(false))
+    assert(Dedup.incrementalNew(batch, none, "text").count() == 3L)
+  }
+
   test("dedup operators tolerate null and too-short texts") {
     val docs = Seq((1L, "a b c d e"), (2L, null), (3L, "x"), (4L, "a b c d e"))
       .toDF("doc_id", "text")
