@@ -197,9 +197,13 @@ object Dedup {
     val mightContain = bridge.column(BloomFilterMightContain(
       Literal.create(bloomBytes, BinaryType),
       new XxHash64(Seq(bridge.expression(col("__h"))))))
+    // null content hashes to null -> might_contain is null; treat as NEW
+    // (a null-text row can't equal any corpus row) instead of letting the
+    // null predicate silently drop it from both branches
+    val positive = coalesce(mightContain, lit(false))
     val withH = newDf.withColumn("__h", h)
-    val sureNew = withH.filter(!mightContain)
-    val verifiedNew = withH.filter(mightContain)
+    val sureNew = withH.filter(!positive)
+    val verifiedNew = withH.filter(positive)
       .join(corpusHashes, Seq("__h"), "left_anti")
     sureNew.unionByName(verifiedNew).drop("__h")
   }

@@ -139,6 +139,11 @@ class DedupScaleSpec extends AnyFunSuite {
     // empty corpus: the whole batch is new, no bloom/join at all
     val none = corpus.filter(lit(false))
     assert(Dedup.incrementalNew(batch, none, "text").count() == 3L)
+    // null-text rows are new, not silently dropped by a null predicate
+    val withNull = Seq((20L, null.asInstanceOf[String]), (21L, "alpha beta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalNew(withNull, corpus, "text", 64)
+      .select("doc_id").as[Long].collect().toSeq == Seq(20L))
   }
 
   test("dedup operators tolerate null and too-short texts") {
