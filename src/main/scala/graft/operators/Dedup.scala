@@ -38,9 +38,16 @@ object Dedup {
     * (doc_id_1, doc_id_2, jaccard) with jaccard unrounded.
     *
     * The per-doc shingle count rides on each exploded row (computed once
-    * per document below the Generate, then cached), so no side table is
-    * joined back — broadcast nothing, shuffle only (shingle, doc_id, n).
-    * The self-join buckets by shingle; only co-bucketed pairs are scored.
+    * per document below the Generate), so no side table is joined back —
+    * broadcast nothing, shuffle only (shingle, doc_id, n). The self-join
+    * buckets by shingle; only co-bucketed pairs are scored.
+    *
+    * Deliberately NOT persisted: the self-join's two map stages recompute
+    * the explode once each, but the shingle kernel is codegen'd and
+    * IO-bound, and a persist here would pin a corpus-sized cache per call
+    * site for the session lifetime (this operator backs four queries) —
+    * bounded recompute beats unbounded cache residency. Callers that
+    * reuse the pairs many times can persist the RESULT themselves.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
@@ -48,7 +55,6 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col("shingles"))
       .withColumn("n", size(col("shingles")))
       .select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // lazily populated by 1st action
     val a = ex.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
     val b = ex.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
     a.join(b, Seq("s")).filter(col("doc_id_1") < col("doc_id_2"))
@@ -120,7 +126,10 @@ object Dedup {
     * (~1e-5 at the default 4) — negligible for near-dup thresholds
     * (t >= 0.5), so the output matches the exact formulation
     * (`embeddingCosinePairsExact`) in practice; DedupScaleSpec asserts
-    * equality on the fixture.
+    * equality on the fixture. The bound scales as sqrt(1/d): for
+    * low-dimensional embeddings (d < ~16) raise `numHashTables`, or use
+    * `embeddingCosinePairsExact` when the corpus is small enough to
+    * broadcast.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
@@ -145,10 +154,11 @@ object Dedup {
       .select("vec_id_1", "vec_id_2", "cosine")
   }
 
-  /** Exact all-pairs embedding cosine — O(n^2) verification baseline for
-    * the recall tests ONLY. Not a query path: at corpus scale use
-    * `embeddingCosinePairs` (LSH candidates, identical output for near-dup
-    * thresholds). */
+  /** Exact all-pairs embedding cosine — the verification baseline for the
+    * recall tests and the exact fallback for corpora small enough to
+    * broadcast (O(n^2) scoring, full-corpus broadcast). At corpus scale
+    * use `embeddingCosinePairs` (LSH candidates, identical output for
+    * near-dup thresholds at realistic dimensions). */
   def embeddingCosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val emb = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
@@ -188,6 +198,19 @@ object Dedup {
     import org.apache.spark.sql.types.BinaryType
     val h = sha2(col(textCol), 256)
     val corpusHashes = corpusDf.select(h.as("__h"))
+    // bloom_filter_agg silently clamps to the runtime-filter conf caps;
+    // clamping would quietly destroy the fpp guarantee (every batch row
+    // bloom-positive -> full join), so make under-sizing loud instead
+    val spark = corpusDf.sparkSession
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedCorpusItems <= maxItems && expectedCorpusItems * 8L <= maxBits,
+      s"expectedCorpusItems=$expectedCorpusItems exceeds the bloom conf caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or the filter would clamp and lose its fpp bound")
     val bloomAgg = bridge.column(BloomFilterAggregate(
       new XxHash64(Seq(bridge.expression(col("__h")))),
       Literal(expectedCorpusItems), Literal(expectedCorpusItems * 8L), 0, 0)
@@ -226,7 +249,11 @@ object Dedup {
     * *appearing in a pair* (dup pairs, not the corpus), so the iterated
     * state is small even when the corpus is 100 TB. On a cluster with
     * flaky executors, swap localCheckpoint for reliable checkpoint() —
-    * same shape, fault-tolerant storage.
+    * same shape, fault-tolerant storage. Each round's checkpointed blocks
+    * are freed asynchronously by the ContextCleaner once the loop drops
+    * the reference (standard RDD GC-based cleanup). Throws if maxIters
+    * rounds don't converge — silently-partial components would let
+    * duplicate clusters keep multiple survivors downstream.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
@@ -283,6 +310,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(pointer jumping bounds rounds by O(log diameter); raise maxIters)")
     labels.select(col("id"), col("comp"))
   }
 

@@ -42,12 +42,20 @@ object Multimodal {
   /** Media types `javax.imageio` can decode with JDK-bundled codecs. */
   private val imageTypes = Set("image/png", "image/bmp", "image/gif", "image/jpeg")
 
+  /** ImageIO.read returns null for unrecognized bytes but THROWS for
+    * payloads whose magic matches a reader with truncated/malformed data
+    * behind it — both are "corrupt" to a corpus-scale ingest, and one bad
+    * row must not fail a task. */
+  private def tryReadImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException | _: RuntimeException => null }
+
   /** Decode one payload: a REAL `ImageIO` decode for JDK-supported image
     * types (true width/height/channels from the pixel data), the
     * deterministic stub for everything else. Executor-side only. */
   def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures =
     if (imageTypes.contains(mediaType)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = tryReadImage(payload)
       if (img == null) decodeStub(docId, mediaType, payload) // corrupt payload
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -100,9 +108,7 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, mt, bytes) =>
-          val img = if (imageTypes.contains(mt))
-            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          else null
+          val img = if (imageTypes.contains(mt)) tryReadImage(bytes) else null
           val px = new Array[Int](tw * th)
           var y = 0
           while (y < th) {

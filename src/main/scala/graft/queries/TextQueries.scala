@@ -136,17 +136,23 @@ object TextQueries {
     // the scrubbed text is fingerprinted rather than emitted so the result
     // stays hash-compact.
     "text_scrub_pii" -> ((spark, dir) => {
+      // DataFrame-API regex calls ONLY: routing the pattern through
+      // expr()/SQL would strip the \. escape at string-literal parse time
+      // (SQL unescaping), silently turning the dot into a wildcard and
+      // desynchronizing the counts from the replace path and the oracle
       val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val urlRe = "https?://[^ ]+"
       val numRe = "[0-9]{7,}"
       val low = lower(col("text"))
+      def nMatches(re: String): org.apache.spark.sql.Column =
+        size(regexp_extract_all(low, lit(re), lit(0)))
       val scrubbed = regexp_replace(regexp_replace(regexp_replace(low,
         emailRe, "[EMAIL]"), urlRe, "[URL]"), numRe, "[NUM]")
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
-          expr(s"size(regexp_extract_all(lower(text), '$emailRe', 0))").as("n_emails"),
-          expr(s"size(regexp_extract_all(lower(text), '$urlRe', 0))").as("n_urls"),
-          expr(s"size(regexp_extract_all(lower(text), '$numRe', 0))").as("n_long_nums"),
+          nMatches(emailRe).as("n_emails"),
+          nMatches(urlRe).as("n_urls"),
+          nMatches(numRe).as("n_long_nums"),
           md5(scrubbed).as("scrubbed_fingerprint"))
         .orderBy("doc_id")
     }),

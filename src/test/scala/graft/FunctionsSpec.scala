@@ -74,6 +74,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaGen.nonEmpty)
   }
 
+  test("pii-scrub email regex keeps its literal dot on the DataFrame API path") {
+    // regression guard: routing this pattern through expr() would strip
+    // the \. at SQL string-literal parse time, turning the dot into a
+    // wildcard — 'a@b!de' must NOT count as an email
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val df = Seq("mail a@b!de here", "mail a@b.de here").toDF("text")
+    val n = df.select(size(regexp_extract_all(lower(col("text")), lit(emailRe), lit(0))))
+      .as[Int].collect()
+    assert(n.toSeq == Seq(0, 1))
+  }
+
   test("normalize_text: NFC composition, accent stripping, SQL surface") {
     import graft.functions.functions.{nfc_normalize, strip_accents}
     val composed = "café"    // é as one codepoint

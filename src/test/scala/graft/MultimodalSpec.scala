@@ -69,5 +69,10 @@ class MultimodalSpec extends AnyFunSuite {
     // declared image type but undecodable bytes -> stub, not a crash
     val corrupt = Multimodal.decode(8L, "image/png", junk)
     assert(corrupt == Multimodal.decodeStub(8L, "image/png", junk))
+    // a REAL png header with truncated data makes ImageIO throw (not
+    // return null) — must also fall back to the stub, not kill the task
+    val truncated = imageBytes(32, 32, "png").take(40)
+    val trunc = Multimodal.decode(9L, "image/png", truncated)
+    assert(trunc == Multimodal.decodeStub(9L, "image/png", truncated))
   }
 }
