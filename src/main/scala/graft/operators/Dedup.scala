@@ -74,6 +74,8 @@ object Dedup {
     val docs = withShingles(df, textCol).select(col(idCol).as("doc_id"), col("shingles"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
+    // THREE consumers (fit + both approxSimilarityJoin sides) — persist
+    // pays here, unlike the two-consumer jaccard explode (measured)
     val feat = tf.transform(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
