@@ -51,7 +51,12 @@ object NormalizeText {
     val str = s.toString
     val out =
       if (stripAccents)
-        Marks.replaceAllIn(Normalizer.normalize(str, Normalizer.Form.NFD), "")
+        // recompose after mark removal so composed non-Latin text (Hangul
+        // syllables, kana) comes back in NFC rather than staying decomposed;
+        // idempotent, and a no-op for the Latin/ASCII range
+        Normalizer.normalize(
+          Marks.replaceAllIn(Normalizer.normalize(str, Normalizer.Form.NFD), ""),
+          Normalizer.Form.NFC)
       else if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) str
       else Normalizer.normalize(str, Normalizer.Form.NFC)
     if (out eq str) s else UTF8String.fromString(out)

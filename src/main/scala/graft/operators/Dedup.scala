@@ -34,13 +34,29 @@ object Dedup {
       .agg(min(idCol).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select("keep_doc_id", "n_copies")
 
-  /** Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle:
-    * (doc_id_1, doc_id_2, jaccard) with jaccard unrounded.
+  /** Exact n-gram Jaccard pairs: (doc_id_1, doc_id_2, jaccard) unrounded.
     *
-    * The per-doc shingle count rides on each exploded row (computed once
-    * per document below the Generate), so no side table is joined back —
-    * broadcast nothing, shuffle only (shingle, doc_id, n). The self-join
-    * buckets by shingle; only co-bucketed pairs are scored.
+    * With `minJaccard = None` (the recall-harness baseline), every pair
+    * sharing >= 1 shingle is scored: the per-doc shingle count rides on
+    * each exploded row (computed once per document below the Generate), so
+    * no side table is joined back — broadcast nothing, shuffle only
+    * (shingle, doc_id, n); the self-join buckets by shingle and the
+    * pair-group aggregate counts the intersection.
+    *
+    * With a threshold, candidate generation uses AllPairs/PPJoin-style
+    * PREFIX FILTERING (Bayardo et al., WWW'07; Xiao et al., WWW'08 — also
+    * the scheme in the reference-adjacent dedup literature): order shingles
+    * by ascending global document frequency (rarest first, ties by value —
+    * one total order corpus-wide), keep each document's first
+    * n - ceil(t*n) + 1 shingles, and join only on those. Any pair with
+    * jaccard >= t MUST collide inside both prefixes (pigeonhole on the
+    * shared total order), so recall is exact; pairs only sharing frequent
+    * shingles never become candidates. A length-ratio prune
+    * (t*n1 <= n2 && t*n2 <= n1, since jaccard <= min/max) drops the rest
+    * early. Candidates are then exact-scored via sorted-array
+    * intersection, and at t = 0.8 the candidate set is ~2 orders of
+    * magnitude smaller than the all-overlap pair aggregate — the
+    * difference between a shuffle of pairs and a shuffle of near-dups.
     *
     * Deliberately NOT persisted: the self-join's two map stages recompute
     * the explode once each, but the shingle kernel is codegen'd and
@@ -50,19 +66,56 @@ object Dedup {
     * reuse the pairs many times can persist the RESULT themselves.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame = {
-    val ex = withShingles(df, textCol, k)
+      k: Int = 3, minJaccard: Option[Double] = None): DataFrame = {
+    val docs = withShingles(df, textCol, k)
       .select(col(idCol).as("doc_id"), col("shingles"))
       .withColumn("n", size(col("shingles")))
-      .select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
-    val a = ex.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
-    val b = ex.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
-    a.join(b, Seq("s")).filter(col("doc_id_1") < col("doc_id_2"))
-      .groupBy("doc_id_1", "doc_id_2")
-      .agg(count(lit(1)).as("inter"), first("n1").as("n1"), first("n2").as("n2"))
-      .withColumn("jaccard",
-        col("inter") / (col("n1") + col("n2") - col("inter")))
-      .select("doc_id_1", "doc_id_2", "jaccard")
+    minJaccard match {
+      case None =>
+        val ex = docs.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+        val a = ex.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
+        val b = ex.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
+        a.join(b, Seq("s")).filter(col("doc_id_1") < col("doc_id_2"))
+          .groupBy("doc_id_1", "doc_id_2")
+          .agg(count(lit(1)).as("inter"), first("n1").as("n1"), first("n2").as("n2"))
+          .withColumn("jaccard",
+            col("inter") / (col("n1") + col("n2") - col("inter")))
+          .select("doc_id_1", "doc_id_2", "jaccard")
+      case Some(t) =>
+        require(t > 0 && t <= 1, s"minJaccard must be in (0, 1], got $t")
+        import org.apache.spark.sql.expressions.Window
+        val ex = docs.select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+        // global document frequency per shingle — the canonical order.
+        // Joined by shingle (shuffle join; at corpus scale the frequency
+        // table is itself corpus-sized, so no broadcast — AQE may still
+        // choose one when it measures small).
+        val freq = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+        val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
+        val pref = ex.join(freq, Seq("s"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df_s"), col("s"))))
+          .filter(col("rk") <= prefixLen)
+          .select(col("doc_id"), col("n"), col("s"))
+        val a = pref.select(col("doc_id").as("doc_id_1"), col("n").as("n1"), col("s"))
+        val b = pref.select(col("doc_id").as("doc_id_2"), col("n").as("n2"), col("s"))
+        val cand = a.join(b, Seq("s"))
+          .filter(col("doc_id_1") < col("doc_id_2") &&
+            lit(t) * col("n1") <= col("n2") && lit(t) * col("n2") <= col("n1"))
+          .select("doc_id_1", "doc_id_2").distinct()
+        // exact verification on candidates only: set intersection over the
+        // distinct shingle arrays (shuffles candidate ids + two hash joins
+        // against the doc->shingles sets, each keyed by doc id)
+        val sets1 = docs.select(col("doc_id").as("doc_id_1"),
+          col("shingles").as("sh1"), col("n").as("n1"))
+        val sets2 = docs.select(col("doc_id").as("doc_id_2"),
+          col("shingles").as("sh2"), col("n").as("n2"))
+        cand.join(sets1, Seq("doc_id_1")).join(sets2, Seq("doc_id_2"))
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+          .filter(col("jaccard") >= t)
+          .select("doc_id_1", "doc_id_2", "jaccard")
+    }
   }
 
   /** MinHash LSH candidate pairs with exact Jaccard distance on candidates
@@ -117,43 +170,71 @@ object Dedup {
   /** Embedding-cosine near-dup pairs above a threshold (unrounded cosine).
     *
     * Scale path: vectors are L2-normalized, so `cosine(a,b) >= t` iff
-    * `||â - b̂|| <= sqrt(2 (1 - t))`; BucketedRandomProjectionLSH generates
+    * `||â - b̂|| <= sqrt(2 (1 - t))`; random-projection LSH generates
     * candidate pairs within that Euclidean radius (hash-bucket join — the
-    * corpus shuffles by bucket key, nothing is broadcast, no cross join),
-    * and only candidates are exact-scored with the native dot/norm kernels.
-    * With `numHashTables` independent tables at `bucketLength` 2x the
-    * radius, the per-table miss probability for a true pair is
-    * E|(a-b)·w| / bucketLength ≈ (radius * sqrt(2/(pi*d))) / (2*radius)
-    * ≈ 0.05 at d=64, and the joint miss its numHashTables-th power
-    * (~1e-5 at the default 4) — negligible for near-dup thresholds
-    * (t >= 0.5), so the output matches the exact formulation
-    * (`embeddingCosinePairsExact`) in practice; DedupScaleSpec asserts
-    * equality on the fixture. The bound scales as sqrt(1/d): for
-    * low-dimensional embeddings (d < ~16) raise `numHashTables`, or use
-    * `embeddingCosinePairsExact` when the corpus is small enough to
-    * broadcast.
+    * corpus shuffles by (table, bucket) key, nothing is broadcast, no
+    * cross join), and only candidates are exact-scored with the native
+    * dot/norm kernels. The hash family is the standard p-stable scheme
+    * (Datar et al., SoCG'04, the same family spark.ml's
+    * BucketedRandomProjectionLSH implements): bucket_i = floor(û·w_i / L)
+    * for `numHashTables` seeded random unit vectors w_i and bucket length
+    * L = 2·radius. Implemented natively — the projections are literal
+    * arrays fed to the codegen'd `vec_dot` kernel, so hashing, the bucket
+    * join, and candidate scoring all stay inside whole-stage codegen with
+    * no ml-vector conversion and no fit job (one row is peeked to learn
+    * the dimension).
+    *
+    * Per-table miss probability for a true pair is E|(â-b̂)·w| / L
+    * ≈ (radius * sqrt(2/(pi*d))) / (2*radius) ≈ 0.05 at d=64, and the
+    * joint miss its numHashTables-th power (~1e-5 at the default 4) —
+    * negligible for near-dup thresholds (t >= 0.5), so the output matches
+    * the exact formulation (`embeddingCosinePairsExact`) in practice;
+    * DedupScaleSpec asserts equality on the fixture. The bound scales as
+    * sqrt(1/d), so for low-dimensional embeddings (d < 16) the table
+    * count is automatically raised to at least 8.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
     val radius = math.sqrt(2.0 * (1.0 - minCosine)) + 1e-6
+    val bucketLen = 2.0 * radius
     val emb = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("nrm", vec_l2norm(col("v")))
       .filter(col("nrm") > 0)
-      .withColumn("u", array_to_vector(expr("transform(v, x -> x / nrm)")))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("u").setOutputCol("hashes")
-      .setBucketLength(2.0 * radius).setNumHashTables(numHashTables).setSeed(seed)
-    lsh.fit(emb).approxSimilarityJoin(emb, emb, radius, "dist")
-      .select(col("datasetA.vec_id").as("vec_id_1"), col("datasetA.v").as("v1"),
-        col("datasetA.nrm").as("nrm1"),
-        col("datasetB.vec_id").as("vec_id_2"), col("datasetB.v").as("v2"),
-        col("datasetB.nrm").as("nrm2"))
-      .filter(col("vec_id_1") < col("vec_id_2"))
+    // dimension peek: one-row action at build time (the analogue of ml's
+    // fit job, but reading a single row instead of scanning the corpus)
+    val dimPeek = emb.select(size(col("v")).as("d")).head(1)
+    if (dimPeek.isEmpty)
+      return embeddingCosinePairsExact(df.limit(0), idCol, vecCol, minCosine)
+    val dim = dimPeek(0).getInt(0)
+    val tables = if (dim < 16) math.max(numHashTables, 8) else numHashTables
+    // seeded unit Gaussian projections; java.util.Random's LCG and
+    // nextGaussian algorithm are pinned by its spec, so buckets are
+    // deterministic across JVMs for a fixed seed
+    val rnd = new java.util.Random(seed)
+    val projections = Array.fill(tables) {
+      val w = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    val keys = projections.zipWithIndex.map { case (w, i) =>
+      struct(lit(i).as("t"),
+        floor(vec_dot(col("u"), typedlit(w.toSeq)) / bucketLen).cast("long").as("b"))
+    }
+    val keyed = emb.withColumn("u", expr("transform(v, x -> x / nrm)"))
+      .select(col("vec_id"), col("v"), col("nrm"), explode(array(keys.toSeq: _*)).as("k"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("k.t").as("t"), col("k.b").as("b"))
+    val a = keyed.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
+      col("nrm").as("nrm1"), col("t"), col("b"))
+    val b = keyed.select(col("vec_id").as("vec_id_2"), col("v").as("v2"),
+      col("nrm").as("nrm2"), col("t"), col("b"))
+    // a pair colliding in several tables scores its (deterministic) cosine
+    // once per collision; distinct collapses the duplicates afterwards —
+    // cheaper than a first()-aggregate carrying two vectors per pair
+    a.join(b, Seq("t", "b")).filter(col("vec_id_1") < col("vec_id_2"))
       .withColumn("cosine", vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cosine") >= minCosine)
       .select("vec_id_1", "vec_id_2", "cosine")
+      .distinct()
   }
 
   /** Exact all-pairs embedding cosine — the verification baseline for the
@@ -222,10 +303,12 @@ object Dedup {
     val mightContain = bridge.column(BloomFilterMightContain(
       Literal.create(bloomBytes, BinaryType),
       new XxHash64(Seq(bridge.expression(col("__h"))))))
-    // null content hashes to null -> might_contain is null; treat as NEW
-    // (a null-text row can't equal any corpus row) instead of letting the
-    // null predicate silently drop it from both branches
-    val positive = coalesce(mightContain, lit(false))
+    // null content -> null __h, but XxHash64 hashes a null input to its
+    // seed (it never returns null), so might_contain is always boolean.
+    // A null-text row lands in EITHER branch and survives as new either
+    // way: bloom-negative goes straight to sureNew; bloom-positive enters
+    // the anti-join where its null __h key can never match a corpus row.
+    val positive = mightContain
     val withH = newDf.withColumn("__h", h)
     val sureNew = withH.filter(!positive)
     val verifiedNew = withH.filter(positive)

@@ -33,7 +33,11 @@ object DedupQueries {
         .orderBy("keep_doc_id")
     }),
     "dedup_ngram_jaccard" -> ((spark, dir) => {
-      Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      // operator prefix-filter threshold strictly below the 0.8 rounding
+      // boundary (rounded >= 0.8 iff unrounded >= 0.7999995, so 0.7999
+      // cannot lose a qualifying pair); exact filter on the rounded value
+      Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"), "doc_id", "text",
+          minJaccard = Some(0.7999))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_id_1", "doc_id_2")
@@ -64,7 +68,7 @@ object DedupQueries {
       // pairs -> transitive closure -> keep-min-id per cluster, for every
       // corpus row (docs in no pair keep themselves)
       val docs = Tables.load(spark, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = Some(0.7999))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= 0.8)
       Dedup.resolveClusters(docs, "doc_id", pairs, "doc_id_1", "doc_id_2")
@@ -85,7 +89,7 @@ object DedupQueries {
     // completeness
     "dedup_cluster_keep_best" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = Some(0.7999))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= 0.8)
       Dedup.resolveClustersBy(docs, "doc_id", length(col("text")).cast("long"),
@@ -98,7 +102,7 @@ object DedupQueries {
     // exactly because candidates are bucket-generated)
     "dedup_fuzzy_verify" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = Some(0.7999))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= 0.8)
       val t1 = docs.select(col("doc_id").as("doc_id_1"), col("text").as("t1"))
