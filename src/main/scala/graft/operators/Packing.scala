@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: concatenate documents in a
+  * deterministic order and chop the token stream into fixed-size context
+  * windows ("concat-and-chunk" — the packing used for GPT-style training
+  * corpora). Each document maps to the sequence (and offset) where its
+  * first token lands; `spans_boundary` marks documents split across two
+  * windows (the fraction a loader would truncate or mask).
+  *
+  * Scale: the naive formulation is a running sum over a GLOBAL order — a
+  * single-partition window that serializes the corpus through one task.
+  * This implementation is the classic two-level scan instead:
+  *   1. per-block cumulative sums (window partitioned by `block`, docs
+  *      shuffle by block — fully parallel);
+  *   2. block TOTALS (one row per block) prefix-summed in a single tiny
+  *      partition — the only serial step is O(n_blocks), not O(n_docs);
+  *   3. offsets join back by block key (block table is small: Catalyst
+  *      broadcasts it).
+  * Exactly a parallel prefix-scan on top of relational ops; identical
+  * output to the single-window formulation the DuckDB oracle runs.
+  */
+object Packing {
+
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Int, blockSize: Long = 4096): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("block", floor(col("doc_id") / blockSize))
+    // pass 1: parallel per-block running sums
+    val wIn = Window.partitionBy("block").orderBy("doc_id")
+    val withCum = base.withColumn("cum_in_block", sum("n_tokens").over(wIn))
+    // pass 2: prefix-sum of block totals — one row per block, so the
+    // deliberately-unpartitioned window is O(n_blocks) serial work
+    val wBlocks = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("block").agg(sum("n_tokens").as("tot"))
+      .withColumn("block_offset", coalesce(sum("tot").over(wBlocks), lit(0L)))
+      .select("block", "block_offset")
+    // pass 3: join offsets back and place each doc in the token stream
+    val cumBefore = col("block_offset") + col("cum_in_block") - col("n_tokens")
+    val lastTok = col("cum_before") + col("n_tokens") - 1
+    withCum.join(offsets, Seq("block"))
+      .withColumn("cum_before", cumBefore)
+      .withColumn("seq_id", floor(col("cum_before") / budget))
+      .withColumn("seq_offset", col("cum_before") % budget)
+      .withColumn("spans_boundary",
+        col("n_tokens") > 0 && floor(lastTok / budget) > col("seq_id"))
+      .select("doc_id", "n_tokens", "seq_id", "seq_offset", "spans_boundary")
+  }
+}
+
+/** Deterministic hash-based sampling for training-data mixing: the keep
+  * decision is a pure function of the row key, so a sample is reproducible
+  * across runs, engines, and partition layouts (no RNG state), survives
+  * re-partitioning, and composes — nested rates select nested subsets,
+  * exactly like the md5 split in `doc_split_assign`.
+  */
+object Sampling {
+
+  /** 16^15 = 2^60: the size of the 15-hex-char md5 prefix space. */
+  private val Space60 = 1152921504606846976.0d
+
+  /** Uniform fraction in [0,1) from the md5 of the key — arithmetic-only,
+    * identical in any engine with md5 (DuckDB: ('0x' || prefix)::BIGINT). */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") / lit(Space60)
+
+  /** Per-stratum downsampling: keep a row iff its hash fraction falls
+    * below the stratum's rate. Rates compile to a CASE chain evaluated in
+    * sorted-key order (deterministic plan, no lookup table, no shuffle —
+    * the filter is a pure projection that pushes to the scan). */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1) &&
+      defaultRate >= 0 && defaultRate <= 1, "rates must be in [0, 1]")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) => when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(keyCol)) < rate)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.KmvSketch.kmv_sketch
+import graft.operators.{Packing, Sampling}
+
+/** Training-pipeline assembly queries: distinct-count sketching for corpus
+  * stats, sequence packing for context-window assembly, and deterministic
+  * stratified sampling for data mixing. All three are exactly
+  * DuckDB-expressible (the KMV sketch by construction — its state is "the
+  * k smallest distinct md5 hashes", plain SQL — unlike HLL whose register
+  * layout is engine-private), so the driver hash-checks them.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-compatible rounding (see DedupQueries.round). */
+  private def round(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    org.apache.spark.sql.functions.round(c * p, 0) / p
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    // KMV bottom-k distinct sketch per event type: sketch state (k-th
+    // minimum hash + kept count) and the standard (k-1)/kth estimator.
+    // k=64 keeps the estimate within ~13% (1/sqrt(62)) of truth; the
+    // sketch, not the corpus, crosses the shuffle.
+    "kmv_distinct_users" -> ((spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        .groupBy("event_type")
+        .agg(kmv_sketch(col("h"), 64).as("s"))
+        .select(col("event_type"), col("s.kth_hash").as("kth_hash"),
+          col("s.n_kept").as("n_kept"),
+          round(col("s.est_distinct"), 6).as("est_distinct"))
+        .orderBy("event_type")
+    }),
+    // Concat-and-chunk sequence packing into 256-token context windows
+    // (two-level distributed prefix scan; see operators.Packing)
+    "pack_sequences" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", budget = 256, blockSize = 100)
+        .orderBy("doc_id")
+    }),
+    // Deterministic language-rebalancing sample: downsample dominant
+    // strata by md5-fraction so the mix is reproducible across engines,
+    // runs, and partitionings
+    "sample_stratified" -> ((spark, dir) => {
+      Sampling.stratifiedSample(Tables.load(spark, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.25, "es" -> 0.5, "zh" -> 0.75))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }))
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "kmv_distinct_users" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+        |           FROM events),
+        |r AS (SELECT event_type, hh,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+        |      FROM h),
+        |kept AS (SELECT event_type, max(hh) AS kth_hash,
+        |           CAST(count(*) AS INTEGER) AS n_kept
+        |         FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type, kth_hash, n_kept,
+        |  round(CASE WHEN n_kept < 64 THEN n_kept * 1.0
+        |    ELSE 63.0 / ((('0x' || substring(kth_hash, 1, 15))::BIGINT)
+        |                 / 1152921504606846976.0) END, 6) AS est_distinct
+        |FROM kept ORDER BY event_type""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
+        |  cum_before % 256 AS seq_offset,
+        |  n_tokens > 0 AND floor((cum_before + n_tokens - 1) / 256.0)
+        |    > floor(cum_before / 256.0) AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |      / 1152921504606846976.0
+        |  < CASE WHEN lang = 'zh' THEN 0.75
+        |         WHEN lang = 'es' THEN 0.5
+        |         WHEN lang = 'en' THEN 0.25 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin)
+}

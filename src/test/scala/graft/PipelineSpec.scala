@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvSketch.kmv_sketch
+import graft.operators.{Packing, Sampling}
+
+/** Pipeline-assembly tier: KMV distinct sketch (merge correctness + error
+  * bound + exact small-cardinality path), two-level sequence packing
+  * (partition-layout invariance + window-formulation equivalence), and
+  * deterministic stratified sampling (nesting + reproducibility). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hashed(n: Int) =
+    spark.range(n).select(md5(concat(lit("v"), (col("id") % 1000).cast("string"))).as("h"))
+
+  test("kmv sketch is exact below k and bounded-error above k") {
+    // 1000 distinct values, k=64 -> estimation path; bound 4/sqrt(k-2)
+    val est = hashed(5000).agg(kmv_sketch(col("h"), 64).as("s"))
+      .select(col("s.n_kept"), col("s.est_distinct")).head()
+    assert(est.getInt(0) === 64)
+    val rel = math.abs(est.getDouble(1) - 1000.0) / 1000.0
+    assert(rel < 4.0 / math.sqrt(62.0), s"KMV relative error $rel out of bound")
+    // k above the true cardinality -> exact count, kth = global max hash
+    val exact = hashed(5000).agg(kmv_sketch(col("h"), 2048).as("s"))
+      .select(col("s.n_kept"), col("s.est_distinct")).head()
+    assert(exact.getInt(0) === 1000 && exact.getDouble(1) === 1000.0)
+  }
+
+  test("kmv sketch is invariant to partition layout (merge path)") {
+    val one = hashed(5000).repartition(1).agg(kmv_sketch(col("h"), 64)).head()
+    val many = hashed(5000).repartition(13).agg(kmv_sketch(col("h"), 64)).head()
+    assert(one === many)
+  }
+
+  test("two-level packing equals the single-window formulation") {
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"), (col("id") % 37 + 1).as("n_tokens"))
+    val blocked = Packing.packSequences(docs, "doc_id", "n_tokens", 128, blockSize = 11)
+    // blockSize >> n collapses to one block = the serial single-window scan
+    val single = Packing.packSequences(docs, "doc_id", "n_tokens", 128, blockSize = 1 << 20)
+    assert(blocked.orderBy("doc_id").collect() === single.orderBy("doc_id").collect())
+  }
+
+  test("packing places every document inside its window") {
+    val docs = spark.range(0, 300)
+      .select(col("id").as("doc_id"), (col("id") % 50).as("n_tokens")) // incl. 0-token docs
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", 100, blockSize = 17)
+    val bad = packed.filter(col("seq_offset") < 0 || col("seq_offset") >= 100 ||
+      col("seq_id") < 0).count()
+    assert(bad === 0)
+    // token-count conservation: last doc's cum position equals the total
+    val total = docs.agg(sum("n_tokens")).head().getLong(0)
+    val last = packed.orderBy(desc("doc_id")).select("seq_id", "seq_offset", "n_tokens").head()
+    assert(last.getLong(0) * 100 + last.getLong(1) + last.getLong(2) === total)
+  }
+
+  test("stratified samples nest as the rate grows and are reproducible") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    def ids(rate: Double) =
+      Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> rate))
+        .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val q = ids(0.25)
+    val h = ids(0.5)
+    assert(q.subsetOf(h), "rate-0.25 sample must be a subset of rate-0.5")
+    assert(ids(0.25) === q, "sampling must be deterministic across runs")
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(h.size / enTotal - 0.5) < 0.15, s"empirical rate ${h.size / enTotal}")
+    // default rate keeps everything in unlisted strata
+    val zh = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.1))
+      .filter(col("lang") === "zh").count()
+    assert(zh === docs.filter(col("lang") === "zh").count())
+  }
+}
