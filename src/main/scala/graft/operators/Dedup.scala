@@ -346,13 +346,19 @@ object Dedup {
       col(dstCol).cast("long").as("v"))
     // symmetrized + SELF-LOOPED edge list: (v,v) for every vertex makes
     // "min over incoming neighbor labels" include the vertex's own label,
-    // so each propagation round is a single join+groupBy (no union — a
-    // union of a checkpointed plan with a plan sharing its attribute ids
-    // trips Catalyst's union constraint rewriting)
+    // so each propagation round is a single join+groupBy. Built with ONE
+    // explode over the pair list, not a 4-way union — each union branch
+    // would re-materialize the whole upstream pair-generation pipeline
+    // (4x the candidate join), and a union of a checkpointed plan with a
+    // plan sharing its attribute ids trips Catalyst's union constraint
+    // rewriting besides.
     val edges = edges0
-      .union(edges0.select(col("v").as("u"), col("u").as("v")))
-      .union(edges0.select(col("u").as("u"), col("u").as("v")))
-      .union(edges0.select(col("v").as("u"), col("v").as("v")))
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")),
+        struct(col("u").as("u"), col("u").as("v")),
+        struct(col("v").as("u"), col("v").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // init fuses the first propagation round: l0(v) = min(v, neighbors(v))
     // (self-loops make the min include v itself). localCheckpoint is

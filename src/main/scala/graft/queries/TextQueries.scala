@@ -118,8 +118,13 @@ object TextQueries {
       val docs = Tables.load(spark, dir, "documents")
       val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
       val total = docs.agg(count(lit(1)).as("n_docs"))
-      terms.groupBy("term")
-        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf_total"))
+      // two-level aggregate instead of countDistinct: count(distinct)
+      // plans an Expand that doubles the exploded rows before the shuffle;
+      // grouping by (term, doc_id) first lets the map-side partial
+      // aggregate collapse repeats, so only distinct pairs shuffle
+      terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
         .crossJoin(broadcast(total))
         .filter(col("df") >= 2)
         .select(col("term"), col("df"), col("tf_total"),

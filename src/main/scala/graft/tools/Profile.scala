@@ -81,6 +81,28 @@ object Profile {
         time("warm")(run(false))
         time("no-df-filter")(run(false))
         time("df>1 filter")(run(true))
+      case "cc" =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+        def pairs0 = graft.operators.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", minJaccard = Some(0.7999))
+        time("pairs-only")(pairs0.count())
+        time("pairs-again")(pairs0.count())
+        val cached = pairs0.persist()
+        cached.count()
+        time("cc-only")(graft.operators.Dedup
+          .connectedComponents(cached, "doc_id_1", "doc_id_2").count())
+        time("cc-only-again")(graft.operators.Dedup
+          .connectedComponents(cached, "doc_id_1", "doc_id_2").count())
+        cached.unpersist()
+        time("resolve-full")(graft.operators.Dedup
+          .resolveClusters(docs, "doc_id", pairs0, "doc_id_1", "doc_id_2").count())
+      case "time" =>
+        graft.SparkEntry.queries.get(args(2)) match {
+          case Some(fn) =>
+            time(args(2) + " cold")(fn(spark, dir).count())
+            time(args(2) + " warm")(fn(spark, dir).count())
+          case None => println(s"unknown query ${args(2)}")
+        }
       case "explain" =>
         graft.SparkEntry.queries.get(args(2)) match {
           case Some(fn) => fn(spark, dir).explain("formatted")
