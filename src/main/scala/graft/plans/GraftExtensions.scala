@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => CosineTopKStrategy)
     e.injectOptimizerRule(_ => PruneTopKQueries)
+    e.injectOptimizerRule(_ => FuseCosineTopK)
   }
 }
 
@@ -63,6 +64,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(PruneTopKQueries))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneTopKQueries
+    if (!spark.experimental.extraOptimizations.contains(FuseCosineTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseCosineTopK
     registerSqlFunctions(spark)
   }
 
