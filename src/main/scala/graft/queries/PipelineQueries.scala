@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.KmvSketch.kmv_sketch
-import graft.operators.{Packing, Sampling}
+import graft.operators.{Dedup, Packing, Sampling}
 
 /** Training-pipeline assembly queries: distinct-count sketching for corpus
   * stats, sequence packing for context-window assembly, and deterministic
@@ -57,6 +57,26 @@ object PipelineQueries {
           "doc_id", "lang", Map("en" -> 0.25, "es" -> 0.5, "zh" -> 0.75))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+    // End-to-end corpus materialization — the full assembly chain a
+    // training run consumes, as ONE lazy plan: exact-dedup survivors
+    // (hash-bucket keep-first, a semi join against min-id per content) ->
+    // length gate -> deterministic language rebalance -> sequence packing.
+    // Every stage is the scale-shaped operator from its own query; chained
+    // they stay a single DAG with no driver round-trips.
+    "corpus_materialize" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_doc_id").as("doc_id"))
+      val survivors = docs.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val sampled = Sampling.stratifiedSample(survivors, "doc_id", "lang",
+        Map("en" -> 0.5))
+      Packing.packSequences(sampled, "doc_id", "n_tokens", budget = 512, blockSize = 100)
+        .join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -94,5 +114,26 @@ object PipelineQueries {
         |  < CASE WHEN lang = 'zh' THEN 0.75
         |         WHEN lang = 'es' THEN 0.5
         |         WHEN lang = 'en' THEN 0.25 ELSE 1.0 END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_materialize" ->
+      """WITH sv AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |    AND len(string_split(text, ' ')) >= 20),
+        |samp AS (
+        |  SELECT * FROM sv
+        |  WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0
+        |    < CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM samp)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+        |  cum_before % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin)
 }
