@@ -26,14 +26,20 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Int, blockSize: Long = 4096): DataFrame = {
+      budget: Int, blockSize: Long = 4096,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(blockSize > 0, s"blockSize must be positive, got $blockSize")
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
-      col(tokensCol).cast("long").as("n_tokens"))
+    val base = df.select(col(idCol).cast("long").as("doc_id") +:
+      col(tokensCol).cast("long").as("n_tokens") +: carryCols.map(col): _*)
       .withColumn("block", floor(col("doc_id") / blockSize))
-    // pass 1: parallel per-block running sums
+    // pass 1: parallel per-block running sums. ROWS frame, not the default
+    // RANGE: with RANGE, rows tying on doc_id are peers that would each
+    // see the whole peer group's sum — overlapping placements instead of
+    // sequential ones (ids are expected unique; the ROWS frame keeps the
+    // arithmetic sequential even when they are not)
     val wIn = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = base.withColumn("cum_in_block", sum("n_tokens").over(wIn))
     // pass 2: prefix-sum of block totals — one row per block, so the
     // deliberately-unpartitioned window is O(n_blocks) serial work
@@ -51,7 +57,8 @@ object Packing {
       .withColumn("seq_offset", col("cum_before") % budget)
       .withColumn("spans_boundary",
         col("n_tokens") > 0 && floor(lastTok / budget) > col("seq_id"))
-      .select("doc_id", "n_tokens", "seq_id", "seq_offset", "spans_boundary")
+      .select(("doc_id" +: "n_tokens" +: "seq_id" +: "seq_offset" +:
+        "spans_boundary" +: carryCols).map(col): _*)
   }
 }
 

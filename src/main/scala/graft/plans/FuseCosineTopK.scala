@@ -105,13 +105,6 @@ object FuseCosineTopK extends Rule[LogicalPlan] {
     }
     val (cosA, qvAttr, cvAttr, qnAttr, cnAttr) = cosAlias
     val cosAttr = cosA.toAttribute
-    // projection below the window must carry ONLY (q_id, c_id, cosine)
-    val passThrough = projList.forall {
-      case att: Attribute => att.semanticEquals(part) || corpusOut.contains(att)
-      case al: Alias => al.exprId == cosA.exprId
-      case _ => false
-    }
-    if (!passThrough) return None
     // ordering: (cosine DESC NULLS LAST, c_id ASC NULLS FIRST)
     val cId = order match {
       case Seq(SortOrder(c1: Attribute, Descending, NullsLast, _),
@@ -121,6 +114,19 @@ object FuseCosineTopK extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (part.dataType != LongType || !localOut.contains(part)) return None
+    // projection below the window must carry ONLY (q_id, c_id, cosine) —
+    // the fused node outputs exactly those plus rank, so any OTHER column
+    // surviving to this point would become an unresolved attribute above
+    val passThrough = projList.forall {
+      case att: Attribute => att.semanticEquals(part) || att.semanticEquals(cId)
+      case al: Alias => al.exprId == cosA.exprId
+      case _ => false
+    }
+    if (!passThrough) return None
+    // the exec binds the id/vector columns BY NAME on the corpus side —
+    // refuse ambiguous (duplicate-name) corpus outputs
+    if (corpus.output.count(_.name == cId.name) != 1 ||
+      corpus.output.count(_.name == cvAttr.name) != 1) return None
     // self-exclusion q_id <> c_id must be in the join condition
     val excluded = join.condition.exists {
       case Not(EqualTo(x: Attribute, y: Attribute)) =>
@@ -131,9 +137,13 @@ object FuseCosineTopK extends Rule[LogicalPlan] {
     if (!excluded) return None
     // corpus-side norm must provably be vec_l2norm(corpus vector)
     if (!normProven(corpus, cvAttr, cnAttr)) return None
-    // vector types
-    if (cvAttr.dataType != ArrayType(FloatType, false) &&
-      cvAttr.dataType != ArrayType(FloatType, true)) return None
+    // vector types — BOTH sides must be array<float> (the exec's kernels
+    // and the literal extraction below read 4-byte floats)
+    def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (!isFloatArray(cvAttr.dataType) || !isFloatArray(qvAttr.dataType)) return None
     // extract the literal query set; verify qn numerically
     val qIdOrd = local.output.indexWhere(_.exprId == part.exprId)
     val qvOrd = local.output.indexWhere(_.exprId == qvAttr.exprId)

@@ -73,8 +73,10 @@ object PipelineQueries {
         .filter(col("n_tokens") >= 20)
       val sampled = Sampling.stratifiedSample(survivors, "doc_id", "lang",
         Map("en" -> 0.5))
-      Packing.packSequences(sampled, "doc_id", "n_tokens", budget = 512, blockSize = 100)
-        .join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // lang rides through the packing scan (carryCols) — a join-back
+      // against `sampled` would re-evaluate the dedup+sample subtree
+      Packing.packSequences(sampled, "doc_id", "n_tokens", budget = 512,
+          blockSize = 100, carryCols = Seq("lang"))
         .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")
     }))

@@ -73,6 +73,19 @@ class FuseTopKSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("an extra corpus column above the filter does not fuse (and still runs)") {
+    val q = literalQueries
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    val df = corpus.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * P, 0) / P)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "c_id", "rank", "cosine", "cn") // cn survives the filter
+    assert(!fused(df), "fused plan cannot produce the extra column")
+    assert(df.count() > 0) // and the un-fused plan must still execute
+  }
+
   test("duplicate query ids do not fuse") {
     val vec = Array(1.0f, 2.0f, 3.0f)
     val q = Seq((7L, vec), (7L, vec)).toDF("q_id", "qv")

@@ -58,6 +58,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(last.getLong(0) * 100 + last.getLong(1) + last.getLong(2) === total)
   }
 
+  test("packing with duplicate ids stays sequential (ROWS frame, no overlap)") {
+    val docs = Seq((5L, 10L), (5L, 10L), (6L, 4L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", 8, blockSize = 100)
+      .select("seq_id", "seq_offset", "n_tokens").collect()
+    // RANGE-frame peers would both land at cum=20 -> identical placement;
+    // the ROWS frame places the three docs at offsets 0, 10, 20 of the stream
+    val starts = packed.map(r => r.getLong(0) * 8 + r.getLong(1)).sorted
+    assert(starts === Array(0L, 10L, 20L))
+  }
+
+  test("packing carries pass-through columns without a join-back") {
+    val docs = Seq((1L, 3L, "en"), (2L, 4L, "fr")).toDF("doc_id", "n_tokens", "lang")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", 8,
+      blockSize = 100, carryCols = Seq("lang"))
+    assert(packed.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "seq_id", "seq_offset", "spans_boundary", "lang"))
+    assert(packed.filter(col("lang") === "fr").head().getLong(3) === 3L)
+  }
+
   test("stratified samples nest as the rate grows and are reproducible") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     def ids(rate: Double) =
