@@ -217,4 +217,45 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lastPerUser == batchCounts)
   }
+
+  test("streaming KMV sketch equals the batch sketch (mergeable state)") {
+    import graft.functions.KmvSketch.kmv_sketch
+    // the sketch is a TypedImperativeAggregate, so it runs as streaming
+    // state: partial buffers per micro-batch merged into the store — the
+    // same merge path the batch shuffle uses, so results are identical
+    val stream = StreamingOps.readEventsStream(spark, dir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type").agg(kmv_sketch(col("h"), 64).as("s"))
+      .select(col("event_type"), col("s.kth_hash"), col("s.n_kept"), col("s.est_distinct"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("kmv_stream").collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getInt(2), r.getDouble(3)))).toMap
+    val batch = Tables.load(spark, dir, "events")
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type").agg(kmv_sketch(col("h"), 64).as("s"))
+      .select(col("event_type"), col("s.kth_hash"), col("s.n_kept"), col("s.est_distinct"))
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got == batch)
+  }
+
+  test("streaming stratified sample equals the batch sample (stateless filter)") {
+    import graft.operators.Sampling
+    val sampled = Sampling.stratifiedSample(
+      StreamingOps.readEventsStream(spark, dir).select("event_id", "event_type"),
+      "event_id", "event_type", Map("view" -> 0.25), defaultRate = 0.75)
+    val q = sampled.writeStream.outputMode("append")
+      .format("memory").queryName("samp_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("samp_stream").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = Sampling.stratifiedSample(
+      Tables.load(spark, dir, "events").select("event_id", "event_type"),
+      "event_id", "event_type", Map("view" -> 0.25), defaultRate = 0.75)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == batch && got.nonEmpty)
+  }
 }
