@@ -51,4 +51,29 @@ object TextAnalysis {
   /** md5 of whitespace-normalized lowercase content. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Sliding-window document chunking (the step before embedding in a
+    * retrieval/RAG pipeline): fixed `size`-char windows advancing by
+    * `size - overlap`, so consecutive chunks share `overlap` chars of
+    * context. One `explode(sequence(...))` per document — row-per-chunk
+    * with no UDF and no driver involvement; a document's chunk count is
+    * `ceil(max(len - overlap, 1) / step)`, so short documents yield
+    * exactly one chunk. Returns (idCol, chunk_idx, chunk, n_chunks).
+    */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val nChunks = ceil(greatest(length(col(textCol)) - overlap, lit(1))
+      .cast("double") / step).cast("long")
+    df.select(col(idCol), col(textCol).as("__text"), nChunks.as("n_chunks"))
+      .select(col(idCol), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"),
+        col("__text"))
+      .select(col(idCol), col("chunk_idx"),
+        col("__text").substr((lit(1L) + col("chunk_idx") * step).cast("int"),
+          lit(size)).as("chunk"),
+        col("n_chunks"))
+  }
 }

@@ -58,6 +58,14 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Sliding-window chunking (retrieval/RAG prep): 200-char windows,
+    // 50-char overlap, one explode per document — no UDF, no driver work
+    "doc_chunks" -> ((spark, dir) => {
+      graft.operators.TextAnalysis.chunkDocuments(
+          Tables.load(spark, dir, "documents"), "doc_id", "text", 200, 50)
+        .withColumn("chunk_len", length(col("chunk")).cast("int"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // End-to-end corpus materialization — the full assembly chain a
     // training run consumes, as ONE lazy plan: exact-dedup survivors
     // (hash-bucket keep-first, a semi join against min-id per content) ->
@@ -117,6 +125,17 @@ object PipelineQueries {
         |         WHEN lang = 'es' THEN 0.5
         |         WHEN lang = 'en' THEN 0.25 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(greatest(length(text) - 50, 1) / 150.0) AS BIGINT) AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_idx,
+        |  substring(text, CAST(1 + i * 150 AS INTEGER), 200) AS chunk, n_chunks,
+        |  CAST(length(substring(text, CAST(1 + i * 150 AS INTEGER), 200)) AS INTEGER)
+        |    AS chunk_len
+        |FROM d CROSS JOIN unnest(range(0, n_chunks)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "corpus_materialize" ->
       """WITH sv AS (
         |  SELECT doc_id, lang,

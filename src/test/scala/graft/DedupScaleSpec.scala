@@ -46,6 +46,34 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in jaccard plan:\n$plan")
   }
 
+  test("prefix-filtered jaccard equals the all-overlap formulation (randomized)") {
+    // exact-recall claim of the AllPairs/PPJoin path: at any threshold the
+    // prefix-filtered operator returns EXACTLY the pairs the exhaustive
+    // formulation scores at or above it — on a random corpus with planted
+    // near-dups, not just the driver fixture
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu",
+      "hen", "ibis", "jay", "kite", "lynx", "mole", "newt", "owl", "pig")
+    val base = (0L until 200L).map { i =>
+      val n = 8 + rnd.nextInt(30)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant near-dups: append one word to a copy
+    val dups = (0 until 25).map { j =>
+      val (src, txt) = base(rnd.nextInt(base.size))
+      (1000L + j, txt + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val t = 0.6
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val fast = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = Some(t))
+      .collect().map(key).toSet
+    val slow = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      .filter(col("jaccard") >= t).collect().map(key).toSet
+    assert(fast.nonEmpty, "fixture must produce pairs at the threshold")
+    assert(fast === slow)
+  }
+
   test("connected components on a known graph: min-id labels, partition property") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 20L))
       .toDF("u", "v")

@@ -77,6 +77,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(packed.filter(col("lang") === "fr").head().getLong(3) === 3L)
   }
 
+  test("chunking reconstructs the document and honors size/overlap") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val texts = Seq(3, 49, 50, 51, 150, 151, 199, 200, 201, 350, 777).zipWithIndex
+      .map { case (n, i) =>
+        (i.toLong, Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString)
+      }
+    val df = texts.toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "doc_id", "text", 200, 50)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id)
+      // drop the 50-char overlap from every chunk after the first
+      val rebuilt = cs.head + cs.tail.map(_.drop(50)).mkString
+      assert(rebuilt === text, s"doc $id not reconstructed")
+      assert(cs.forall(_.length <= 200))
+      assert(cs.init.forall(_.length == 200), s"doc $id non-final chunk short")
+    }
+  }
+
   test("stratified samples nest as the rate grows and are reproducible") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     def ids(rate: Double) =
