@@ -119,39 +119,15 @@ object SimilarityQueries {
     // corpus still joins by its single cell assignment, so each candidate
     // is scored at most once per query.
     "ann_ivf_topk" -> ((spark, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      import spark.implicits._
-      val nprobe = 4
+      // explicit index lifecycle: build (the ONE corpus-scanning fit,
+      // inverted file persisted) then a lazy probe/score/rank query —
+      // see operators.IvfIndex; subsequent query sets reuse the index
       val emb = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"),
-          array_to_vector(col("embedding")).as("features"))
-        .withColumn("nrm", vec_l2norm(col("v")))
-      val km = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("cell")
-      val model = km.fit(emb)
-      val cells = model.transform(emb)
-      val centroids = model.clusterCenters.zipWithIndex
-        .map { case (ctr, i) => (i, ctr.toArray.map(_.toFloat)) }.toSeq
-        .toDF("cell", "centroid")
-      val q0 = cells.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val cw = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
-      val probes = q0.crossJoin(broadcast(centroids))
-        .withColumn("cdist",
-          col("qn") * col("qn") + vec_l2norm(col("centroid")) * vec_l2norm(col("centroid"))
-            - lit(2.0) * vec_dot(col("qv"), col("centroid")))
-        .withColumn("crk", row_number().over(cw))
-        .filter(col("crk") <= nprobe)
-        .select("q_id", "qv", "qn", "cell")
-      val c = cells.select(col("vec_id").as("c_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("cell"))
-      val scored = c.join(broadcast(probes), Seq("cell")).filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("q_id", "c_id", "rank", "cosine")
+      val index = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      index.topK(q, k = 5, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("q_id", "rank")
     }),
     // Embedding hygiene: per-shard norm statistics + zero-vector counts —

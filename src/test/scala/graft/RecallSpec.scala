@@ -69,4 +69,25 @@ class RecallSpec extends AnyFunSuite {
     val r = exact.intersect(approx).size.toDouble / exact.size
     assert(r >= 0.9, s"dedup_minhash_lsh recall = $r (exact=${exact.size})")
   }
+
+  test("IvfIndex lifecycle: probing every cell is exact; index reused across query sets") {
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    try {
+      // nprobe == nCells scores every candidate -> exact top-k pair set
+      val q1 = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val full = index.topK(q1, k = 5, nprobe = 8)
+        .select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+      val exact = topkPairs("ann_bruteforce_topk")
+      assert(recallAtK(full, exact) === 1.0, "full-probe IVF must equal brute force")
+      // a SECOND query set against the SAME index (no re-fit): sane output
+      val q2 = emb.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val second = index.topK(q2, k = 3, nprobe = 8).collect()
+      assert(second.length == 9, s"3 queries x k=3, got ${second.length}")
+    } finally index.close()
+  }
 }
