@@ -61,6 +61,21 @@ class FuseTopKSpec extends AnyFunSuite {
       reference.orderBy("q_id", "rank").collect())
   }
 
+  test("fusion composes with query-set pruning (rule pipeline)") {
+    // a literal q_id filter ABOVE the naive pattern: FuseCosineTopK first
+    // rewrites the region into CosineTopKPlan, then PruneTopKQueries
+    // shrinks the fused operator's query set to the one requested id —
+    // two independent rules cooperating on the same custom node
+    val df = naive(literalQueries).filter(col("q_id") === 1L)
+    val fusedNode = df.queryExecution.optimizedPlan.collectFirst {
+      case p: CosineTopKPlan => p
+    }
+    assert(fusedNode.isDefined, "expected the naive pattern to fuse")
+    assert(fusedNode.get.queries.map(_._1) === Seq(1L),
+      s"expected the pruned query set, got ${fusedNode.get.queries.map(_._1)}")
+    assert(df.select("q_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("missing self-exclusion does not fuse") {
     val df = naive(literalQueries, exclude = false)
     assert(!fused(df), "exec always skips q_id == c_id; fusing would change results")

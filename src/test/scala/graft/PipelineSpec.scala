@@ -30,6 +30,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.getInt(0) === 1000 && exact.getDouble(1) === 1000.0)
   }
 
+  test("kmv sketch skips null hashes and returns null for an all-null group") {
+    val withNulls = spark.range(100)
+      .select(when(col("id") % 3 === 0, md5(col("id").cast("string"))).as("h"))
+    val s = withNulls.agg(kmv_sketch(col("h"), 16).as("s")).select("s.n_kept").head()
+    assert(s.getInt(0) === 16)
+    val allNull = spark.range(5).select(lit(null).cast("string").as("h"))
+    assert(allNull.agg(kmv_sketch(col("h"), 16)).head().isNullAt(0))
+  }
+
   test("kmv sketch is invariant to partition layout (merge path)") {
     val one = hashed(5000).repartition(1).agg(kmv_sketch(col("h"), 64)).head()
     val many = hashed(5000).repartition(13).agg(kmv_sketch(col("h"), 64)).head()
