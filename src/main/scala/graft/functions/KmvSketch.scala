@@ -95,10 +95,19 @@ case class KmvSketch(
       if (n < k) n.toDouble // saw fewer than k distinct values: exact
       else {
         // fraction of the hash space below the k-th minimum, from the
-        // first 15 hex chars (60 bits)
-        val frac = java.lang.Long.parseLong(kth.substring(0, 15), 16)
-          .toDouble / KmvSketch.Space60
-        (k - 1).toDouble / frac
+        // first 15 hex chars (60 bits). The input contract is a uniform
+        // hex hash (md5(...)); fail loudly on anything else rather than
+        // emitting a meaningless estimate
+        val prefix = kth.substring(0, math.min(15, kth.length)).padTo(15, '0')
+        val frac =
+          try java.lang.Long.parseLong(prefix, 16).toDouble / KmvSketch.Space60
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"kmv_sketch input must be a hex hash (e.g. md5); got '$kth'")
+          }
+        // frac == 0 only for degenerate (all-zero-prefix) inputs; the
+        // kept count is then the only defensible answer
+        if (frac <= 0) n.toDouble else (k - 1).toDouble / frac
       }
     InternalRow(UTF8String.fromString(kth), n, est)
   }
