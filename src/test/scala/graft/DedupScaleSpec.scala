@@ -88,7 +88,9 @@ class DedupScaleSpec extends AnyFunSuite {
     // propagation needs ~400 rounds; pointer jumping makes it O(log d),
     // so finishing inside maxIters=25 PROVES the jump is effective.
     val edges = (0L until 399L).map(i => (i, i + 1)).toDF("u", "v")
-    val comp = Dedup.connectedComponents(edges, "u", "v")
+    // smallGraphThreshold = 0 forces the DISTRIBUTED loop (the driver
+    // fast path would trivialize this convergence proof)
+    val comp = Dedup.connectedComponents(edges, "u", "v", smallGraphThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(comp.length == 400)
     assert(comp.forall(_._2 == 0L), "chain did not fully converge to min label")
@@ -109,9 +111,14 @@ class DedupScaleSpec extends AnyFunSuite {
     }
     val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(v => v -> find(v)).toMap
-    val got = Dedup.connectedComponents(edges.toDF("u", "v"), "u", "v")
+    val got = Dedup.connectedComponents(edges.toDF("u", "v"), "u", "v",
+        smallGraphThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
+    // and the driver fast path agrees with the distributed loop
+    val gotSmall = Dedup.connectedComponents(edges.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(gotSmall == expected)
   }
 
   test("dropDuplicatesByCluster keeps one row per cluster plus all singletons") {
