@@ -37,4 +37,37 @@ class SketchErrorSpec extends AnyFunSuite {
       assert(err <= 0.01, s"median error $err for group $flag (approx=$approx exact=$exact)")
     }
   }
+
+  test("space_saving captures every item above n/k with error <= n/k") {
+    import graft.functions.SpaceSaving.space_saving
+    import spark.implicits._
+    // Zipf-ish synthetic stream: item i appears ~N/(i+1) times
+    val rows = (0 until 60).flatMap(i => Seq.fill(3000 / (i + 1))(s"term_$i"))
+    val df = rows.toDF("term").repartition(13) // multi-partition merge path
+    val k = 24
+    val got = df.agg(space_saving(col("term"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count_est"), col("e.max_err"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val bound = n / k
+    // guarantee 1: every item with true frequency > n/k is tracked
+    exact.filter(_._2 > bound).keys.foreach { item =>
+      assert(got.contains(item), s"$item (freq ${exact(item)} > $bound) missing")
+    }
+    // guarantee 2: estimates never undercount and overcount by <= max_err <= n/k
+    got.foreach { case (item, (est, err)) =>
+      val t = exact(item)
+      assert(est >= t, s"$item undercounted: $est < $t")
+      assert(est - t <= err, s"$item overcount ${est - t} exceeds declared err $err")
+      assert(err <= bound, s"$item declared err $err exceeds n/k = $bound")
+    }
+    // determinism across identical runs (same partitioning)
+    val again = df.agg(space_saving(col("term"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count_est"), col("e.max_err"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
 }
