@@ -126,7 +126,11 @@ case class SpaceSaving(
     out.writeLong(buffer.n)
     out.writeInt(buffer.counters.size)
     buffer.counters.foreach { case (item, (c, e)) =>
-      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+      // length-prefixed UTF-8, not writeUTF: tracked items are arbitrary
+      // corpus text and writeUTF throws past 65535 encoded bytes
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -139,7 +143,11 @@ case class SpaceSaving(
     val m = in.readInt()
     var i = 0
     while (i < m) {
-      val item = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val item = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.counters(item) = (c, e)
       i += 1
     }

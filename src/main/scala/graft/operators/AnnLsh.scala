@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.functions.{vec_dot, vec_l2norm}
+
+/** Native random-projection LSH for approximate cosine top-k.
+  *
+  * The hash family is the p-stable scheme (Datar et al., SoCG'04) over
+  * UNIT vectors — the same family as `Dedup.embeddingCosinePairs` —
+  * implemented without any ml fit job or ml-vector conversion: the seeded
+  * projections are literal arrays fed to the codegen'd `vec_dot` kernel,
+  * so hashing, the bucket join and candidate scoring all stay inside
+  * whole-stage codegen.
+  *
+  * Top-k (unlike thresholded pair generation) has no radius to derive a
+  * bucket width from, so recall comes from MULTI-PROBE on the query side:
+  * the corpus emits ONE bucket per table, queries probe buckets
+  * b-probes..b+probes per table. For unit vectors the projected gap of a
+  * pair is |(â-b̂)·w| <= ||â-b̂|| <= 2, so with bucketLen = 1 and
+  * probes = 1 a neighbor escapes a table only when its projected gap
+  * crosses two bucket boundaries (probability ~||â-b̂||/sqrt(d) per
+  * table); across `numHashTables` independent tables the joint miss is
+  * negligible at realistic dimensions (RecallSpec gates recall@5 >= 0.9,
+  * measured 1.0 on the fixture at d=64).
+  *
+  * Scale posture: the corpus is hashed in place and shuffled by
+  * (table, bucket) key only — nothing corpus-sized is broadcast and there
+  * is no cross join, so the plan holds when the QUERY side is also too
+  * large to broadcast (the regime where brute-force scan stops working).
+  * Join strategy is left to Catalyst/AQE: a small query side becomes the
+  * broadcast build side on its own.
+  */
+object AnnLsh {
+
+  /** Seeded unit Gaussian projections. java.util.Random's LCG and
+    * nextGaussian algorithm are pinned by its spec, so buckets are
+    * deterministic across JVMs for a fixed seed. */
+  private[operators] def gaussianProjections(
+      dim: Int, tables: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables) {
+      val w = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+  }
+
+  /** Unit-normalize with a uniform-dimension guard: a corpus mixing
+    * embedding dimensions must fail loudly, not hash against truncated
+    * projections (the projection literals are built for one `dim`). */
+  private def unitGuarded(v: Column, nrm: Column, dim: Int): Column =
+    when(size(v) === dim, transform(v, x => x / nrm))
+      .otherwise(raise_error(concat(
+        lit(s"heterogeneous embedding dimension: expected $dim, got "),
+        size(v).cast("string"))))
+
+  /** Approximate cosine top-k: for each row of `queries` (qIdCol, qVecCol),
+    * the k corpus rows (idCol, vecCol) with highest exact cosine among the
+    * LSH candidates. Output: (q_id, c_id, rank, cosine), cosine unrounded.
+    * Zero-norm rows on either side are dropped (cosine undefined). */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      numHashTables: Int = 4, bucketLen: Double = 1.0, probes: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(numHashTables >= 1, s"need numHashTables >= 1, got $numHashTables")
+    require(probes >= 0 && bucketLen > 0,
+      s"need probes >= 0 and bucketLen > 0, got $probes / $bucketLen")
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vec_l2norm(col("cv")))
+      .filter(col("cn") > 0)
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+      .withColumn("qn", vec_l2norm(col("qv")))
+      .filter(col("qn") > 0)
+    // dimension peek: one-row action against the QUERY side (small by
+    // contract) — the analogue of an ml fit job reading a single row
+    val dimPeek = q.select(size(col("qv")).as("d")).head(1)
+    if (dimPeek.isEmpty)
+      return q.limit(0).crossJoin(c.limit(0))
+        .select(col("q_id"), col("c_id"), lit(1).as("rank"), lit(0.0).as("cosine"))
+    val dim = dimPeek(0).getInt(0)
+    val projections = gaussianProjections(dim, numHashTables, seed)
+    def bucket(u: Column, w: Array[Double]): Column =
+      floor(vec_dot(u, typedlit(w.toSeq)) / bucketLen).cast("long")
+    val cKeys = projections.zipWithIndex.map { case (w, i) =>
+      struct(lit(i).as("t"), bucket(col("u"), w).as("b"))
+    }
+    val keyedC = c.withColumn("u", unitGuarded(col("cv"), col("cn"), dim))
+      .select(col("c_id"), col("cv"), col("cn"),
+        explode(array(cKeys.toSeq: _*)).as("kk"))
+      .select(col("c_id"), col("cv"), col("cn"),
+        col("kk.t").as("t"), col("kk.b").as("b"))
+    // query-side multi-probe: offsets are distinct per table, so no
+    // key-level dedup is needed here
+    val qKeys = for {
+      (w, i) <- projections.zipWithIndex.toSeq
+      off <- -probes to probes
+    } yield struct(lit(i).as("t"), (bucket(col("u"), w) + lit(off.toLong)).as("b"))
+    val keyedQ = q.withColumn("u", unitGuarded(col("qv"), col("qn"), dim))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(array(qKeys: _*)).as("kk"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("kk.t").as("t"), col("kk.b").as("b"))
+    // a pair colliding in several tables scores its (deterministic) cosine
+    // once per collision; distinct collapses the duplicates afterwards
+    val scored = keyedC.join(keyedQ, Seq("t", "b"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("q_id", "c_id", "cosine")
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine")
+  }
+}

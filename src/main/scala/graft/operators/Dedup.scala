@@ -207,20 +207,20 @@ object Dedup {
       return embeddingCosinePairsExact(df.limit(0), idCol, vecCol, minCosine)
     val dim = dimPeek(0).getInt(0)
     val tables = if (dim < 16) math.max(numHashTables, 8) else numHashTables
-    // seeded unit Gaussian projections; java.util.Random's LCG and
-    // nextGaussian algorithm are pinned by its spec, so buckets are
-    // deterministic across JVMs for a fixed seed
-    val rnd = new java.util.Random(seed)
-    val projections = Array.fill(tables) {
-      val w = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(w.map(x => x * x).sum)
-      w.map(_ / n)
-    }
+    // seeded unit Gaussian projections (shared with AnnLsh) — deterministic
+    // across JVMs for a fixed seed
+    val projections = AnnLsh.gaussianProjections(dim, tables, seed)
     val keys = projections.zipWithIndex.map { case (w, i) =>
       struct(lit(i).as("t"),
         floor(vec_dot(col("u"), typedlit(w.toSeq)) / bucketLen).cast("long").as("b"))
     }
-    val keyed = emb.withColumn("u", expr("transform(v, x -> x / nrm)"))
+    // uniform-dim guard: a corpus mixing embedding dimensions must fail
+    // loudly, not silently hash against projections built for `dim`
+    val unitV = when(size(col("v")) === dim, expr("transform(v, x -> x / nrm)"))
+      .otherwise(raise_error(concat(
+        lit(s"heterogeneous embedding dimension: expected $dim, got "),
+        size(col("v")).cast("string"))))
+    val keyed = emb.withColumn("u", unitV)
       .select(col("vec_id"), col("v"), col("nrm"), explode(array(keys.toSeq: _*)).as("k"))
       .select(col("vec_id"), col("v"), col("nrm"), col("k.t").as("t"), col("k.b").as("b"))
     val a = keyed.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),

@@ -37,12 +37,15 @@ final class IvfIndex private (
     val cent = centroids.toDF("cell", "centroid")
     val q = queries.select(col("q_id"), col("qv"))
       .withColumn("qn", vec_l2norm(col("qv")))
-    // probe selection: |q| x nCells is metadata-sized by construction
+    // probe selection: |q| x nCells is metadata-sized by construction.
+    // Distance is in the index's SPHERICAL geometry (see build):
+    // ||q̂ - c||^2 = 1 - 2<q,c>/||q|| + ||c||^2
     val cw = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("cdist",
-        col("qn") * col("qn") + vec_l2norm(col("centroid")) * vec_l2norm(col("centroid"))
-          - lit(2.0) * vec_dot(col("qv"), col("centroid")))
+        lit(1.0) + vec_l2norm(col("centroid")) * vec_l2norm(col("centroid"))
+          - lit(2.0) * vec_dot(col("qv"), col("centroid"))
+            / when(col("qn") > 0, col("qn")).otherwise(lit(1.0)))
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= nprobe)
       .select("q_id", "qv", "qn", "cell")
@@ -61,25 +64,134 @@ final class IvfIndex private (
 
 object IvfIndex {
 
-  /** Fit the coarse quantizer and materialize the inverted file. The ONE
-    * corpus-scanning step of the lifecycle — every subsequent `topK` call
-    * reuses the persisted assignments. */
+  /** Fit the coarse quantizer and declare the inverted file. The quantizer
+    * is trained on a BOUNDED deterministic sample collected to the driver
+    * (FAISS-style: a coarse quantizer needs ~1000x nCells points regardless
+    * of corpus size), so the build's only distributed work is the sample's
+    * per-partition top-N (TakeOrderedAndProject — no corpus shuffle, no
+    * full sort, N rows reach the driver). The earlier spark.ml KMeans fit
+    * scanned the corpus once per Lloyd iteration through ml-vector
+    * conversion — at 100 TB that is maxIter corpus scans for an 8-row
+    * centroid table. Cell assignment is a single lazy scan through literal
+    * centroid dot products in the codegen'd kernel; the persisted
+    * assignments populate on first use. */
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      seed: Long = 42L, maxIter: Int = 10, sampleSize: Int = 4096): IvfIndex = {
     require(nCells >= 2, s"need nCells >= 2, got $nCells")
-    val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"),
-      array_to_vector(col(vecCol)).as("features"))
+    val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(base)
-    val cells = model.transform(base)
+    // hash-ordered top-N: deterministic regardless of partitioning/order.
+    // The quantizer runs in SPHERICAL geometry (unit vectors): the search
+    // metric is cosine, so clustering raw vectors would split cells by
+    // magnitude, not direction, and probe ranking would miss same-direction
+    // neighbors of different scale.
+    val sample = base
+      .select(col("cv"))
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(math.max(sampleSize, nCells * 8))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) Some(v.map(_ / n)) else None
+      }
+    require(sample.nonEmpty, "cannot build an IVF index over an empty corpus")
+    // multi-restart: Lloyd's is sensitive to seeding; re-run from several
+    // k-means++ initializations and keep the lowest-inertia clustering
+    // (driver-side over the bounded sample, so restarts are ~free)
+    val centroids = (0 until 5).map(r => lloyd(sample, nCells, seed + r, maxIter))
+      .minBy(cs => inertia(sample, cs))
+      .zipWithIndex.map { case (ctr, i) => (i, ctr.map(_.toFloat)) }.toSeq
+    // assignment: argmin_i ||v̂ - c_i||^2 = 1 - 2<v,c_i>/||v|| + ||c_i||^2
+    // expanded through the dot kernel; array_min over (dist, cell) structs
+    // tie-breaks deterministically. Zero-norm vectors land in the cell
+    // with the smallest centroid (dist reduces to 1 + ||c_i||^2).
+    val distStructs = centroids.map { case (i, ctr) =>
+      val cd = ctr.map(_.toDouble)
+      val c2 = cd.map(x => x * x).sum
+      struct(
+        (lit(1.0 + c2)
+          - lit(2.0) * vec_dot(col("cv"), typedlit(cd.toSeq))
+            / when(col("cn") > 0, col("cn")).otherwise(lit(1.0))).as("d"),
+        lit(i).as("cell"))
+    }
+    val cells = base
+      .withColumn("cell", array_min(array(distStructs: _*)).getField("cell"))
       .select("cell", "c_id", "cv", "cn")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (ctr, i) => (i, ctr.toArray.map(_.toFloat)) }.toSeq
     new IvfIndex(cells, centroids, nCells)
+  }
+
+  /** Sum of squared distances to the closest centroid. */
+  private def inertia(pts: Array[Array[Double]], cs: Array[Array[Double]]): Double = {
+    val dim = pts.head.length
+    var total = 0.0
+    pts.foreach { p =>
+      var best = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        var s = 0.0; var j = 0
+        while (j < dim) { val d = p(j) - cs(i)(j); s += d * d; j += 1 }
+        if (s < best) best = s
+        i += 1
+      }
+      total += best
+    }
+    total
+  }
+
+  /** Driver-side Lloyd's with k-means++ seeding over the bounded sample —
+    * at most sampleSize*dim doubles, microseconds of work. Deterministic:
+    * the sample arrives in a total (md5, id) order and the RNG is seeded. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val dim = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(
+      pts(rnd.nextInt(pts.length)).clone())
+    while (centers.length < k) {
+      val dists = pts.map(p => centers.map(c => d2(p, c)).min)
+      val total = dists.sum
+      if (total <= 0) centers += pts(rnd.nextInt(pts.length)).clone()
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < pts.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers += pts(i).clone()
+      }
+    }
+    val cs = centers.toArray
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bd = d2(p, cs(0)); var i = 1
+        while (i < k) { val d = d2(p, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      moved = false
+      var i = 0
+      while (i < k) {
+        if (counts(i) > 0) {
+          val c = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { c(j) = sums(i)(j) / counts(i); j += 1 }
+          if (d2(c, cs(i)) > 1e-12) moved = true
+          cs(i) = c
+        } else cs(i) = pts(rnd.nextInt(pts.length)).clone()
+        i += 1
+      }
+      iter += 1
+    }
+    cs
   }
 }

@@ -160,9 +160,20 @@ object FuseCosineTopK extends Rule[LogicalPlan] {
       queries += ((row.getLong(qIdOrd), vec))
     }
     if (queries.map(_._1).distinct.size != queries.size) return None
-    // fuse: reuse the original attribute ids so parents still resolve
-    Some(CosineTopKPlan(corpus, queries.toSeq.sortBy(_._1), k,
-      cId.name, cvAttr.name, Seq(part, cId, rankAttr, cosAttr)))
+    // fuse: reuse the original attribute ids so parents still resolve. The
+    // exec emits values in canonical (q_id, c_id, rank, cosine) order; the
+    // region being replaced outputs projList order with rank appended, so
+    // when those differ, a (free, collapsible) Project restores the
+    // original schema order — otherwise a Filter-as-plan-root caller would
+    // read misaligned columns.
+    val fused = CosineTopKPlan(corpus, queries.toSeq.sortBy(_._1), k,
+      cId.name, cvAttr.name, Seq(part, cId, rankAttr, cosAttr))
+    val originalOrder: Seq[Attribute] = projList.map {
+      case att: Attribute => att
+      case al: Alias => al.toAttribute
+    } :+ rankAttr
+    Some(if (originalOrder == fused.output) fused
+         else Project(originalOrder, fused))
   }
 
   /** `round(dot(a,b) / (n1*n2) * 1e6, 0) / 1e6` -> (a, b, n1, n2).

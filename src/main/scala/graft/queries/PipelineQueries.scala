@@ -113,7 +113,7 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens,
         |  CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
-        |  cum_before % 256 AS seq_offset,
+        |  CAST(cum_before % 256 AS BIGINT) AS seq_offset,
         |  n_tokens > 0 AND floor((cum_before + n_tokens - 1) / 256.0)
         |    > floor(cum_before / 256.0) AS spans_boundary
         |FROM c ORDER BY doc_id""".stripMargin,
@@ -155,6 +155,6 @@ object PipelineQueries {
         |  FROM samp)
         |SELECT doc_id, lang, n_tokens,
         |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
-        |  cum_before % 512 AS seq_offset
+        |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin)
 }

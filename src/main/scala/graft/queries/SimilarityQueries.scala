@@ -79,54 +79,74 @@ object SimilarityQueries {
       graft.plans.CosineTopK.topK(spark, emb, queries, 5, "vec_id", "embedding")
         .orderBy("q_id", "rank")
     }),
-    // LSH-bucketed approximate neighbors (scale path): random-projection
-    // buckets over UNIT vectors, so Euclidean bucket geometry is monotone
-    // in the cosine search metric (||â-b̂||^2 = 2(1-cos)); candidates are
-    // re-ranked by exact cosine on the raw vectors. Rows-only check
-    // (approximate); recall@5 asserted in RecallSpec.
+    // LSH-bucketed approximate neighbors (scale path): NATIVE seeded
+    // random-projection buckets over UNIT vectors (Euclidean bucket
+    // geometry is monotone in cosine: ||â-b̂||^2 = 2(1-cos)); the corpus
+    // shuffles by (table, bucket) key, queries multi-probe ±1, candidates
+    // re-ranked by exact cosine on the raw vectors. No ml fit job, no
+    // ml-vector conversion — hashing/join/scoring stay in whole-stage
+    // codegen (see operators.AnnLsh). Rows-only driver check
+    // (approximate); recall gated by RecallSpec AND the ann_lsh_recall
+    // driver query below.
     "ann_lsh_topk" -> ((spark, dir) => {
-      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-      import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", vec_l2norm(col("v")))
-        .filter(col("nrm") > 0)
-        .withColumn("u", array_to_vector(expr("transform(v, x -> x / nrm)")))
-      val lsh = new BucketedRandomProjectionLSH()
-        .setInputCol("u").setOutputCol("hashes")
-        .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
-      val model = lsh.fit(emb)
       val q = emb.filter(col("vec_id") < 5)
-      // radius 1.4 on unit vectors covers every pair with cosine >= 0.02 —
-      // comfortably past any top-5 neighbor in a corpus with planted dups
-      val joined = model.approxSimilarityJoin(q, emb, 1.4, "udist")
-        .select(col("datasetA.vec_id").as("q_id"), col("datasetA.v").as("qv"),
-          col("datasetA.nrm").as("qn"),
-          col("datasetB.vec_id").as("c_id"), col("datasetB.v").as("cv"),
-          col("datasetB.nrm").as("cn"))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
-      joined.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("q_id", "c_id", "rank", "cosine")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      graft.operators.AnnLsh.topK(emb, "vec_id", "embedding",
+          q, "q_id", "qv", k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("q_id", "rank")
     }),
-    // IVF-style: KMeans coarse quantizer; MULTI-PROBE — each query scans
-    // the nprobe closest cells (by centroid distance), not just its own,
-    // so near-boundary neighbors aren't missed. Probe selection is a
-    // bounded |q| x k cross (k = 8 centroid rows, metadata-sized); the
-    // corpus still joins by its single cell assignment, so each candidate
-    // is scored at most once per query.
+    // Driver-visible recall gate for the approximate LSH path: recall@5 of
+    // ann_lsh_topk's neighbor set against the exact brute-force top-5,
+    // computed INSIDE Spark per query id. The oracle computes exact-vs-
+    // exact (trivially 1.0 per query), so the row hash-matches iff the LSH
+    // path achieves FULL recall on the fixture — any bucketing loss turns
+    // the row red. (Deterministic: projections are seed-pinned.)
+    "ann_lsh_recall" -> ((spark, dir) => {
+      val emb = withNorm(Tables.load(spark, dir, "embeddings"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+      val exact = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).select("q_id", "c_id")
+      val approx = graft.operators.AnnLsh.topK(
+          Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          "q_id", "qv", k = 5)
+        .select("q_id", "c_id")
+      exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum("hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+        .orderBy("q_id")
+    }),
+    // IVF-style: spherical k-means coarse quantizer (trained on a bounded
+    // driver-side sample — no corpus-scanning fit job); MULTI-PROBE — each
+    // query scans the nprobe centroid-closest cells, not just its own, so
+    // near-boundary neighbors aren't missed. Probe selection is a bounded
+    // |q| x k cross (k = 8 centroid rows, metadata-sized); the corpus
+    // still joins by its single cell assignment, so each candidate is
+    // scored at most once per query. nprobe = 6 of 8 because the fixture's
+    // embeddings are near-random in cosine (no tight neighborhoods), so
+    // top-5 neighbors scatter across cells — measured recall@5: 0.84 at
+    // nprobe 4, 1.0 at nprobe 6 on balanced cells. Clustered corpora probe
+    // fewer cells; at scale raise nCells (~sqrt(n)) instead.
     "ann_ivf_topk" -> ((spark, dir) => {
-      // explicit index lifecycle: build (the ONE corpus-scanning fit,
-      // inverted file persisted) then a lazy probe/score/rank query —
-      // see operators.IvfIndex; subsequent query sets reuse the index
+      // explicit index lifecycle: build (one sample collect + a lazy
+      // assignment scan, inverted file persisted) then a lazy
+      // probe/score/rank query — see operators.IvfIndex; subsequent query
+      // sets reuse the index
       val emb = Tables.load(spark, dir, "embeddings")
       val index = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      index.topK(q, k = 5, nprobe = 4)
+      index.topK(q, k = 5, nprobe = 6)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("q_id", "rank")
     }),
@@ -166,6 +186,30 @@ object SimilarityQueries {
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_bruteforce_topk" -> bruteForceOracle,
     "ann_topk_native" -> bruteForceOracle,
+    // exact-vs-exact join: structurally the Spark query with the LSH side
+    // replaced by the exact formulation — so the hash matches iff the LSH
+    // path achieves FULL recall on this data (seed-pinned, deterministic)
+    "ann_lsh_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+        |  FROM scored),
+        |top5 AS (SELECT q_id, c_id FROM ranked WHERE rank <= 5)
+        |SELECT a.q_id, count(*) AS n_exact,
+        |  CAST(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) * 1.0
+        |    / count(*), 6) AS recall
+        |FROM top5 a LEFT JOIN top5 b ON a.q_id = b.q_id AND a.c_id = b.c_id
+        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin,
     "embedding_norm_stats" ->
       """WITH e AS (
         |  SELECT vec_id, vec_id % 8 AS shard,

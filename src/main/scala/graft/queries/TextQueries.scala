@@ -114,6 +114,33 @@ object TextQueries {
     // document frequency (N+1)/(df+1) — the log is deliberately omitted so
     // the oracle is bit-identical (callers compose log() trivially). The
     // N-docs scalar rides in as a 1-row broadcast, not a collected literal.
+    // Sketch-then-verify heavy hitters: the frequency-filtering stage every
+    // corpus pipeline runs ("terms above phi of all tokens"). Pass 1 is ONE
+    // SpaceSaving aggregate (fixed k=512 counters per partition, counter-
+    // wise mergeable partials — no per-term shuffle); every term with true
+    // frequency > n/k is guaranteed tracked with count_est >= true, and
+    // phi = 1% > 1/512, so filtering candidates at count_est > phi*n cannot
+    // lose a qualifying term. Pass 2 exact-counts ONLY the <= k candidate
+    // terms (broadcast join) — so the output is EXACT and oracle-checkable
+    // while the full-corpus GROUP BY is replaced by sketch + bounded
+    // recount. At 100 TB this is the difference between shuffling every
+    // token and shuffling k counters per partition.
+    "heavy_hitters" -> ((spark, dir) => {
+      import graft.functions.SpaceSaving.space_saving
+      val terms = Tables.load(spark, dir, "documents")
+        .select(explode(toks(col("text"))).as("term"))
+      val sketch = terms.agg(space_saving(col("term"), 512).as("hh"),
+        count(lit(1)).as("n"))
+      val cand = sketch.select(col("n"), explode(col("hh")).as("c"))
+        .filter(col("c.count_est") > col("n") * 0.01)
+        .select(col("c.item").as("term"), col("n"))
+      terms.join(broadcast(cand), Seq("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"), first("n").as("n"))
+        .filter(col("cnt") > col("n") * 0.01)
+        .select("term", "cnt")
+        .orderBy("term")
+    }),
     "term_stats" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -262,6 +289,13 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT term, count(*) AS cnt FROM t, n
+        |GROUP BY term, n.n HAVING count(*) > n.n * 0.01
+        |ORDER BY term""".stripMargin,
     "term_stats" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),

@@ -13,10 +13,12 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Queries whose plan legitimately contains a broadcast-nested-loop
     * join over a side that is bounded by construction:
     *  - ann_bruteforce_topk: the <=5-row query set is broadcast
+    *  - ann_lsh_recall: its exact baseline side is the same <=5-row
+    *    broadcast scan as ann_bruteforce_topk
     *  - ann_ivf_topk: the 8-row centroid table is broadcast
     *  - term_stats: the 1-row corpus-count aggregate is broadcast */
   private val boundedBroadcastNL =
-    Set("ann_bruteforce_topk", "ann_ivf_topk", "term_stats")
+    Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_topk", "term_stats")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

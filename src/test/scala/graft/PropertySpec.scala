@@ -91,4 +91,21 @@ class PropertySpec extends AnyFunSuite {
           Character.NON_SPACING_MARK), s"marks survive strip: $s")
     }
   }
+
+  test("strip_accents recomposes non-Latin text to NFC (Hangul/kana)") {
+    import graft.functions.NormalizeText
+    def strip(s: String) =
+      NormalizeText.compute(UTF8String.fromString(s), true).toString
+    // Hangul syllables decompose to conjoining jamo under NFD (category Lo,
+    // not marks): after the mark pass the output must come back COMPOSED,
+    // not stay as jamo — the utf8proc-oracle divergence the Latin-only
+    // generator above cannot catch
+    assert(strip("한국어") == "한국어")
+    assert(strip("한국어").length == 3)
+    // kana: the dakuten IS a combining mark (U+3099), so voiced kana strip
+    // to their base forms — as single composed codepoints, idempotently
+    assert(strip("ガギダ") == "カキタ")
+    assert(strip(strip("ガギダ")) == strip("ガギダ"))
+    assert(strip("café 한글") == "cafe 한글")
+  }
 }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * - ann_lsh_topk buckets UNIT vectors (Euclidean geometry monotone in
   *   cosine) and re-ranks candidates by exact cosine, so only bucketing
   *   loss remains: recall@5 >= 0.9.
-  * - ann_ivf_topk (multi-probe, nprobe=4 of 8 cells) must reach
-  *   recall@5 >= 0.9.
+  * - ann_ivf_topk (multi-probe, nprobe=6 of 8 cells — the fixture's
+  *   embeddings are near-random in cosine, so neighbors scatter across
+  *   balanced spherical cells) must reach recall@5 >= 0.9.
   * - dedup_minhash_lsh generates candidates by MinHash banding but
   *   exact-scores them, so against exact Jaccard pairs at its own
   *   threshold (dist <= 0.4) only banding loss remains.
