@@ -118,24 +118,60 @@ object Dedup {
     }
   }
 
-  /** MinHash LSH candidate pairs with exact Jaccard distance on candidates
-    * (sub-quadratic; spark.ml banding; deterministic for a fixed seed). */
+  /** MinHash LSH candidate pairs with EXACT Jaccard distance on candidates
+    * (sub-quadratic banding; deterministic — no randomized fit).
+    *
+    * Native minwise family (r4; was spark.ml HashingTF + MinHashLSH): each
+    * of the `numHashTables` signatures is min over the document's distinct
+    * shingles of `xxhash64(table_index, seed, shingle)` — one codegen'd
+    * hash per (shingle, table), no fit job, no 2^18-dim feature vectors,
+    * and no HashingTF bucket collisions distorting the verify metric.
+    * Banding is the r=1 OR-construction (collide in ANY table =>
+    * candidate): P(candidate) = 1 - (1-j)^numHashTables, the same
+    * amplification spark.ml's MinHashLSH applies. Candidates are then
+    * exact-scored by sorted-set intersection over the TRUE shingle sets
+    * and filtered at `maxJaccardDistance` — so banding only affects
+    * recall, never the emitted distances.
+    *
+    * Scale posture: shuffles are keyed by (table, min-hash value) —
+    * bucket-bounded, nothing broadcast, no cross join; exact scoring joins
+    * only candidate ids back to the doc->shingles sets. Like the jaccard
+    * path, deliberately not persisted (bounded recompute beats pinning a
+    * corpus-sized cache; see ngramJaccardPairs). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxJaccardDistance: Double = 0.4, numHashTables: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val docs = withShingles(df, textCol).select(col(idCol).as("doc_id"), col("shingles"))
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    // THREE consumers (fit + both approxSimilarityJoin sides) — persist
-    // pays here, unlike the two-consumer jaccard explode (measured)
-    val feat = tf.transform(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    mh.fit(feat).approxSimilarityJoin(feat, feat, maxJaccardDistance, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("doc_id_1"),
-        col("datasetB.doc_id").as("doc_id_2"), col("jaccard_dist"))
+    require(numHashTables >= 1, s"need numHashTables >= 1, got $numHashTables")
+    val docs = withShingles(df, textCol)
+      .select(col(idCol).as("doc_id"), col("shingles"))
+      .withColumn("n", size(col("shingles")))
+    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // per-table hashes vary the INPUT (table index + seed are hashed with
+    // the shingle) rather than affinely permuting one hash value — long
+    // affine arithmetic would overflow-throw under ANSI semantics
+    val minCols = (0 until numHashTables).map(i =>
+      min(xxhash64(lit(i), lit(seed), col("s"))).as(s"m$i"))
+    val sigs = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until numHashTables).map(i =>
+      struct(lit(i).as("t"), col(s"m$i").as("v")))
+    val bands = sigs.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("k"))
+      .select(col("doc_id"), col("k.t").as("t"), col("k.v").as("v"))
+    val a = bands.select(col("doc_id").as("doc_id_1"), col("t"), col("v"))
+    val b = bands.select(col("doc_id").as("doc_id_2"), col("t"), col("v"))
+    val cand = a.join(b, Seq("t", "v"))
       .filter(col("doc_id_1") < col("doc_id_2"))
+      .select("doc_id_1", "doc_id_2").distinct()
+    val sets1 = docs.select(col("doc_id").as("doc_id_1"),
+      col("shingles").as("sh1"), col("n").as("n1"))
+    val sets2 = docs.select(col("doc_id").as("doc_id_2"),
+      col("shingles").as("sh2"), col("n").as("n2"))
+    cand.join(sets1, Seq("doc_id_1")).join(sets2, Seq("doc_id_2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard_dist",
+        lit(1.0) - col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard_dist") <= maxJaccardDistance)
+      .select("doc_id_1", "doc_id_2", "jaccard_dist")
   }
 
   /** SimHash sketch pairs within a hamming radius, via 16-bit-band

@@ -51,6 +51,20 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Shared minhash candidate pairs at the wider 0.41 distance bound —
+    * backs both dedup_minhash_lsh (filtered to <= 0.4) and
+    * dedup_minhash_recall (which needs the margin for the round-6
+    * boundary at jaccard = 0.6). Same residency rationale as
+    * [[jaccardPairs08]]: the result is near-dup-sized. */
+  private val minhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashPairs041(spark: SparkSession, dir: String): DataFrame =
+    minhashCache.getOrElseUpdate((spark, dir),
+      Dedup.minhashPairs(Tables.load(spark, dir, "documents"), "doc_id", "text",
+          maxJaccardDistance = 0.41)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val queries: ListMap[String, Q] = ListMap(
     "dedup_exact" -> ((spark, dir) => {
       Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text")
@@ -60,7 +74,8 @@ object DedupQueries {
       jaccardPairs08(spark, dir).orderBy("doc_id_1", "doc_id_2")
     }),
     "dedup_minhash_lsh" -> ((spark, dir) => {
-      Dedup.minhashPairs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      minhashPairs041(spark, dir)
+        .filter(col("jaccard_dist") <= 0.4)
         .select(col("doc_id_1"), col("doc_id_2"),
           round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
@@ -140,8 +155,7 @@ object DedupQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= 0.6)
         .select("doc_id_1", "doc_id_2")
-      val approx = Dedup.minhashPairs(docs, "doc_id", "text",
-          maxJaccardDistance = 0.41)
+      val approx = minhashPairs041(spark, dir)
         .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("hit"))
       exact.join(approx, Seq("doc_id_1", "doc_id_2"), "left")
         .agg(count(lit(1)).as("n_exact"),

@@ -44,6 +44,31 @@ object SimilarityQueries {
 
   private val dot = vec_dot(col("qv"), col("cv"))
 
+  /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query
+    * vectors vec_id < 5 — the baseline side of the recall-gate queries. */
+  private def exactTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables.load(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("q_id", "c_id")
+  }
+
+  /** recall@5 of an approximate neighbor set vs the exact top-5, per q_id. */
+  private def recallOf(approx: DataFrame, spark: SparkSession, dir: String): DataFrame =
+    exactTop5(spark, dir)
+      .join(approx.select("q_id", "c_id").withColumn("hit", lit(1)),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+      .orderBy("q_id")
+
   val queries: ListMap[String, Q] = ListMap(
     // Exact brute-force cosine top-5 for query vectors vec_id < 5
     "ann_bruteforce_topk" -> ((spark, dir) => {
@@ -104,27 +129,24 @@ object SimilarityQueries {
     // path achieves FULL recall on the fixture — any bucketing loss turns
     // the row red. (Deterministic: projections are seed-pinned.)
     "ann_lsh_recall" -> ((spark, dir) => {
-      val emb = withNorm(Tables.load(spark, dir, "embeddings"))
+      val emb = Tables.load(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
-      val exact = scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5).select("q_id", "c_id")
-      val approx = graft.operators.AnnLsh.topK(
-          Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
-          emb.filter(col("vec_id") < 5)
-            .select(col("vec_id").as("q_id"), col("v").as("qv")),
-          "q_id", "qv", k = 5)
-        .select("q_id", "c_id")
-      exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
-        .groupBy("q_id")
-        .agg(count(lit(1)).as("n_exact"),
-          coalesce(sum("hit"), lit(0L)).as("n_hit"))
-        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .orderBy("q_id")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      recallOf(graft.operators.AnnLsh.topK(emb, "vec_id", "embedding",
+        q, "q_id", "qv", k = 5), spark, dir)
+    }),
+    // IVF EXACTNESS gate: at nprobe == nCells every cell is probed, so the
+    // lifecycle (assignment scan -> probe selection -> cell join -> exact
+    // scoring -> rank) must reproduce brute force EXACTLY — any bug in the
+    // inverted-file join or scoring turns this row red. (The partial-probe
+    // operating point, nprobe=6, is recall-gated in RecallSpec instead:
+    // its measured recall is data-dependent, not provably full.)
+    "ann_ivf_recall" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val index = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      recallOf(index.topK(q, k = 5, nprobe = 8), spark, dir)
     }),
     // IVF-style: spherical k-means coarse quantizer (trained on a bounded
     // driver-side sample — no corpus-scanning fit job); MULTI-PROBE — each
@@ -190,6 +212,27 @@ object SimilarityQueries {
     // replaced by the exact formulation — so the hash matches iff the LSH
     // path achieves FULL recall on this data (seed-pinned, deterministic)
     "ann_lsh_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+        |  FROM scored),
+        |top5 AS (SELECT q_id, c_id FROM ranked WHERE rank <= 5)
+        |SELECT a.q_id, count(*) AS n_exact,
+        |  CAST(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) * 1.0
+        |    / count(*), 6) AS recall
+        |FROM top5 a LEFT JOIN top5 b ON a.q_id = b.q_id AND a.c_id = b.c_id
+        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin,
+    "ann_ivf_recall" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm

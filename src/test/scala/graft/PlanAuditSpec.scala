@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - ann_ivf_topk: the 8-row centroid table is broadcast
     *  - term_stats: the 1-row corpus-count aggregate is broadcast */
   private val boundedBroadcastNL =
-    Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_topk", "term_stats")
+    Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
+      "ann_ivf_topk", "term_stats")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
