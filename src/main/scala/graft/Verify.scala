@@ -38,6 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // teardown: drop the shared persisted intermediates (candidate-pair
+    // caches, IVF inverted files) before the session goes away
+    graft.queries.DedupQueries.clearCaches()
+    graft.queries.SimilarityQueries.clearCaches()
     spark.stop()
   }
 }

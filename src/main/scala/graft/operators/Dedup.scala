@@ -203,6 +203,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EXACT all-pairs simhash formulation — the parity baseline for
+    * [[simhashPairs]], NOT a production path: the O(n^2) self-join exists
+    * only so the banded path's exact-recall claim (pigeonhole at
+    * hamming <= 3 over 4 bands) is checkable end-to-end. Same sketch,
+    * same radius, no banding. Deliberately quadratic; gate/diagnostic
+    * use only (like `embeddingCosinePairsExact`).
+    */
+  def simhashPairsExact(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.withColumn("w", toks(col(textCol)))
+      .filter(size(col("w")) >= 3)
+      .select(col(idCol).as("doc_id"), simhash64(col("w")).as("h"))
+    val a = sh.select(col("doc_id").as("doc_id_1"), col("h").as("h1"))
+    val b = sh.select(col("doc_id").as("doc_id_2"), col("h").as("h2"))
+    a.join(b, col("doc_id_1") < col("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        expr("bit_count(h1 ^ h2)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold (unrounded cosine).
     *
     * Scale path: vectors are L2-normalized, so `cosine(a,b) >= t` iff

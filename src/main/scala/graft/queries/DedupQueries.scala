@@ -65,6 +65,16 @@ object DedupQueries {
           maxJaccardDistance = 0.41)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release both shared candidate-pair caches (bench/verify teardown — a
+    * long-lived session would otherwise accumulate one persisted pair set
+    * per (session, dir) key). */
+  def clearCaches(): Unit = {
+    pairsCache.values.foreach(_.unpersist())
+    pairsCache.clear()
+    minhashCache.values.foreach(_.unpersist())
+    minhashCache.clear()
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "dedup_exact" -> ((spark, dir) => {
       Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text")
@@ -161,6 +171,30 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_exact"),
           coalesce(sum("hit"), lit(0L)).as("n_found"))
         .withColumn("recall", round(col("n_found") / col("n_exact"), 6))
+    }),
+    // Driver-visible PARITY gate for the simhash banding: the 4x16-bit
+    // band scheme has provably exact recall at hamming <= 3 (any pair
+    // differing in <= 3 bits leaves >= 1 band untouched, by pigeonhole)
+    // and emits nothing beyond the radius, so the banded pair set must
+    // EQUAL the all-pairs formulation over the same sketches. Both sides
+    // are computed in-engine (the sketch is engine-private); the emitted
+    // row is the symmetric difference, which parity pins to exactly
+    // (0, 0, true) — the oracle states those literals, so ANY banding
+    // bug (lost or spurious pair) turns this row red.
+    "dedup_simhash_parity" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text")
+        .select("doc_id_1", "doc_id_2").withColumn("in_banded", lit(1))
+      val exact = Dedup.simhashPairsExact(docs, "doc_id", "text")
+        .select("doc_id_1", "doc_id_2").withColumn("in_exact", lit(1))
+      exact.join(banded, Seq("doc_id_1", "doc_id_2"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_banded").isNull, 1L)), lit(0L))
+            .as("missing_from_banded"),
+          coalesce(sum(when(col("in_exact").isNull, 1L)), lit(0L))
+            .as("extra_in_banded"))
+        .withColumn("parity",
+          col("missing_from_banded") === 0 && col("extra_in_banded") === 0)
     }))
 
   private val duckShinglesBody =
@@ -278,5 +312,12 @@ object DedupQueries {
           |  HAVING round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.6)
           |SELECT count(*) AS n_exact, CAST(count(*) AS BIGINT) AS n_found,
           |  round(count(*) * 1.0 / count(*), 6) AS recall
-          |FROM p""".stripMargin))
+          |FROM p""".stripMargin),
+    // exact-vs-exact: the banding's symmetric difference against the
+    // all-pairs formulation is provably empty (pigeonhole at hamming <= 3
+    // over 4x16-bit bands), so the oracle states the pinned literals; any
+    // lost or spurious banded pair makes the Spark row diverge
+    "dedup_simhash_parity" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_banded,
+        |  CAST(0 AS BIGINT) AS extra_in_banded, TRUE AS parity""".stripMargin)
 }

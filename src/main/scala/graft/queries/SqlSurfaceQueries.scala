@@ -156,6 +156,37 @@ object SqlSurfaceQueries {
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
         .orderBy("l_returnflag")
     }),
+    // Driver-visible ERROR-BOUND gate for the sketch aggregates: the exact
+    // values (distinct count, interpolated percentiles) are computed by
+    // both engines and hash-compared as usual; the booleans compare the
+    // in-engine sketch against the in-engine exact value, and the oracle
+    // states the literal TRUEs — so a sketch drifting outside its
+    // documented bound turns this row red while HLL/KLL internals stay
+    // engine-private. Bounds: HLL at rsd=0.02 within 2% (its one-sigma
+    // target; deterministic for fixed input, validated at sf0.001/0.01/
+    // 0.1); percentile_approx at accuracy=1000 within 1% of the exact
+    // value (rank error 1/1000 on these distributions lands well inside).
+    "approx_sketches_gate" -> ((spark, dir) => {
+      val agg = Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("hll_parts"),
+          expr("percentile(l_extendedprice, 0.5)").as("exm"),
+          expr("percentile(l_extendedprice, 0.99)").as("exp99"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apm"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("app99"))
+      agg.select(col("l_returnflag"), col("exact_parts"),
+          round(col("exm"), 4).as("exact_median"),
+          round(col("exp99"), 4).as("exact_p99"),
+          (abs(col("hll_parts") - col("exact_parts")) / col("exact_parts") <= 0.02)
+            .as("hll_within_2pct"),
+          (abs(col("apm") - col("exm")) / col("exm") <= 0.01)
+            .as("median_within_1pct"),
+          (abs(col("app99") - col("exp99")) / col("exp99") <= 0.01)
+            .as("p99_within_1pct"))
+        .orderBy("l_returnflag")
+    }),
     // Scalar function library: string, date and math built-ins in one pass
     "scalar_functions" -> ((spark, dir) => {
       Tables.load(spark, dir, "orders")
@@ -348,6 +379,18 @@ object SqlSurfaceQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact-vs-exact: exact columns computed by both engines; the
+    // error-bound booleans are in-engine (sketch vs exact) and pinned to
+    // TRUE — any out-of-bound sketch value diverges the hash
+    "approx_sketches_gate" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+        |  TRUE AS hll_within_2pct,
+        |  TRUE AS median_within_1pct,
+        |  TRUE AS p99_within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "window_functions" ->
       """SELECT o_orderkey, o_custkey,

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** The shared (session, dir)-keyed persisted intermediates — jaccard /
+  * minhash candidate pairs (DedupQueries) and IVF inverted files
+  * (SimilarityQueries) — must all be released by the clearCaches() hooks
+  * that Bench/Verify call at teardown, or a long-lived session accumulates
+  * storage per key. Asserted against the session's persistent-RDD registry
+  * relative to a baseline (the shared test session may hold unrelated
+  * persists from other suites).
+  */
+class CacheLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("clearCaches releases every query-cache persist") {
+    // start from a clean slate for OUR caches (idempotent if already clean)
+    DedupQueries.clearCaches()
+    SimilarityQueries.clearCaches()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+
+    // populate all three caches: jaccard pairs, minhash pairs, IVF index
+    DedupQueries.queries("dedup_ngram_jaccard")(spark, TestSpark.sfDir).count()
+    DedupQueries.queries("dedup_minhash_lsh")(spark, TestSpark.sfDir).count()
+    SimilarityQueries.queries("ann_ivf_topk")(spark, TestSpark.sfDir).count()
+    val populated = spark.sparkContext.getPersistentRDDs.keySet
+    assert((populated -- baseline).nonEmpty,
+      "expected the query caches to register persisted RDDs")
+
+    DedupQueries.clearCaches()
+    SimilarityQueries.clearCaches()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- baseline).isEmpty,
+      s"persists leaked past clearCaches(): ${(after -- baseline).toSeq.sorted}")
+  }
+
+  test("clearCaches is idempotent and caches rebuild after a clear") {
+    DedupQueries.clearCaches()
+    DedupQueries.clearCaches() // second call must not throw
+    val df = DedupQueries.queries("dedup_ngram_jaccard")(spark, TestSpark.sfDir)
+    assert(df.count() > 0, "cache must repopulate after clearCaches()")
+    DedupQueries.clearCaches()
+    SimilarityQueries.clearCaches()
+  }
+}

@@ -209,16 +209,16 @@ class DedupScaleSpec extends AnyFunSuite {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val banded = Dedup.simhashPairs(docs, "doc_id", "text")
       .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
-    // exact all-pairs hamming over the same sketches (test-only cross join)
-    import graft.functions.functions.simhash64
-    val sh = docs.withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), simhash64(col("w")).as("h"))
-    val a = sh.select(col("doc_id").as("doc_id_1"), col("h").as("h1"))
-    val b = sh.select(col("doc_id").as("doc_id_2"), col("h").as("h2"))
-    val exact = a.crossJoin(b).filter(col("doc_id_1") < col("doc_id_2"))
-      .filter(expr("bit_count(h1 ^ h2)") <= 3)
+    val exact = Dedup.simhashPairsExact(docs, "doc_id", "text")
       .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
     assert(banded == exact, s"banded ${banded.size} != exact ${exact.size}")
+  }
+
+  test("dedup_simhash_parity driver row pins to (0, 0, true)") {
+    val row = graft.queries.DedupQueries.queries("dedup_simhash_parity")(
+      spark, TestSpark.sfDir).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == 0L && row(0).getLong(1) == 0L
+      && row(0).getBoolean(2), s"parity row diverged: ${row(0)}")
   }
 }

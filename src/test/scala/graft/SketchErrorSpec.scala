@@ -38,6 +38,16 @@ class SketchErrorSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_sketches_gate booleans pin to TRUE (driver-gate contract)") {
+    val rows = graft.queries.SqlSurfaceQueries.queries("approx_sketches_gate")(
+      spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"sketch out of bound for group ${r.getString(0)}: $r")
+    }
+  }
+
   test("space_saving captures every item above n/k with error <= n/k") {
     import graft.functions.SpaceSaving.space_saving
     import spark.implicits._
