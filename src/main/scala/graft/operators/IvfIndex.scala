@@ -28,20 +28,20 @@ final class IvfIndex private (
     val centroids: Seq[(Int, Array[Float])],
     val nCells: Int) {
 
-  /** Exact-scored cosine top-k over the probed cells for a query set
-    * (columns: q_id, qv array<float>). Lazy — no job runs here. */
-  def topK(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1")
+  /** The nprobe centroid-closest cells per query — (q_id, qv, qn, cell).
+    * Metadata-sized by construction (|q| x nCells cross against the
+    * broadcast centroid table); exposed so callers/tests can see exactly
+    * which cells a query set will touch. Distance is in the index's
+    * SPHERICAL geometry (see build): ||q̂ - c||^2 = 1 - 2<q,c>/||q|| + ||c||^2 */
+  def probes(queries: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1")
     val spark = cells.sparkSession
     import spark.implicits._
     val cent = centroids.toDF("cell", "centroid")
     val q = queries.select(col("q_id"), col("qv"))
       .withColumn("qn", vec_l2norm(col("qv")))
-    // probe selection: |q| x nCells is metadata-sized by construction.
-    // Distance is in the index's SPHERICAL geometry (see build):
-    // ||q̂ - c||^2 = 1 - 2<q,c>/||q|| + ||c||^2
     val cw = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
-    val probes = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .withColumn("cdist",
         lit(1.0) + vec_l2norm(col("centroid")) * vec_l2norm(col("centroid"))
           - lit(2.0) * vec_dot(col("qv"), col("centroid"))
@@ -49,8 +49,27 @@ final class IvfIndex private (
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= nprobe)
       .select("q_id", "qv", "qn", "cell")
+  }
+
+  /** Exact-scored cosine top-k over the probed cells for a query set
+    * (columns: q_id, qv array<float>). Lazy — no job runs here. When the
+    * index was [[IvfIndex.load]]ed from a cell-partitioned table, the
+    * broadcast probe join triggers dynamic partition pruning on the cells
+    * scan: only the probed cells' files are read (IvfPersistSpec asserts
+    * partitions-read == probed-cells). Caveat: with the default
+    * `dynamicPartitionPruning.reuseBroadcastOnly=true` Spark drops the
+    * pruning filter when it cannot prove broadcast-exchange reuse at
+    * planning time (the probe side's window rank defeats the sameResult
+    * check); set it to false for file-backed indexes — the standalone
+    * pruning subquery re-runs only the metadata-sized probe selection and
+    * buys skipping (nCells - nprobe)/nCells of the corpus bytes. (With
+    * `useStats=false` also raise `fallbackFilterRatio` so the benefit
+    * estimate doesn't veto the filter — the probe join is far more
+    * selective than any static ratio guess.) */
+  def topK(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1")
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
-    cells.join(broadcast(probes), Seq("cell"))
+    cells.join(broadcast(probes(queries, nprobe)), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -58,11 +77,43 @@ final class IvfIndex private (
       .select("q_id", "c_id", "rank", "cosine")
   }
 
-  /** Release the persisted inverted file. */
+  /** Release the persisted inverted file (no-op for a loaded index — its
+    * residency is the partitioned table itself). */
   def close(): Unit = { cells.unpersist(); () }
+
+  /** Persist the index durably as a CELL-PARTITIONED parquet table — the
+    * cluster-scale form of the inverted file. Each cell becomes a
+    * partition directory, so a [[IvfIndex.load]]ed index's probe join
+    * dynamically prunes the scan to the probed cells: at 100 TB a
+    * nprobe/nCells probe reads nprobe/nCells of the corpus bytes, and the
+    * index outlives the session (the in-memory `persist` from build is
+    * the single-session analogue). Centroids ride along as a tiny sidecar
+    * table. */
+  def write(path: String): Unit = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
 }
 
 object IvfIndex {
+
+  /** Reopen an index [[IvfIndex#write]]ten as a cell-partitioned table.
+    * The cells DataFrame is a lazy partitioned scan — nothing is cached;
+    * pruning (and the OS page cache / parquet footers) make repeated
+    * probes cheap, and the index is shareable across sessions and
+    * executors, unlike an in-memory persist. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(centroids.nonEmpty, s"no centroids found under $path")
+    val cells = spark.read.parquet(s"$path/cells")
+      .select("cell", "c_id", "cv", "cn")
+    new IvfIndex(cells, centroids, centroids.size)
+  }
 
   /** Fit the coarse quantizer and declare the inverted file. The quantizer
     * is trained on a BOUNDED deterministic sample collected to the driver

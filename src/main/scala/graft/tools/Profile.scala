@@ -108,6 +108,39 @@ object Profile {
           case Some(fn) => fn(spark, dir).explain("formatted")
           case None => println(s"unknown query ${args(2)}")
         }
+      case "ivf-persist" =>
+        // build -> write cell-partitioned -> load -> partial probe, and
+        // show the dynamically-pruned cells scan (see IvfPersistSpec)
+        import org.apache.spark.sql.functions.col
+        val emb = graft.Tables.load(spark, dir, "embeddings")
+        val path = "target/profile-ivf"
+        graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8).write(path)
+        val loaded = graft.operators.IvfIndex.load(spark, path)
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        // 2 queries x nprobe 2 so the probed-cell union stays well under
+        // nCells and the pruning is visible in the partition count
+        val q = emb.filter(col("vec_id") < 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
+        val topk = loaded.topK(q, k = 5, nprobe = 2)
+        topk.collect()
+        val probed = loaded.probes(q, 2).select("cell").distinct().count()
+        println(s"probed cells: $probed of ${loaded.nCells}")
+        // partitions-read from the SAME QueryExecution (metrics rule)
+        def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(qs.plan)
+          }.flatten
+        val executed = topk.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        scans(executed).filter(_.metadata.get("Location").exists(_.contains("profile-ivf")))
+          .foreach(s => println(s"cells scan partitions read: " +
+            s.metrics.get("numPartitions").map(_.value).getOrElse(-1L)))
+        println(topk.queryExecution.executedPlan.toString)
       case other => println(s"unknown profile $other")
     }
     spark.stop()
