@@ -34,6 +34,16 @@ object Bench {
     // passes is robust to a transiently busy machine while still charging
     // each query its real steady-state cost. Both raw passes are emitted
     // alongside the min so a skewed pass stays visible.
+    //
+    // SEMANTICS NOTE — the reported min is WARM-CACHE steady state: a few
+    // query families share one-time (session, dir)-keyed intermediates
+    // (the jaccard/minhash candidate-pair persists, the IVF inverted
+    // file), so pass 1 of the first query in a family pays the build and
+    // pass 2 wins the min. That is the cost profile of a long-lived
+    // engine (build once, query many), but it means `total` is not
+    // comparable to a single-shot cold number; the build cost is visible
+    // in pass 1 of the emitted `passes` array, and teardown is proven by
+    // `leaked_persists` == 0 below.
     def time(thunk: => Unit): Double = {
       val t0 = System.nanoTime()
       try thunk catch { case _: Throwable => return -1.0 }
@@ -51,7 +61,14 @@ object Bench {
     val passes = results
       .map { case (k, (p1, p2)) => s"\"" + k + "\":[" + p1 + "," + p2 + "]" }
       .mkString("{", ",", "}")
-    val total = results.values.map(best).sum
+    // a query whose BOTH passes failed reports best = -1.0; keep the
+    // sentinel out of the total (it would silently SHRINK it) and flag
+    // the failure count explicitly instead
+    val failedQueries = results.collect { case (k, (p1, p2)) if p1 < 0 && p2 < 0 => k }
+    val total = results.values.map(best).filter(_ >= 0).sum
+    if (failedQueries.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${failedQueries.size} queries failed " +
+        s"both passes: ${failedQueries.mkString(", ")}")
     // teardown: release the shared persisted intermediates (jaccard /
     // minhash candidate pairs, IVF inverted files) and prove nothing
     // leaked — a long-lived session accumulating (session, dir)-keyed
@@ -61,7 +78,7 @@ object Bench {
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"leaked_persists":$leaked,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed_queries":${failedQueries.size},"leaked_persists":$leaked,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

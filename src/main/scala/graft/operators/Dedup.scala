@@ -203,23 +203,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** EXACT all-pairs simhash formulation — the parity baseline for
-    * [[simhashPairs]], NOT a production path: the O(n^2) self-join exists
-    * only so the banded path's exact-recall claim (pigeonhole at
-    * hamming <= 3 over 4 bands) is checkable end-to-end. Same sketch,
-    * same radius, no banding. Deliberately quadratic; gate/diagnostic
-    * use only (like `embeddingCosinePairsExact`).
+  /** EXACT simhash pairs at the default radius — the parity baseline for
+    * [[simhashPairs]] — via an INDEPENDENT band split instead of an all-
+    * pairs join. The pigeonhole recall proof holds for ANY partition of
+    * the 64 sketch bits into 4 disjoint groups (a pair differing in <= 3
+    * bits leaves >= 1 group untouched), so banding on INTERLEAVED bits
+    * (band b = bits {4j + b}) is just as provably lossless at
+    * hamming <= 3 as the contiguous 16-bit slices under test, and the
+    * recomputed-hamming filter makes precision exact — the result EQUALS
+    * the all-pairs formulation with a plain shuffle equi-join. (An earlier
+    * version literally joined on `doc_id_1 < doc_id_2`; the inequality-
+    * only predicate planned an unbounded BroadcastNestedLoopJoin — O(n^2)
+    * pairs and a full-table broadcast that OOMs at corpus scale.)
+    *
+    * As a parity baseline the split is deliberately DIFFERENT from the
+    * production path's (interleaved vs contiguous) and extracted through
+    * different code (a bit-gather aggregate vs shift/mask slicing), so a
+    * band-extraction bug cannot cancel out of the comparison.
     */
   def simhashPairsExact(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only at hamming <= 3, got $maxHamming")
     val sh = df.withColumn("w", toks(col(textCol)))
       .filter(size(col("w")) >= 3)
       .select(col(idCol).as("doc_id"), simhash64(col("w")).as("h"))
-    val a = sh.select(col("doc_id").as("doc_id_1"), col("h").as("h1"))
-    val b = sh.select(col("doc_id").as("doc_id_2"), col("h").as("h2"))
-    a.join(b, col("doc_id_1") < col("doc_id_2"))
+    // interleaved band key: gather bits {4j + b : j in 0..15} of h into a
+    // 16-bit key — a different partition of the same 64 bits than the
+    // contiguous slices in simhashPairs
+    val bands = sh.select(col("doc_id"), col("h"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(b AS band,
+          |  aggregate(sequence(0, 15), 0L,
+          |    (acc, j) -> acc | shiftleft(shiftright(h, 4 * j + b) & 1, j)) AS key))"""
+          .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
+    val a = bands.select(col("doc_id").as("doc_id_1"), col("h").as("h1"),
+      col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_id_2"), col("h").as("h2"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("doc_id_1") < col("doc_id_2"))
       .select(col("doc_id_1"), col("doc_id_2"),
         expr("bit_count(h1 ^ h2)").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

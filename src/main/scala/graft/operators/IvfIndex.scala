@@ -26,7 +26,11 @@ import graft.functions.functions.{vec_dot, vec_l2norm}
 final class IvfIndex private (
     val cells: DataFrame,
     val centroids: Seq[(Int, Array[Float])],
-    val nCells: Int) {
+    val nCells: Int,
+    /** true when `cells` is a cell-partitioned parquet scan ([[IvfIndex.load]])
+      * rather than an in-session persist — the query path then prunes the
+      * scan statically (see [[topK]]). */
+    val fileBacked: Boolean) {
 
   /** The nprobe centroid-closest cells per query — (q_id, qv, qn, cell).
     * Metadata-sized by construction (|q| x nCells cross against the
@@ -52,24 +56,35 @@ final class IvfIndex private (
   }
 
   /** Exact-scored cosine top-k over the probed cells for a query set
-    * (columns: q_id, qv array<float>). Lazy — no job runs here. When the
-    * index was [[IvfIndex.load]]ed from a cell-partitioned table, the
-    * broadcast probe join triggers dynamic partition pruning on the cells
-    * scan: only the probed cells' files are read (IvfPersistSpec asserts
-    * partitions-read == probed-cells). Caveat: with the default
-    * `dynamicPartitionPruning.reuseBroadcastOnly=true` Spark drops the
-    * pruning filter when it cannot prove broadcast-exchange reuse at
-    * planning time (the probe side's window rank defeats the sameResult
-    * check); set it to false for file-backed indexes — the standalone
-    * pruning subquery re-runs only the metadata-sized probe selection and
-    * buys skipping (nCells - nprobe)/nCells of the corpus bytes. (With
-    * `useStats=false` also raise `fallbackFilterRatio` so the benefit
-    * estimate doesn't veto the filter — the probe join is far more
-    * selective than any static ratio guess.) */
+    * (columns: q_id, qv array<float>).
+    *
+    * For an in-session (persisted) index this is fully lazy — no job runs
+    * here. For a [[fileBacked]] index the probed cell ids are resolved
+    * EAGERLY first (a metadata-sized job: the probe selection collapses to
+    * at most |q| * nprobe distinct ints) and applied to the scan as a
+    * STATIC partition filter, so the cell-partitioned table prunes to the
+    * probed cells at planning time — nprobe/nCells of the corpus bytes
+    * read, guaranteed, under DEFAULT session confs (IvfPersistSpec asserts
+    * partitions-read == probed-cells). Dynamic partition pruning could
+    * express the same thing lazily, but only under three non-default confs
+    * (`dynamicPartitionPruning.reuseBroadcastOnly=false` because the probe
+    * side's window rank defeats the broadcast-reuse sameResult check, plus
+    * `useStats=false` / a raised `fallbackFilterRatio` so the benefit
+    * estimate doesn't veto the filter); a caller who forgot them silently
+    * scanned EVERY cell — the entire point of the partitioned inverted
+    * file. The static filter removes that failure mode, and the eager
+    * probe job it pays is the same metadata-sized subquery DPP would have
+    * re-run standalone anyway. */
   def topK(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1")
+    val pr = probes(queries, nprobe)
+    val corpus =
+      if (fileBacked) {
+        val probed = pr.select("cell").distinct().collect().map(_.getInt(0)).sorted
+        cells.filter(col("cell").isin(probed.toSeq: _*))
+      } else cells
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
-    cells.join(broadcast(probes(queries, nprobe)), Seq("cell"))
+    corpus.join(broadcast(pr), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -112,7 +127,7 @@ object IvfIndex {
     require(centroids.nonEmpty, s"no centroids found under $path")
     val cells = spark.read.parquet(s"$path/cells")
       .select("cell", "c_id", "cv", "cn")
-    new IvfIndex(cells, centroids, centroids.size)
+    new IvfIndex(cells, centroids, centroids.size, fileBacked = true)
   }
 
   /** Fit the coarse quantizer and declare the inverted file. The quantizer
@@ -170,7 +185,7 @@ object IvfIndex {
       .withColumn("cell", array_min(array(distStructs: _*)).getField("cell"))
       .select("cell", "c_id", "cv", "cn")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new IvfIndex(cells, centroids, nCells)
+    new IvfIndex(cells, centroids, nCells, fileBacked = false)
   }
 
   /** Sum of squared distances to the closest centroid. */

@@ -176,9 +176,13 @@ object DedupQueries {
     // band scheme has provably exact recall at hamming <= 3 (any pair
     // differing in <= 3 bits leaves >= 1 band untouched, by pigeonhole)
     // and emits nothing beyond the radius, so the banded pair set must
-    // EQUAL the all-pairs formulation over the same sketches. Both sides
-    // are computed in-engine (the sketch is engine-private); the emitted
-    // row is the symmetric difference, which parity pins to exactly
+    // EQUAL the exact formulation over the same sketches. The exact side
+    // (simhashPairsExact) derives the same set through an INDEPENDENT
+    // band split — interleaved bits, different extraction code — which
+    // the pigeonhole proof covers equally, so both sides are exact-at-
+    // radius yet share no banding code path and the check stays a plain
+    // shuffle equi-join (no O(n^2) all-pairs join). The emitted row is
+    // the symmetric difference, which parity pins to exactly
     // (0, 0, true) — the oracle states those literals, so ANY banding
     // bug (lost or spurious pair) turns this row red.
     "dedup_simhash_parity" -> ((spark, dir) => {

@@ -58,12 +58,29 @@ object SimilarityQueries {
       graft.operators.IvfIndex.build(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 8))
 
+  /** Durable twin of [[ivfIndex]]: the in-session index written ONCE per
+    * (session, dir) as a cell-partitioned parquet table under target/ and
+    * reopened through [[graft.operators.IvfIndex.load]] — the
+    * cluster-scale lifecycle (build -> write -> load -> statically-pruned
+    * probe) on the driver surface, not just in IvfPersistSpec. The loaded
+    * index holds no persist; its residency is the partitioned table. */
+  private val ivfFileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.IvfIndex]
+
+  private def ivfPersisted(spark: SparkSession, dir: String): graft.operators.IvfIndex =
+    ivfFileCache.getOrElseUpdate((spark, dir), {
+      val path = "target/ivf-file-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      ivfIndex(spark, dir).write(path)
+      graft.operators.IvfIndex.load(spark, path)
+    })
+
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
     * assignment set per (session, dir) key). */
   def clearCaches(): Unit = {
     ivfCache.values.foreach(_.close())
     ivfCache.clear()
+    ivfFileCache.clear() // no persist to release — file-backed
   }
 
   /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query
@@ -194,6 +211,35 @@ object SimilarityQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("q_id", "rank")
     }),
+    // Durable-index PARITY gate: the cell-partitioned FILE index
+    // (write -> load -> statically-pruned probe, see IvfIndex.topK) must
+    // reproduce the in-session persisted index EXACTLY at ann_ivf_topk's
+    // operating point (k=5, nprobe=6) — floats round-trip parquet
+    // bit-exactly and tie-breaks are deterministic, so any divergence is
+    // a real bug (a pruning filter dropping a probed cell, centroid
+    // drift, a round-trip schema loss). The emitted row is the symmetric
+    // difference of the (q_id, c_id, rank) sets, pinned to (0, 0, true)
+    // by the oracle's literals. This also puts the 100 TB path — the
+    // partition-pruned scan of the durable inverted file — on the bench
+    // clock and the driver's correctness gate, not just in
+    // IvfPersistSpec.
+    "ann_ivf_persisted" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val mem = ivfIndex(spark, dir).topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val file = ivfPersisted(spark, dir).topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(file, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
     // Embedding hygiene: per-shard norm statistics + zero-vector counts —
     // the sanity pass before any embedding-based dedup/search (a zero or
     // wildly-scaled norm poisons cosine math downstream). Single scan,
@@ -229,6 +275,11 @@ object SimilarityQueries {
 
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_bruteforce_topk" -> bruteForceOracle,
+    // parity literals: the durable index must equal the in-session index
+    // exactly (both engine-private), so the oracle is the pinned row
+    "ann_ivf_persisted" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     "ann_topk_native" -> bruteForceOracle,
     // exact-vs-exact join: structurally the Spark query with the LSH side
     // replaced by the exact formulation — so the hash matches iff the LSH

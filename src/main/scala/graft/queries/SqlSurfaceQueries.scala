@@ -162,10 +162,13 @@ object SqlSurfaceQueries {
     // in-engine sketch against the in-engine exact value, and the oracle
     // states the literal TRUEs — so a sketch drifting outside its
     // documented bound turns this row red while HLL/KLL internals stay
-    // engine-private. Bounds: HLL at rsd=0.02 within 2% (its one-sigma
-    // target; deterministic for fixed input, validated at sf0.001/0.01/
-    // 0.1); percentile_approx at accuracy=1000 within 1% of the exact
-    // value (rank error 1/1000 on these distributions lands well inside).
+    // engine-private. Bounds: HLL at rsd=0.02 gated within 6% — rsd is a
+    // ONE-sigma target, not a guarantee, so the gate allows 3 sigma; a
+    // correctly-working sketch outside 3 sigma is a ~0.3% event, while a
+    // broken one (wrong register merge, wrong bias correction) misses by
+    // far more. percentile_approx at accuracy=1000 within 1% of the
+    // exact value (rank error 1/1000 on these distributions lands well
+    // inside).
     "approx_sketches_gate" -> ((spark, dir) => {
       val agg = Tables.load(spark, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -179,8 +182,8 @@ object SqlSurfaceQueries {
       agg.select(col("l_returnflag"), col("exact_parts"),
           round(col("exm"), 4).as("exact_median"),
           round(col("exp99"), 4).as("exact_p99"),
-          (abs(col("hll_parts") - col("exact_parts")) / col("exact_parts") <= 0.02)
-            .as("hll_within_2pct"),
+          (abs(col("hll_parts") - col("exact_parts")) / col("exact_parts") <= 0.06)
+            .as("hll_within_3sigma"),
           (abs(col("apm") - col("exm")) / col("exm") <= 0.01)
             .as("median_within_1pct"),
           (abs(col("app99") - col("exp99")) / col("exp99") <= 0.01)
@@ -388,7 +391,7 @@ object SqlSurfaceQueries {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
-        |  TRUE AS hll_within_2pct,
+        |  TRUE AS hll_within_3sigma,
         |  TRUE AS median_within_1pct,
         |  TRUE AS p99_within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -108,21 +108,30 @@ object Profile {
           case Some(fn) => fn(spark, dir).explain("formatted")
           case None => println(s"unknown query ${args(2)}")
         }
+      case "run" =>
+        // execute named queries and print their rows (dev loop: eyeball a
+        // gate row / small result without a full Verify pass)
+        args.drop(2).foreach { name =>
+          graft.SparkEntry.queries.get(name) match {
+            case Some(fn) =>
+              println(s"=== $name ===")
+              fn(spark, dir).show(50, truncate = false)
+            case None => println(s"unknown query $name")
+          }
+        }
       case "ivf-persist" =>
         // build -> write cell-partitioned -> load -> partial probe, and
-        // show the dynamically-pruned cells scan (see IvfPersistSpec)
+        // show the statically-pruned cells scan (see IvfPersistSpec);
+        // default confs on purpose — that's the production claim
         import org.apache.spark.sql.functions.col
         val emb = graft.Tables.load(spark, dir, "embeddings")
         val path = "target/profile-ivf"
         graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8).write(path)
         val loaded = graft.operators.IvfIndex.load(spark, path)
-        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
-        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
         // 2 queries x nprobe 2 so the probed-cell union stays well under
         // nCells and the pruning is visible in the partition count
         val q = emb.filter(col("vec_id") < 2)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
         val topk = loaded.topK(q, k = 5, nprobe = 2)
         topk.collect()
         val probed = loaded.probes(q, 2).select("cell").distinct().count()

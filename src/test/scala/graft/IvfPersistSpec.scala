@@ -49,16 +49,6 @@ class IvfPersistSpec extends AnyFunSuite {
     built.close()
   }
 
-  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   /** Every FileSourceScanExec in an executed adaptive plan, recursing into
     * materialized query stages (collect() alone stops at stage leaves). */
   private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
@@ -78,31 +68,26 @@ class IvfPersistSpec extends AnyFunSuite {
       .select("cell").distinct().count()
     assert(probedCells < loaded.nCells,
       s"fixture degenerate: $probedCells of ${loaded.nCells} cells probed")
-    // reuseBroadcastOnly=false lets the pruning subquery run standalone
-    // when broadcast-exchange reuse can't be proven at planning time —
-    // the subquery is the probe selection, metadata-sized by construction,
-    // so re-running it is noise next to skipping (nCells-nprobe)/nCells of
-    // the corpus bytes (see IvfIndex.topK scaladoc)
-    withConfs(
-      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
-      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
-      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10") {
-      val topk = loaded.topK(queriesDf, k = 5, nprobe = nprobe)
-      topk.collect() // run it — metrics live on THIS QueryExecution
-      val executed = topk.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      val scans = allScans(executed).filter(
-        _.metadata.get("Location").exists(_.contains("ivf-persist")))
-      assert(scans.nonEmpty, s"no cells scan found in:\n$executed")
-      val scan = scans.head
-      assert(scan.toString.toLowerCase.contains("dynamicpruning"),
-        s"no dynamic pruning on the cells scan:\n$scan")
-      val partitionsRead = scan.metrics.get("numPartitions").map(_.value)
-      assert(partitionsRead.contains(probedCells),
-        s"expected $probedCells partitions read, metrics: " +
-          scan.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+    // DEFAULT session confs on purpose: the production claim is that a
+    // plain IvfIndex.load(...).topK(...) prunes with no conf tuning —
+    // topK resolves the probed cells eagerly and plants them as a STATIC
+    // partition filter, so pruning must show up in the planned scan and
+    // in the executed partition-count metric
+    val topk = loaded.topK(queriesDf, k = 5, nprobe = nprobe)
+    topk.collect() // run it — metrics live on THIS QueryExecution
+    val executed = topk.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
     }
+    val scans = allScans(executed).filter(
+      _.metadata.get("Location").exists(_.contains("ivf-persist")))
+    assert(scans.nonEmpty, s"no cells scan found in:\n$executed")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filter on the cells scan:\n$scan")
+    val partitionsRead = scan.metrics.get("numPartitions").map(_.value)
+    assert(partitionsRead.contains(probedCells),
+      s"expected $probedCells partitions read, metrics: " +
+        scan.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
   }
 }
