@@ -103,17 +103,93 @@ final class IvfIndex private (
     * nprobe/nCells probe reads nprobe/nCells of the corpus bytes, and the
     * index outlives the session (the in-memory `persist` from build is
     * the single-session analogue). Centroids ride along as a tiny sidecar
-    * table. */
-  def write(path: String): Unit = {
+    * table.
+    *
+    * `source` tags the manifest with the caller's identity for the
+    * indexed data (a path plus a file fingerprint, say); a later session
+    * passing the same tag to [[IvfIndex.loadIfValid]] reopens the index
+    * WITHOUT paying the build — the build-once / serve-many-sessions
+    * lifecycle a 100 TB index requires. The manifest is written LAST, so
+    * its presence marks a complete write (a crash mid-write leaves no
+    * manifest and the next session rebuilds). */
+  def write(path: String, source: String = ""): Unit = {
     val spark = cells.sparkSession
     import spark.implicits._
     cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // row count via parquet footer stats over what was just written — a
+    // metadata pass, not a data scan, at any scale
+    val rows = spark.read.parquet(s"$path/cells").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", IvfIndex.ManifestVersion)
+    props.setProperty("source", source)
+    props.setProperty("nCells", nCells.toString)
+    props.setProperty("rows", rows.toString)
+    props.setProperty("centroidSha", IvfIndex.centroidSha(centroids))
+    val mPath = IvfIndex.manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft IVF inverted-file manifest")
+    finally out.close()
   }
 }
 
 object IvfIndex {
+
+  private val ManifestVersion = "1"
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+
+  /** Builds run this JVM — lets tests assert the load-without-rebuild
+    * path really skipped the quantizer fit. */
+  private[graft] val buildsRun = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Order-independent fingerprint of the centroid table (cell ids +
+    * exact float bits), used to pin the sidecar against the manifest. */
+  private def centroidSha(cs: Seq[(Int, Array[Float])]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(4 + cs.map(_._2.length).maxOption.getOrElse(0) * 4)
+    cs.sortBy(_._1).foreach { case (i, arr) =>
+      bb.clear()
+      bb.putInt(i)
+      arr.foreach(f => bb.putInt(java.lang.Float.floatToIntBits(f)))
+      md.update(bb.array(), 0, bb.position())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Reopen a written index ONLY if its manifest proves it complete,
+    * current, and built from the caller's `source` — otherwise None and
+    * the caller rebuilds. Validation is metadata-sized: manifest fields,
+    * the centroid sidecar's checksum, and a footer-stats row count —
+    * never a data scan. This is the second-session entry point of the
+    * build-once lifecycle: a valid hit costs centroid-read + footer
+    * listing instead of the corpus-sampling quantizer fit and the full
+    * partitioned rewrite. */
+  def loadIfValid(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: String): Option[IvfIndex] = {
+    val mPath = manifestPath(path)
+    try {
+      val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mPath)) return None
+      val props = new java.util.Properties()
+      val in = fs.open(mPath)
+      try props.load(in) finally in.close()
+      def field(k: String) = Option(props.getProperty(k))
+      if (!field("version").contains(ManifestVersion) ||
+        !field("source").contains(source)) return None
+      val idx = load(spark, path)
+      val valid = field("nCells").contains(idx.nCells.toString) &&
+        field("centroidSha").contains(centroidSha(idx.centroids)) &&
+        field("rows").exists(_.toLong == idx.cells.count())
+      if (valid) Some(idx) else None
+    } catch {
+      // an unreadable/corrupt index is a rebuild, never a crash
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
 
   /** Reopen an index [[IvfIndex#write]]ten as a cell-partitioned table.
     * The cells DataFrame is a lazy partitioned scan — nothing is cached;
@@ -144,6 +220,7 @@ object IvfIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
       seed: Long = 42L, maxIter: Int = 10, sampleSize: Int = 4096): IvfIndex = {
     require(nCells >= 2, s"need nCells >= 2, got $nCells")
+    buildsRun.incrementAndGet()
     val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))
     // hash-ordered top-N: deterministic regardless of partitioning/order.

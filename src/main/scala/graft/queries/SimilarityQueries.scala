@@ -58,20 +58,52 @@ object SimilarityQueries {
       graft.operators.IvfIndex.build(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 8))
 
-  /** Durable twin of [[ivfIndex]]: the in-session index written ONCE per
-    * (session, dir) as a cell-partitioned parquet table under target/ and
-    * reopened through [[graft.operators.IvfIndex.load]] — the
-    * cluster-scale lifecycle (build -> write -> load -> statically-pruned
-    * probe) on the driver surface, not just in IvfPersistSpec. The loaded
-    * index holds no persist; its residency is the partitioned table. */
+  /** Durable twin of [[ivfIndex]]: a cell-partitioned parquet table under
+    * target/ reopened through [[graft.operators.IvfIndex.loadIfValid]] —
+    * the cluster-scale lifecycle (build -> write -> load ->
+    * statically-pruned probe) on the driver surface, not just in
+    * IvfPersistSpec. Build-once / serve-many-sessions: when a manifest
+    * written by an EARLIER session matches this dir's source fingerprint
+    * (file names + lengths + mtimes of the embeddings table — if the data
+    * was regenerated, the tag changes and the index rebuilds), the load
+    * pays only metadata validation, zero build jobs (IvfPersistSpec
+    * asserts this). The loaded index holds no persist; its residency is
+    * the partitioned table. */
   private val ivfFileCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.IvfIndex]
 
+  /** Identity of the indexed data: dir plus a metadata fingerprint of its
+    * embeddings files. Listing only — never reads data bytes. */
+  private def ivfSourceTag(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(p))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    statuses.foreach { s =>
+      md.update(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime};"
+        .getBytes("UTF-8"))
+    }
+    dir + "#" + md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   private def ivfPersisted(spark: SparkSession, dir: String): graft.operators.IvfIndex =
-    ivfFileCache.getOrElseUpdate((spark, dir), {
-      val path = "target/ivf-file-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      ivfIndex(spark, dir).write(path)
-      graft.operators.IvfIndex.load(spark, path)
+    // the synchronized block (not TrieMap.getOrElseUpdate, whose thunk may
+    // run twice under contention) keeps two concurrent first calls from
+    // racing overwrite-mode writes to the same path
+    ivfFileCache.getOrElseUpdate((spark, dir), ivfFileCache.synchronized {
+      // path keyed by a digest of the RAW dir string besides the readable
+      // sanitization: distinct dirs (/a/b vs /a_b) can never collide
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val path = "target/ivf-file-index/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val tag = ivfSourceTag(spark, dir)
+      graft.operators.IvfIndex.loadIfValid(spark, path, tag).getOrElse {
+        ivfIndex(spark, dir).write(path, tag)
+        graft.operators.IvfIndex.load(spark, path)
+      }
     })
 
   /** Release every cached inverted file (bench/verify teardown — a

@@ -90,4 +90,60 @@ class IvfPersistSpec extends AnyFunSuite {
       s"expected $probedCells partitions read, metrics: " +
         scan.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
   }
+
+  test("manifest-validated reload runs zero build jobs and matches the built index") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val p = "target/ivf-persist-manifest"
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    built.write(p, source = "tag-a")
+    // the second-session path: validate-and-load must NOT re-run the
+    // quantizer fit (the corpus-sampling build) — the whole point of the
+    // durable manifest
+    val buildsBefore = IvfIndex.buildsRun.get()
+    val reloaded = IvfIndex.loadIfValid(spark, p, source = "tag-a")
+    assert(reloaded.isDefined, "valid manifest refused to load")
+    assert(IvfIndex.buildsRun.get() == buildsBefore,
+      "loadIfValid ran a build — the manifest did not short-circuit it")
+    val a = resultSet(built.topK(queriesDf, k = 5, nprobe = 6))
+    val b = resultSet(reloaded.get.topK(queriesDf, k = 5, nprobe = 6))
+    assert(a == b, "manifest-loaded index diverged from the built index")
+    built.close()
+    // guards: a different source tag (data regenerated / different dir)
+    // and a missing manifest both force a rebuild instead of serving a
+    // stale index
+    assert(IvfIndex.loadIfValid(spark, p, source = "tag-b").isEmpty,
+      "source-tag mismatch must invalidate the index")
+    assert(IvfIndex.loadIfValid(spark, "target/ivf-persist-nothere", "tag-a").isEmpty)
+  }
+
+  test("driver ann_ivf_persisted reuses the written index across sessions (no rewrite)") {
+    import graft.queries.SimilarityQueries
+    def runQuery() =
+      graft.SparkEntry.queries("ann_ivf_persisted")(spark, TestSpark.sfDir).collect()
+    val first = runQuery()
+    assert(first.length == 1 && first(0).getBoolean(2), s"parity broken: ${first.toSeq}")
+    // locate the manifest the query wrote (or validated) under target/
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(TestSpark.sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val mPath = new org.apache.hadoop.fs.Path(
+      "target/ivf-file-index/" +
+        TestSpark.sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest +
+        "/_MANIFEST.properties")
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(mPath), s"no manifest at $mPath")
+    val mtime = fs.getFileStatus(mPath).getModificationTime
+    // "fresh session": drop every in-memory index handle, then re-run. The
+    // file side must validate-and-load — exactly ONE build may run (the
+    // in-memory side of the parity query), and the on-disk index must not
+    // be rewritten
+    SimilarityQueries.clearCaches()
+    val buildsBefore = IvfIndex.buildsRun.get()
+    val second = runQuery()
+    assert(second.length == 1 && second(0).getBoolean(2),
+      s"cross-session parity broken: ${second.toSeq}")
+    assert(IvfIndex.buildsRun.get() == buildsBefore + 1,
+      s"expected exactly the in-memory rebuild, got ${IvfIndex.buildsRun.get() - buildsBefore}")
+    assert(fs.getFileStatus(mPath).getModificationTime == mtime,
+      "index was rewritten instead of manifest-loaded")
+  }
 }
