@@ -146,14 +146,24 @@ object SqlSurfaceQueries {
         .orderBy("l_returnflag")
     }),
     // Sketch aggregates: HLL distinct + approximate quantiles. Approximate
-    // by design -> rows-only check (deterministic for fixed input).
+    // by design -> rows-only check (deterministic for fixed input). The
+    // REALIZED HLL relative error rides along as a column: the hash-
+    // checked gate below can only pin a boolean (the oracle cannot
+    // reproduce Spark's HLL value), so this rows-only row is where the
+    // observed error stays visible in every round's CORRECTNESS artifacts
+    // — drift inside the gate's 3-sigma band shows up here (and fails the
+    // pinned 2.5% envelope in SketchErrorSpec).
     "approx_sketches" -> ((spark, dir) => {
       Tables.load(spark, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
+        .withColumn("hll_rel_err",
+          round(abs(col("approx_parts") - col("exact_parts"))
+            / col("exact_parts"), 6))
         .orderBy("l_returnflag")
     }),
     // Driver-visible ERROR-BOUND gate for the sketch aggregates: the exact

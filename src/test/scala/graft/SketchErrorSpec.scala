@@ -26,6 +26,31 @@ class SketchErrorSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL observed error stays in a pinned tight envelope at every SF") {
+    // The driver gate (approx_sketches_gate) allows 3 sigma = 6% — the
+    // statistically honest bound for rsd=0.02 under data regeneration.
+    // This test pins the OBSERVED error on the actual fixtures much
+    // tighter (2.5%), so a silent drift from ~0% to 5% — inside the
+    // driver gate — still fails the suite; the assert message records
+    // the measured value for the next reader. Deterministic: Spark's
+    // HLL is seedless-deterministic for fixed input.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val li = Tables.load(spark, s"/root/testdata/$sf", "lineitem")
+      val both = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .as[(String, Long, Long)].collect()
+      assert(both.length == 3, s"$sf: expected 3 return-flag groups")
+      both.foreach { case (flag, approx, exact) =>
+        val err = math.abs(approx - exact).toDouble / exact
+        info(f"$sf group=$flag exact=$exact approx=$approx err=${err * 100}%.3f%%")
+        assert(err <= 0.025,
+          f"$sf group=$flag: observed HLL error ${err * 100}%.3f%% " +
+            f"(approx=$approx exact=$exact) left the pinned 2.5%% envelope")
+      }
+    }
+  }
+
   test("percentile_approx(0.5, 1000) within 1% of the exact median") {
     val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
     val both = li.groupBy("l_returnflag")
