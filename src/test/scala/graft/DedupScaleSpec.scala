@@ -214,6 +214,36 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(banded == exact, s"banded ${banded.size} != exact ${exact.size}")
   }
 
+  test("simhashPairsExact matches a literal all-pairs join at small n (banding-free oracle)") {
+    // Both the production banding (contiguous 16-bit slices) and the
+    // parity baseline (interleaved bit-gather) lean on the same pigeonhole
+    // band-recall property, so a common-mode defect in that shape would
+    // cancel out of dedup_simhash_parity. This is the suite's one
+    // banding-FREE oracle: a literal cross join scoring every pair, kept
+    // at a scale (~505 docs, ~127k pairs) where O(n^2) is harmless.
+    import graft.functions.functions.simhash64
+    val base = Tables.load(spark, TestSpark.sfDir, "documents")
+    // planted exact copies guarantee the oracle is non-vacuous (hamming 0)
+    val planted = base.limit(5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val docs = base.select("doc_id", "text").unionByName(planted)
+    val sh = docs.withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), simhash64(col("w")).as("h"))
+    val a = sh.select(col("doc_id").as("doc_id_1"), col("h").as("h1"))
+    val b = sh.select(col("doc_id").as("doc_id_2"), col("h").as("h2"))
+    val allPairs = a.crossJoin(b).filter(col("doc_id_1") < col("doc_id_2"))
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_id_1", "doc_id_2", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(allPairs.nonEmpty, "planted copies missing — oracle vacuous")
+    val viaBands = Dedup.simhashPairsExact(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaBands == allPairs,
+      s"banded-exact ${viaBands.size} pairs != all-pairs ${allPairs.size}")
+  }
+
   test("dedup_simhash_parity driver row pins to (0, 0, true)") {
     val row = graft.queries.DedupQueries.queries("dedup_simhash_parity")(
       spark, TestSpark.sfDir).collect()
