@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Slow scale-stress smokes (minutes, not milliseconds) — excluded from the
+  * bench clock by construction (Bench runs driver queries, not ScalaTest);
+  * run with the full suite or `testOnly graft.TenXScaleSmokeSpec`. */
+object SlowTest extends Tag("graft.SlowTest")
+
+/** Direct evidence for "would the dedup family survive a 10x scale-up",
+  * instead of plan inspection: the sf0.1 documents corpus is materialized
+  * at ~10x (salted copies) and pushed through every near-dup pair
+  * generator plus cluster resolution once, asserting
+  *
+  *  - candidate/pair counts scale EXACTLY linearly (no quadratic blowup:
+  *    every generator stays bucketed — shingle prefix, minhash band,
+  *    simhash band — so disjoint copies can never pair up), and
+  *  - wall-time grows ≲ linearly (generous 15x bound on a 10x corpus to
+  *    absorb local-mode noise; a quadratic operator would be ~100x).
+  *
+  * The salting is an INJECTIVE SHINGLE RENAME: copy c prefixes every word
+  * with `c<c>_`, so (a) within a copy, every pairwise jaccard equals the
+  * original corpus's (shingle sets are renamed elementwise), and (b)
+  * across copies, shingle sets are disjoint. The true 10x answer is
+  * therefore the 1x answer replicated 10 times — exact oracles for free
+  * at any scale factor. (SimHash sketches and minhash BAND COLLISIONS are
+  * hash-valued, hence not rename-invariant — a borderline pair recalled
+  * in one copy may be missed in another — so those two are checked
+  * against the sum of their per-copy counts rather than 10x the
+  * original's; the jaccard path is exact-by-construction at any renaming
+  * and gets the strict 10x oracle.)
+  */
+class TenXScaleSmokeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val copies = 10
+
+  private def baseDocs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    .select("doc_id", "text")
+
+  /** Copy `c`: offset ids, every word prefixed with the copy tag. */
+  private def copyDf(c: Int): DataFrame =
+    baseDocs.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+      expr(s"array_join(transform(split(text, ' '), w -> concat('c${c}_', w)), ' ')")
+        .as("text"))
+
+  private def saltedCorpus: DataFrame =
+    (0 until copies).map(copyDf).reduce(_ unionByName _)
+
+  /** The dedup family end-to-end: all three pair generators + cluster
+    * resolution over the jaccard pairs. Returns the observable counts. */
+  private def pipeline(docs: DataFrame): (Long, Long, Long, Long) = {
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = Some(0.8))
+    val jaccardPairs = jac.count()
+    val minhashPairs = Dedup.minhashPairs(docs, "doc_id", "text").count()
+    val simhashPairs = Dedup.simhashPairs(docs, "doc_id", "text").count()
+    val survivors = Dedup.resolveClusters(docs, "doc_id", jac,
+        "doc_id_1", "doc_id_2")
+      .filter(col("doc_id") === col("keep_doc_id")).count()
+    (jaccardPairs, minhashPairs, simhashPairs, survivors)
+  }
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("dedup family scales ~linearly onto a 10x corpus with bucketed pair counts",
+      SlowTest) {
+    // warmup run compiles the codegen paths so the 1x timing isn't
+    // dominated by JIT — both scale points then time the same plans
+    pipeline(copyDf(0))
+    val ((j1, m1, s1, surv1), t1) = timed(pipeline(copyDf(0)))
+    assert(j1 > 0 && m1 > 0, s"fixture degenerate: j1=$j1 m1=$m1")
+    // minhash band collisions and simhash sketches are hash-valued, not
+    // rename-invariant: their exact 10x oracles are the per-copy sums
+    // (a cross-copy pair or a per-bucket blowup shows up as an excess)
+    val minhashPerCopy = (0 until copies).map(c =>
+      Dedup.minhashPairs(copyDf(c), "doc_id", "text").count()).sum
+    val simhashPerCopy = (0 until copies).map(c =>
+      Dedup.simhashPairs(copyDf(c), "doc_id", "text").count()).sum
+    val ((j10, m10, s10, surv10), t10) = timed(pipeline(saltedCorpus))
+    assert(j10 == copies * j1,
+      s"jaccard pairs not linear: $j10 != $copies x $j1 — cross-copy or lost pairs")
+    assert(m10 == minhashPerCopy,
+      s"minhash pairs $m10 != per-copy sum $minhashPerCopy — cross-copy pairs leaked in")
+    assert(s10 == simhashPerCopy,
+      s"simhash pairs $s10 != per-copy sum $simhashPerCopy — cross-copy pairs leaked in")
+    assert(surv10 == copies * surv1,
+      s"survivors not linear: $surv10 != $copies x $surv1 — cluster structure changed")
+    info(f"1x: $t1%.1fs (j=$j1 m=$m1 s=$s1 surv=$surv1); " +
+      f"10x: $t10%.1fs (j=$j10 m=$m10 s=$s10 surv=$surv10); ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1,
+      f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs) " +
+        "— superlinear scaling in the dedup family")
+  }
+}
