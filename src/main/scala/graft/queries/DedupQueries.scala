@@ -39,7 +39,7 @@ object DedupQueries {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def jaccardPairs08(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def jaccardPairs08(spark: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((spark, dir), {
       // operator prefix-filter threshold strictly below the 0.8 rounding
       // boundary (rounded >= 0.8 iff unrounded >= 0.7999995, so 0.7999

@@ -87,6 +87,41 @@ object PipelineQueries {
           blockSize = 100, carryCols = Seq("lang"))
         .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")
+    }),
+    // Near-dup-aware corpus materialization (r7): the chain above with a
+    // NEAR-DUP resolution stage spliced between exact dedup and the
+    // length gate — exact survivors -> jaccard >= 0.8 pairs (prefix-
+    // filtered, recall-exact) -> transitive-cluster resolution keeping
+    // the min-id member -> length gate -> language rebalance -> packing.
+    // The full training-data assembly a real pipeline runs. Cluster
+    // resolution is an algorithm (connectedComponents materializes its
+    // bounded dup-pair edge list); everything else stays one lazy DAG.
+    // Oracle composes the dedup_cluster_resolve recursive CTE with the
+    // corpus_materialize stages.
+    "corpus_materialize_neardup" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_doc_id").as("doc_id"))
+      val exactSurv = docs.join(keepers, Seq("doc_id"), "left_semi")
+      // the >= 0.8 pair set is the SAME one the four dedup queries share
+      // (one persisted copy per session/dir), restricted to survivor
+      // endpoints — equivalent to recomputing pairs over the survivor
+      // corpus because jaccard is pairwise and prefix filtering is
+      // recall-exact at any corpus, so the restriction loses nothing and
+      // the candidate pipeline runs once per session, not once more here
+      val pairs = DedupQueries.jaccardPairs08(spark, dir)
+        .join(keepers.select(col("doc_id").as("doc_id_1")), Seq("doc_id_1"), "left_semi")
+        .join(keepers.select(col("doc_id").as("doc_id_2")), Seq("doc_id_2"), "left_semi")
+      val nearSurv = Dedup.dropDuplicatesByCluster(exactSurv, "doc_id",
+          pairs, "doc_id_1", "doc_id_2")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val sampled = Sampling.stratifiedSample(nearSurv, "doc_id", "lang",
+        Map("en" -> 0.5))
+      Packing.packSequences(sampled, "doc_id", "n_tokens", budget = 512,
+          blockSize = 100, carryCols = Seq("lang"))
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -143,6 +178,50 @@ object PipelineQueries {
         |  FROM documents
         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |    AND len(string_split(text, ' ')) >= 20),
+        |samp AS (
+        |  SELECT * FROM sv
+        |  WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0
+        |    < CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM samp)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "corpus_materialize_neardup" ->
+      """WITH RECURSIVE sv0 AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+        |tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM sv0
+        |  WHERE len(string_split(lower(text), ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS shingles
+        |  FROM tok),
+        |exs AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.8),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.r),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |sv AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM sv0 d LEFT JOIN comp c ON d.doc_id = c.id
+        |  WHERE (c.comp IS NULL OR c.comp = d.doc_id)
+        |    AND len(string_split(d.text, ' ')) >= 20),
         |samp AS (
         |  SELECT * FROM sv
         |  WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
