@@ -398,6 +398,74 @@ object Dedup {
     sureNew.unionByName(verifiedNew).drop("__h")
   }
 
+  /** Benchmark DECONTAMINATION: the corpus documents sharing at least one
+    * word n-gram with an evaluation set — (doc_id, contaminated_ngrams,
+    * eval_docs_hit) per contaminated corpus doc. n = 13 is the customary
+    * decontamination width (the GPT-3 appendix's 13-gram filter; Llama and
+    * successors use the same shape): long enough that a shared n-gram
+    * means copied text, not idiom.
+    *
+    * Scale shape mirrors [[incrementalNew]], because the asymmetry is the
+    * same — benchmarks are tiny next to a 100 TB corpus:
+    *
+    *  - the EVAL side is distilled once into a Bloom filter over its
+    *    n-gram hashes via partial-aggregated `bloom_filter_agg` (only the
+    *    filter's bits reach the driver and broadcast — never the eval
+    *    text, and never as a collected Set);
+    *  - corpus n-grams stream through a codegen'd `might_contain`
+    *    prefilter: bloom-NEGATIVE n-grams (at a realistic contamination
+    *    rate, ~all of the corpus) are dropped at the scan and never
+    *    shuffle;
+    *  - bloom-POSITIVE n-grams (true hits + ~2% false positives) are
+    *    verified with an exact equi-join against the eval n-grams, keyed
+    *    by the n-gram — a bounded-key bucket join, nothing corpus-sized
+    *    broadcast — then counted per corpus doc.
+    *
+    * The result is EXACT (the bloom only bounds how much of the corpus
+    * pays the join). Building the filter runs one job at call time (same
+    * caveat as incrementalNew). `expectedEvalNgrams` sizes the filter
+    * (8 bits/item ≈ 2% fpp). */
+  def ngramContamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 13,
+      expectedEvalNgrams: Long = 1L << 20): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalSh = withShingles(evalSet, textCol, n)
+      .select(col(idCol).as("eval_id"), explode(col("shingles")).as("s"))
+    val spark = corpus.sparkSession
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedEvalNgrams <= maxItems && expectedEvalNgrams * 8L <= maxBits,
+      s"expectedEvalNgrams=$expectedEvalNgrams exceeds the bloom conf caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise the runtime " +
+        "bloom filter confs or the filter would clamp and lose its fpp bound")
+    val bloomAgg = bridge.column(BloomFilterAggregate(
+      new XxHash64(Seq(bridge.expression(col("s")))),
+      Literal(expectedEvalNgrams), Literal(expectedEvalNgrams * 8L), 0, 0)
+      .toAggregateExpression())
+    val bloomBytes = evalSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val corpusSh = withShingles(corpus, textCol, n)
+      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("s"))
+    if (bloomBytes == null)
+      return corpusSh.limit(0) // empty eval set: nothing can be contaminated
+        .groupBy("doc_id")
+        .agg(countDistinct("s").as("contaminated_ngrams"),
+          countDistinct(lit(0L)).as("eval_docs_hit"))
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      new XxHash64(Seq(bridge.expression(col("s"))))))
+    corpusSh.filter(mightContain)
+      .join(evalSh, Seq("s"))
+      .groupBy("doc_id")
+      .agg(countDistinct("s").as("contaminated_ngrams"),
+        countDistinct("eval_id").as("eval_docs_hit"))
+  }
+
   /** Connected components over an undirected pair list: (id, component)
     * where `component` is the minimum vertex id reachable from `id`.
     *

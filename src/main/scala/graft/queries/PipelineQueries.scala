@@ -122,6 +122,20 @@ object PipelineQueries {
           blockSize = 100, carryCols = Seq("lang"))
         .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")
+    }),
+    // Benchmark decontamination (r7): training docs sharing a 13-gram
+    // with the held-out eval slice (doc_id % 5 == 0, the same split
+    // dedup_incremental uses), via the bloom-prefiltered exact n-gram
+    // join in Dedup.ngramContamination — the filter a real pipeline runs
+    // before training so the eval set isn't memorized. 13 is the
+    // customary decontamination width (GPT-3 appendix and successors).
+    "decontaminate_ngram" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.ngramContamination(corpus, evalSet, "doc_id", "text", n = 13,
+          expectedEvalNgrams = 1L << 16)
+        .orderBy("doc_id")
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -235,5 +249,23 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_tokens,
         |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
         |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "decontaminate_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 13),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_reduce(w[i:i+12], (a, b) -> a || ' ' || b)
+        |                   for i in range(1, len(w) - 11)]) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hits AS (
+        |  SELECT c.doc_id, c.s, e.doc_id AS eval_id
+        |  FROM ex c JOIN ex e ON c.s = e.s
+        |  WHERE e.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS contaminated_ngrams,
+        |  CAST(count(DISTINCT eval_id) AS BIGINT) AS eval_docs_hit
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

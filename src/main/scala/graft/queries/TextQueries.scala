@@ -228,6 +228,23 @@ object TextQueries {
           round(col("max_tf") / col("n_tokens"), 6).as("top_token_ratio"),
           round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"))
         .orderBy("doc_id")
+    }),
+    // Corpus-level boilerplate mining: the 13-grams shared by the most
+    // documents (C4-style repeated-span detection at corpus granularity —
+    // headers, disclaimers, navigation chrome — complementing the per-doc
+    // text_repetition score). One explode through the codegen'd shingle
+    // kernel -> partial-aggregated groupBy keyed by the n-gram -> top-25;
+    // the shuffle carries (ngram, partial distinct state), never
+    // documents, and the top-k is a TakeOrdered, not a global sort.
+    "boilerplate_ngrams" -> ((spark, dir) => {
+      graft.operators.Dedup.withShingles(
+          Tables.load(spark, dir, "documents"), "text", 13)
+        .select(col("doc_id"), explode(col("shingles")).as("ngram"))
+        .groupBy("ngram")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), col("ngram"))
+        .limit(25)
     }))
 
   private def duckScore(markers: Seq[String]): String =
@@ -339,5 +356,18 @@ object TextQueries {
         |SELECT doc_id, n_tokens, max_tf, n_distinct,
         |  round(max_tf * 1.0 / n_tokens, 6) AS top_token_ratio,
         |  round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "boilerplate_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 13),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_reduce(w[i:i+12], (a, b) -> a || ' ' || b)
+        |                   for i in range(1, len(w) - 11)]) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh)
+        |SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ex GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, ngram LIMIT 25""".stripMargin)
 }
