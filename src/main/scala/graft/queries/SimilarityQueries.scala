@@ -286,6 +286,64 @@ object SimilarityQueries {
           round(max("nrm"), 6).as("max_norm"),
           round(avg("nrm"), 6).as("avg_norm"))
         .orderBy("shard")
+    }),
+    // Int8 quantization profile: the write-path transform that cuts a
+    // 100 TB embedding store 4x (64 floats -> 64 bytes + a scale). The
+    // per-shard reconstruction-error stats, saturation counts, and the
+    // analytic error bound (err <= sqrt(d)*scale/2) are all recomputed
+    // independently by the DuckDB oracle, so the whole quantize ->
+    // dequantize path is hash-checked — deterministic math, unlike the
+    // banded approximate paths. See operators.Quantize.
+    "embedding_quantize_stats" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val q = graft.operators.Quantize.int8(emb, "v")
+        .withColumn("dq",
+          graft.operators.Quantize.dequantize(col("qvec"), col("qscale")))
+        .withColumn("nrm", vec_l2norm(col("v")))
+        .withColumn("err", vec_l2norm(
+          zip_with(col("v"), col("dq"), (a, b) => a.cast("double") - b)))
+        .withColumn("rel_err",
+          when(col("nrm") === 0.0, 0.0).otherwise(col("err") / col("nrm")))
+        .withColumn("n_sat",
+          size(filter(col("qvec"), x => abs(x.cast("int")) === 127)))
+        .withColumn("bound_ok",
+          col("err") <= sqrt(size(col("v")).cast("double")) * col("qscale") / 2
+            + lit(1e-9))
+        .withColumn("shard", col("vec_id") % 8)
+      q.groupBy("shard")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("n_sat").cast("long")).as("n_saturated"),
+          round(avg("rel_err"), 6).as("avg_rel_err"),
+          round(max("rel_err"), 6).as("max_rel_err"),
+          bool_and(col("bound_ok")).as("within_bound"))
+        .orderBy("shard")
+    }),
+    // Brute-force top-5 over the int8-quantized representation — the
+    // ranking a serving tier computes after the 4x storage cut. Both
+    // engines quantize then rank the SAME deterministic reconstruction,
+    // so this is hash-checked end-to-end (ranking differences vs the
+    // float path are the quantizer's business, measured in QuantizeSpec;
+    // engine disagreement here is a bug). Same broadcast-scan shape as
+    // ann_bruteforce_topk: the corpus never shuffles.
+    "ann_quantized_topk" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val dq = graft.operators.Quantize.int8(emb, "v")
+        .select(col("vec_id"),
+          graft.operators.Quantize.dequantize(col("qvec"), col("qscale")).as("dv"))
+        .withColumn("nrm", vec_l2norm(col("dv")))
+      val q = dq.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("nrm").as("qn"))
+      val c = dq.select(col("vec_id").as("c_id"), col("dv").as("cv"),
+        col("nrm").as("cn"))
+      val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "rank", "cosine")
+        .orderBy("q_id", "rank")
     }))
 
   private val bruteForceOracle =
@@ -368,5 +426,62 @@ object SimilarityQueries {
         |  round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm,
         |  round(avg(nrm), 6) AS avg_norm
-        |FROM e GROUP BY shard ORDER BY shard""".stripMargin)
+        |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
+    // independent re-derivation of the int8 quantizer: scale = max|x|/127
+    // (1.0 for zero vectors), codes round(x/scale), reconstruction q*scale
+    "embedding_quantize_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS qscale
+        |  FROM e),
+        |qt AS (
+        |  SELECT vec_id, v, qscale,
+        |    list_transform(v, x -> round(x / qscale)) AS qv
+        |  FROM s),
+        |m AS (
+        |  SELECT vec_id % 8 AS shard, qscale,
+        |    sqrt(list_sum([(v[i] - qv[i] * qscale) * (v[i] - qv[i] * qscale)
+        |      for i in range(1, len(v) + 1)])) AS err,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |    len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
+        |    sqrt(CAST(len(v) AS DOUBLE)) * qscale / 2 + 1e-9 AS bound
+        |  FROM qt)
+        |SELECT shard, count(*) AS n_vectors,
+        |  CAST(sum(n_sat) AS BIGINT) AS n_saturated,
+        |  round(avg(CASE WHEN nrm = 0 THEN 0.0 ELSE err / nrm END), 6) AS avg_rel_err,
+        |  round(max(CASE WHEN nrm = 0 THEN 0.0 ELSE err / nrm END), 6) AS max_rel_err,
+        |  bool_and(err <= bound) AS within_bound
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+    // same quantize -> dequantize -> rank pipeline as the Spark side —
+    // deterministic, so the quantized ranking is hash-checked exactly
+    "ann_quantized_topk" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS qscale
+        |  FROM e0),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> round(x / qscale) * qscale) AS dv
+        |  FROM s),
+        |n AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
+        |  FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.dv[i] * c.dv[i] for i in range(1, len(q.dv) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, rank, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 }
