@@ -76,4 +76,49 @@ object TextAnalysis {
           lit(size)).as("chunk"),
         col("n_chunks"))
   }
+
+  /** Corpus-trained bigram language model as a quality/novelty signal —
+    * the CCNet-style perplexity filter re-expressed in RATIONAL arithmetic
+    * (no log/exp) so cross-engine oracles reproduce it bit-for-bit.
+    *
+    * "Training" counts bigrams over the whole input (per-doc counts first,
+    * map-side combinable), then each document is scored by
+    *
+    *   pred_prob  = Σ_bg k·(c12+1)/(c1+V) / Σ_bg k   (add-one smoothing)
+    *   novel_rate = fraction of its DISTINCT bigrams found in no other doc
+    *
+    * where c12 = corpus count of the bigram, c1 = corpus count of its
+    * context word as a bigram-start, V = vocabulary size. Low pred_prob =
+    * surprising/garbled text; novel_rate near 0 = boilerplate.
+    *
+    * Scale shape: two key-partitioned aggregations + two co-partitioned
+    * shuffle joins on the bigram/context keys and a 1-row broadcast (V);
+    * no windows, no driver-side state. Docs with fewer than two tokens
+    * yield no bigrams and are absent from the output.
+    */
+  def bigramLm(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val occ = df.select(col(idCol),
+      explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val docBg = occ.groupBy(idCol, "bg").agg(count(lit(1)).as("k"))
+    val model = docBg.groupBy("bg")
+      .agg(sum("k").as("c12"), count(lit(1)).as("df"))
+    val ctx = docBg
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("k").as("c1"))
+    val vocab = df.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)))
+      .agg(count(lit(1)).as("v"))
+    // DuckDB-compatible rounding: round the scaled double, then unscale
+    def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
+    val p = (col("c12").cast("double") + 1.0) / (col("c1") + col("v"))
+    docBg.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(model, "bg").join(ctx, "w1").crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(sum("k").as("n_bigrams"),
+        round6(sum(col("k").cast("double") * p) / sum("k")).as("pred_prob"),
+        round6(avg(when(col("df") === 1, 1.0).otherwise(0.0))).as("novel_rate"))
+  }
 }

@@ -245,7 +245,24 @@ object TextQueries {
         .filter(col("n_docs") >= 2)
         .orderBy(desc("n_docs"), col("ngram"))
         .limit(25)
-    }))
+    }),
+    // Corpus-trained bigram language model as a quality/novelty signal
+    // (the CCNet-style perplexity filter re-expressed in RATIONAL
+    // arithmetic — no log/exp, per this file's no-transcendentals rule, so
+    // the DuckDB oracle is bit-identical). "Training" is the same shuffle
+    // family as term_stats: per-doc bigram counts (map-side combinable),
+    // then global bigram totals c12 + context totals c1 + a 1-row
+    // broadcast vocabulary size V. Each doc is scored by its expected
+    // add-one-smoothed continuation probability
+    //   pred_prob = sum_k k * (c12+1)/(c1+V) / sum_k k
+    // (low = surprising/garbled text) and by novel_rate, the fraction of
+    // its distinct bigrams appearing in NO other document (high = unique
+    // content; boilerplate scores near 0). At 100 TB: two key-partitioned
+    // aggregations + two co-partitioned shuffle joins on the bigram/w1
+    // keys; no windows, no driver-side state.
+    "lm_bigram_quality" -> ((spark, dir) =>
+      TextAnalysis.bigramLm(Tables.load(spark, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")))
 
   private def duckScore(markers: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -369,5 +386,30 @@ object TextQueries {
         |ex AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh)
         |SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM ex GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY n_docs DESC, ngram LIMIT 25""".stripMargin)
+        |ORDER BY n_docs DESC, ngram LIMIT 25""".stripMargin,
+    // independent re-derivation of the bigram LM: same counts, same
+    // add-one smoothing, same rational score — no transcendentals
+    "lm_bigram_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM d),
+        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM occ GROUP BY doc_id, bg),
+        |model AS (SELECT bg, sum(k) AS c12, count(*) AS df FROM doc_bg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(k) AS c1
+        |        FROM doc_bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM d)),
+        |j AS (
+        |  SELECT b.doc_id, b.k, m.c12, m.df, c.c1, voc.v
+        |  FROM doc_bg b
+        |  JOIN model m ON b.bg = m.bg
+        |  JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
+        |    AS pred_prob,
+        |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

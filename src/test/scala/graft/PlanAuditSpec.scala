@@ -20,10 +20,13 @@ class PlanAuditSpec extends AnyFunSuite {
     *    in-session and the file-backed probe side
     *  - ann_quantized_topk: the same <=5-row query-set broadcast scan as
     *    ann_bruteforce_topk, over the dequantized vectors
-    *  - term_stats: the 1-row corpus-count aggregate is broadcast */
+    *  - term_stats: the 1-row corpus-count aggregate is broadcast
+    *  - lm_bigram_quality: the 1-row vocabulary-size aggregate is
+    *    broadcast */
   private val boundedBroadcastNL =
     Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
-      "ann_ivf_topk", "ann_ivf_persisted", "ann_quantized_topk", "term_stats")
+      "ann_ivf_topk", "ann_ivf_persisted", "ann_quantized_topk", "term_stats",
+      "lm_bigram_quality")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
