@@ -35,25 +35,29 @@ object StreamingOps {
 
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Read the events parquet as a bounded stream (one file per
-    * micro-batch), with the same nanos->micros normalization as the batch
-    * path. FileStreamSource wants a directory to watch, so the single file
-    * is staged into one (in production this is the landing directory files
-    * arrive into). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Read a fixture table as a bounded stream (one file per micro-batch),
+    * with the same nanos->micros normalization as the batch path where a
+    * `ts` column exists. FileStreamSource wants a directory to watch, so
+    * the single file is staged into one (in production this is the landing
+    * directory files arrive into). */
+  def readTableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
     graft.Tables.prepare(spark)
     val staged = java.nio.file.Paths.get(
-      "target/stream-src", dir.replaceAll("[^A-Za-z0-9_.-]", "_"))
+      "target/stream-src", dir.replaceAll("[^A-Za-z0-9_.-]", "_"), table)
     java.nio.file.Files.createDirectories(staged)
-    val target = staged.resolve("events.parquet")
+    val target = staged.resolve(s"$table.parquet")
     if (!java.nio.file.Files.exists(target))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"), target)
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
-    graft.Tables.normalizeNanos(raw, "ts")
+    if (schema.fieldNames.contains("ts")) graft.Tables.normalizeNanos(raw, "ts")
+    else raw
   }
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    readTableStream(spark, dir, "events")
 
   /** Tumbling 5-minute windowed counts per event type, 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -79,6 +83,32 @@ object StreamingOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Continuous-ingest CONTENT dedup: the streaming twin of
+    * `Dedup.incrementalNew`, emitting only documents whose text is new
+    * against both the static corpus and everything already seen on the
+    * stream.
+    *
+    * The batch operator is reused verbatim — its plan shape is
+    * streaming-legal by construction: the corpus distills to a DRIVER-SIDE
+    * bloom literal at plan-build time (one batch job over the static
+    * side), the stream is prefiltered by the codegen'd might_contain, and
+    * only bloom-positive rows enter the stream-static LEFT ANTI join
+    * (supported append-mode semantics; the static side is re-broadcast per
+    * micro-batch). Within-stream re-deliveries are collapsed first by
+    * content fingerprint: that state is one 32-byte hash per DISTINCT
+    * ingested document — the irreducible memory of "what have I accepted"
+    * — sharded by hash across executors and RocksDB-backed at scale (see
+    * [[useRocksDBStateStore]]). Documents carry no event time, so the
+    * fingerprint state is deliberately unbounded; with an arrival-time
+    * column, `dropDuplicatesWithinWatermark` bounds it instead. */
+  def ingestDedupStream(stream: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = sha2(col(textCol), 256)
+    val novelInStream = stream.withColumn("__fp", fp)
+      .dropDuplicates("__fp").drop("__fp")
+    graft.operators.Dedup.incrementalNew(novelInStream, corpus, textCol)
+  }
 
   /** Stream-static enrichment join: the static dimension is read once per
     * micro-batch and broadcast — the streaming side never shuffles. */

@@ -67,6 +67,42 @@ class StreamingSpec extends AnyFunSuite {
       spark.table("dedup").count())
   }
 
+  test("streaming ingest dedup emits exactly the content new to corpus+stream") {
+    // corpus = docs with doc_id % 3 != 0; the stream delivers the rest in
+    // two micro-batches, polluted with 5 re-sent corpus docs (already
+    // known -> dropped) and 3 new docs delivered twice (emitted once)
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val src = java.nio.file.Paths.get("target/stream-src-ingest")
+    org.apache.commons.io.FileUtils.deleteQuietly(src.toFile)
+    newDocs.unionByName(corpus.orderBy("doc_id").limit(5))
+      .coalesce(1).write.parquet(src.toString)
+    newDocs.orderBy("doc_id").limit(3)
+      .coalesce(1).write.mode("append").parquet(src.toString)
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val out = StreamingOps.ingestDedupStream(stream, corpus, "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_dedup").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("ingest_dedup")
+    // exactly one row per distinct new text, and nothing from the corpus
+    assert(got.count() === got.select("text").distinct().count())
+    assert(got.count() === newDocs.select("text").distinct().count())
+    assert(got.join(corpus.select("text"), Seq("text"), "left_semi").count() === 0L)
+    // and the batch operator over the same polluted input agrees
+    val batchPolluted = newDocs
+      .unionByName(corpus.orderBy("doc_id").limit(5))
+      .unionByName(newDocs.orderBy("doc_id").limit(3))
+      .dropDuplicates("text")
+    val batch = graft.operators.Dedup.incrementalNew(batchPolluted, corpus, "text")
+    assert(got.select("text").except(batch.select("text")).count() === 0L)
+    assert(batch.select("text").except(got.select("text")).count() === 0L)
+  }
+
   test("stream-static broadcast join enriches events with customer segment") {
     val events = StreamingOps.readEventsStream(spark, dir)
     val customer = Tables.load(spark, dir, "customer")
