@@ -126,6 +126,15 @@ object functions {
   def shingle_rows(tokens: Column, k: Int): Column =
     bridge.column(ShingleGenerator(bridge.expression(tokens), k))
 
+  /** Product-quantization encoder: vector -> m code bytes via the
+    * per-subspace argmin kernel (codegen'd; codebook is a plan literal). */
+  def pq_encode(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    bridge.column(PqEncode(bridge.expression(vec), codebook))
+
+  /** Asymmetric-distance score: Σ_j lut(j*ksub + code_j) (codegen'd). */
+  def pq_adc_score(codes: Column, lut: Column, ksub: Int): Column =
+    bridge.column(PqAdcScore(bridge.expression(codes), bridge.expression(lut), ksub))
+
   /** Unicode NFC canonicalization (codegen'd; JDK Normalizer). */
   def nfc_normalize(text: Column): Column =
     bridge.column(NormalizeText(bridge.expression(text), stripAccents = false))

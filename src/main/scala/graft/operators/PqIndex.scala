@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.functions.{pq_adc_score, pq_encode, vec_dot, vec_l2norm}
+
+/** Product-quantization ANN index (the FAISS-style PQ/ADC scan) with the
+  * same explicit BUILD / QUERY lifecycle as [[IvfIndex]].
+  *
+  * `build` trains `m` independent per-subspace codebooks (`ksub` centroids
+  * each) driver-side on a bounded deterministic sample — no corpus-scanning
+  * fit job — and encodes the corpus once through the codegen'd
+  * [[graft.functions.PqEncode]] argmin kernel: d*4 float bytes collapse to
+  * m code bytes per vector (64-dim float, m=8 -> 32x). `topK` never
+  * decodes: each query precomputes an m*ksub lookup table of subspace dot
+  * products, the code column is scanned with m table lookups per row
+  * (asymmetric distance computation via [[graft.functions.PqAdcScore]]),
+  * and only the ADC top-`nCandidates` are re-ranked by exact cosine on the
+  * raw vectors.
+  *
+  * Scale posture: the ADC scan shuffles only (q_id, c_id, adc) triples —
+  * never vectors — and the candidate cut is TWO-LEVEL (per-partition
+  * top-C within `spark_partition_id`, then global top-C per query), so no
+  * single task ever sees a corpus-sized group; the exact re-rank touches
+  * `|q| * nCandidates` rows. At 100 TB the codes table is what you
+  * materialize hot (32x smaller than the floats) and the raw vectors stay
+  * cold behind the candidate join, mirroring `IvfIndex`'s
+  * build-once/serve-many file lifecycle.
+  */
+final class PqIndex private (
+    /** (c_id, cv raw vector, cn norm, code array<tinyint>) — persisted. */
+    val codes: DataFrame,
+    val codebook: Array[Array[Array[Double]]],
+    val m: Int,
+    val ksub: Int) {
+
+  def close(): Unit = codes.unpersist()
+
+  /** ADC lookup table for one query: lut(j*ksub + c) = <q_sub_j, cb(j)(c)>,
+    * so Σ_j lut(j*ksub + code_j) = <q, decode(code)> — the asymmetric
+    * approximation of the query-corpus dot product. */
+  private[graft] def lutFor(q: Array[Double]): Array[Double] = {
+    val sub = q.length / m
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val ctr = codebook(j)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) { s += q(j * sub + i) * ctr(i); i += 1 }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Exact-cosine top-k over the ADC top-`nCandidates` shortlist for a
+    * bounded query set (columns: q_id, qv array<float>). The query set is
+    * collected driver-side (the |queries| << corpus broadcast-scan
+    * contract, capped loudly) because each query's LUT is a plan literal. */
+  def topK(queries: DataFrame, k: Int, nCandidates: Int,
+      maxQueries: Int = 1024): DataFrame = {
+    require(k >= 1 && nCandidates > k, s"need nCandidates > k >= 1")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val rows = queries.select(col("q_id"), col("qv")).limit(maxQueries + 1).collect()
+    require(rows.length <= maxQueries,
+      s"PQ query set exceeds $maxQueries rows — the per-query LUT literal " +
+        "contract is |queries| << |corpus|; batch larger sets")
+    val qSeq = rows.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (r.getLong(0), r.getSeq[Float](1), n, lutFor(v).toSeq)
+    }.toSeq.sortBy(_._1)
+    val luts = qSeq.toDF("q_id", "qv", "qn", "lut")
+
+    // phase 1: ADC scan + two-level candidate cut over slim rows
+    val slim = codes.select(col("c_id"), col("code"))
+      .crossJoin(broadcast(luts.select(col("q_id"), col("lut"))))
+      .withColumn("adc", pq_adc_score(col("code"), col("lut"), ksub))
+      .select("q_id", "c_id", "adc")
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy("q_id", "pid").orderBy(desc("adc"), col("c_id"))
+    val w2 = Window.partitionBy("q_id").orderBy(desc("adc"), col("c_id"))
+    val cand = slim
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= nCandidates)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= nCandidates)
+      .select("q_id", "c_id")
+
+    // phase 2: exact re-rank of the shortlist on the raw vectors
+    val w3 = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    cand.join(codes.select("c_id", "cv", "cn"), "c_id")
+      .join(broadcast(luts.select("q_id", "qv", "qn")), "q_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w3))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine")
+  }
+}
+
+object PqIndex {
+  private val buildsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def buildCount: Int = buildsRun.get
+
+  /** Train per-subspace codebooks on a bounded hash-ordered sample and
+    * encode the corpus once (persisted). `d % m == 0` required. */
+  def build(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      ksub: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      sampleSize: Int = 4096): PqIndex = {
+    require(m >= 1 && ksub >= 2 && ksub <= 256,
+      s"need m >= 1 and 2 <= ksub <= 256, got m=$m ksub=$ksub")
+    buildsRun.incrementAndGet()
+    val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vec_l2norm(col("cv")))
+    // deterministic bounded sample in (md5, id) order — same recipe as
+    // IvfIndex.build, but RAW vectors: PQ approximates the raw dot product
+    val sample = base.select(col("cv"))
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(math.max(sampleSize, ksub * 8))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot build a PQ index over an empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"vector dim $d not divisible by m=$m")
+    val sub = d / m
+    val codebook = Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      (0 until 3).map(r => KMeansLocal.lloyd(pts, ksub, seed + 31 * j + r, maxIter))
+        .minBy(cs => KMeansLocal.inertia(pts, cs))
+    }
+    val codes = base
+      .withColumn("code", pq_encode(col("cv"), codebook))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new PqIndex(codes, codebook, m, ksub)
+  }
+}
+
+/** Driver-side Lloyd's with k-means++ seeding over a bounded sample (at
+  * most sampleSize*dim doubles). Deterministic given the seed and sample
+  * order. Shared by the PQ codebook trainer; `IvfIndex` keeps its own
+  * spherical variant. */
+private[operators] object KMeansLocal {
+
+  def inertia(pts: Array[Array[Double]], cs: Array[Array[Double]]): Double = {
+    var total = 0.0
+    pts.foreach { p => total += minD2(p, cs)._2 }
+    total
+  }
+
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def minD2(p: Array[Double], cs: Array[Array[Double]]): (Int, Double) = {
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cs.length) {
+      val s = d2(p, cs(i))
+      if (s < bd) { bd = s; best = i }
+      i += 1
+    }
+    (best, bd)
+  }
+
+  def lloyd(pts: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val dim = pts.head.length
+    // k-means++ seeding
+    val centers = new Array[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(pts.length)).clone()
+    var c = 1
+    while (c < k) {
+      val dists = pts.map(p => minD2(p, centers.take(c))._2)
+      val total = dists.sum
+      if (total <= 0) {
+        centers(c) = pts(rnd.nextInt(pts.length)).clone()
+      } else {
+        var target = rnd.nextDouble() * total
+        var idx = 0
+        while (idx < pts.length - 1 && target > dists(idx)) {
+          target -= dists(idx); idx += 1
+        }
+        centers(c) = pts(idx).clone()
+      }
+      c += 1
+    }
+    // Lloyd iterations
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        val a = minD2(p, centers)._1
+        counts(a) += 1
+        var i = 0
+        while (i < dim) { sums(a)(i) += p(i); i += 1 }
+      }
+      moved = false
+      var i = 0
+      while (i < k) {
+        if (counts(i) > 0) {
+          val nc = sums(i).map(_ / counts(i))
+          if (!java.util.Arrays.equals(nc, centers(i))) { moved = true; centers(i) = nc }
+        } else {
+          // empty cell: re-seed on the point farthest from its center
+          val far = pts.maxBy(p => minD2(p, centers)._2)
+          centers(i) = far.clone()
+          moved = true
+        }
+        i += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+}

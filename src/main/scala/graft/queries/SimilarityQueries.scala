@@ -106,6 +106,17 @@ object SimilarityQueries {
       }
     })
 
+  /** One PQ index per (session, dir) — build/encode once, every query and
+    * bench pass reuses the persisted code table (see operators.PqIndex). */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.PqIndex]
+
+  private def pqIndex(spark: SparkSession, dir: String): graft.operators.PqIndex =
+    pqCache.getOrElseUpdate((spark, dir),
+      graft.operators.PqIndex.build(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        m = 8, ksub = 256))
+
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
     * assignment set per (session, dir) key). */
@@ -113,6 +124,8 @@ object SimilarityQueries {
     ivfCache.values.foreach(_.close())
     ivfCache.clear()
     ivfFileCache.clear() // no persist to release — file-backed
+    pqCache.values.foreach(_.close())
+    pqCache.clear()
   }
 
   /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query
@@ -287,6 +300,32 @@ object SimilarityQueries {
           round(avg("nrm"), 6).as("avg_norm"))
         .orderBy("shard")
     }),
+    // Product-quantization ANN: 32x-compressed m-byte codes scanned by
+    // per-query lookup tables (ADC), exact re-rank of the top-256
+    // shortlist — the FAISS-style representation for a 100 TB vector
+    // corpus (see operators.PqIndex). Rows-only (codebooks are k-means
+    // trained, not SQL-expressible); recall driver-gated by
+    // ann_pq_recall below + RecallSpec.
+    "ann_pq_topk" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      pqIndex(spark, dir).topK(q, k = 5, nCandidates = 256)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("q_id", "rank")
+    }),
+    // Driver-visible recall gate for the PQ path: recall@5 of ann_pq_topk
+    // against the exact brute-force top-5, computed INSIDE Spark; the
+    // oracle computes exact-vs-exact (1.0 per query), so the row
+    // hash-matches iff the ADC shortlist keeps FULL recall on the fixture
+    // (seed-pinned, deterministic) — any codebook/LUT/cut regression
+    // turns the row red.
+    "ann_pq_recall" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      recallOf(pqIndex(spark, dir).topK(q, k = 5, nCandidates = 256), spark, dir)
+    }),
     // Int8 quantization profile: the write-path transform that cuts a
     // 100 TB embedding store 4x (64 floats -> 64 bytes + a scale). The
     // per-shard reconstruction-error stats, saturation counts, and the
@@ -363,8 +402,34 @@ object SimilarityQueries {
         |SELECT q_id, c_id, rank, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Exact-vs-exact recall (trivially 1.0 per query): the oracle for every
+    * approximate path's recall gate — the Spark side hash-matches iff the
+    * approximate shortlist keeps FULL recall on the fixture. */
+  private val fullRecallOracle =
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+        |  FROM scored),
+        |top5 AS (SELECT q_id, c_id FROM ranked WHERE rank <= 5)
+        |SELECT a.q_id, count(*) AS n_exact,
+        |  CAST(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) * 1.0
+        |    / count(*), 6) AS recall
+        |FROM top5 a LEFT JOIN top5 b ON a.q_id = b.q_id AND a.c_id = b.c_id
+        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_bruteforce_topk" -> bruteForceOracle,
+    "ann_pq_recall" -> fullRecallOracle,
     // parity literals: the durable index must equal the in-session index
     // exactly (both engine-private), so the oracle is the pinned row
     "ann_ivf_persisted" ->
@@ -374,48 +439,8 @@ object SimilarityQueries {
     // exact-vs-exact join: structurally the Spark query with the LSH side
     // replaced by the exact formulation — so the hash matches iff the LSH
     // path achieves FULL recall on this data (seed-pinned, deterministic)
-    "ann_lsh_recall" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
-        |      / (q.nrm * c.nrm), 6) AS cosine
-        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
-        |ranked AS (
-        |  SELECT q_id, c_id,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
-        |  FROM scored),
-        |top5 AS (SELECT q_id, c_id FROM ranked WHERE rank <= 5)
-        |SELECT a.q_id, count(*) AS n_exact,
-        |  CAST(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
-        |  round(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) * 1.0
-        |    / count(*), 6) AS recall
-        |FROM top5 a LEFT JOIN top5 b ON a.q_id = b.q_id AND a.c_id = b.c_id
-        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin,
-    "ann_ivf_recall" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
-        |      / (q.nrm * c.nrm), 6) AS cosine
-        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
-        |ranked AS (
-        |  SELECT q_id, c_id,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
-        |  FROM scored),
-        |top5 AS (SELECT q_id, c_id FROM ranked WHERE rank <= 5)
-        |SELECT a.q_id, count(*) AS n_exact,
-        |  CAST(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
-        |  round(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) * 1.0
-        |    / count(*), 6) AS recall
-        |FROM top5 a LEFT JOIN top5 b ON a.q_id = b.q_id AND a.c_id = b.c_id
-        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin,
+    "ann_lsh_recall" -> fullRecallOracle,
+    "ann_ivf_recall" -> fullRecallOracle,
     "embedding_norm_stats" ->
       """WITH e AS (
         |  SELECT vec_id, vec_id % 8 AS shard,

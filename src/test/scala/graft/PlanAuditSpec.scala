@@ -20,13 +20,16 @@ class PlanAuditSpec extends AnyFunSuite {
     *    in-session and the file-backed probe side
     *  - ann_quantized_topk: the same <=5-row query-set broadcast scan as
     *    ann_bruteforce_topk, over the dequantized vectors
+    *  - ann_pq_topk / ann_pq_recall: the <=5-row per-query ADC lookup
+    *    tables are broadcast against the code scan (and the recall gate's
+    *    exact side is the usual <=5-row broadcast scan)
     *  - term_stats: the 1-row corpus-count aggregate is broadcast
     *  - lm_bigram_quality: the 1-row vocabulary-size aggregate is
     *    broadcast */
   private val boundedBroadcastNL =
     Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
-      "ann_ivf_topk", "ann_ivf_persisted", "ann_quantized_topk", "term_stats",
-      "lm_bigram_quality")
+      "ann_ivf_topk", "ann_ivf_persisted", "ann_quantized_topk",
+      "ann_pq_topk", "ann_pq_recall", "term_stats", "lm_bigram_quality")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
