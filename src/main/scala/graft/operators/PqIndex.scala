@@ -131,9 +131,12 @@ object PqIndex {
     val d = sample.head.length
     require(d % m == 0, s"vector dim $d not divisible by m=$m")
     val sub = d / m
+    // restarts pay off at small k (seeding variance); at large codebooks
+    // k-means++ is already stable and each restart costs O(iter*n*k*dim)
+    val restarts = if (ksub <= 32) 3 else 1
     val codebook = Array.tabulate(m) { j =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      (0 until 3).map(r => KMeansLocal.lloyd(pts, ksub, seed + 31 * j + r, maxIter))
+      (0 until restarts).map(r => KMeansLocal.lloyd(pts, ksub, seed + 31 * j + r, maxIter))
         .minBy(cs => KMeansLocal.inertia(pts, cs))
     }
     val codes = base
@@ -175,22 +178,33 @@ private[operators] object KMeansLocal {
       maxIter: Int): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     val dim = pts.head.length
-    // k-means++ seeding
+    // k-means++ seeding with an INCREMENTAL min-distance array: each new
+    // center only updates minDist against itself, so seeding is
+    // O(k*n*dim), not the naive O(k^2*n*dim) (at k=256 codebooks the
+    // naive form dominated the whole index build)
     val centers = new Array[Array[Double]](k)
+    val minDist = new Array[Double](pts.length)
     centers(0) = pts(rnd.nextInt(pts.length)).clone()
+    var i = 0
+    while (i < pts.length) { minDist(i) = d2(pts(i), centers(0)); i += 1 }
     var c = 1
     while (c < k) {
-      val dists = pts.map(p => minD2(p, centers.take(c))._2)
-      val total = dists.sum
+      val total = minDist.sum
       if (total <= 0) {
         centers(c) = pts(rnd.nextInt(pts.length)).clone()
       } else {
         var target = rnd.nextDouble() * total
         var idx = 0
-        while (idx < pts.length - 1 && target > dists(idx)) {
-          target -= dists(idx); idx += 1
+        while (idx < pts.length - 1 && target > minDist(idx)) {
+          target -= minDist(idx); idx += 1
         }
         centers(c) = pts(idx).clone()
+      }
+      i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i), centers(c))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
       }
       c += 1
     }
