@@ -326,6 +326,35 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       recallOf(pqIndex(spark, dir).topK(q, k = 5, nCandidates = 256), spark, dir)
     }),
+    // IVF+PQ composition (the full FAISS-style serving plan): probed
+    // cells bound WHICH vectors are scored, PQ codes bound WHAT a score
+    // costs, exact re-rank restores precision. Pure composition of the
+    // two cached indexes — no extra build. Rows-only; gated by
+    // ann_ivfpq_recall.
+    "ann_ivfpq_topk" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      new graft.operators.IvfPq(ivfIndex(spark, dir), pqIndex(spark, dir))
+        .topK(q, k = 5, nprobe = 6, nCandidates = 256)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("q_id", "rank")
+    }),
+    // EXACTNESS gate for the composed path (same philosophy as
+    // ann_ivf_recall): at nprobe == nCells every cell is admitted, so any
+    // loss must come from the ADC shortlist — the row hash-matches iff
+    // the cell->code join, LUT scoring, two-level cut and re-rank jointly
+    // reproduce brute force. The partial-probe operating point (nprobe=6)
+    // stays recall-asserted in IvfPqSpec at sf0.001 (its sf0.01 recall is
+    // data-dependent — the probe itself is lossy there, as ann_ivf_topk's
+    // is).
+    "ann_ivfpq_recall" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      recallOf(new graft.operators.IvfPq(ivfIndex(spark, dir), pqIndex(spark, dir))
+        .topK(q, k = 5, nprobe = 8, nCandidates = 256), spark, dir)
+    }),
     // Int8 quantization profile: the write-path transform that cuts a
     // 100 TB embedding store 4x (64 floats -> 64 bytes + a scale). The
     // per-shard reconstruction-error stats, saturation counts, and the
@@ -430,6 +459,7 @@ object SimilarityQueries {
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_bruteforce_topk" -> bruteForceOracle,
     "ann_pq_recall" -> fullRecallOracle,
+    "ann_ivfpq_recall" -> fullRecallOracle,
     // parity literals: the durable index must equal the in-session index
     // exactly (both engine-private), so the oracle is the pinned row
     "ann_ivf_persisted" ->
