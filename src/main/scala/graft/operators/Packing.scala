@@ -92,4 +92,37 @@ object Sampling {
     }
     df.filter(hashFraction(col(keyCol)) < rate)
   }
+
+  /** Temperature-flattened mixture rebalancing (the multilingual/domain
+    * mixing rule from the mBERT/XLM-R lineage): the kept share of stratum
+    * s is proportional to n_s^tau, so tau < 1 flattens the mixture toward
+    * rare strata while an overall `keepFraction` of the corpus survives —
+    *
+    *   rate_s = min(1, (n_s^tau / Σ_t n_t^tau) * keepFraction * N / n_s)
+    *
+    * Stratum counts are a bounded driver-side aggregate (|strata| rows,
+    * metadata-sized — the same contract as approx-quantile cuts); the
+    * keep decision itself stays the deterministic per-row hash filter, so
+    * the sample is reproducible across engines and partitionings.
+    * tau = 0.5 is computed via sqrt (IEEE-exact, so a SQL oracle
+    * reproduces the rates bit-for-bit); other taus use pow. */
+  def temperatureRebalance(df: DataFrame, keyCol: String, strataCol: String,
+      tau: Double = 0.5, keepFraction: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau <= 1, s"need 0 < tau <= 1, got $tau")
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"need 0 < keepFraction <= 1, got $keepFraction")
+    def flat(n: Double): Double =
+      if (tau == 0.5) math.sqrt(n) else math.pow(n, tau)
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "cannot rebalance an empty corpus")
+    val total = counts.map(_._2).sum.toDouble
+    val flatTotal = counts.map { case (_, n) => flat(n.toDouble) }.sum
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, flat(n.toDouble) / flatTotal * (keepFraction * total) / n)
+    }.toMap
+    stratifiedSample(df, keyCol, strataCol, rates, defaultRate = 0.0)
+  }
 }

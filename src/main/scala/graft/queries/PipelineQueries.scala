@@ -58,6 +58,20 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Temperature-flattened mixture rebalancing (tau = 0.5, keep half the
+    // corpus): kept share of each language proportional to sqrt(n_lang),
+    // the standard multilingual mixing rule — rare languages are
+    // upweighted relative to their head share. Rates derive from a
+    // bounded |strata|-row driver aggregate; the keep decision stays the
+    // deterministic per-row md5 filter, and sqrt is IEEE-exact, so the
+    // oracle reproduces membership bit-for-bit.
+    "rebalance_temperature" -> ((spark, dir) => {
+      graft.operators.Sampling.temperatureRebalance(
+          Tables.load(spark, dir, "documents"), "doc_id", "lang",
+          tau = 0.5, keepFraction = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     // Sliding-window chunking (retrieval/RAG prep): 200-char windows,
     // 50-char overlap, one explode per document — no UDF, no driver work
     "doc_chunks" -> ((spark, dir) => {
@@ -174,6 +188,19 @@ object PipelineQueries {
         |         WHEN lang = 'es' THEN 0.5
         |         WHEN lang = 'en' THEN 0.25 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
+    // same rate derivation as Sampling.temperatureRebalance: sqrt is
+    // IEEE-exact and the arithmetic order matches the Scala side, so
+    // membership agrees bit-for-bit
+    "rebalance_temperature" ->
+      """WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |t AS (SELECT sum(sqrt(n_s)) AS ft, sum(n_s) AS tot FROM n),
+        |r AS (SELECT lang,
+        |        least(1.0, sqrt(n_s) / t.ft * (0.5 * t.tot) / n_s) AS rate
+        |      FROM n, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |      / 1152921504606846976.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, text,

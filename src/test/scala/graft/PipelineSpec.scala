@@ -123,4 +123,33 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("lang") === "zh").count()
     assert(zh === docs.filter(col("lang") === "zh").count())
   }
+
+  test("temperature rebalance flattens the mixture toward rare strata") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.temperatureRebalance(docs, "doc_id", "lang",
+        tau = 0.5, keepFraction = 0.5)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // overall volume lands near keepFraction (hash noise tolerated)
+    val total = before.values.sum.toDouble
+    val keptTotal = kept.values.sum.toDouble
+    assert(math.abs(keptTotal / total - 0.5) < 0.15,
+      s"kept ${keptTotal / total} of the corpus, wanted ~0.5")
+    // retention rate of the rarest stratum >= that of the most common
+    // (tau < 1 upweights the tail — the whole point of the operator)
+    val rare = before.minBy(_._2)._1
+    val common = before.maxBy(_._2)._1
+    assert(before(rare) < before(common), "fixture mixture unexpectedly flat")
+    val rareRetention = kept.getOrElse(rare, 0L).toDouble / before(rare)
+    val commonRetention = kept.getOrElse(common, 0L).toDouble / before(common)
+    assert(rareRetention > commonRetention,
+      s"rare '$rare' retained $rareRetention <= common '$common' $commonRetention")
+    // deterministic across invocations
+    val again = Sampling.temperatureRebalance(docs, "doc_id", "lang",
+        tau = 0.5, keepFraction = 0.5)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(again === keptTotal.toLong)
+  }
 }
