@@ -102,4 +102,45 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs) " +
         "— superlinear scaling in the dedup family")
   }
+
+  test("PQ ANN serving scales ~linearly onto a 10x vector corpus", SlowTest) {
+    // 10 identical copies with offset ids: every query's nearest
+    // neighbors at 10x are its OWN clones at cosine exactly 1.0 — an
+    // exact oracle that the ADC scan + shortlist + re-rank still finds
+    // true duplicates after the blowup (ANN-as-dedup, the 100 TB use)
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    def vecCopy(c: Int) = base.select(
+      (col("vec_id") + lit(c * 10000000L)).as("vec_id"), col("embedding"))
+    val big = (0 until copies).map(vecCopy).reduce(_ unionByName _)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+    def serve(corpus: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val idx = graft.operators.PqIndex.build(corpus, "vec_id", "embedding",
+        m = 8, ksub = 256)
+      try timed(idx.topK(q, k = 5, nCandidates = 256).count())
+      finally idx.close()
+    }
+    serve(base) // warmup: JIT + codegen
+    val (n1, t1) = serve(base)
+    val (n10, t10) = serve(big)
+    assert(n1 === 25L && n10 === 25L)
+    // at 10x, each query's top-5 must be its own clones at cosine 1.0
+    val idx10 = graft.operators.PqIndex.build(big, "vec_id", "embedding",
+      m = 8, ksub = 256)
+    try {
+      val rows = idx10.topK(q, k = 5, nCandidates = 256)
+        .select("q_id", "c_id", "cosine").collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) % 10000000L === r.getLong(0),
+          s"q ${r.getLong(0)} matched non-clone ${r.getLong(1)}")
+        assert(math.abs(r.getDouble(2) - 1.0) < 1e-9,
+          s"clone cosine ${r.getDouble(2)} != 1.0")
+      }
+    } finally idx10.close()
+    info(f"PQ serve 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1,
+      f"10x vector corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear ANN scaling")
+  }
 }
