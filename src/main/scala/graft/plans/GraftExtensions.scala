@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{DotProduct, L2Norm, NormalizeText, ShingleGenerator, SimHash64, WordShingles}
+import graft.functions.{BpeEncode, DotProduct, InterleaveBits, L2Norm, NormalizeText, PqAdcScore, QuantileBinSearch, ShingleGenerator, SimHash64, WordShingles}
 
 /** Optimizer rule: prune the CosineTopK query set when a literal q_id
   * equality filter sits on top of it.
@@ -89,5 +89,28 @@ object GraftExtensions {
       exprs => NormalizeText(exprs.head, stripAccents = false), "built-in")
     reg.createOrReplaceTempFunction("strip_accents",
       exprs => NormalizeText(exprs.head, stripAccents = true), "built-in")
+    // r7 kernels: constant arguments (ksub, bits, cuts, merge table) must
+    // be literals — they are evaluated once at registration-shim time and
+    // baked into the expression, same contract as word_shingles' k
+    reg.createOrReplaceTempFunction("pq_adc_score",
+      exprs => PqAdcScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("interleave_bits",
+      exprs => InterleaveBits(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("quantile_bin",
+      exprs => QuantileBinSearch(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()), "built-in")
+    reg.createOrReplaceTempFunction("bpe_encode",
+      exprs => {
+        val raw = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = raw.toObjectArray(
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString))
+        BpeEncode(exprs(0), merges)
+      }, "built-in")
   }
 }

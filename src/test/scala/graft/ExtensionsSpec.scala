@@ -45,4 +45,21 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(4) == 2)
     }
   }
+
+  test("r7 kernels callable from SQL with literal constant arguments") {
+    GraftExtensions.registerSqlFunctions(spark)
+    val r = spark.sql(
+      """SELECT
+        |  pq_adc_score(CAST(array(1, 0) AS ARRAY<TINYINT>),
+        |               array(0.5D, 1.5D, 2.5D, 3.5D), 2) AS adc,
+        |  interleave_bits(array(1, 2), 2) AS z,
+        |  quantile_bin(3.5D, array(1.0D, 3.0D, 5.0D)) AS bin,
+        |  bpe_encode('abc cab', array(array('a','b'), array('ab','c'))) AS toks
+        |""".stripMargin).head()
+    // j=0 code 1 -> lut(0*2+1)=1.5; j=1 code 0 -> lut(1*2+0)=2.5
+    assert(r.getDouble(0) === 1.5 + 2.5)
+    assert(r.getLong(1) === 6L)
+    assert(r.getInt(2) === 2)
+    assert(r.getSeq[String](3) === Seq("abc", "c", "ab"))
+  }
 }
