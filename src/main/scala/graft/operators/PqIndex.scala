@@ -39,6 +39,32 @@ final class PqIndex private (
 
   def close(): Unit = codes.unpersist()
 
+  /** Durable form: codes table + codebook sidecar + validation manifest
+    * (build-once / serve-many-sessions, like [[IvfIndex.write]]). */
+  def write(path: String, source: String = ""): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    codebook.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toSeq) }
+    }.toSeq.toDF("j", "c", "ctr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // footer-stats count of what was just written — metadata, not a scan
+    val rows = spark.read.parquet(s"$path/codes").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", PqIndex.ManifestVersion)
+    props.setProperty("source", source)
+    props.setProperty("m", m.toString)
+    props.setProperty("ksub", ksub.toString)
+    props.setProperty("rows", rows.toString)
+    props.setProperty("codebookSha", PqIndex.codebookSha(codebook))
+    val mPath = PqIndex.manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft PQ index manifest")
+    finally out.close()
+  }
+
   /** ADC lookup table for one query: lut(j*ksub + c) = <q_sub_j, cb(j)(c)>,
     * so Σ_j lut(j*ksub + code_j) = <q, decode(code)> — the asymmetric
     * approximation of the query-corpus dot product. */
@@ -109,6 +135,77 @@ final class PqIndex private (
 object PqIndex {
   private val buildsRun = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def buildCount: Int = buildsRun.get
+
+  private val ManifestVersion = "1"
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+
+  /** Order-independent fingerprint of the codebook (subspace, centroid
+    * ids + exact double bits). */
+  private def codebookSha(cb: Array[Array[Array[Double]]]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(8 + cb(0)(0).length * 8)
+    var j = 0
+    while (j < cb.length) {
+      var c = 0
+      while (c < cb(j).length) {
+        bb.clear()
+        bb.putInt(j); bb.putInt(c)
+        cb(j)(c).foreach(d => bb.putLong(java.lang.Double.doubleToLongBits(d)))
+        md.update(bb.array(), 0, bb.position())
+        c += 1
+      }
+      j += 1
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Reopen a written index ONLY if its manifest proves it complete,
+    * current, and built from the caller's `source` — metadata-sized
+    * validation (manifest fields, codebook checksum, footer row count),
+    * never a data scan. Second-session entry point of the build-once
+    * lifecycle: a valid hit skips the codebook fit AND the corpus encode
+    * pass entirely. */
+  def loadIfValid(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: String): Option[PqIndex] = {
+    val mPath = manifestPath(path)
+    try {
+      val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mPath)) return None
+      val props = new java.util.Properties()
+      val in = fs.open(mPath)
+      try props.load(in) finally in.close()
+      def field(k: String) = Option(props.getProperty(k))
+      if (!field("version").contains(ManifestVersion) ||
+        !field("source").contains(source)) return None
+      val idx = load(spark, path)
+      val valid = field("m").contains(idx.m.toString) &&
+        field("ksub").contains(idx.ksub.toString) &&
+        field("codebookSha").contains(codebookSha(idx.codebook)) &&
+        field("rows").exists(_.toLong == idx.codes.count())
+      if (valid) Some(idx) else None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Reopen a [[PqIndex#write]]ten index: the codes table is a LAZY
+    * parquet scan (no persist — at scale the 8-byte-code table is the
+    * hot materialization itself) and the codebook comes from the
+    * sidecar. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .select("j", "c", "ctr").collect()
+    require(cbRows.nonEmpty, s"no codebook sidecar under $path")
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    cbRows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    new PqIndex(spark.read.parquet(s"$path/codes"), cb, m, ksub)
+  }
 
   /** Train per-subspace codebooks on a bounded hash-ordered sample and
     * encode the corpus once (persisted). `d % m == 0` required. */

@@ -117,6 +117,26 @@ object SimilarityQueries {
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
         m = 8, ksub = 256))
 
+  /** Durable twin of [[pqIndex]]: codes + codebook + manifest under
+    * target/, manifest-validated on reopen so a second session loads with
+    * ZERO build/encode jobs (same build-once lifecycle as
+    * [[ivfPersisted]]; PqPersistSpec asserts the skip). */
+  private val pqFileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.PqIndex]
+
+  private def pqPersisted(spark: SparkSession, dir: String): graft.operators.PqIndex =
+    pqFileCache.getOrElseUpdate((spark, dir), pqFileCache.synchronized {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val path = "target/pq-file-index/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val tag = ivfSourceTag(spark, dir)
+      graft.operators.PqIndex.loadIfValid(spark, path, tag).getOrElse {
+        pqIndex(spark, dir).write(path, tag)
+        graft.operators.PqIndex.load(spark, path)
+      }
+    })
+
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
     * assignment set per (session, dir) key). */
@@ -126,6 +146,7 @@ object SimilarityQueries {
     ivfFileCache.clear() // no persist to release — file-backed
     pqCache.values.foreach(_.close())
     pqCache.clear()
+    pqFileCache.clear() // no persist to release — file-backed
   }
 
   /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query
@@ -326,6 +347,31 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       recallOf(pqIndex(spark, dir).topK(q, k = 5, nCandidates = 256), spark, dir)
     }),
+    // Durable-PQ PARITY gate (the ann_ivf_persisted pattern): the
+    // written codes+codebook reopened through the manifest must
+    // reproduce the in-session index EXACTLY at ann_pq_topk's operating
+    // point — doubles round-trip parquet bit-exactly and tie-breaks are
+    // deterministic, so any divergence (codebook drift, schema loss, a
+    // truncated codes table the manifest failed to catch) is a real bug.
+    // Puts the build-once/serve-many PQ lifecycle on the driver's
+    // correctness gate and bench clock, not just in PqPersistSpec.
+    "ann_pq_persisted" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val mem = pqIndex(spark, dir).topK(q, k = 5, nCandidates = 256)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val file = pqPersisted(spark, dir).topK(q, k = 5, nCandidates = 256)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(file, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
     // IVF+PQ composition (the full FAISS-style serving plan): probed
     // cells bound WHICH vectors are scored, PQ codes bound WHAT a score
     // costs, exact re-rank restores precision. Pure composition of the
@@ -460,6 +506,9 @@ object SimilarityQueries {
     "ann_bruteforce_topk" -> bruteForceOracle,
     "ann_pq_recall" -> fullRecallOracle,
     "ann_ivfpq_recall" -> fullRecallOracle,
+    "ann_pq_persisted" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     // parity literals: the durable index must equal the in-session index
     // exactly (both engine-private), so the oracle is the pinned row
     "ann_ivf_persisted" ->

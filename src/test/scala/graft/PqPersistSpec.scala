@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PqIndex
+
+/** Durable PQ index lifecycle: write -> manifest-validated reload with
+  * zero build jobs, exact parity with the in-session index, and
+  * source-tag invalidation. */
+class PqPersistSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+  private val path = "target/pq-persist-test/index"
+
+  private def topkSet(idx: PqIndex): Set[(Long, Long, Int)] =
+    idx.topK(queries, k = 5, nCandidates = 64)
+      .select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("written + reloaded index reproduces the in-session top-k exactly") {
+    val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    try {
+      built.write(path, source = "spec-v1")
+      val loaded = PqIndex.load(spark, path)
+      assert(loaded.m === built.m && loaded.ksub === built.ksub)
+      assert(topkSet(loaded) === topkSet(built))
+    } finally built.close()
+  }
+
+  test("manifest-validated reload runs zero build jobs; wrong source rebuilds") {
+    val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    try {
+      built.write(path, source = "spec-v1")
+      val before = PqIndex.buildCount
+      val hit = PqIndex.loadIfValid(spark, path, "spec-v1")
+      assert(hit.isDefined, "valid manifest refused")
+      assert(PqIndex.buildCount === before, "reload ran a build")
+      assert(topkSet(hit.get) === topkSet(built))
+      // a different source fingerprint must invalidate
+      assert(PqIndex.loadIfValid(spark, path, "spec-v2").isEmpty)
+      // a corrupted manifest must invalidate, not crash
+      val mPath = new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+      val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(mPath, true)
+      out.write("version=999\n".getBytes("UTF-8")); out.close()
+      assert(PqIndex.loadIfValid(spark, path, "spec-v1").isEmpty)
+    } finally built.close()
+  }
+}
