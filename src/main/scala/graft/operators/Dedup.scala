@@ -633,6 +633,60 @@ object Dedup {
     * in no pair), with all original columns. Non-survivors are dropped via
     * an anti-join against the cluster members whose id != keep id, so the
     * corpus itself never routes through the label iteration. */
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003): hash every ORDERED word k-gram, slide a window of `w` hashes,
+    * keep each window's minimum — the selected set is position-robust
+    * (insertions/deletions outside a region don't disturb its
+    * fingerprints) and carries the winnowing GUARANTEE: any shared run of
+    * at least w + k - 1 tokens yields at least one shared fingerprint.
+    *
+    * Everything is built-in HOF arithmetic over the md5-prefix hash (the
+    * engine-portable 60-bit hash `Sampling.hashFraction` uses), so the
+    * result is exactly reproducible in any engine with md5 — the
+    * fingerprint table and the pair detection are both hash-checkable,
+    * unlike the seeded minhash/simhash families. One projection per doc,
+    * no shuffle until the pair join groups by fingerprint.
+    *
+    * Returns (idCol, fp) — one row per DISTINCT selected fingerprint per
+    * doc. Docs with fewer than k tokens yield no rows; docs with fewer
+    * than w k-grams fall back to the single global minimum (standard
+    * short-document degeneration). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1")
+    val t = split(lower(col(textCol)), " ")
+    val m = size(t) - (k - 1) // number of k-grams, >= 1 after the filter
+    val grams = transform(sequence(lit(1), m),
+      i => conv(substring(md5(concat_ws(" ", slice(t, i, lit(k)))), 1, 15), 16, 10)
+        .cast("long"))
+    val g = col("__grams")
+    val fps = when(size(g) >= w,
+        array_distinct(transform(sequence(lit(1), size(g) - (w - 1)),
+          j => array_min(slice(g, j, lit(w))))))
+      .otherwise(array(array_min(g)))
+    df.filter(size(t) >= k) // sequence(1, m) needs m >= 1
+      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol), explode(fps).as("fp"))
+      .distinct()
+  }
+
+  /** Winnowing-based near-dup pairs: docs sharing at least `minShared`
+    * selected fingerprints (id1 < id2). Grouped equi-join on the
+    * fingerprint key — bucketed like every other candidate generator,
+    * never all-pairs. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 3): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val a = fps.select(col(idCol).as("doc_id_1"), col("fp"))
+    val b = fps.select(col(idCol).as("doc_id_2"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def dropDuplicatesByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val comp = connectedComponents(pairs, srcCol, dstCol)

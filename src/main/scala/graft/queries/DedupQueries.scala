@@ -199,6 +199,29 @@ object DedupQueries {
             .as("extra_in_banded"))
         .withColumn("parity",
           col("missing_from_banded") === 0 && col("extra_in_banded") === 0)
+    }),
+    // Winnowing fingerprints (Schleimer et al., SIGMOD 2003): per-window
+    // minimum of ordered k-gram hashes — the position-robust local
+    // fingerprinting with a sharing GUARANTEE (any w+k-1-token shared run
+    // yields a shared fingerprint). Built entirely from the portable
+    // md5-prefix hash, so the selected set — unlike the seeded
+    // minhash/simhash sketches — is HASH-CHECKED end-to-end.
+    "winnow_fingerprint_stats" -> ((spark, dir) => {
+      Dedup.winnowFingerprints(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc_id")
+    }),
+    // Winnowing-based near-dup pairs: docs sharing >= 3 selected
+    // fingerprints — a grouped equi-join on the fingerprint key (the
+    // same bucketed-candidate shape as every other pair generator) that
+    // is fully exact and oracle-reproducible.
+    "winnow_dup_pairs" -> ((spark, dir) => {
+      Dedup.winnowPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4, minShared = 3)
+        .orderBy("doc_id_1", "doc_id_2")
     }))
 
   private val duckShinglesBody =
@@ -214,7 +237,38 @@ object DedupQueries {
 
   private val duckShingles = "WITH " + duckShinglesBody
 
+  /** Winnowing selection in DuckDB: same ordered k-gram md5-prefix
+    * hashes, same per-window list_min, same short-doc degeneration. */
+  private val duckWinnowBody =
+    """d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id,
+      |    [CAST(('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS BIGINT)
+      |     for i in range(1, len(t) - 1)] AS grams
+      |  FROM d),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) >= 4 THEN
+      |      list_distinct([list_min(grams[j:j+3]) for j in range(1, len(grams) - 2)])
+      |    ELSE [list_min(grams)] END AS fps
+      |  FROM g),
+      |e AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
+    "winnow_fingerprint_stats" ->
+      ("WITH " + duckWinnowBody + """
+        |SELECT doc_id, count(*) AS n_fingerprints,
+        |  min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "winnow_dup_pairs" ->
+      ("WITH " + duckWinnowBody + """
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
