@@ -113,7 +113,11 @@ object Sampling {
       s"need 0 < keepFraction <= 1, got $keepFraction")
     def flat(n: Double): Double =
       if (tau == 0.5) math.sqrt(n) else math.pow(n, tau)
-    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    // null strata are dropped (they could never be kept anyway — the
+    // CASE chain's equality never matches null) and excluded from the
+    // totals so they don't dilute every real stratum's rate
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(count(lit(1)).as("__n"))
       .collect()
       .map(r => r.get(0).toString -> r.getLong(1))
       .sortBy(_._1)

@@ -31,7 +31,15 @@ import graft.functions.functions.{pq_adc_score, pq_encode, vec_dot, vec_l2norm}
   * build-once/serve-many file lifecycle.
   */
 final class PqIndex private (
-    /** (c_id, cv raw vector, cn norm, code array<tinyint>) — persisted. */
+    /** (c_id, cv raw vector, cn norm, code array<tinyint>) — persisted.
+      * One table carries both representations deliberately: parquet (and
+      * the in-memory columnar cache) is COLUMNAR, so the ADC scan's
+      * `select(c_id, code)` reads only the 8-byte code column
+      * (ReadSchema pruning — the 32x scan-IO story) while the re-rank's
+      * bounded candidate join reads vectors without a second table or a
+      * join key rewrite. The storage footprint of the durable copy does
+      * duplicate the raw vectors; at scale, point `write` output at the
+      * serving tier and drop the source table instead of keeping both. */
     val codes: DataFrame,
     val codebook: Array[Array[Array[Double]]],
     val m: Int,
@@ -87,29 +95,33 @@ final class PqIndex private (
     out
   }
 
-  /** Exact-cosine top-k over the ADC top-`nCandidates` shortlist for a
-    * bounded query set (columns: q_id, qv array<float>). The query set is
-    * collected driver-side (the |queries| << corpus broadcast-scan
-    * contract, capped loudly) because each query's LUT is a plan literal. */
-  def topK(queries: DataFrame, k: Int, nCandidates: Int,
-      maxQueries: Int = 1024): DataFrame = {
-    require(k >= 1 && nCandidates > k, s"need nCandidates > k >= 1")
+  /** Bounded driver-side query collection: (q_id, qv, qn, lut) with the
+    * per-query ADC lookup table as a plan literal. Shared by this index's
+    * [[topK]] and the composed [[IvfPq]] path (same maxQueries/LUT
+    * contract — one implementation, one tie-break policy). */
+  private[operators] def queryLuts(queries: DataFrame, maxQueries: Int): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val rows = queries.select(col("q_id"), col("qv")).limit(maxQueries + 1).collect()
     require(rows.length <= maxQueries,
       s"PQ query set exceeds $maxQueries rows — the per-query LUT literal " +
         "contract is |queries| << |corpus|; batch larger sets")
-    val qSeq = rows.map { r =>
+    rows.map { r =>
       val v = r.getSeq[Float](1).map(_.toDouble).toArray
       val n = math.sqrt(v.map(x => x * x).sum)
       (r.getLong(0), r.getSeq[Float](1), n, lutFor(v).toSeq)
-    }.toSeq.sortBy(_._1)
-    val luts = qSeq.toDF("q_id", "qv", "qn", "lut")
+    }.toSeq.sortBy(_._1).toDF("q_id", "qv", "qn", "lut")
+  }
 
-    // phase 1: ADC scan + two-level candidate cut over slim rows
-    val slim = codes.select(col("c_id"), col("code"))
-      .crossJoin(broadcast(luts.select(col("q_id"), col("lut"))))
+  /** Phases shared by the plain and IVF-composed serving paths: ADC-score
+    * `withLut` (q_id, c_id, code, lut), take the two-level
+    * top-`nCandidates` cut over slim (q_id, c_id, adc) rows — rank within
+    * (q_id, partition) first, then globally, so no task ever sees a
+    * corpus-sized group — and exact-cosine re-rank the shortlist against
+    * `vectors` (c_id, cv, cn). */
+  private[operators] def rankShortlist(withLut: DataFrame, luts: DataFrame,
+      vectors: DataFrame, k: Int, nCandidates: Int): DataFrame = {
+    val slim = withLut
       .withColumn("adc", pq_adc_score(col("code"), col("lut"), ksub))
       .select("q_id", "c_id", "adc")
       .withColumn("pid", spark_partition_id())
@@ -119,16 +131,27 @@ final class PqIndex private (
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= nCandidates)
       .withColumn("r2", row_number().over(w2)).filter(col("r2") <= nCandidates)
       .select("q_id", "c_id")
-
-    // phase 2: exact re-rank of the shortlist on the raw vectors
     val w3 = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
-    cand.join(codes.select("c_id", "cv", "cn"), "c_id")
+    cand.join(vectors, "c_id")
       .join(broadcast(luts.select("q_id", "qv", "qn")), "q_id")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w3))
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "rank", "cosine")
+  }
+
+  /** Exact-cosine top-k over the ADC top-`nCandidates` shortlist for a
+    * bounded query set (columns: q_id, qv array<float>). The query set is
+    * collected driver-side (the |queries| << corpus broadcast-scan
+    * contract, capped loudly) because each query's LUT is a plan literal. */
+  def topK(queries: DataFrame, k: Int, nCandidates: Int,
+      maxQueries: Int = 1024): DataFrame = {
+    require(k >= 1 && nCandidates > k, s"need nCandidates > k >= 1")
+    val luts = queryLuts(queries, maxQueries)
+    val withLut = codes.select(col("c_id"), col("code"))
+      .crossJoin(broadcast(luts.select(col("q_id"), col("lut"))))
+    rankShortlist(withLut, luts, codes.select("c_id", "cv", "cn"), k, nCandidates)
   }
 }
 

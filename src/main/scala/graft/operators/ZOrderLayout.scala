@@ -109,6 +109,11 @@ object ZOrderLayout {
         k.replaceAll("\"", "") -> v.replaceAll("\"", "")
       }.toMap
       val keep = bounds.forall { case (c, (lo, hi)) =>
+        require(fields.contains(s"min_$c"),
+          s"column '$c' is not in this layout's manifest (clustered " +
+            s"columns: ${fields.keys.filter(_.startsWith("min_"))
+              .map(_.stripPrefix("min_")).mkString(", ")}) — " +
+            "only clustering columns can drive file skipping")
         val mn = fields(s"min_$c").toDouble
         val mx = fields(s"max_$c").toDouble
         mx >= lo && mn <= hi

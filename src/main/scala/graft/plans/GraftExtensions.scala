@@ -98,9 +98,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("interleave_bits",
       exprs => InterleaveBits(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("quantile_bin",
+      // cuts are sorted here exactly as ZOrderLayout.zcode sorts them —
+      // the binary search's upper-bound invariant needs it
       exprs => QuantileBinSearch(exprs(0),
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray()), "built-in")
+          .toDoubleArray().sorted), "built-in")
     reg.createOrReplaceTempFunction("bpe_encode",
       exprs => {
         val raw = exprs(1).eval()

@@ -189,11 +189,17 @@ object PipelineQueries {
         |         WHEN lang = 'en' THEN 0.25 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
     // same rate derivation as Sampling.temperatureRebalance: sqrt is
-    // IEEE-exact and the arithmetic order matches the Scala side, so
-    // membership agrees bit-for-bit
+    // IEEE-exact and the arithmetic matches the Scala side EXACTLY,
+    // including the summation ORDER of the flattened totals (list(...
+    // ORDER BY lang) sums in the same sorted-stratum order the operator
+    // folds in — double addition is non-associative, and an unordered
+    // sum(...) could differ in the last ulp), so membership agrees
+    // bit-for-bit; null strata are dropped on both sides
     "rebalance_temperature" ->
-      """WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
-        |t AS (SELECT sum(sqrt(n_s)) AS ft, sum(n_s) AS tot FROM n),
+      """WITH n AS (SELECT lang, count(*) AS n_s FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
+        |t AS (SELECT list_sum(list(sqrt(n_s) ORDER BY lang)) AS ft,
+        |             sum(n_s) AS tot FROM n),
         |r AS (SELECT lang,
         |        least(1.0, sqrt(n_s) / t.ft * (0.5 * t.tot) / n_s) AS rate
         |      FROM n, t)
