@@ -656,19 +656,16 @@ object Dedup {
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1")
     val t = split(lower(col(textCol)), " ")
-    val m = size(t) - (k - 1) // number of k-grams, >= 1 after the filter
-    val grams = transform(sequence(lit(1), m),
-      i => conv(substring(md5(concat_ws(" ", slice(t, i, lit(k)))), 1, 15), 16, 10)
-        .cast("long"))
-    val g = col("__grams")
-    val fps = when(size(g) >= w,
-        array_distinct(transform(sequence(lit(1), size(g) - (w - 1)),
-          j => array_min(slice(g, j, lit(w))))))
-      .otherwise(array(array_min(g)))
-    df.filter(size(t) >= k) // sequence(1, m) needs m >= 1
-      .select(col(idCol), grams.as("__grams"))
+    // the native one-pass kernel (functions.WinnowSelect) — value-
+    // identical to the HOF formulation over
+    // conv(substring(md5(gram), 1, 15), 16, 10) (WinnowSpec pins the
+    // parity), ~10x cheaper: no per-gram lambda/hex-string round-trips
+    val fps = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.WinnowSelect(
+        org.apache.spark.sql.graft.bridge.expression(t), k, w))
+    df.filter(size(t) >= k) // under k tokens: no k-grams, no fingerprints
       .select(col(idCol), explode(fps).as("fp"))
-      .distinct()
+    // already distinct per doc: the kernel emits a set — no extra shuffle
   }
 
   /** Winnowing-based near-dup pairs: docs sharing at least `minShared`

@@ -54,6 +54,29 @@ class WinnowSpec extends AnyFunSuite {
     assert(fps(Seq((2L, "a b"))).get(2L).isEmpty)
   }
 
+  test("native kernel == the composable md5-prefix HOF formulation") {
+    // the slow reference: conv(substring(md5(gram),1,15),16,10) grams,
+    // per-window array_min, array_distinct — the definition the DuckDB
+    // oracle implements; the native WinnowSelect must match it row-set
+    // for row-set on real fixture text (unicode, repeats, short docs)
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(200)
+    val t = split(lower(col("text")), " ")
+    val grams = transform(sequence(lit(1), size(t) - 2),
+      i => conv(substring(md5(concat_ws(" ", slice(t, i, lit(3)))), 1, 15), 16, 10)
+        .cast("long"))
+    val g = col("__grams")
+    val hofFps = when(size(g) >= 4,
+        array_distinct(transform(sequence(lit(1), size(g) - 3),
+          j => array_min(slice(g, j, lit(4))))))
+      .otherwise(array(array_min(g)))
+    val reference = docs.filter(size(t) >= 3)
+      .select(col("doc_id"), grams.as("__grams"))
+      .select(col("doc_id"), explode(hofFps).as("fp")).distinct()
+    val native = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    assert(native.except(reference).count() === 0L)
+    assert(reference.except(native).count() === 0L)
+  }
+
   test("pairs: identical docs share all fingerprints, unrelated docs none") {
     import spark.implicits._
     val docs = Seq(
