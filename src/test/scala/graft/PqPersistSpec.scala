@@ -31,6 +31,23 @@ class PqPersistSpec extends AnyFunSuite {
     } finally built.close()
   }
 
+  test("durable ADC scan prunes to the code column (32x scan-IO story)") {
+    // the one-table layout claims the ADC phase never reads vector bytes
+    // because parquet is columnar — assert it: the file-backed scan under
+    // the ADC projection must carry only (c_id, code) in ReadSchema
+    val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    try {
+      built.write(path, source = "spec-prune")
+      val loaded = PqIndex.load(spark, path)
+      val plan = loaded.codes.select("c_id", "code")
+        .queryExecution.executedPlan.toString
+      val readSchema = "ReadSchema: ([^\\n]*)".r
+        .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+      assert(readSchema.contains("code") && !readSchema.contains("cv"),
+        s"ADC projection reads more than the code column: $readSchema")
+    } finally built.close()
+  }
+
   test("manifest-validated reload runs zero build jobs; wrong source rebuilds") {
     val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     try {
