@@ -122,4 +122,14 @@ class SkewStressSpec extends AnyFunSuite {
       Dedup.minhashPairs(hotCorpus, "doc_id", "text"),
       minPairs = 499500L)
   }
+
+  test("winnow fingerprint join splits the hot-fingerprint partition and preserves results") {
+    // every 3-word hot doc yields exactly one k-gram, hence ONE winnowed
+    // fingerprint shared by all 1000 boilerplate docs — the fingerprint
+    // self-join's hot key (minShared = 1 so the hot cluster's pairs
+    // dominate, same shape as the shingle test)
+    assertSkewHandled(
+      Dedup.winnowPairs(hotCorpus, "doc_id", "text", k = 3, w = 4, minShared = 1),
+      minPairs = 499500L)
+  }
 }
