@@ -249,6 +249,18 @@ object IvfIndex {
     // expanded through the dot kernel; array_min over (dist, cell) structs
     // tie-breaks deterministically. Zero-norm vectors land in the cell
     // with the smallest centroid (dist reduces to 1 + ||c_i||^2).
+    val cells = assignCells(base, centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new IvfIndex(cells, centroids, nCells, fileBacked = false)
+  }
+
+  /** Cell assignment under a FIXED set of centroids: one lazy scan through
+    * literal centroid dot products. Shared by [[build]] and the
+    * incremental [[appendTo]] path — same expression, same tie-breaks, so
+    * appended vectors land exactly where a rebuild with these centroids
+    * would put them. Input: (c_id, cv, cn). */
+  private def assignCells(base: DataFrame,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
     val distStructs = centroids.map { case (i, ctr) =>
       val cd = ctr.map(_.toDouble)
       val c2 = cd.map(x => x * x).sum
@@ -258,11 +270,41 @@ object IvfIndex {
             / when(col("cn") > 0, col("cn")).otherwise(lit(1.0))).as("d"),
         lit(i).as("cell"))
     }
-    val cells = base
-      .withColumn("cell", array_min(array(distStructs: _*)).getField("cell"))
+    base.withColumn("cell", array_min(array(distStructs: _*)).getField("cell"))
       .select("cell", "c_id", "cv", "cn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    new IvfIndex(cells, centroids, nCells, fileBacked = false)
+  }
+
+  /** Incremental index maintenance: assign `df`'s vectors with the
+    * WRITTEN index's existing quantizer (no re-fit, no sample job — the
+    * centroid sidecar is the contract), append them as new files under
+    * their cell partitions, and refresh the manifest for `newSource`.
+    *
+    * At 100 TB this is the daily-arrival path: the cost is one scan of
+    * the NEW data plus a footer recount — the existing inverted file is
+    * untouched on disk and every statically-pruned probe keeps working.
+    * Quantizer drift is the operator's judgment call: when the corpus
+    * distribution moves, rebuild; the manifest's centroid checksum pins
+    * which quantizer every row was assigned under either way. */
+  def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String, newSource: String): Unit = {
+    val idx = load(spark, path)
+    val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vec_l2norm(col("cv")))
+    assignCells(base, idx.centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    // manifest refresh: same centroids, new row count + source
+    val rows = spark.read.parquet(s"$path/cells").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("nCells", idx.nCells.toString)
+    props.setProperty("rows", rows.toString)
+    props.setProperty("centroidSha", centroidSha(idx.centroids))
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft IVF inverted-file manifest")
+    finally out.close()
   }
 
   /** Sum of squared distances to the closest centroid. */

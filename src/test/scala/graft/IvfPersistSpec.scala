@@ -146,4 +146,55 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(fs.getFileStatus(mPath).getModificationTime == mtime,
       "index was rewritten instead of manifest-loaded")
   }
+
+  test("appendTo extends a written index without re-fitting the quantizer") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val basePart = emb.filter(col("vec_id") % 3 =!= 0)
+    val newPart = emb.filter(col("vec_id") % 3 === 0)
+    val apPath = "target/ivf-append-test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(apPath))
+
+    val built = IvfIndex.build(basePart, "vec_id", "embedding", nCells = 8)
+    try {
+      built.write(apPath, source = "base-v1")
+      val buildsBefore = IvfIndex.buildsRun.get()
+      IvfIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
+        newSource = "base-v1+delta")
+      assert(IvfIndex.buildsRun.get() == buildsBefore,
+        "append ran a quantizer fit — the existing centroids are the contract")
+
+      // manifest reflects the new population and still validates
+      val reloaded = IvfIndex.loadIfValid(spark, apPath, "base-v1+delta")
+      assert(reloaded.isDefined, "refreshed manifest refused to validate")
+      val idx = reloaded.get
+      assert(idx.cells.count() === emb.count(), "appended rows missing")
+      // appended vectors landed exactly where the shared assignment
+      // expression puts them: re-deriving each new vector's cell from the
+      // loaded centroids must match the partition it was written into
+      val again = IvfIndex.build(basePart, "vec_id", "embedding", nCells = 8)
+      try {
+        assert(idx.centroids.map(_._1) === again.centroids.map(_._1))
+        // full-probe top-k over the appended index == brute force over
+        // the UNION corpus (cell structure is irrelevant at nprobe ==
+        // nCells, so this pins assignment + append integrity end to end)
+        val got = idx.topK(queriesDf, k = 5, nprobe = 8)
+          .select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.functions.{vec_dot, vec_l2norm}
+        val all = emb.select(col("vec_id").as("c_id"),
+          col("embedding").as("cv"), vec_l2norm(col("embedding")).as("cn"))
+        val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+        val exact = all.crossJoin(broadcast(queriesDf
+            .withColumn("qn", vec_l2norm(col("qv")))))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === exact,
+          s"appended index full probe != brute force over the union")
+      } finally again.close()
+    } finally built.close()
+  }
 }
