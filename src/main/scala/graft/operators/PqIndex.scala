@@ -213,6 +213,36 @@ object PqIndex {
     }
   }
 
+  /** Incremental maintenance: encode `df`'s vectors with the WRITTEN
+    * index's existing codebook (no re-fit — the sidecar is the contract),
+    * append them to the codes table, refresh the manifest for
+    * `newSource`. The IVF twin is [[IvfIndex.appendTo]]; together they
+    * keep the composed [[IvfPq]] path serving daily arrivals with one
+    * scan of the new data. Codebook drift is the operator's rebuild
+    * call; the manifest's codebook checksum pins what every code was
+    * encoded under. */
+  def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String, newSource: String): Unit = {
+    val idx = load(spark, path)
+    df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vec_l2norm(col("cv")))
+      .withColumn("code", pq_encode(col("cv"), idx.codebook))
+      .write.mode("append").parquet(s"$path/codes")
+    val rows = spark.read.parquet(s"$path/codes").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("m", idx.m.toString)
+    props.setProperty("ksub", idx.ksub.toString)
+    props.setProperty("rows", rows.toString)
+    props.setProperty("codebookSha", codebookSha(idx.codebook))
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft PQ index manifest")
+    finally out.close()
+  }
+
   /** Reopen a [[PqIndex#write]]ten index: the codes table is a LAZY
     * parquet scan (no persist — at scale the 8-byte-code table is the
     * hot materialization itself) and the codebook comes from the

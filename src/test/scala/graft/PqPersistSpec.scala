@@ -48,6 +48,34 @@ class PqPersistSpec extends AnyFunSuite {
     } finally built.close()
   }
 
+  test("appendTo encodes arrivals under the existing codebook, no re-fit") {
+    val basePart = emb.filter(col("vec_id") % 3 =!= 0)
+    val newPart = emb.filter(col("vec_id") % 3 === 0)
+    val apPath = "target/pq-append-test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(apPath))
+    val built = PqIndex.build(basePart, "vec_id", "embedding", m = 8, ksub = 16)
+    try {
+      built.write(apPath, source = "base-v1")
+      val before = PqIndex.buildCount
+      PqIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
+        newSource = "base-v1+delta")
+      assert(PqIndex.buildCount === before, "append ran a codebook fit")
+      val idx = PqIndex.loadIfValid(spark, apPath, "base-v1+delta")
+      assert(idx.isDefined, "refreshed manifest refused to validate")
+      assert(idx.get.codes.count() === emb.count())
+      // appended codes == encoding the same rows through the in-session
+      // index's codebook (shared PqEncode expression, same argmin)
+      import graft.functions.functions.pq_encode
+      val expected = newPart.select(col("vec_id").as("c_id"),
+        pq_encode(col("embedding"), built.codebook).as("code"))
+      val got = idx.get.codes
+        .join(newPart.select(col("vec_id").as("c_id")), "c_id")
+        .select("c_id", "code")
+      assert(got.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(got).count() === 0L)
+    } finally built.close()
+  }
+
   test("manifest-validated reload runs zero build jobs; wrong source rebuilds") {
     val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     try {
