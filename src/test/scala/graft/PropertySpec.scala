@@ -108,4 +108,54 @@ class PropertySpec extends AnyFunSuite {
     assert(strip(strip("ガギダ")) == strip("ガギダ"))
     assert(strip("café 한글") == "cafe 한글")
   }
+
+  private val textGen: Gen[String] = Gen.listOfN(30,
+    Gen.oneOf(Gen.oneOf("ab", "ba", "abc", "a", "b", "c", "cc"),
+      Gen.oneOf("é", "ß", "日本", "😀x", "한", "z9")))
+    .map(_.mkString(" "))
+
+  test("bpe encode roundtrips arbitrary unicode under arbitrary merges") {
+    import graft.functions.BpeKernels
+    val mergeGen: Gen[Array[Array[String]]] = Gen.listOfN(6,
+      Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc"), Gen.oneOf("a", "b", "c", "ab")))
+      .map(_.map { case (x, y) => Array(x, y) }.toArray)
+    for (text <- sample(textGen, 40); merges <- sample(mergeGen, 3)) {
+      val ranks = BpeKernels.rankTable(merges)
+      val toks = BpeKernels.encode(UTF8String.fromString(text), ranks)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      // roundtrip: concat(tokens) == the space-stripped lowercase text
+      assert(toks.mkString("") == text.toLowerCase.replace(" ", ""),
+        s"roundtrip broke on '$text' with ${merges.map(_.mkString("+")).toSeq}")
+      // every token is a single codepoint or a concatenation built ONLY
+      // from the merge vocabulary closure: length-1-codepoint tokens are
+      // always legal; longer tokens must have been produced by some merge
+      val vocab = merges.map(m => m(0) + m(1)).toSet
+      toks.filter(t => t.codePointCount(0, t.length) > 1).foreach(t =>
+        assert(vocab.contains(t), s"token '$t' not in the merge closure"))
+    }
+  }
+
+  test("winnow select: subset of gram hashes, bounded size, short-doc degeneration") {
+    import graft.functions.WinnowKernels
+    for (text <- sample(textGen, 40); w <- Seq(2, 4, 7)) {
+      val tokens = text.toLowerCase.split(" ", -1).toSeq
+      if (tokens.length >= 3) {
+        val fps = WinnowKernels.select(toArrayData(tokens), 3, w)
+          .toLongArray().toSeq
+        val m = tokens.length - 2
+        // reference gram hashes via the composable definition's values
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val grams = (0 until m).map { i =>
+          md.reset()
+          val d = md.digest(tokens.slice(i, i + 3).mkString(" ").getBytes("UTF-8"))
+          java.lang.Long.parseUnsignedLong(
+            d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+        }
+        assert(fps.toSet.subsetOf(grams.toSet), s"alien fingerprint for '$text'")
+        assert(fps.nonEmpty && fps.length <= math.max(1, m - w + 1))
+        assert(fps == fps.sorted && fps.distinct == fps, "not a sorted set")
+        if (m < w) assert(fps == Seq(grams.min), "short-doc degeneration broken")
+      }
+    }
+  }
 }
