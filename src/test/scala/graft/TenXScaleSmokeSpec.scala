@@ -67,6 +67,9 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     (jaccardPairs, minhashPairs, simhashPairs, survivors)
   }
 
+  private def winnowPairCount(docs: DataFrame): Long =
+    Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4, minShared = 3).count()
+
   private def timed[T](body: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = body
@@ -101,6 +104,20 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     assert(t10 <= 15 * t1,
       f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs) " +
         "— superlinear scaling in the dedup family")
+  }
+
+  test("winnow pairs on a 10x corpus equal the per-copy sum (no cross-copy pairs)",
+      SlowTest) {
+    // winnowed fingerprints are md5-valued, so the per-copy shingle
+    // rename CHANGES which gram wins each window — like minhash band
+    // collisions, the exact 10x oracle is the per-copy sum, and any
+    // cross-copy pair (impossible: renamed gram spaces are disjoint)
+    // or per-bucket blowup shows up as an excess
+    val perCopy = (0 until copies).map(c => winnowPairCount(copyDf(c))).sum
+    val (w10, t10) = timed(winnowPairCount(saltedCorpus))
+    assert(w10 == perCopy,
+      s"winnow pairs $w10 != per-copy sum $perCopy — cross-copy pairs or loss")
+    info(f"winnow pairs 10x: $w10 in $t10%.1fs")
   }
 
   test("PQ ANN serving scales ~linearly onto a 10x vector corpus", SlowTest) {
