@@ -41,6 +41,25 @@ class IvfPqSpec extends AnyFunSuite {
     assert(exact.except(got).count() === 0L)
   }
 
+  test("composition of DURABLE indexes equals the in-session composition") {
+    // IvfPq is representation-agnostic: wiring the file-backed IVF and
+    // the file-backed PQ into the same operator must reproduce the
+    // in-session pair exactly (both durable halves are already pinned to
+    // their in-session twins individually; this closes the matrix)
+    val ivfPath = "target/ivfpq-durable-test/ivf"
+    val pqPath = "target/ivfpq-durable-test/pq"
+    ivf.write(ivfPath, source = "compose")
+    pq.write(pqPath, source = "compose")
+    val durable = new IvfPq(
+      IvfIndex.load(spark, ivfPath), PqIndex.load(spark, pqPath))
+    val a = index.topK(queries, k = 5, nprobe = 6, nCandidates = 64)
+      .select("q_id", "c_id", "rank")
+    val b = durable.topK(queries, k = 5, nprobe = 6, nCandidates = 64)
+      .select("q_id", "c_id", "rank")
+    assert(a.except(b).count() === 0L)
+    assert(b.except(a).count() === 0L)
+  }
+
   test("full recall@5 at the driver operating point (nprobe=6, C=256)") {
     val got = index.topK(queries, k = 5, nprobe = 6, nCandidates = 256)
       .select("q_id", "c_id").collect()
