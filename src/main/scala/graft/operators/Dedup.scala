@@ -684,6 +684,111 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Verbatim-repeat intervals — the EXACT SUBSTRING dedup family (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): runs of at least `minRun` tokens that occur verbatim
+    * elsewhere in the corpus (another document, or earlier in the same
+    * document), reported as per-document excision intervals with the
+    * globally FIRST occurrence kept. The substring-level complement of
+    * document near-dup: winnowing/jaccard drop whole near-duplicate
+    * documents, while this finds the boilerplate/quote/copy-paste runs
+    * INSIDE otherwise-distinct documents.
+    *
+    * Method: every ordered token k-gram is keyed by its md5 (128 bits —
+    * collision rate negligible at any corpus size, and engine-portable so
+    * the driver oracle reproduces the table bit-for-bit; the hash, not
+    * the ~10x larger gram string, is what shuffles). The per-gram FIRST
+    * occurrence (minimum (doc_id, pos)) comes from one map-side-
+    * combinable aggregate; every OTHER occurrence covers its tokens
+    * [pos, pos+k-1]; per-document coverage merges into maximal intervals
+    * with the classic gaps-and-islands window (the sessionize shape), and
+    * intervals spanning >= minRun tokens survive. A shared run of
+    * R >= minRun tokens yields R-k+1 CONSECUTIVE duplicate anchors in
+    * every non-first occurrence, so the merged interval covers the whole
+    * run (exact for any minRun >= k); the first occurrence contributes no
+    * duplicate anchors and is untouched.
+    *
+    * Scale shape: anchors shuffle keyed by gram hash (bounded buckets —
+    * the boilerplate_ngrams family); the first-occurrence join is keyed
+    * by the same hash and prefiltered to grams with >= 2 occurrences
+    * (frequency-1 grams — ~all of a real corpus — never leave their
+    * aggregate); interval merging windows by doc_id over DUPLICATE
+    * anchors only, a tiny fraction of the corpus at realistic dup rates.
+    * Nothing is broadcast or collected.
+    *
+    * Returns (doc_id, start_pos, end_pos, span_tokens): 1-based inclusive
+    * positions over the lowercased whitespace tokens. */
+  def substringRepeatIntervals(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13, minRun: Int = 50): DataFrame = {
+    require(k >= 2 && minRun >= k, s"need minRun >= k >= 2, got k=$k minRun=$minRun")
+    import org.apache.spark.sql.expressions.Window
+    val w = toks(col(textCol))
+    // native one-pass gram hashing (functions.GramMd5) — value-identical
+    // to transform(sequence(1, n-k+1), i -> md5(concat_ws(' ',
+    // slice(w, i, k)))) but ~6x cheaper (no interpreted lambda, no
+    // per-position string concat chain); parity pinned in
+    // SubstringDedupSpec
+    val grams = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.GramMd5(
+        org.apache.spark.sql.graft.bridge.expression(w), k))
+    val occ = df.filter(size(w) >= k)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(grams).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    val firsts = occ.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val dup = occ.join(firsts, "g")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("pm",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pm").isNull || col("pos") > col("pm") + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum("ni").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("start_pos"), max("e").as("end_pos"))
+      .filter(col("end_pos") - col("start_pos") + 1 >= minRun)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+  }
+
+  /** Apply [[substringRepeatIntervals]] to the corpus: every document with
+    * its verbatim >= `minRun`-token repeats REMOVED — the token stream
+    * outside the excision intervals, in order, over the lowercased
+    * whitespace tokens — reported as counts plus an md5 fingerprint of the
+    * cleaned text (the fingerprint keeps the driver row hash-checkable
+    * without shipping full cleaned bodies through the compare; callers
+    * wanting the text itself take `kept` before the final projection).
+    * Documents with nothing excised pass through with excised_tokens = 0
+    * and the fingerprint of their full lowercased text. The interval join
+    * is keyed by doc_id against a repeat-sized table; token filtering is a
+    * codegen'd higher-order `filter` per row — no shuffle beyond the
+    * interval aggregation itself. */
+  def exciseRepeats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13, minRun: Int = 50): DataFrame = {
+    val ivTable = substringRepeatIntervals(df, idCol, textCol, k, minRun)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("start_pos").as("s"), col("end_pos").as("e")))).as("ivs"))
+    val w = toks(col(textCol))
+    df.select(col(idCol).cast("long").as("doc_id"), w.as("w"))
+      .join(ivTable, Seq("doc_id"), "left")
+      // 1-based token position i+1; a null ivs (no repeats) keeps all —
+      // the isNull disjunct short-circuits before exists sees the null
+      .withColumn("kept", filter(col("w"), (x, i) =>
+        col("ivs").isNull || !exists(col("ivs"),
+          v => i + 1 >= v.getField("s") && i + 1 <= v.getField("e"))))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).as("excised_tokens"),
+        size(col("kept")).as("kept_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_fingerprint"))
+  }
+
   def dropDuplicatesByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val comp = connectedComponents(pairs, srcCol, dstCol)

@@ -222,6 +222,24 @@ object DedupQueries {
       Dedup.winnowPairs(Tables.load(spark, dir, "documents"),
           "doc_id", "text", k = 3, w = 4, minShared = 3)
         .orderBy("doc_id_1", "doc_id_2")
+    }),
+    // Exact substring dedup (Lee et al., ACL 2022): verbatim >= 50-token
+    // runs repeated anywhere in the corpus, as per-doc excision intervals
+    // keeping the globally first occurrence — 13-gram md5 anchors ->
+    // first-occurrence aggregate -> gaps-and-islands interval merge, all
+    // engine-portable arithmetic so the interval table hash-checks.
+    "dedup_substring" -> ((spark, dir) => {
+      Dedup.substringRepeatIntervals(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 13, minRun = 50)
+        .orderBy("doc_id", "start_pos")
+    }),
+    // The applied form: every document with its >= 50-token verbatim
+    // repeats removed, as counts + an md5 fingerprint of the cleaned
+    // token stream (hash-checkable without shipping cleaned bodies).
+    "corpus_excise_repeats" -> ((spark, dir) => {
+      Dedup.exciseRepeats(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 13, minRun = 50)
+        .orderBy("doc_id")
     }))
 
   private val duckShinglesBody =
@@ -256,7 +274,59 @@ object DedupQueries {
       |  FROM g),
       |e AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
+  /** Substring-repeat intervals in DuckDB: same 13-gram md5 anchors, same
+    * first-occurrence rule (window rank == the min-(doc_id,pos) aggregate),
+    * same gaps-and-islands merge at minRun = 50. */
+  private val duckSubstringBody =
+    """tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 13),
+      |occ AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+12], ' ')) AS g
+      |  FROM tok CROSS JOIN unnest(range(1, len(w) - 11)) AS t(i)),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |    FROM occ) WHERE rn > 1),
+      |mk AS (
+      |  SELECT doc_id, pos, pos + 12 AS e,
+      |    max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM dup),
+      |isl AS (
+      |  SELECT doc_id, pos, e,
+      |    sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM mk),
+      |iv0 AS (
+      |  SELECT doc_id, min(pos) AS s, max(e) AS e
+      |  FROM isl GROUP BY doc_id, island
+      |  HAVING max(e) - min(pos) + 1 >= 50)""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
+    "dedup_substring" ->
+      ("WITH " + duckSubstringBody + """
+        |SELECT doc_id, CAST(s AS BIGINT) AS start_pos, CAST(e AS BIGINT) AS end_pos,
+        |  CAST(e - s + 1 AS BIGINT) AS span_tokens
+        |FROM iv0 ORDER BY doc_id, start_pos""".stripMargin),
+    "corpus_excise_repeats" ->
+      ("WITH " + duckSubstringBody + """,
+        |iv AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS ivs
+        |       FROM iv0 GROUP BY doc_id),
+        |alltok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |cl AS (
+        |  SELECT t.doc_id, t.w,
+        |    CASE WHEN v.ivs IS NULL THEN t.w
+        |         ELSE list_filter(t.w, (x, i) ->
+        |           len(list_filter(v.ivs, b -> i >= b.s AND i <= b.e)) = 0)
+        |    END AS kept
+        |  FROM alltok t LEFT JOIN iv v ON t.doc_id = v.doc_id)
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(len(w) - len(kept) AS INTEGER) AS excised_tokens,
+        |  CAST(len(kept) AS INTEGER) AS kept_tokens,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fingerprint
+        |FROM cl ORDER BY doc_id""".stripMargin),
     "winnow_fingerprint_stats" ->
       ("WITH " + duckWinnowBody + """
         |SELECT doc_id, count(*) AS n_fingerprints,

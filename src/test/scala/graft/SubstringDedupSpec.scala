@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Exact substring dedup (Lee et al. verbatim-repeat excision): planted
+  * corpora pin the guarantee — a shared >= minRun-token run is excised
+  * from every occurrence but the globally first, shorter shares are left
+  * alone, and unshared text is never touched. */
+class SubstringDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def uniq(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  // a 60-token run shared verbatim by docs 1, 2, 3 at different offsets;
+  // docs 2 and 3 embed it inside otherwise-unique text
+  private val run60 = (0 until 60).map(i => s"shared$i").mkString(" ")
+
+  private lazy val planted = Seq(
+    (1L, run60 + " " + uniq("a", 10)),
+    (2L, uniq("b", 25) + " " + run60 + " " + uniq("c", 5)),
+    (3L, uniq("d", 7) + " " + run60),
+    (4L, uniq("e", 80)),
+    (5L, uniq("f", 3))
+  ).toDF("doc_id", "text")
+
+  test("a planted shared 60-token run is excised from all but the first doc") {
+    val iv = Dedup.substringRepeatIntervals(planted, "doc_id", "text",
+      k = 13, minRun = 50).collect()
+    // doc 1 (globally first occurrence) untouched; docs 2 and 3 excise
+    // exactly the run at its local offset
+    assert(!iv.exists(_.getLong(0) == 1L))
+    val d2 = iv.filter(_.getLong(0) == 2L).map(r => (r.getLong(1), r.getLong(2)))
+    val d3 = iv.filter(_.getLong(0) == 3L).map(r => (r.getLong(1), r.getLong(2)))
+    assert(d2.toSeq == Seq((26L, 85L)))
+    assert(d3.toSeq == Seq((8L, 67L)))
+    assert(iv.forall(r => r.getLong(0) == 2L || r.getLong(0) == 3L))
+  }
+
+  test("excision removes exactly the run tokens and keeps everything else") {
+    val out = Dedup.exciseRepeats(planted, "doc_id", "text", k = 13, minRun = 50)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(byId(1L) == ((70, 0, 70, md5Hex(run60 + " " + uniq("a", 10)))))
+    assert(byId(2L) == ((90, 60, 30, md5Hex(uniq("b", 25) + " " + uniq("c", 5)))))
+    assert(byId(3L) == ((67, 60, 7, md5Hex(uniq("d", 7)))))
+    assert(byId(4L) == ((80, 0, 80, md5Hex(uniq("e", 80)))))
+    // below-k docs pass through whole
+    assert(byId(5L) == ((3, 0, 3, md5Hex(uniq("f", 3)))))
+  }
+
+  test("a shared run under minRun is not excised") {
+    val run40 = (0 until 40).map(i => s"short$i").mkString(" ")
+    val df = Seq(
+      (1L, run40 + " " + uniq("x", 20)),
+      (2L, uniq("y", 20) + " " + run40)
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringRepeatIntervals(df, "doc_id", "text",
+      k = 13, minRun = 50).isEmpty)
+    // but it IS found once minRun drops to its length
+    val iv = Dedup.substringRepeatIntervals(df, "doc_id", "text",
+      k = 13, minRun = 40).collect()
+    assert(iv.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 21L, 60L)))
+  }
+
+  test("intra-doc verbatim repeat keeps only the first occurrence") {
+    val df = Seq(
+      (7L, run60 + " " + uniq("m", 9) + " " + run60)
+    ).toDF("doc_id", "text")
+    val iv = Dedup.substringRepeatIntervals(df, "doc_id", "text",
+      k = 13, minRun = 50).collect()
+    assert(iv.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((7L, 70L, 129L)))
+  }
+
+  test("adjacent repeats merge into one interval spanning both") {
+    // two 30-token runs, each under minRun alone, adjacent in the copy:
+    // the merged interval passes the 50 gate only because merging works
+    val r1 = (0 until 30).map(i => s"p$i").mkString(" ")
+    val r2 = (0 until 30).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (1L, r1 + " " + uniq("u", 20) + " " + r2),
+      (2L, uniq("v", 15) + " " + r1 + " " + r2)
+    ).toDF("doc_id", "text")
+    val iv = Dedup.substringRepeatIntervals(df, "doc_id", "text",
+      k = 13, minRun = 50).collect()
+    assert(iv.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 16L, 75L)))
+  }
+
+  test("native GramMd5 kernel == the HOF md5(concat_ws(slice)) formulation") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val w = split(lower(col("text")), " ")
+    val kernel = docs.filter(size(w) >= 13)
+      .select(col("doc_id"), posexplode(org.apache.spark.sql.graft.bridge.column(
+        graft.functions.GramMd5(
+          org.apache.spark.sql.graft.bridge.expression(w), 13))).as(Seq("p", "g")))
+    val hof = docs.filter(size(w) >= 13)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(w) - 13),
+        i => struct(i.as("p"), md5(concat_ws(" ", slice(w, i + 1, lit(13)))).as("g"))))
+        .as("a"))
+      .select(col("doc_id"), col("a.p").as("p"), col("a.g").as("g"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+    assert(kernel.count() > 0)
+    // short arrays: total, empty — not a crash
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val two = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b")))
+    assert(graft.functions.GramKernels.md5Grams(two, 13).numElements() === 0)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.toLowerCase.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+}
