@@ -95,7 +95,17 @@ object TextAnalysis {
     * shuffle joins on the bigram/context keys and a 1-row broadcast (V);
     * no windows, no driver-side state. Docs with fewer than two tokens
     * yield no bigrams and are absent from the output.
-    */
+    *
+    * SCALE CAVEAT — hot-bigram skew: because this one-call form derives
+    * the model FROM the same docBg aggregate it joins back to, Catalyst
+    * fuses the model aggregation's final step into the join's own stage
+    * (one hash(bg) exchange serves both), and AQE's OptimizeSkewedJoin —
+    * which only matches a Sort directly over a shuffle stage — can NEVER
+    * split the hot "of the"-style partitions of this join, at any
+    * threshold (pinned in SkewStressSpec). Corpus-scale scoring should
+    * use the TRAIN/SERVE split in [[BigramLm]]: with the model read from
+    * storage the join matches the skew pattern and the hot partitions
+    * split (also pinned there). */
   def bigramLm(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val t = tokens(col(textCol))

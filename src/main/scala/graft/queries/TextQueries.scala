@@ -307,7 +307,56 @@ object TextQueries {
     // keys; no windows, no driver-side state.
     "lm_bigram_quality" -> ((spark, dir) =>
       TextAnalysis.bigramLm(Tables.load(spark, dir, "documents"),
-        "doc_id", "text").orderBy("doc_id")))
+        "doc_id", "text").orderBy("doc_id")),
+    // TRAIN/SERVE split of the bigram LM (the CCNet lifecycle): the model
+    // is trained ONCE on the %5!=0 slice, written durable with a manifest
+    // (build-once/serve-many — a later session reopens it with zero
+    // training jobs; BigramLmPersistSpec asserts the skip), and the
+    // held-out %5==0 slice is scored UNDER the loaded model — add-one
+    // smoothed expected probability + out-of-vocabulary bigram rate, all
+    // rational arithmetic so the oracle composes both halves exactly.
+    "lm_bigram_score_heldout" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      bigramLmPersisted(spark, dir)
+        .score(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }))
+
+  /** One durable bigram LM per (session, dir), trained on the %5!=0 slice
+    * — the same build-once file lifecycle as SimilarityQueries'
+    * ivfPersisted (manifest-validated reopen, path keyed by a digest of
+    * the dir, source tag from the documents table's file metadata). */
+  private val lmFileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.BigramLm]
+
+  private def lmSourceTag(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(p))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    statuses.foreach { s =>
+      md.update(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime};"
+        .getBytes("UTF-8"))
+    }
+    dir + "#" + md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def bigramLmPersisted(spark: SparkSession, dir: String): graft.operators.BigramLm =
+    lmFileCache.getOrElseUpdate((spark, dir), lmFileCache.synchronized {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val path = "target/bigram-lm/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val tag = lmSourceTag(spark, dir)
+      graft.operators.BigramLm.loadIfValid(spark, path, tag).getOrElse {
+        val docs = Tables.load(spark, dir, "documents")
+        graft.operators.BigramLm.train(docs.filter(col("doc_id") % 5 =!= 0), "text")
+          .write(path, tag)
+        graft.operators.BigramLm.load(spark, path)
+      }
+    })
 
   private def duckScore(markers: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -462,5 +511,38 @@ object TextQueries {
         |  round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
         |    AS pred_prob,
         |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // train on the %5!=0 slice, score the held-out %5==0 slice under the
+    // frozen counts — unseen bigrams/contexts coalesce to 0 (add-one
+    // smoothing floors them at 1/(c1+v) resp. 1/v)
+    "lm_bigram_score_heldout" ->
+      """WITH tr AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |ev AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |trocc AS (
+        |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM tr),
+        |model AS (SELECT bg, count(*) AS c12 FROM trocc GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |        FROM trocc GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM tr)),
+        |evocc AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM ev),
+        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM evocc GROUP BY doc_id, bg),
+        |j AS (
+        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
+        |  FROM doc_bg b
+        |  LEFT JOIN model m ON b.bg = m.bg
+        |  LEFT JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round(sum(k * ((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v))) / sum(k), 6)
+        |    AS pred_prob,
+        |  round(avg(CASE WHEN c12 IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BigramLm
+
+/** Durable bigram-LM lifecycle (the TRAIN/SERVE split): write ->
+  * manifest-validated reload with zero training jobs, exact score parity
+  * between the in-session and reloaded model, held-out scoring semantics
+  * (OOV floors), and source-tag invalidation. */
+class BigramLmPersistSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+  private lazy val train = docs.filter(col("doc_id") % 5 =!= 0)
+  private lazy val heldout = docs.filter(col("doc_id") % 5 === 0)
+  private val path = "target/bigram-lm-test/model"
+
+  private def scores(lm: BigramLm) =
+    lm.score(heldout, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+
+  test("written + reloaded model reproduces in-session held-out scores exactly") {
+    val trained = BigramLm.train(train, "text")
+    trained.write(path, source = "spec-v1")
+    val loaded = BigramLm.load(spark, path)
+    assert(loaded.v === trained.v)
+    assert(scores(loaded) === scores(trained))
+  }
+
+  test("manifest-validated reload runs zero training jobs; wrong source refuses") {
+    BigramLm.train(train, "text").write(path, source = "spec-v1")
+    val before = BigramLm.trainCount
+    val hit = BigramLm.loadIfValid(spark, path, "spec-v1")
+    assert(hit.isDefined, "valid manifest refused")
+    assert(BigramLm.trainCount === before, "reload ran a training aggregate")
+    assert(hit.get.score(heldout, "doc_id", "text").count() > 0)
+    assert(BigramLm.loadIfValid(spark, path, "spec-v2").isEmpty)
+    // corrupted manifest invalidates, not crashes
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    out.write("version=999\n".getBytes("UTF-8")); out.close()
+    assert(BigramLm.loadIfValid(spark, path, "spec-v1").isEmpty)
+  }
+
+  test("held-out scoring floors unseen bigrams at the add-one rates") {
+    import spark.implicits._
+    val tr = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val lm = BigramLm.train(tr, "text") // model: {a b:1, b a:1, a c:1}, ctx: {a:2, b:1}, v=3
+    assert(lm.v === 3L)
+    // doc entirely OOV: both bigrams unseen, context unseen -> p = 1/v each
+    val oov = lm.score(Seq((9L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(oov.getLong(1) === 2L)
+    assert(math.abs(oov.getDouble(2) - 1.0 / 3.0) < 1e-6)
+    assert(oov.getDouble(3) === 1.0)
+    // seen bigram "a b": p = (1+1)/(2+3) = 0.4; unseen "b x" with seen
+    // context b: p = (0+1)/(1+3) = 0.25 -> mean 0.325, oov_rate 0.5
+    val mixed = lm.score(Seq((8L, "a b x")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(math.abs(mixed.getDouble(2) - 0.325) < 1e-6)
+    assert(math.abs(mixed.getDouble(3) - 0.5) < 1e-6)
+  }
+
+  test("score joins stay key-partitioned (no corpus broadcast, no BNLJ)") {
+    val lm = BigramLm.train(train, "text")
+    val plan = lm.score(heldout, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
