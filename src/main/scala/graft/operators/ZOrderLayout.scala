@@ -13,9 +13,16 @@ import graft.functions.{InterleaveBits, QuantileBinSearch}
   * driver-side approx-quantile cuts -> codegen'd binary search), ranks are
   * bit-interleaved MSB-first into a Morton code (codegen'd), and the data
   * is range-partitioned + sorted by that code, so every output file covers
-  * a tight box in clustering space. A manifest of per-file min/max per
-  * clustering column is computed in the same pass (one aggregation over
-  * `input_file_name()`) and written beside the data.
+  * a tight box in clustering space. The manifest of per-file min/max per
+  * clustering column comes from the PARQUET FOOTER STATISTICS of the
+  * just-written files — the same metadata source Delta's add-file stats
+  * use: a driver-side O(files) footer read, NEVER a second scan over the
+  * data (r7 read the table back through a groupBy(input_file_name())
+  * aggregation — a full extra pass at ingest; ZOrderSpec now pins the
+  * records-read budget so the re-scan cannot come back). A file whose
+  * column chunk has no non-null values (or a non-numeric physical type)
+  * gets NO bounds entry and is treated as always-intersecting — missing
+  * stats can only cost skipping, never rows.
   *
   * READ: `readBox` intersects the predicate box with the manifest and
   * plans a scan over ONLY the intersecting files, then re-applies the
@@ -51,8 +58,42 @@ object ZOrderLayout {
       bridge.expression(array(ranks: _*)), bridge.expression(lit(bitsPer))))
   }
 
+  /** Per-file [min, max] of `colName` from the file's parquet footer:
+    * minimum/maximum over the row groups whose statistics carry non-null
+    * values. None when no row group has stats for the column (all-null
+    * file, or a physical type the footer can't bound numerically) — the
+    * caller records no bounds and the file is never skipped. Metadata
+    * only: reads the footer, not a single data page. */
+  private def footerBounds(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path, colName: String): Option[(Double, Double)] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      var lo = Double.PositiveInfinity
+      var hi = Double.NegativeInfinity
+      var seen = false
+      reader.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { chunk =>
+          if (chunk.getPath.toDotString == colName) {
+            val stats = chunk.getStatistics
+            if (stats != null && stats.hasNonNullValue) {
+              (stats.genericGetMin, stats.genericGetMax) match {
+                case (mn: java.lang.Number, mx: java.lang.Number) =>
+                  lo = math.min(lo, mn.doubleValue)
+                  hi = math.max(hi, mx.doubleValue)
+                  seen = true
+                case _ => // non-numeric physical type: no usable bounds
+              }
+            }
+          }
+        }
+      }
+      if (seen) Some((lo, hi)) else None
+    } finally reader.close()
+  }
+
   /** Write `df` z-ordered by `cols` into `nFiles` parquet files plus the
-    * skipping manifest. */
+    * skipping manifest (footer-derived — no second pass over the data). */
   def write(df: DataFrame, cols: Seq[String], path: String, nFiles: Int,
       bitsPer: Int = 12): Unit = {
     require(nFiles >= 1)
@@ -63,34 +104,36 @@ object ZOrderLayout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
-    val written = spark.read.parquet(path)
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c"))
-    }
-    val stats = written.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val sb = new StringBuilder("[")
-    stats.zipWithIndex.foreach { case (r, i) =>
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val dataFiles = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.toString)
+    val sb = new StringBuilder("{\"cols\":[")
+    sb.append(cols.map(c => s""""$c"""").mkString(","))
+    sb.append("],\"files\":[")
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
       if (i > 0) sb.append(',')
-      sb.append(s"""{"file":"${r.getString(0)}"""")
+      sb.append(s"""{"file":"${f.toString}"""")
       cols.foreach { c =>
-        sb.append(s""","min_$c":${r.getAs[Double](s"min_$c")}""")
-        sb.append(s""","max_$c":${r.getAs[Double](s"max_$c")}""")
+        footerBounds(conf, f, c).foreach { case (lo, hi) =>
+          sb.append(s""","min_$c":$lo""")
+          sb.append(s""","max_$c":$hi""")
+        }
       }
       sb.append('}')
     }
-    sb.append(']')
+    sb.append("]}")
     val p = new org.apache.hadoop.fs.Path(path, ManifestName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     out.write(sb.toString.getBytes("UTF-8"))
     out.close()
   }
 
   /** Files whose manifest box intersects the predicate box. Bounds are
-    * inclusive; a column absent from `bounds` is unconstrained. */
+    * inclusive; a column absent from `bounds` is unconstrained; a FILE
+    * with no recorded bounds for a constrained column is kept (missing
+    * stats mean "cannot prune", never "drop"). */
   def filesFor(spark: SparkSession, path: String,
       bounds: Map[String, (Double, Double)]): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path, ManifestName)
@@ -100,8 +143,19 @@ object ZOrderLayout {
     in.close()
     // manifest is engine-written, schema-fixed: parse with the same
     // minimal quoting rules Verify uses for emission
-    val entries = json.stripPrefix("[").stripSuffix("]").split("\\},\\{").toSeq
-      .filter(_.nonEmpty)
+    val colsPart = json.substring(json.indexOf("{\"cols\":[") + 9,
+      json.indexOf("],\"files\":["))
+    val clustered = colsPart.split(",").map(_.replaceAll("\"", ""))
+      .filter(_.nonEmpty).toSet
+    bounds.keys.foreach { c =>
+      require(clustered.contains(c),
+        s"column '$c' is not in this layout's manifest (clustered " +
+          s"columns: ${clustered.mkString(", ")}) — only clustering " +
+          "columns can drive file skipping")
+    }
+    val filesPart = json.substring(json.indexOf("],\"files\":[") + 11)
+      .stripSuffix("]}")
+    val entries = filesPart.split("\\},\\{").toSeq.filter(_.nonEmpty)
     entries.flatMap { e =>
       val body = e.stripPrefix("{").stripSuffix("}")
       val fields = body.split(",(?=\")").map { kv =>
@@ -109,14 +163,10 @@ object ZOrderLayout {
         k.replaceAll("\"", "") -> v.replaceAll("\"", "")
       }.toMap
       val keep = bounds.forall { case (c, (lo, hi)) =>
-        require(fields.contains(s"min_$c"),
-          s"column '$c' is not in this layout's manifest (clustered " +
-            s"columns: ${fields.keys.filter(_.startsWith("min_"))
-              .map(_.stripPrefix("min_")).mkString(", ")}) — " +
-            "only clustering columns can drive file skipping")
-        val mn = fields(s"min_$c").toDouble
-        val mx = fields(s"max_$c").toDouble
-        mx >= lo && mn <= hi
+        (fields.get(s"min_$c"), fields.get(s"max_$c")) match {
+          case (Some(mn), Some(mx)) => mx.toDouble >= lo && mn.toDouble <= hi
+          case _ => true // no stats recorded for this file: cannot prune
+        }
       }
       if (keep) Some(fields("file")) else None
     }

@@ -150,7 +150,38 @@ object PipelineQueries {
       Dedup.ngramContamination(corpus, evalSet, "doc_id", "text", n = 13,
           expectedEvalNgrams = 1L << 16)
         .orderBy("doc_id")
+    }),
+    // Z-order box scan (r8): orders laid out z-clustered on
+    // (o_totalprice, o_custkey) ONCE per (session, dir), then a 2-d box
+    // read through the footer-stats manifest — readBox plans over only
+    // the box-intersecting files and re-applies the exact predicate, so
+    // the result EQUALS the plain filter over the full table (the
+    // oracle); the files-actually-skipped assertion lives in ZOrderSpec.
+    "zorder_box_scan" -> ((spark, dir) => {
+      graft.operators.ZOrderLayout.readBox(spark, zorderLayout(spark, dir),
+          Map("o_totalprice" -> ((50000.0, 150000.0)),
+            "o_custkey" -> ((40.0, 120.0))))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }))
+
+  /** One z-ordered copy of `orders` per (session, dir) under target/ —
+    * the write-once half of the layout lifecycle (the driver query is the
+    * read half). Synchronized like SimilarityQueries' index caches so two
+    * concurrent first calls cannot race overwrite-mode writes. */
+  private val zorderCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def zorderLayout(spark: SparkSession, dir: String): String =
+    zorderCache.getOrElseUpdate((spark, dir), zorderCache.synchronized {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val path = "target/zorder-layout/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      graft.operators.ZOrderLayout.write(Tables.load(spark, dir, "orders"),
+        Seq("o_totalprice", "o_custkey"), path, nFiles = 16)
+      path
+    })
 
   val oracleSql: ListMap[String, String] = ListMap(
     "kmv_distinct_users" ->
@@ -300,5 +331,12 @@ object PipelineQueries {
         |SELECT doc_id,
         |  CAST(count(DISTINCT s) AS BIGINT) AS contaminated_ngrams,
         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS eval_docs_hit
-        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the skipping read must EQUAL the plain predicate over the full
+    // table — file skipping is a superset selection, never a filter
+    "zorder_box_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+        |  AND o_custkey >= 40 AND o_custkey <= 120
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -75,4 +75,48 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ZOrderLayout.filesFor(spark, zpath, bounds).isEmpty)
     assert(ZOrderLayout.readBox(spark, zpath, bounds).count() === 0L)
   }
+
+  test("write reads the data at most 3x — the manifest is footer metadata, not a scan") {
+    // three inherent passes: the approx-quantile cuts, the range
+    // partitioner's own bounds sampling (inside repartitionByRange), and
+    // the layout write. The r7 manifest then read the written table BACK
+    // through a groupBy(input_file_name()) aggregation — a FOURTH full
+    // pass at ingest. Budget 3n + slack; the read-back regression lands
+    // at ~4n.
+    val n = orders.count()
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ZOrderLayout.write(orders, Seq("o_custkey", "o_totalprice"),
+        "target/zorder-test/budget-z", 8)
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read.get <= 3 * n + n / 2,
+      s"write() read ${read.get} records for an $n-row table — " +
+        "the manifest pass is scanning data again")
+  }
+
+  test("an all-null clustering column yields no bounds and never prunes rows") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, i.toDouble, Option.empty[Double]))
+      .toDF("id", "a", "b")
+    val p = "target/zorder-test/null-z"
+    ZOrderLayout.write(df, Seq("a", "b"), p, 4)
+    // b is all null: no file records b-bounds, so a b-constrained box
+    // prunes NOTHING at the file level (missing stats = cannot prune)...
+    assert(ZOrderLayout.filesFor(spark, p, Map("b" -> ((0.0, 1.0)))).size === 4)
+    // ...and the exact predicate then drops the null rows — zero, not junk
+    assert(ZOrderLayout.readBox(spark, p, Map("b" -> ((0.0, 1.0)))).count() === 0L)
+    // the populated column still skips and still returns exact rows
+    val aFiles = ZOrderLayout.filesFor(spark, p, Map("a" -> ((1.0, 100.0))))
+    assert(aFiles.size < 4, s"a-bounds skipped nothing (${aFiles.size} of 4)")
+    val got = ZOrderLayout.readBox(spark, p, Map("a" -> ((1.0, 100.0))))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (1L to 100L).toSet)
+  }
 }
