@@ -124,6 +124,7 @@ final class IvfIndex private (
     val props = new java.util.Properties()
     props.setProperty("version", IvfIndex.ManifestVersion)
     props.setProperty("source", source)
+    props.setProperty("appliedSources", source)
     props.setProperty("nCells", nCells.toString)
     props.setProperty("rows", rows.toString)
     props.setProperty("centroidSha", IvfIndex.centroidSha(centroids))
@@ -138,6 +139,11 @@ final class IvfIndex private (
 object IvfIndex {
 
   private val ManifestVersion = "1"
+
+  /** Separator for the appliedSources ledger (escape sequence, not a raw
+    * control byte, so the source file stays text for git): U+0001 cannot
+    * occur in a path-derived source tag. */
+  private val SourceSep = "\u0001"
 
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
@@ -284,27 +290,45 @@ object IvfIndex {
     * untouched on disk and every statically-pruned probe keeps working.
     * Quantizer drift is the operator's judgment call: when the corpus
     * distribution moves, rebuild; the manifest's centroid checksum pins
-    * which quantizer every row was assigned under either way. */
+    * which quantizer every row was assigned under either way.
+    *
+    * IDEMPOTENT: the manifest keeps a ledger of every applied source tag,
+    * and a tag already in the ledger makes the call a no-op (returns
+    * false) — so the common failure, a crashed job RETRYING the same
+    * day's append, cannot silently duplicate vectors. (A crash in the
+    * window between the data append and the manifest refresh is still
+    * DETECTED rather than validated: the stale manifest's row count no
+    * longer matches the table, `loadIfValid` refuses, and the operator
+    * rebuilds.) Returns true when the append was applied. */
   def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
-      df: DataFrame, idCol: String, vecCol: String, newSource: String): Unit = {
+      df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
     val idx = load(spark, path)
     val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))
     assignCells(base, idx.centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    // manifest refresh: same centroids, new row count + source
+    // manifest refresh: same centroids, new row count + source + ledger
     val rows = spark.read.parquet(s"$path/cells").count()
     val props = new java.util.Properties()
     props.setProperty("version", ManifestVersion)
     props.setProperty("source", newSource)
+    props.setProperty("appliedSources", (ledger + newSource).toSeq.sorted.mkString(SourceSep))
     props.setProperty("nCells", idx.nCells.toString)
     props.setProperty("rows", rows.toString)
     props.setProperty("centroidSha", centroidSha(idx.centroids))
-    val mPath = manifestPath(path)
-    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(mPath, true)
     try props.store(out, "graft IVF inverted-file manifest")
     finally out.close()
+    true
   }
 
   /** Sum of squared distances to the closest centroid. */

@@ -62,6 +62,7 @@ final class PqIndex private (
     val props = new java.util.Properties()
     props.setProperty("version", PqIndex.ManifestVersion)
     props.setProperty("source", source)
+    props.setProperty("appliedSources", source)
     props.setProperty("m", m.toString)
     props.setProperty("ksub", ksub.toString)
     props.setProperty("rows", rows.toString)
@@ -77,6 +78,12 @@ final class PqIndex private (
     * so Σ_j lut(j*ksub + code_j) = <q, decode(code)> — the asymmetric
     * approximation of the query-corpus dot product. */
   private[graft] def lutFor(q: Array[Double]): Array[Double] = {
+    val dsub = codebook(0)(0).length
+    require(q.length == m * dsub,
+      s"query dimension ${q.length} does not match this index " +
+        s"(m=$m subspaces x dsub=$dsub = ${m * dsub}) — a longer query " +
+        "would overrun the codebook, a shorter one would silently score " +
+        "a truncated LUT")
     val sub = q.length / m
     val out = new Array[Double](m * ksub)
     var j = 0
@@ -161,6 +168,11 @@ object PqIndex {
 
   private val ManifestVersion = "1"
 
+  /** Separator for the appliedSources ledger (escape sequence, not a raw
+    * control byte, so the source file stays text for git): U+0001 cannot
+    * occur in a path-derived source tag. */
+  private val SourceSep = "\u0001"
+
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
 
@@ -220,9 +232,25 @@ object PqIndex {
     * keep the composed [[IvfPq]] path serving daily arrivals with one
     * scan of the new data. Codebook drift is the operator's rebuild
     * call; the manifest's codebook checksum pins what every code was
-    * encoded under. */
+    * encoded under.
+    *
+    * IDEMPOTENT: the manifest keeps a ledger of every applied source tag
+    * and an already-applied tag makes the call a no-op (returns false) —
+    * a crashed-job retry of the same batch cannot silently duplicate
+    * codes. A crash between the data append and the manifest refresh is
+    * DETECTED, not validated: the stale row count fails `loadIfValid`
+    * and the operator rebuilds. Returns true when applied. */
   def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
-      df: DataFrame, idCol: String, vecCol: String, newSource: String): Unit = {
+      df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
     val idx = load(spark, path)
     df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))
@@ -232,15 +260,16 @@ object PqIndex {
     val props = new java.util.Properties()
     props.setProperty("version", ManifestVersion)
     props.setProperty("source", newSource)
+    props.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
     props.setProperty("m", idx.m.toString)
     props.setProperty("ksub", idx.ksub.toString)
     props.setProperty("rows", rows.toString)
     props.setProperty("codebookSha", codebookSha(idx.codebook))
-    val mPath = manifestPath(path)
-    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(mPath, true)
     try props.store(out, "graft PQ index manifest")
     finally out.close()
+    true
   }
 
   /** Reopen a [[PqIndex#write]]ten index: the codes table is a LAZY

@@ -158,10 +158,20 @@ class IvfPersistSpec extends AnyFunSuite {
     try {
       built.write(apPath, source = "base-v1")
       val buildsBefore = IvfIndex.buildsRun.get()
-      IvfIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
-        newSource = "base-v1+delta")
+      assert(IvfIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
+        newSource = "base-v1+delta"), "first append refused")
       assert(IvfIndex.buildsRun.get() == buildsBefore,
         "append ran a quantizer fit — the existing centroids are the contract")
+
+      // IDEMPOTENCE: a crashed-job retry re-running the SAME append must
+      // no-op — the ledger refuses the already-applied tag, row count
+      // stays, and the manifest still validates (no duplicated vectors)
+      assert(!IvfIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
+        newSource = "base-v1+delta"), "double-append was applied")
+      // the ORIGINAL write tag is in the ledger too — replaying the base
+      // batch through appendTo is also refused
+      assert(!IvfIndex.appendTo(spark, apPath, basePart, "vec_id", "embedding",
+        newSource = "base-v1"), "base-batch replay was applied")
 
       // manifest reflects the new population and still validates
       val reloaded = IvfIndex.loadIfValid(spark, apPath, "base-v1+delta")

@@ -57,9 +57,15 @@ class PqPersistSpec extends AnyFunSuite {
     try {
       built.write(apPath, source = "base-v1")
       val before = PqIndex.buildCount
-      PqIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
-        newSource = "base-v1+delta")
+      assert(PqIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
+        newSource = "base-v1+delta"), "first append refused")
       assert(PqIndex.buildCount === before, "append ran a codebook fit")
+      // IDEMPOTENCE: the same-tag retry no-ops (ledger refusal), and the
+      // original write tag is refused too — row count cannot drift
+      assert(!PqIndex.appendTo(spark, apPath, newPart, "vec_id", "embedding",
+        newSource = "base-v1+delta"), "double-append was applied")
+      assert(!PqIndex.appendTo(spark, apPath, basePart, "vec_id", "embedding",
+        newSource = "base-v1"), "base-batch replay was applied")
       val idx = PqIndex.loadIfValid(spark, apPath, "base-v1+delta")
       assert(idx.isDefined, "refreshed manifest refused to validate")
       assert(idx.get.codes.count() === emb.count())

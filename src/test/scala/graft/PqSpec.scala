@@ -25,6 +25,16 @@ class PqSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("a query of the wrong dimension fails loudly, not with a truncated LUT") {
+    // 64-dim index: a 32-dim query must not silently compute a half-LUT,
+    // and a 128-dim one must not overrun the codebook mid-loop
+    val short = intercept[IllegalArgumentException](index.lutFor(new Array[Double](32)))
+    assert(short.getMessage.contains("query dimension 32"))
+    val long = intercept[IllegalArgumentException](index.lutFor(new Array[Double](128)))
+    assert(long.getMessage.contains("query dimension 128"))
+    assert(index.lutFor(new Array[Double](64)).length === 8 * 256)
+  }
+
   test("ADC score equals the dot product against the decoded vector") {
     // decode(code) = concat_j codebook(j)(code_j); ADC must equal
     // <q, decode(code)> exactly (same double ops, same order)
