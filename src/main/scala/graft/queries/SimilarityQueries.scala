@@ -401,6 +401,35 @@ object SimilarityQueries {
       recallOf(new graft.operators.IvfPq(ivfIndex(spark, dir), pqIndex(spark, dir))
         .topK(q, k = 5, nprobe = 8, nCandidates = 256), spark, dir)
     }),
+    // Cross-session SERVING-STACK parity (r8): the composition of the
+    // DURABLE IVF and the DURABLE PQ — both reopened through their
+    // validated manifests, zero build jobs — must reproduce the
+    // in-session composition EXACTLY at the composed operating point.
+    // This is the plan a second session actually serves at 100 TB
+    // (partition-pruned inverted file x code-only ADC scan), now on the
+    // driver's correctness gate and bench clock, completing the coverage
+    // that ann_ivf_persisted / ann_pq_persisted give each index alone
+    // (the durable x durable pairing was previously pinned only in
+    // IvfPqSpec).
+    "ann_ivfpq_persisted" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val mem = new graft.operators.IvfPq(ivfIndex(spark, dir), pqIndex(spark, dir))
+        .topK(q, k = 5, nprobe = 6, nCandidates = 256)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val file = new graft.operators.IvfPq(ivfPersisted(spark, dir), pqPersisted(spark, dir))
+        .topK(q, k = 5, nprobe = 6, nCandidates = 256)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(file, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
     // Int8 quantization profile: the write-path transform that cuts a
     // 100 TB embedding store 4x (64 floats -> 64 bytes + a scale). The
     // per-shard reconstruction-error stats, saturation counts, and the
@@ -507,6 +536,9 @@ object SimilarityQueries {
     "ann_pq_recall" -> fullRecallOracle,
     "ann_ivfpq_recall" -> fullRecallOracle,
     "ann_pq_persisted" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    "ann_ivfpq_persisted" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     // parity literals: the durable index must equal the in-session index

@@ -110,6 +110,69 @@ object StreamingOps {
     graft.operators.Dedup.incrementalNew(novelInStream, corpus, textCol)
   }
 
+  /** Continuous-ingest NEAR-DUP filter: the streaming twin of the batch
+    * minhash near-dup path — emits only documents that are novel against
+    * the static corpus at the NEAR-duplicate level (banded minhash
+    * candidates, exact jaccard verification), not just byte-identical.
+    * Composes [[ingestDedupStream]] first, so within-stream re-deliveries
+    * and exact corpus copies (including sub-shingle-length docs the
+    * near-dup stage cannot see) are already gone.
+    *
+    * Streaming-legal shape — no stream-side aggregation, no explode-and-
+    * regroup: each streamed document computes its shingle set and its
+    * per-table minhash signature PER ROW with codegen'd higher-order
+    * functions (`array_min(transform(...))` over the same
+    * xxhash64(table, seed, shingle) family as `Dedup.minhashPairs` — the
+    * min over a set is the same whether grouped or folded per row), then
+    * one stream-static LEFT ANTI join per hash table knocks out documents
+    * with a VERIFIED near-dup in that table's corpus band: the join key
+    * is the band value (hash join, corpus side keyed by its own
+    * signature) and the exact-jaccard threshold rides in the join
+    * condition, so banding only generates candidates and never decides.
+    * Surviving all `numHashTables` anti joins == having no corpus
+    * near-dup with a colliding signature — exactly the batch operator's
+    * r=1 OR-construction semantics (StreamingSpec pins the equivalence).
+    *
+    * At 100 TB: the corpus band tables are (band value, shingles, n)
+    * projections of the corpus — each anti join shuffles the stream by
+    * one 8-byte key against a static side that is loaded per micro-batch;
+    * for a hot band (boilerplate) the usual AQE skew split applies inside
+    * each micro-batch plan. Documents shorter than one shingle pass the
+    * near-dup stage untouched (no shingles — nothing to collide; their
+    * exact-dup handling already happened). */
+  def ingestNearDupStream(stream: DataFrame, corpus: DataFrame,
+      textCol: String, maxJaccardDistance: Double = 0.4,
+      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numHashTables >= 1, s"need numHashTables >= 1, got $numHashTables")
+    val minJaccard = 1.0 - maxJaccardDistance
+    val exactNew = ingestDedupStream(stream, corpus, textCol)
+    val sig = (i: Int) => array_min(expr(
+      s"transform(__sh, s -> xxhash64($i, ${seed}L, s))"))
+    def withSig(df: DataFrame): DataFrame = {
+      val w = split(lower(col(textCol)), " ")
+      val base = df
+        .withColumn("__sh", graft.functions.functions.word_shingles(w, 3))
+        .withColumn("__n", size(col("__sh")))
+      (0 until numHashTables).foldLeft(base)((d, i) =>
+        d.withColumn(s"__m$i", sig(i)))
+    }
+    val longEnough = withSig(
+      exactNew.filter(size(split(lower(col(textCol)), " ")) >= 3))
+    val tooShort = exactNew.filter(size(split(lower(col(textCol)), " ")) < 3)
+    val corpusSigs = withSig(corpus.filter(size(split(lower(col(textCol)), " ")) >= 3))
+    val survived = (0 until numHashTables).foldLeft(longEnough) { (d, i) =>
+      val band = corpusSigs.select(col(s"__m$i").as("__cv"),
+        col("__sh").as("__csh"), col("__n").as("__cn"))
+      val inter = size(array_intersect(d("__sh"), band("__csh"))).cast("double")
+      d.join(band,
+        d(s"__m$i") === band("__cv") &&
+          inter / (d("__n") + band("__cn") - inter) >= minJaccard,
+        "left_anti")
+    }
+    val helper = Seq("__sh", "__n") ++ (0 until numHashTables).map(i => s"__m$i")
+    survived.drop(helper: _*).unionByName(tooShort)
+  }
+
   /** Stream-static enrichment join: the static dimension is read once per
     * micro-batch and broadcast — the streaming side never shuffles. */
   def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =

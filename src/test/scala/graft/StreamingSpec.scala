@@ -103,6 +103,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.select("text").except(got.select("text")).count() === 0L)
   }
 
+  test("streaming near-dup ingest drops corpus near-copies and equals the batch band formulation") {
+    // corpus = docs %3 != 0; the stream delivers (a) the %3 == 0 docs and
+    // (b) 5 corpus docs with their LAST TOKEN replaced — different text
+    // (invisible to exact dedup) but jaccard >> 0.6 vs their originals,
+    // so the minhash-band anti joins must drop exactly those plus any
+    // %3==0 doc that is a genuine near-dup of a corpus doc
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    val nearCopies = corpus.orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(
+        expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"),
+        lit(" zzzmutant")))
+    val src = java.nio.file.Paths.get("target/stream-src-neardup")
+    org.apache.commons.io.FileUtils.deleteQuietly(src.toFile)
+    fresh.coalesce(1).write.parquet(src.toString)
+    nearCopies.coalesce(1).write.mode("append").parquet(src.toString)
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val out = StreamingOps.ingestNearDupStream(stream, corpus, "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_neardup").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ingest_neardup")
+
+    // every planted near-copy is gone, and nothing corpus-identical leaks
+    assert(got.join(nearCopies.select("text"), Seq("text"), "left_semi").count() === 0L)
+    assert(got.join(corpus.select("text"), Seq("text"), "left_semi").count() === 0L)
+    assert(got.count() > 0L, "near-dup stage dropped everything")
+
+    // batch twin through the INDEPENDENT explode/groupBy band path:
+    // exact-new docs minus those with a cross-side (corpus x stream)
+    // verified pair at the same banding (4 tables, seed 42, dist <= 0.4)
+    val streamInput = fresh.unionByName(nearCopies)
+    val exactNew = graft.operators.Dedup.incrementalNew(
+      streamInput.dropDuplicates("text"), corpus, "text")
+    val offset = 1000000L
+    val u = corpus.select(col("doc_id"), col("text")).unionByName(
+      exactNew.select((col("doc_id") + offset).as("doc_id"), col("text")))
+    val cross = graft.operators.Dedup.minhashPairs(u, "doc_id", "text",
+        maxJaccardDistance = 0.4)
+      .filter((col("doc_id_1") < offset && col("doc_id_2") >= offset) ||
+        (col("doc_id_1") >= offset && col("doc_id_2") < offset))
+      .select((when(col("doc_id_1") >= offset, col("doc_id_1"))
+        .otherwise(col("doc_id_2")) - offset).as("doc_id"))
+    val expected = exactNew.join(cross, Seq("doc_id"), "left_anti")
+    assert(got.select("text").except(expected.select("text")).count() === 0L)
+    assert(expected.select("text").except(got.select("text")).count() === 0L)
+  }
+
   test("stream-static broadcast join enriches events with customer segment") {
     val events = StreamingOps.readEventsStream(spark, dir)
     val customer = Tables.load(spark, dir, "customer")
