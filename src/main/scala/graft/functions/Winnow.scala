@@ -50,10 +50,14 @@ object WinnowKernels {
   }
   private val space = " ".getBytes("UTF-8")
 
-  /** Selected fingerprints (sorted, distinct) of a token array; the
-    * caller guarantees tokens.numElements >= k. */
+  /** Selected fingerprints (sorted, distinct) of a token array. A token
+    * array shorter than k has no k-grams and yields the EMPTY set (not a
+    * NegativeArraySizeException) — callers like Dedup.winnowFingerprints
+    * prefilter size >= k, but the kernel must stay total for any future
+    * SQL-registered use. */
   def select(tokens: ArrayData, k: Int, w: Int): ArrayData = {
     val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
     val m = n - k + 1
     val md = mdLocal.get()
     val grams = new Array[Long](m)

@@ -120,6 +120,39 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     info(f"winnow pairs 10x: $w10 in $t10%.1fs")
   }
 
+  test("substring-repeat intervals on a 10x corpus are exactly 10x replicas", SlowTest) {
+    // the injective rename preserves gram EQUALITY structure within each
+    // copy (distinct tokens stay distinct, equal grams stay equal) and
+    // keeps copy gram spaces disjoint, so the 10x interval table must be
+    // the 1x table replicated 10 times — same (orig_doc, start, end)
+    // positions, each with multiplicity exactly `copies`; the
+    // first-occurrence rule is order-preserved by the id offsets
+    def intervals(docs: DataFrame) = Dedup.substringRepeatIntervals(
+      docs, "doc_id", "text", k = 13, minRun = 50)
+    intervals(copyDf(0)).count() // warmup: JIT + codegen
+    val (i1, t1) = timed(intervals(copyDf(0)).count())
+    assert(i1 > 0, "fixture degenerate: no repeat intervals at 1x")
+    val (i10, t10) = timed(intervals(saltedCorpus).count())
+    assert(i10 == copies * i1,
+      s"intervals not linear: $i10 != $copies x $i1 — cross-copy anchors or loss")
+    val base = intervals(copyDf(0))
+      .select("doc_id", "start_pos", "end_pos")
+    val folded = intervals(saltedCorpus)
+      .groupBy((col("doc_id") % 1000000L).as("doc_id"),
+        col("start_pos"), col("end_pos"))
+      .agg(count(lit(1)).as("mult"))
+    assert(folded.filter(col("mult") =!= copies).count() === 0L,
+      "an interval did not replicate across all copies")
+    assert(folded.select("doc_id", "start_pos", "end_pos")
+      .exceptAll(base).isEmpty &&
+      base.exceptAll(folded.select("doc_id", "start_pos", "end_pos")).isEmpty,
+      "10x interval positions differ from the 1x structure")
+    info(f"substring intervals 1x: $t1%.1fs ($i1); 10x: $t10%.1fs ($i10); " +
+      f"ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1,
+      f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear substring dedup")
+  }
+
   test("PQ ANN serving scales ~linearly onto a 10x vector corpus", SlowTest) {
     // 10 identical copies with offset ids: every query's nearest
     // neighbors at 10x are its OWN clones at cosine exactly 1.0 — an

@@ -77,6 +77,16 @@ class WinnowSpec extends AnyFunSuite {
     assert(reference.except(native).count() === 0L)
   }
 
+  test("kernel is total: fewer tokens than k yields the empty set, not a crash") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val two = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b")))
+    assert(graft.functions.WinnowKernels.select(two, 3, 4).numElements() === 0)
+    val empty = new GenericArrayData(Array.empty[Any])
+    assert(graft.functions.WinnowKernels.select(empty, 3, 4).numElements() === 0)
+  }
+
   test("pairs: identical docs share all fingerprints, unrelated docs none") {
     import spark.implicits._
     val docs = Seq(
