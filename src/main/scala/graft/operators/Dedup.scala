@@ -336,6 +336,74 @@ object Dedup {
       .select("vec_id_1", "vec_id_2", "cosine")
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): partition the embedding space with the IVF
+    * coarse quantizer's clusters, then score all pairs WITHIN each
+    * cluster. The cluster partition bounds the quadratic term to
+    * (corpus/nCells)² work per cell instead of corpus² — the paper's
+    * whole trick — and the join shuffles each vector exactly ONCE on its
+    * cell key (no per-pair vector duplication beyond the cell-local
+    * join). At 100 TB the cell count scales with the corpus (FAISS-style
+    * ~sqrt(n) cells), keeping per-cell work constant; pairs crossing a
+    * cluster boundary are the approximation (rare at near-dup
+    * thresholds — near-identical vectors quantize identically), pinned
+    * by the `dedup_semantic_recall` driver gate and SemDedupSpec's
+    * nCells=1 equality with the exact all-pairs path.
+    *
+    * Takes a built [[IvfIndex]] so a session amortizes ONE deterministic
+    * quantizer fit + assignment scan across semantic dedup AND ANN
+    * serving (the driver queries share the session cache). `nAssign` > 1
+    * scores within each vector's nAssign closest cells (soft
+    * multi-assignment via [[IvfIndex.softCells]]) — boundary-robust: a
+    * pair is found iff it shares ANY assigned cell, at ~nAssign× the
+    * shuffle. Returns (vec_id_1, vec_id_2, cosine, cell) with one row per
+    * pair (cell = the smallest shared cell id); zero-norm vectors score
+    * NaN and drop at the threshold, matching
+    * [[embeddingCosinePairsExact]]. */
+  def semanticPairs(index: IvfIndex, minCosine: Double,
+      nAssign: Int = 1): DataFrame = {
+    val assigned = index.softCells(nAssign)
+    val a = assigned.select(col("cell"), col("c_id").as("vec_id_1"),
+      col("cv").as("v1"), col("cn").as("n1"))
+    val b = assigned.select(col("cell"), col("c_id").as("vec_id_2"),
+      col("cv").as("v2"), col("cn").as("n2"))
+    // a pair colliding in several shared cells scores its (deterministic)
+    // cosine once per collision; the group-by collapses the duplicates —
+    // same discipline as the RP-LSH bucket join
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cosine", vec_dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy("vec_id_1", "vec_id_2")
+      .agg(min("cosine").as("cosine"), min("cell").as("cell"))
+  }
+
+  /** SemDeDup's keep rule applied over [[semanticPairs]]' clusters:
+    * within each connected component of qualifying pairs keep the member
+    * FARTHEST from its k-means centroid (the paper keeps the
+    * low-centroid-similarity representative — the most "atypical"
+    * duplicate carries the most information). Returns (vec_id,
+    * keep_vec_id) for EVERY indexed vector; singletons keep themselves.
+    * Centroid similarity is a broadcast of the nCells-row centroid table
+    * against the cell-keyed assignments — nothing corpus-sized moves. */
+  def semanticKeep(index: IvfIndex, minCosine: Double,
+      nAssign: Int = 1): DataFrame = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val pairs = semanticPairs(index, minCosine, nAssign)
+    val cent = index.centroids.toDF("cell", "centroid")
+    val scored = index.cells.join(broadcast(cent), Seq("cell"))
+      .withColumn("cent_cos",
+        vec_dot(col("cv"), col("centroid"))
+          / (when(col("cn") > 0, col("cn")).otherwise(lit(1.0))
+            * when(vec_l2norm(col("centroid")) > 0,
+                vec_l2norm(col("centroid"))).otherwise(lit(1.0))))
+    resolveClustersBy(scored, "c_id", -col("cent_cos"),
+        pairs, "vec_id_1", "vec_id_2")
+      .select(col("doc_id").as("vec_id"), col("keep_doc_id").as("keep_vec_id"))
+  }
+
   /** Incremental exact dedup for an append-only ingest: the rows of
     * `newDf` whose content does NOT already exist in `corpusDf`.
     *
@@ -721,7 +789,6 @@ object Dedup {
   def substringRepeatIntervals(df: DataFrame, idCol: String, textCol: String,
       k: Int = 13, minRun: Int = 50): DataFrame = {
     require(k >= 2 && minRun >= k, s"need minRun >= k >= 2, got k=$k minRun=$minRun")
-    import org.apache.spark.sql.expressions.Window
     val w = toks(col(textCol))
     // native one-pass gram hashing (functions.GramMd5) — value-identical
     // to transform(sequence(1, n-k+1), i -> md5(concat_ws(' ',
@@ -742,6 +809,16 @@ object Dedup {
     val dup = occ.join(firsts, "g")
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    mergeCoveredIntervals(dup, minRun)
+  }
+
+  /** Gaps-and-islands merge of anchor coverage [pos, e] per doc into
+    * maximal intervals, keeping spans of at least `minRun` tokens —
+    * shared by the substring-repeat and span-decontamination paths.
+    * Windows run over MARKED anchors only (a tiny fraction of the corpus
+    * at realistic rates), partitioned by doc. Input: (doc_id, pos, e). */
+  private def mergeCoveredIntervals(dup: DataFrame, minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     dup
       .withColumn("pm",
@@ -770,8 +847,19 @@ object Dedup {
     * codegen'd higher-order `filter` per row — no shuffle beyond the
     * interval aggregation itself. */
   def exciseRepeats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 13, minRun: Int = 50): DataFrame = {
-    val ivTable = substringRepeatIntervals(df, idCol, textCol, k, minRun)
+      k: Int = 13, minRun: Int = 50): DataFrame =
+    exciseByIntervals(df, idCol, textCol,
+      substringRepeatIntervals(df, idCol, textCol, k, minRun))
+
+  /** Excision projection shared by [[exciseRepeats]] and
+    * [[exciseContaminated]]: every document of `df` with the tokens
+    * inside `intervals` (doc_id, start_pos, end_pos) removed, as counts
+    * plus an md5 fingerprint of the cleaned lowercased token stream. The
+    * interval join is keyed by doc_id against an excision-sized table;
+    * the token filter is a per-row higher-order `filter`. */
+  private def exciseByIntervals(df: DataFrame, idCol: String, textCol: String,
+      intervals: DataFrame): DataFrame = {
+    val ivTable = intervals
       .groupBy("doc_id")
       .agg(sort_array(collect_list(
         struct(col("start_pos").as("s"), col("end_pos").as("e")))).as("ivs"))
@@ -788,6 +876,72 @@ object Dedup {
         size(col("kept")).as("kept_tokens"),
         md5(concat_ws(" ", col("kept"))).as("cleaned_fingerprint"))
   }
+
+  /** Span-level benchmark DECONTAMINATION — the REPAIR step after
+    * [[ngramContamination]]'s detection: the corpus positions whose
+    * k-gram occurs ANYWHERE in the eval set, merged into maximal
+    * intervals per corpus doc (every verbatim >= k-token overlap with
+    * the eval set, the GPT-3-appendix remediation applied at span
+    * granularity instead of dropping whole documents). Anchors are the
+    * same native GramMd5 hashes as the substring-dedup path; the eval
+    * side distills to a bloom literal first (the [[ngramContamination]]
+    * scale shape — at a realistic contamination rate ~all corpus anchors
+    * drop at the scan and never shuffle), bloom positives are verified
+    * with an exact LEFT SEMI join against the eval gram set, and
+    * verified coverage merges with the shared gaps-and-islands window.
+    * Returns (doc_id, start_pos, end_pos, span_tokens) over corpus docs.
+    */
+  def contaminationIntervals(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 13,
+      expectedEvalNgrams: Long = 1L << 20): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val spark = corpus.sparkSession
+    val w = toks(col(textCol))
+    val grams = bridge.column(graft.functions.GramMd5(bridge.expression(w), k))
+    val evalGrams = evalSet.filter(size(w) >= k)
+      .select(explode(grams).as("g")).distinct()
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedEvalNgrams <= maxItems && expectedEvalNgrams * 8L <= maxBits,
+      s"expectedEvalNgrams=$expectedEvalNgrams exceeds the bloom conf caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise the runtime " +
+        "bloom filter confs or the filter would clamp and lose its fpp bound")
+    val bloomAgg = bridge.column(BloomFilterAggregate(
+      new XxHash64(Seq(bridge.expression(col("g")))),
+      Literal(expectedEvalNgrams), Literal(expectedEvalNgrams * 8L), 0, 0)
+      .toAggregateExpression())
+    val bloomBytes = evalGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val occ = corpus.filter(size(w) >= k)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(grams).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    if (bloomBytes == null) return occ.limit(0)
+      .select(col("doc_id"), col("pos").as("start_pos"),
+        col("pos").as("end_pos"), col("pos").as("span_tokens"))
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      new XxHash64(Seq(bridge.expression(col("g"))))))
+    val hit = occ.filter(mightContain)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    mergeCoveredIntervals(hit, minRun = k)
+  }
+
+  /** Apply [[contaminationIntervals]]: every corpus document with its
+    * eval-overlapping spans REMOVED — counts + cleaned-stream md5 per
+    * doc, the decontaminated corpus a training run actually consumes. */
+  def exciseContaminated(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 13,
+      expectedEvalNgrams: Long = 1L << 20): DataFrame =
+    exciseByIntervals(corpus, idCol, textCol,
+      contaminationIntervals(corpus, evalSet, idCol, textCol, k,
+        expectedEvalNgrams))
 
   def dropDuplicatesByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {

@@ -92,6 +92,37 @@ final class IvfIndex private (
       .select("q_id", "c_id", "rank", "cosine")
   }
 
+  /** The `nAssign` centroid-closest cells per indexed vector — SOFT
+    * multi-assignment, the corpus-side analogue of query-side multi-probe.
+    * Within-cell operations (e.g. [[Dedup.semanticPairs]]) become robust
+    * to cluster-boundary splits: a pair lands together iff it shares ANY
+    * of the nAssign cells. Returns the cells shape with each vector
+    * repeated once per assigned cell (work scales by ~nAssign, the
+    * within-cell quadratic by ~nAssign²-ish collisions — keep nAssign
+    * small). Lazy projection over the persisted assignments; distance
+    * ranking reuses the build's spherical geometry with the same
+    * (distance, cell) lexicographic tie-break. */
+  def softCells(nAssign: Int): DataFrame = {
+    require(nAssign >= 1 && nAssign <= nCells,
+      s"need 1 <= nAssign <= nCells=$nCells, got $nAssign")
+    if (nAssign == 1) cells
+    else {
+      val distStructs = centroids.map { case (i, ctr) =>
+        val cd = ctr.map(_.toDouble)
+        val c2 = cd.map(x => x * x).sum
+        struct(
+          (lit(1.0 + c2)
+            - lit(2.0) * vec_dot(col("cv"), typedlit(cd.toSeq))
+              / when(col("cn") > 0, col("cn")).otherwise(lit(1.0))).as("d"),
+          lit(i).as("cell"))
+      }
+      cells.select(col("c_id"), col("cv"), col("cn"))
+        .withColumn("__a", slice(array_sort(array(distStructs: _*)), 1, nAssign))
+        .select(explode(col("__a").getField("cell")).as("cell"),
+          col("c_id"), col("cv"), col("cn"))
+    }
+  }
+
   /** Release the persisted inverted file (no-op for a loaded index — its
     * residency is the partitioned table itself). */
   def close(): Unit = { cells.unpersist(); () }

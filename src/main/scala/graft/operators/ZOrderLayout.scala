@@ -174,16 +174,48 @@ object ZOrderLayout {
 
   /** Scan only the manifest-selected files, then re-apply the exact
     * inclusive box predicate (skipping is a superset selection — the
-    * predicate stays authoritative). */
+    * predicate stays authoritative).
+    *
+    * The predicate is phrased in the column's NATIVE type wherever that
+    * is exactly equivalent — integral columns compare against the
+    * tightened integer bounds ceil(lo)..floor(hi) (clamped to the type's
+    * range), doubles compare directly — because a cast-to-double
+    * comparison blocks parquet filter pushdown: the files the manifest
+    * could not skip would lose ROW-GROUP pruning inside them, which is
+    * the second half of the skipping story (ZOrderSpec asserts the
+    * PushedFilters). Other types keep the cast formulation (for a float
+    * column a double-literal comparison still casts the column, and
+    * narrowing the bound to float could widen the box). */
   def readBox(spark: SparkSession, path: String,
       bounds: Map[String, (Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.types._
     val files = filesFor(spark, path, bounds)
     val df =
       if (files.isEmpty) {
         spark.read.parquet(path).limit(0)
       } else spark.read.parquet(files: _*)
     bounds.foldLeft(df) { case (acc, (c, (lo, hi))) =>
-      acc.filter(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+      acc.schema(c).dataType match {
+        case t @ (ByteType | ShortType | IntegerType | LongType) =>
+          val (tmin, tmax) = t match {
+            case ByteType => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
+            case ShortType => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+            case IntegerType => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+            case _ => (Long.MinValue.toDouble, Long.MaxValue.toDouble)
+          }
+          val l = math.ceil(lo)
+          val h = math.floor(hi)
+          if (l > h || l > tmax || h < tmin) acc.filter(lit(false))
+          else {
+            val lc = math.max(l, tmin).toLong
+            val hc = math.min(h, tmax).toLong
+            acc.filter(col(c) >= lit(lc).cast(t) && col(c) <= lit(hc).cast(t))
+          }
+        case DoubleType =>
+          acc.filter(col(c) >= lo && col(c) <= hi)
+        case _ =>
+          acc.filter(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+      }
     }
   }
 }

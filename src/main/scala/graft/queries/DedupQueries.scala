@@ -106,6 +106,50 @@ object DedupQueries {
         .filter(col("cosine") >= 0.5)
         .orderBy("vec_id_1", "vec_id_2")
     }),
+    // SemDeDup (cluster-scoped semantic near-dup): all-pairs cosine WITHIN
+    // the shared IVF index's k-means cells only — the quadratic term is
+    // bounded per cell, never corpus-wide. nAssign=2 soft multi-assignment
+    // makes the pair set boundary-robust (a pair is found iff it shares
+    // ANY of each vector's 2 closest cells) at ~2x the shuffle. Rows-only
+    // (the pair set depends on the seeded clustering); dedup_semantic_recall
+    // below is the hash-checked gate. Same rounding-boundary discipline as
+    // dedup_embedding_cosine.
+    "dedup_semantic" -> ((spark, dir) => {
+      Dedup.semanticPairs(SimilarityQueries.ivfIndex(spark, dir),
+          minCosine = 0.4999, nAssign = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .filter(col("cosine") >= 0.5)
+        .select("vec_id_1", "vec_id_2", "cosine", "cell")
+        .orderBy("vec_id_1", "vec_id_2")
+    }),
+    // Hash-checked RECALL gate for the semantic path: every exact
+    // all-pairs cosine >= 0.5 pair, left-joined against the cluster-scoped
+    // pair set. The oracle computes exact-vs-exact (trivially full), so
+    // the row hash-matches iff NO qualifying pair escaped every shared
+    // soft-assigned cell on the fixture — any quantizer regression that
+    // splits a near-dup pair past nAssign=2 turns the row red.
+    // (Deterministic: the k-means fit is seed-pinned over an md5-ordered
+    // sample.)
+    "dedup_semantic_recall" -> ((spark, dir) => {
+      val exact = Dedup.embeddingCosinePairsExact(
+          Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.4999)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .filter(col("cosine") >= 0.5)
+        .select("vec_id_1", "vec_id_2")
+      val sem = Dedup.semanticPairs(SimilarityQueries.ivfIndex(spark, dir),
+          minCosine = 0.4999, nAssign = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .filter(col("cosine") >= 0.5)
+        .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("hit"))
+      exact.join(sem, Seq("vec_id_1", "vec_id_2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum("hit"), lit(0L)).as("n_found"))
+        // an SF with no qualifying pairs has nothing to miss: recall 1.0
+        // (and no ANSI divide-by-zero), same convention as the oracle
+        .withColumn("recall", round(when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_found") / col("n_exact")), 6))
+    }),
     "dedup_cluster_resolve" -> ((spark, dir) => {
       // pairs -> transitive closure -> keep-min-id per cluster, for every
       // corpus row (docs in no pair keep themselves)
@@ -363,6 +407,24 @@ object DedupQueries {
         |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
         |    / (a.nrm * b.nrm), 6) >= 0.5
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+    // exact-vs-exact: n_found == n_exact and recall == 1.0 by
+    // construction, so the Spark row hash-matches iff the cluster-scoped
+    // pair set achieved FULL recall against the exact all-pairs set
+    "dedup_semantic_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+        |      / (a.nrm * b.nrm), 6) >= 0.5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(*) AS BIGINT) AS n_found,
+        |  round(CASE WHEN count(*) = 0 THEN 1.0
+        |        ELSE count(*) * 1.0 / count(*) END, 6) AS recall
+        |FROM p""".stripMargin,
     "dedup_cluster_resolve" ->
       ("WITH RECURSIVE " + duckShinglesBody +
         """,

@@ -151,6 +151,28 @@ object PipelineQueries {
           expectedEvalNgrams = 1L << 16)
         .orderBy("doc_id")
     }),
+    // Span-level decontamination (r8) — the REPAIR step after
+    // decontaminate_ngram's detection: every corpus position whose
+    // 13-gram occurs anywhere in the eval slice, merged into maximal
+    // per-doc excision intervals (bloom-prefiltered exact semi join on
+    // the native gram hashes + the shared gaps-and-islands merge).
+    "decontaminate_spans" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.contaminationIntervals(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 13, expectedEvalNgrams = 1L << 16)
+        .orderBy("doc_id", "start_pos")
+    }),
+    // The applied form: the corpus slice with eval-overlapping spans
+    // REMOVED — counts + cleaned-stream md5 per doc, the decontaminated
+    // corpus a training run actually consumes.
+    "corpus_excise_contaminated" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.exciseContaminated(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 13, expectedEvalNgrams = 1L << 16)
+        .orderBy("doc_id")
+    }),
     // Z-order box scan (r8): orders laid out z-clustered on
     // (o_totalprice, o_custkey) ONCE per (session, dir), then a 2-d box
     // read through the footer-stats manifest — readBox plans over only
@@ -182,6 +204,35 @@ object PipelineQueries {
         Seq("o_totalprice", "o_custkey"), path, nFiles = 16)
       path
     })
+
+  /** Shared CTE body for the span-decontamination oracles: the same
+    * 13-gram md5 anchors, eval-set semi join, and gaps-and-islands merge
+    * as `Dedup.contaminationIntervals` (the bloom in the Spark path only
+    * bounds join input, never the result). */
+  private val duckContaminationBody =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 13),
+      |ev AS (
+      |  SELECT DISTINCT md5(array_to_string(w[i:i+12], ' ')) AS g
+      |  FROM tok CROSS JOIN unnest(range(1, len(w) - 11)) AS t(i)
+      |  WHERE doc_id % 5 = 0),
+      |occ AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+12], ' ')) AS g
+      |  FROM tok CROSS JOIN unnest(range(1, len(w) - 11)) AS t(i)
+      |  WHERE doc_id % 5 <> 0),
+      |hit AS (
+      |  SELECT doc_id, pos FROM occ WHERE g IN (SELECT g FROM ev)),
+      |mk AS (
+      |  SELECT doc_id, pos, pos + 12 AS e,
+      |    max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM hit),
+      |isl AS (
+      |  SELECT doc_id, pos, e,
+      |    sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM mk)""".stripMargin
 
   val oracleSql: ListMap[String, String] = ListMap(
     "kmv_distinct_users" ->
@@ -332,6 +383,36 @@ object PipelineQueries {
         |  CAST(count(DISTINCT s) AS BIGINT) AS contaminated_ngrams,
         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS eval_docs_hit
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontaminate_spans" ->
+      (PipelineQueries.duckContaminationBody + """
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(e) AS BIGINT) AS end_pos,
+        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |HAVING max(e) - min(pos) + 1 >= 13
+        |ORDER BY doc_id, start_pos""".stripMargin),
+    "corpus_excise_contaminated" ->
+      (PipelineQueries.duckContaminationBody + """,
+        |iv0 AS (
+        |  SELECT doc_id, min(pos) AS s, max(e) AS e
+        |  FROM isl GROUP BY doc_id, island
+        |  HAVING max(e) - min(pos) + 1 >= 13),
+        |iv AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS ivs
+        |       FROM iv0 GROUP BY doc_id),
+        |alltok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents WHERE doc_id % 5 <> 0),
+        |cl AS (
+        |  SELECT t.doc_id, t.w,
+        |    CASE WHEN v.ivs IS NULL THEN t.w
+        |         ELSE list_filter(t.w, (x, i) ->
+        |           len(list_filter(v.ivs, b -> i >= b.s AND i <= b.e)) = 0)
+        |    END AS kept
+        |  FROM alltok t LEFT JOIN iv v ON t.doc_id = v.doc_id)
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(len(w) - len(kept) AS INTEGER) AS excised_tokens,
+        |  CAST(len(kept) AS INTEGER) AS kept_tokens,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fingerprint
+        |FROM cl ORDER BY doc_id""".stripMargin),
     // the skipping read must EQUAL the plain predicate over the full
     // table — file skipping is a superset selection, never a filter
     "zorder_box_scan" ->

@@ -53,7 +53,7 @@ object SimilarityQueries {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.IvfIndex]
 
-  private def ivfIndex(spark: SparkSession, dir: String): graft.operators.IvfIndex =
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): graft.operators.IvfIndex =
     ivfCache.getOrElseUpdate((spark, dir),
       graft.operators.IvfIndex.build(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 8))

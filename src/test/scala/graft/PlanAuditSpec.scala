@@ -31,7 +31,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_ivf_topk", "ann_ivf_persisted", "ann_quantized_topk",
       "ann_pq_topk", "ann_pq_recall", "ann_pq_persisted",
       "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_persisted",
-      "term_stats", "lm_bigram_quality")
+      "term_stats", "lm_bigram_quality",
+      // exact side of the semantic-recall gate: full-corpus broadcast by
+      // design (the verification baseline, not the scale path)
+      "dedup_semantic_recall")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

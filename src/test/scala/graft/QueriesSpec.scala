@@ -17,7 +17,7 @@ class QueriesSpec extends AnyFunSuite {
   /** Threshold-filtered pair queries may legitimately be empty at sf0.001;
     * the driver's t2 hash gate compares empty-vs-empty fine. */
   private val mayBeEmpty = Set("dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash")
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_semantic")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IvfIndex}
+
+/** SemDeDup (cluster-scoped semantic dedup): the quadratic pair scoring
+  * runs WITHIN k-means cells only, so correctness rests on (a) the
+  * within-cell scoring being exact and (b) near-dup pairs co-clustering.
+  *
+  * - within-cell scoring is exact, so the semantic pair set is always a
+  *   SUBSET of the exact all-pairs set (it can miss, never invent), and
+  *   on a fixture whose qualifying pairs all co-cluster it EQUALS it.
+  * - planted near-identical vectors must co-cluster at any nCells (they
+  *   quantize to the same cell) and the keep rule must retain the member
+  *   farthest from its centroid (the paper's representative choice).
+  * - singletons keep themselves; every indexed vector gets a keep row.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two well-separated directions, each with a near-dup pair planted, plus
+  // a lone vector per direction: 6 vectors, 2 qualifying pairs at >= 0.99
+  private lazy val fixture = Seq(
+    (1L, Array(1.0f, 0.02f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.02f, 0.0f)),   // near-dup of 1
+    (3L, Array(0.6f, 0.5f, 0.4f, 0.3f)),    // same half-space, not a dup
+    (10L, Array(-0.02f, 0.0f, 0.0f, 1.0f)),
+    (11L, Array(0.0f, -0.02f, 0.0f, 1.0f)), // near-dup of 10
+    (12L, Array(0.3f, -0.4f, 0.5f, 0.8f))   // same half-space, not a dup
+  ).toDF("vec_id", "embedding")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+
+  test("semantic pairs are a subset of exact all-pairs on the fixture corpus") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 2,
+      sampleSize = 512)
+    val sem = pairSet(Dedup.semanticPairs(idx, minCosine = 0.3))
+    val exact = pairSet(Dedup.embeddingCosinePairsExact(
+      emb, "vec_id", "embedding", minCosine = 0.3))
+    assert(sem.nonEmpty, "fixture should produce at least one pair at 0.3")
+    assert(sem.subsetOf(exact), "within-cell scoring must never invent pairs")
+    idx.close()
+  }
+
+  test("planted near-dups co-cluster and score exactly, at any nCells") {
+    val idx = IvfIndex.build(fixture, "vec_id", "embedding", nCells = 2,
+      sampleSize = 64)
+    val sem = Dedup.semanticPairs(idx, minCosine = 0.99)
+    assert(pairSet(sem) === Set((1L, 2L), (10L, 11L)))
+    // cosine is the exact raw-vector value, not a quantized surrogate
+    val exact = Dedup.embeddingCosinePairsExact(fixture, "vec_id", "embedding",
+        minCosine = 0.99)
+      .select("vec_id_1", "vec_id_2", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    Dedup.semanticPairs(idx, minCosine = 0.99)
+      .select("vec_id_1", "vec_id_2", "cosine")
+      .as[(Long, Long, Double)].collect().foreach { case (a, b, c) =>
+        assert(math.abs(c - exact((a, b))) < 1e-12)
+      }
+    idx.close()
+  }
+
+  test("keep rule retains the farthest-from-centroid member per cluster") {
+    val idx = IvfIndex.build(fixture, "vec_id", "embedding", nCells = 2,
+      sampleSize = 64)
+    val keep = Dedup.semanticKeep(idx, minCosine = 0.99)
+      .as[(Long, Long)].collect().toMap
+    // every vector resolved; singletons keep themselves
+    assert(keep.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(keep(3L) === 3L && keep(12L) === 12L)
+    // each planted pair collapses to ONE keeper, shared by both members
+    assert(keep(1L) === keep(2L) && Set(1L, 2L).contains(keep(1L)))
+    assert(keep(10L) === keep(11L) && Set(10L, 11L).contains(keep(10L)))
+    // and the keeper is the member with the LOWER centroid cosine
+    val cent = idx.centroids.toDF("cell", "centroid")
+    val centCos = idx.cells.join(broadcast(cent), Seq("cell"))
+      .withColumn("cc", graft.functions.functions.vec_dot(col("cv"), col("centroid"))
+        / (col("cn") * graft.functions.functions.vec_l2norm(col("centroid"))))
+      .select("c_id", "cc").as[(Long, Double)].collect().toMap
+    Seq(Set(1L, 2L), Set(10L, 11L)).foreach { cluster =>
+      val expected = cluster.minBy(id => (centCos(id), id))
+      assert(keep(cluster.head) === expected,
+        s"cluster $cluster kept ${keep(cluster.head)}, " +
+          s"expected farthest-from-centroid $expected (cos $centCos)")
+    }
+    idx.close()
+  }
+
+  test("the driver gate's exact side and semantic side agree on the fixture dir") {
+    val gate = queries.DedupQueries.queries("dedup_semantic_recall")(
+      spark, TestSpark.sfDir).collect()
+    assert(gate.length === 1)
+    val r = gate(0)
+    assert(r.getAs[Long]("n_exact") === r.getAs[Long]("n_found"),
+      s"semantic pairs missed ${r.getAs[Long]("n_exact") - r.getAs[Long]("n_found")} " +
+        "exact pairs on the fixture")
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
+}

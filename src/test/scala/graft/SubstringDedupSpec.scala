@@ -95,6 +95,44 @@ class SubstringDedupSpec extends AnyFunSuite {
       Seq((2L, 16L, 75L)))
   }
 
+  test("span decontamination excises exactly the eval-overlapping spans") {
+    // corpus doc 1 embeds a 20-token span of eval doc 100; corpus doc 2
+    // shares only 12 tokens (< k) with the eval set; doc 3 is clean
+    val evalSpan = (0 until 20).map(i => s"eval$i").mkString(" ")
+    val twelve = (0 until 12).map(i => s"tw$i").mkString(" ")
+    val corpus = Seq(
+      (1L, uniq("a", 15) + " " + evalSpan + " " + uniq("b", 10)),
+      (2L, twelve + " " + uniq("c", 30)),
+      (3L, uniq("d", 40))
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, uniq("x", 5) + " " + evalSpan + " " + uniq("y", 5)),
+      (101L, twelve + " " + uniq("z", 20))
+    ).toDF("doc_id", "text")
+    val iv = Dedup.contaminationIntervals(corpus, evalSet, "doc_id", "text",
+      k = 13, expectedEvalNgrams = 1L << 12).collect()
+    // only doc 1, and exactly the embedded span (tokens 16..35)
+    assert(iv.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 16L, 35L)))
+    val cleaned = Dedup.exciseContaminated(corpus, evalSet, "doc_id", "text",
+        k = 13, expectedEvalNgrams = 1L << 12)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(4)))).toMap
+    assert(cleaned(1L) == ((20, md5Hex(uniq("a", 15) + " " + uniq("b", 10)))))
+    assert(cleaned(2L)._1 === 0)
+    assert(cleaned(3L)._1 === 0)
+  }
+
+  test("an empty eval set contaminates nothing") {
+    val corpus = Seq((1L, uniq("a", 40))).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.contaminationIntervals(corpus, empty, "doc_id", "text",
+      k = 13, expectedEvalNgrams = 1L << 12).isEmpty)
+    val out = Dedup.exciseContaminated(corpus, empty, "doc_id", "text",
+      k = 13, expectedEvalNgrams = 1L << 12).collect()
+    assert(out.length === 1 && out(0).getInt(2) === 0)
+  }
+
   test("native GramMd5 kernel == the HOF md5(concat_ws(slice)) formulation") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val w = split(lower(col("text")), " ")
@@ -116,6 +154,61 @@ class SubstringDedupSpec extends AnyFunSuite {
     val two = new GenericArrayData(
       Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b")))
     assert(graft.functions.GramKernels.md5Grams(two, 13).numElements() === 0)
+  }
+
+  test("fuzz: intervals equal a direct single-machine reference on random corpora") {
+    // tiny vocab + short grams force heavy natural repetition, fuzzing
+    // the first-occurrence rule, intra-doc repeats, and interval merging
+    // against an independent straight-line implementation
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(15, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(3, 6).flatMap(nd => Gen.listOfN(nd, docGen))
+    val (k, minRun) = (3, 6)
+    (0 until 25).foreach { trial =>
+      val docs = corpusGen(Gen.Parameters.default, Seed(trial.toLong)).get
+        .zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val got = Dedup.substringRepeatIntervals(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k, minRun)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === referenceIntervals(docs, k, minRun), s"trial $trial: $docs")
+    }
+  }
+
+  /** Straight-line reference: global first occurrence per gram, coverage
+    * of every other occurrence, per-doc interval merge. */
+  private def referenceIntervals(docs: Seq[(Long, String)], k: Int,
+      minRun: Int): Set[(Long, Long, Long)] = {
+    val occ = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val w = text.toLowerCase.split(" ")
+      (0 to w.length - k).foreach { p =>
+        occ.getOrElseUpdate(w.slice(p, p + k).mkString(" "),
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, p + 1))
+      }
+    }
+    val cov = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.SortedSet[Int]]
+    occ.values.filter(_.size >= 2).foreach { os =>
+      os.sortBy(identity).drop(1).foreach { case (id, p) =>
+        val s = cov.getOrElseUpdate(id, scala.collection.mutable.SortedSet.empty)
+        (p until p + k).foreach(s += _)
+      }
+    }
+    cov.flatMap { case (id, positions) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var start = -1; var prev = -2
+      positions.foreach { p =>
+        if (p != prev + 1) { if (start >= 0) runs += ((start, prev)); start = p }
+        prev = p
+      }
+      if (start >= 0) runs += ((start, prev))
+      runs.filter { case (s, e) => e - s + 1 >= minRun }
+        .map { case (s, e) => (id, s.toLong, e.toLong) }
+    }.toSet
   }
 
   private def md5Hex(s: String): String =

@@ -69,6 +69,32 @@ class ZOrderSpec extends AnyFunSuite {
       s"1-d predicates skipped nothing (${box1a.size}, ${box1b.size} of ${all.size})")
   }
 
+  test("readBox predicates reach the parquet scan for integral and double columns") {
+    writtenOnce
+    // a cast-to-double comparison would leave only IsNotNull pushed for
+    // the bigint column — the unskipped files would lose row-group
+    // pruning; native-type bounds restore it for both columns
+    val plan = ZOrderLayout.readBox(spark, zpath,
+        Map("o_custkey" -> ((40.0, 120.0)), "o_totalprice" -> ((1000.0, 90000.0))))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(o_custkey,40)"),
+      s"custkey lower bound not pushed: $pushed")
+    assert(pushed.contains("LessThanOrEqual(o_custkey,120)"),
+      s"custkey upper bound not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(o_totalprice,1000.0)"),
+      s"totalprice bound not pushed: $pushed")
+    // tightening is exact: fractional bounds on an integral column admit
+    // exactly the integers in [ceil(lo), floor(hi)]
+    val got = ZOrderLayout.readBox(spark, zpath, Map("o_custkey" -> ((39.5, 120.5))))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected = orders.filter(col("o_custkey") >= 40 && col("o_custkey") <= 120)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
   test("empty box intersects no files and returns no rows") {
     writtenOnce
     val bounds = Map("o_custkey" -> (-10.0, -5.0))
