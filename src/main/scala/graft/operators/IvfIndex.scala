@@ -92,6 +92,40 @@ final class IvfIndex private (
       .select("q_id", "c_id", "rank", "cosine")
   }
 
+  /** FILTERED top-k (FAISS IDSelector-style): exact-scored cosine top-k
+    * over the probed cells restricted to the ids in `allowed` (a DataFrame
+    * with a single `c_id` column — the caller derives it from whatever
+    * metadata predicate applies, e.g. a pushed-down scan of an id+label
+    * projection). The restriction is a LEFT SEMI join applied to the
+    * candidate stream BEFORE scoring and ranking — post-filtering an
+    * already-ranked top-k under-fills (or empties) the result whenever the
+    * predicate is selective, which is the classic filtered-search bug.
+    * Catalyst broadcasts the semi join when `allowed` is small and
+    * shuffles both sides on c_id otherwise; either way nothing
+    * corpus-sized is duplicated, and a file-backed index still prunes to
+    * the probed cells first, so the semi join sees nprobe/nCells of the
+    * corpus, not all of it. */
+  def topKFiltered(queries: DataFrame, k: Int, nprobe: Int,
+      allowed: DataFrame): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1")
+    require(allowed.columns.toSeq == Seq("c_id"),
+      s"allowed must have exactly one column c_id, got ${allowed.columns.toSeq}")
+    val pr = probes(queries, nprobe)
+    val corpus =
+      if (fileBacked) {
+        val probed = pr.select("cell").distinct().collect().map(_.getInt(0)).sorted
+        cells.filter(col("cell").isin(probed.toSeq: _*))
+      } else cells
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    corpus.join(allowed, Seq("c_id"), "left_semi")
+      .join(broadcast(pr), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine")
+  }
+
   /** The `nAssign` centroid-closest cells per indexed vector — SOFT
     * multi-assignment, the corpus-side analogue of query-side multi-probe.
     * Within-cell operations (e.g. [[Dedup.semanticPairs]]) become robust

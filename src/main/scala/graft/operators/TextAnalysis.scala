@@ -131,4 +131,45 @@ object TextAnalysis {
         round6(sum(col("k").cast("double") * p) / sum("k")).as("pred_prob"),
         round6(avg(when(col("df") === 1, 1.0).otherwise(0.0))).as("novel_rate"))
   }
+
+  /** BM25 keyword retrieval: score every document against a bag of query
+    * terms — the seed-retrieval primitive a curation pipeline uses to pull
+    * topic-relevant documents out of a crawl (phi-style seeded quality
+    * filtering, eval-set neighborhood mining).
+    *
+    * The idf weight is the Robertson–Spärck Jones odds WITHOUT the log:
+    * (N - df + 0.5) / (df + 0.5). It is strictly monotone in df exactly
+    * like the log form (the ranking-relevant property) and keeps the score
+    * in rational arithmetic, so the result is bit-stable across engines
+    * and fully hash-checkable — the same discipline as [[bigramLm]]'s
+    * expected-probability score (no transcendentals in checked outputs).
+    *
+    * Scale shape: the query-term set is a literal `isin` filter applied at
+    * the posting explode, so only matching postings ever shuffle (at 100 TB
+    * the non-matching ~99% of tokens die in the scan stage); per-(doc,term)
+    * tf and per-term df are two key-partitioned aggregations over that
+    * filtered stream; doc length is a separate full-pass aggregate joined
+    * back on the doc key; N and avgdl are a 1-row broadcast. Nothing
+    * corpus-sized is broadcast or collected. Returns one row per document
+    * matching at least one term: (id, matched_terms, bm25). */
+  def bm25Rank(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    val t = tokens(col(textCol))
+    val dl = df.select(col(idCol), size(t).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = df.select(col(idCol), explode(t).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
+    val idf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfreq, "term").join(dl, idCol).crossJoin(broadcast(stats))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_terms"), round6(sum(idf * tfNorm)).as("bm25"))
+  }
 }

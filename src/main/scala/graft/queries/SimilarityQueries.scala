@@ -163,9 +163,10 @@ object SimilarityQueries {
       .filter(col("rank") <= 5).select("q_id", "c_id")
   }
 
-  /** recall@5 of an approximate neighbor set vs the exact top-5, per q_id. */
-  private def recallOf(approx: DataFrame, spark: SparkSession, dir: String): DataFrame =
-    exactTop5(spark, dir)
+  /** recall@5 of an approximate neighbor set vs a baseline (q_id, c_id)
+    * top-5 set, per q_id. */
+  private def recallVs(approx: DataFrame, baseline: DataFrame): DataFrame =
+    baseline
       .join(approx.select("q_id", "c_id").withColumn("hit", lit(1)),
         Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
@@ -173,6 +174,26 @@ object SimilarityQueries {
         coalesce(sum("hit"), lit(0L)).as("n_hit"))
       .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
       .orderBy("q_id")
+
+  /** recall@5 of an approximate neighbor set vs the exact top-5, per q_id. */
+  private def recallOf(approx: DataFrame, spark: SparkSession, dir: String): DataFrame =
+    recallVs(approx, exactTop5(spark, dir))
+
+  /** Filtered-exact baseline: brute-force cosine top-5 for queries
+    * vec_id < 5 over ONLY the corpus rows with an even label — the
+    * correctness side of the filtered-search queries. */
+  private def exactTop5Filtered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = withNorm(emb).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(emb.filter(col("label") % 2 === 0))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("q_id", "c_id", "rank", "cosine")
+  }
 
   val queries: ListMap[String, Q] = ListMap(
     // Exact brute-force cosine top-5 for query vectors vec_id < 5
@@ -239,6 +260,29 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       recallOf(graft.operators.AnnLsh.topK(emb, "vec_id", "embedding",
         q, "q_id", "qv", k = 5), spark, dir)
+    }),
+    // Predicate-FILTERED exact top-5 (serving: "nearest neighbors among
+    // rows matching a metadata filter", here label % 2 = 0). The
+    // restriction lands on the corpus scan (a pushed-down parquet filter),
+    // then the same broadcast-scan shape as ann_bruteforce_topk — the
+    // corpus never shuffles. Fully deterministic, hash-checked end-to-end.
+    "ann_filtered_topk" -> ((spark, dir) =>
+      exactTop5Filtered(spark, dir).orderBy("q_id", "rank")),
+    // Filtered-IVF EXACTNESS gate (FAISS IDSelector-style): the allowed-id
+    // set semi-joins the candidate stream BEFORE scoring/ranking — a
+    // post-filtered top-k under-fills whenever the predicate is selective,
+    // the classic filtered-search bug; this gate turns red on it (5
+    // filtered-out rows would crack the top-5). At nprobe == nCells every
+    // cell is admitted, so the filtered IVF path must reproduce the
+    // filtered brute force EXACTLY; oracle = filtered exact-vs-exact.
+    "ann_ivf_filtered_recall" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val allowed = emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("c_id"))
+      recallVs(ivfIndex(spark, dir).topKFiltered(q, k = 5, nprobe = 8, allowed),
+        exactTop5Filtered(spark, dir).select("q_id", "c_id"))
     }),
     // IVF EXACTNESS gate: at nprobe == nCells every cell is probed, so the
     // lifecycle (assignment scan -> probe selection -> cell join -> exact
@@ -506,6 +550,50 @@ object SimilarityQueries {
         |SELECT q_id, c_id, rank, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  private val filteredBruteForceOracle =
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |    AND c.label % 2 = 0),
+        |ranked AS (
+        |  SELECT q_id, c_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, rank, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Filtered exact-vs-exact recall (trivially 1.0 per query) — the
+    * filtered-search twin of [[fullRecallOracle]]: hash-matches iff the
+    * filtered IVF path reproduces the filtered brute force exactly. */
+  private val filteredFullRecallOracle =
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |    AND c.label % 2 = 0),
+        |ranked AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+        |  FROM scored),
+        |top5 AS (SELECT q_id, c_id FROM ranked WHERE rank <= 5)
+        |SELECT a.q_id, count(*) AS n_exact,
+        |  CAST(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 END), 0) * 1.0
+        |    / count(*), 6) AS recall
+        |FROM top5 a LEFT JOIN top5 b ON a.q_id = b.q_id AND a.c_id = b.c_id
+        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin
+
   /** Exact-vs-exact recall (trivially 1.0 per query): the oracle for every
     * approximate path's recall gate — the Spark side hash-matches iff the
     * approximate shortlist keeps FULL recall on the fixture. */
@@ -547,6 +635,8 @@ object SimilarityQueries {
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     "ann_topk_native" -> bruteForceOracle,
+    "ann_filtered_topk" -> filteredBruteForceOracle,
+    "ann_ivf_filtered_recall" -> filteredFullRecallOracle,
     // exact-vs-exact join: structurally the Spark query with the LSH side
     // replaced by the exact formulation — so the hash matches iff the LSH
     // path achieves FULL recall on this data (seed-pinned, deterministic)

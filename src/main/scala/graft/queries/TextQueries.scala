@@ -174,6 +174,17 @@ object TextQueries {
         .orderBy(desc("df"), col("term"))
         .limit(100)
     }),
+    // BM25 keyword retrieval (seed-retrieval curation primitive): top-20
+    // docs for a 3-term query, rational-odds idf so the score is
+    // hash-checkable (see TextAnalysis.bm25Rank). Deterministic: rounded
+    // score with a doc_id tie-break gives a total order before the limit.
+    "bm25_rank" -> ((spark, dir) => {
+      graft.operators.TextAnalysis.bm25Rank(
+          Tables.load(spark, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    }),
     // PII scrubbing: count + redact emails / URLs / long digit runs — the
     // compliance-filtering stage of a training-data pipeline. Patterns are
     // dialect-portable (same semantics in Java regex and DuckDB's RE2);
@@ -435,6 +446,23 @@ object TextQueries {
         |  round(tf_total * (n.n_docs + 1) * 1.0 / (df + 1), 6) AS tfidf_total
         |FROM s, n WHERE df >= 2
         |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    "bm25_rank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(tok.w) AS t(term)
+        |  WHERE t.term IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+        |  round(sum((n_docs - df + 0.5) / (df + 0.5)
+        |    * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
+        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |GROUP BY tf.doc_id, n_docs, avgdl
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "text_scrub_pii" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
