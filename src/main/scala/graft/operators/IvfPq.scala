@@ -41,4 +41,31 @@ final class IvfPq(val ivf: IvfIndex, val pq: PqIndex) {
     pq.rankShortlist(withLut, luts,
       ivf.cells.select("c_id", "cv", "cn"), k, nCandidates)
   }
+
+  /** FILTERED top-k through the composed plan: `allowed` (single-column
+    * c_id id-set, FAISS IDSelector-style) semi-joins the candidate stream
+    * BEFORE the ADC scan, so the nCandidates shortlist fills with ALLOWED
+    * candidates only — post-filtering the shortlist would under-fill it
+    * by whatever the predicate rejects, silently degrading recall. The
+    * semi join runs on the (cell-pruned) code stream, c_id-keyed, nothing
+    * corpus-sized broadcast. With nCandidates >= |allowed| the shortlist
+    * keeps every allowed candidate and the exact re-rank makes the result
+    * provably equal to the filtered brute force (the driver gate's
+    * operating point); serving uses smaller nCandidates and inherits PQ's
+    * usual recall trade. */
+  def topKFiltered(queries: DataFrame, k: Int, nprobe: Int, nCandidates: Int,
+      allowed: DataFrame, maxQueries: Int = 1024): DataFrame = {
+    require(k >= 1 && nCandidates > k, "need nCandidates > k >= 1")
+    require(allowed.columns.toSeq == Seq("c_id"),
+      s"allowed must have exactly one column c_id, got ${allowed.columns.toSeq}")
+    val luts = pq.queryLuts(queries, maxQueries)
+    val probed = ivf.probes(queries, nprobe).select("q_id", "cell")
+    val withLut = ivf.cells.select("cell", "c_id")
+      .join(allowed, Seq("c_id"), "left_semi")
+      .join(pq.codes.select("c_id", "code"), "c_id")
+      .join(broadcast(probed), "cell")
+      .join(broadcast(luts.select("q_id", "lut")), "q_id")
+    pq.rankShortlist(withLut, luts,
+      ivf.cells.select("c_id", "cv", "cn"), k, nCandidates)
+  }
 }

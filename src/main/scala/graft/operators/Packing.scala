@@ -60,6 +60,46 @@ object Packing {
       .select(("doc_id" +: "n_tokens" +: "seq_id" +: "seq_offset" +:
         "spans_boundary" +: carryCols).map(col): _*)
   }
+
+  /** Deterministic global training-order shuffle: every document gets a
+    * reproducible position in a seed-keyed pseudo-random total order, plus
+    * a shard assignment — the "shuffle once, stream shards" step before a
+    * training run. The order key is md5(seed:doc_id), a pure function of
+    * (seed, id): re-running, re-partitioning, or switching engines yields
+    * the identical permutation, and a new seed yields an independent one.
+    *
+    * Positions come from the same two-level prefix scan as
+    * [[packSequences]] — a global row_number would serialize the corpus
+    * through one task. Here the block is the first two hex chars of the
+    * order key (256 near-uniform blocks by construction, no equi-depth
+    * binning needed): per-block ranks are a partitioned window over
+    * (key, id); block offsets prefix-sum the 256 block COUNTS in a tiny
+    * serial window; position = offset + in-block rank. Because the block
+    * prefix IS the leading bytes of the sort key, block order concatenated
+    * with in-block order equals the global (key, id) order exactly.
+    *
+    * Shard = pos % nShards deals the SHUFFLED order round-robin, so shards
+    * are simultaneously pseudo-random in content and balanced to ±1 in
+    * size — a plain hash-mod-shards gives binomial imbalance instead. */
+  def shuffleAssign(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val base = df.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("order_key",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .withColumn("block", substring(col("order_key"), 1, 2))
+    val wIn = Window.partitionBy("block").orderBy("order_key", "doc_id")
+    val wBlocks = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("block").agg(count(lit(1)).as("cnt"))
+      .withColumn("block_offset", coalesce(sum("cnt").over(wBlocks), lit(0L)))
+      .select("block", "block_offset")
+    base.withColumn("rank_in_block", row_number().over(wIn))
+      .join(offsets, Seq("block"))
+      .withColumn("pos", col("block_offset") + col("rank_in_block") - 1)
+      .withColumn("shard", (col("pos") % nShards).cast("int"))
+      .select("doc_id", "order_key", "pos", "shard")
+  }
 }
 
 /** Deterministic hash-based sampling for training-data mixing: the keep

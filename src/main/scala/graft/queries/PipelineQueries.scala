@@ -49,6 +49,16 @@ object PipelineQueries {
       Packing.packSequences(docs, "doc_id", "n_tokens", budget = 256, blockSize = 100)
         .orderBy("doc_id")
     }),
+    // Deterministic global training-order shuffle + round-robin shard
+    // deal: seed-keyed md5 total order, positions via the shared two-level
+    // prefix scan (never a corpus-wide single-partition window), shards
+    // balanced to +-1 by construction. Pure function of (seed, doc_id) —
+    // fully hash-checked against the oracle's single-window formulation.
+    "corpus_shuffle" -> ((spark, dir) => {
+      Packing.shuffleAssign(Tables.load(spark, dir, "documents"),
+          "doc_id", seed = "r8", nShards = 8)
+        .orderBy("doc_id")
+    }),
     // Deterministic language-rebalancing sample: downsample dominant
     // strata by md5-fraction so the mix is reproducible across engines,
     // runs, and partitionings
@@ -262,6 +272,18 @@ object PipelineQueries {
         |  n_tokens > 0 AND floor((cum_before + n_tokens - 1) / 256.0)
         |    > floor(cum_before / 256.0) AS spans_boundary
         |FROM c ORDER BY doc_id""".stripMargin,
+    // single-window formulation: the two-level prefix scan must reproduce
+    // the plain global row_number over the md5 order exactly
+    "corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('r8:' || CAST(doc_id AS VARCHAR)) AS order_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, order_key,
+        |    CAST(row_number() OVER (ORDER BY order_key, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT doc_id, order_key, pos, CAST(pos % 8 AS INTEGER) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)

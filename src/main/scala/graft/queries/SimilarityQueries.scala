@@ -445,6 +445,21 @@ object SimilarityQueries {
       recallOf(new graft.operators.IvfPq(ivfIndex(spark, dir), pqIndex(spark, dir))
         .topK(q, k = 5, nprobe = 8, nCandidates = 256), spark, dir)
     }),
+    // Filtered IVF+PQ exactness gate: the allowed-id set semi-joins the
+    // code stream BEFORE the ADC scan (shortlist fills with allowed
+    // candidates only), full probe + nCandidates >= |allowed| makes the
+    // composed result PROVABLY equal to the filtered brute force — so a
+    // hash mismatch means a real filtered-serving bug, not approximation.
+    "ann_ivfpq_filtered_recall" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val allowed = emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("c_id"))
+      recallVs(new graft.operators.IvfPq(ivfIndex(spark, dir), pqIndex(spark, dir))
+          .topKFiltered(q, k = 5, nprobe = 8, nCandidates = 256, allowed),
+        exactTop5Filtered(spark, dir).select("q_id", "c_id"))
+    }),
     // Cross-session SERVING-STACK parity (r8): the composition of the
     // DURABLE IVF and the DURABLE PQ — both reopened through their
     // validated manifests, zero build jobs — must reproduce the
@@ -637,6 +652,7 @@ object SimilarityQueries {
     "ann_topk_native" -> bruteForceOracle,
     "ann_filtered_topk" -> filteredBruteForceOracle,
     "ann_ivf_filtered_recall" -> filteredFullRecallOracle,
+    "ann_ivfpq_filtered_recall" -> filteredFullRecallOracle,
     // exact-vs-exact join: structurally the Spark query with the LSH side
     // replaced by the exact formulation — so the hash matches iff the LSH
     // path achieves FULL recall on this data (seed-pinned, deterministic)

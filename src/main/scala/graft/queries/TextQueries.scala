@@ -174,6 +174,43 @@ object TextQueries {
         .orderBy(desc("df"), col("term"))
         .limit(100)
     }),
+    // Composed C4/CCNet-style quality FILTER CHAIN: the per-doc keep/drop
+    // verdict a web-corpus cleaner actually applies — length, composite
+    // quality, repetition and language gates fused into one corpus scan
+    // (Catalyst collapses the per-row signals; only the repetition
+    // aggregate adds a doc-keyed shuffle, joined back on the doc key).
+    // Scores are emitted as INTEGER-scaled values (x1e4 / x1e6) so the
+    // threshold booleans — the actual output of a filter — are bit-exact
+    // across engines, never a double-rounding coin flip at the boundary.
+    "corpus_quality_filter" -> ((spark, dir) => {
+      val t = toks(col("text"))
+      val nTokD = size(t).cast("double")
+      val stopRatio = score(t, stopwords) / nTokD
+      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTokD
+      val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
+      val sizeSat = least(nTokD / 100.0, lit(1.0))
+      val quality4 = org.apache.spark.sql.functions.round(
+        least(lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
+          lit(1.0)) * 1e4, 0).cast("long")
+      val docs = Tables.load(spark, dir, "documents")
+      val perRow = docs.select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        quality4.as("quality4"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      val rep = docs.select(col("doc_id"), explode(t).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.round(
+          count(lit(1)) * 1e6 / sum("tf"), 0).cast("long").as("distinct_ratio6"))
+      perRow.join(rep, "doc_id")
+        .withColumn("keep_length", col("n_tokens") >= 20)
+        .withColumn("keep_quality", col("quality4") >= 4000)
+        .withColumn("keep_repetition", col("distinct_ratio6") >= 300000)
+        .withColumn("keep_lang", col("lang_pred") === "en")
+        .withColumn("keep", col("keep_length") && col("keep_quality") &&
+          col("keep_repetition") && col("keep_lang"))
+        .orderBy("doc_id")
+    }),
     // BM25 keyword retrieval (seed-retrieval curation primitive): top-20
     // docs for a 3-term query, rational-odds idf so the score is
     // hash-checkable (see TextAnalysis.bm25Rank). Deterministic: rounded
@@ -446,6 +483,40 @@ object TextQueries {
         |  round(tf_total * (n.n_docs + 1) * 1.0 / (df + 1), 6) AS tfidf_total
         |FROM s, n WHERE df >= 2
         |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    "corpus_quality_filter" ->
+      (s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(round(least(
+        |      0.3 * (${duckScore(stopwords)} * 1.0 / len(string_split(lower(text), ' ')))
+        |      + 0.3 * least(len(string_split(lower(text), ' ')) / 100.0, 1.0)
+        |      + 0.4 * (1.0 - least(abs(length(replace(text, ' ', '')) * 1.0
+        |          / len(string_split(lower(text), ' ')) - 5.0) / 5.0, 1.0)),
+        |      1.0) * 1e4) AS BIGINT) AS quality4,
+        |    CASE
+        |      WHEN ${duckScore(enM)} > 0 AND ${duckScore(enM)} >= ${duckScore(esM)}
+        |        AND ${duckScore(enM)} >= ${duckScore(frM)} AND ${duckScore(enM)} >= ${duckScore(deM)} THEN 'en'
+        |      WHEN ${duckScore(esM)} > 0 AND ${duckScore(esM)} >= ${duckScore(frM)}
+        |        AND ${duckScore(esM)} >= ${duckScore(deM)} THEN 'es'
+        |      WHEN ${duckScore(frM)} > 0 AND ${duckScore(frM)} >= ${duckScore(deM)} THEN 'fr'
+        |      WHEN ${duckScore(deM)} > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |        FROM documents) GROUP BY doc_id, term),
+        |r AS (SELECT doc_id, CAST(round(count(*) * 1e6 / sum(tf)) AS BIGINT)
+        |        AS distinct_ratio6
+        |      FROM g GROUP BY doc_id)
+        |SELECT b.doc_id, n_tokens, quality4, lang_pred, distinct_ratio6,
+        |  n_tokens >= 20 AS keep_length,
+        |  quality4 >= 4000 AS keep_quality,
+        |  distinct_ratio6 >= 300000 AS keep_repetition,
+        |  lang_pred = 'en' AS keep_lang,
+        |  n_tokens >= 20 AND quality4 >= 4000 AND distinct_ratio6 >= 300000
+        |    AND lang_pred = 'en' AS keep
+        |FROM b JOIN r ON b.doc_id = r.doc_id ORDER BY b.doc_id""".stripMargin),
     "bm25_rank" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -64,6 +64,30 @@ class FilteredAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered IVF+PQ shortlist fills from allowed candidates only") {
+    import graft.operators.{IvfPq, PqIndex}
+    val idx = IvfIndex.build(fixture, "vec_id", "embedding", nCells = 2,
+      sampleSize = 64)
+    val pq = PqIndex.build(fixture, "vec_id", "embedding", m = 2, ksub = 4)
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("q_id", "qv")
+    val allowed = (6L to 10L).toDF("c_id")
+    val got = new IvfPq(idx, pq)
+      .topKFiltered(q, k = 5, nprobe = 2, nCandidates = 6, allowed)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // nCandidates >= |allowed|: every allowed candidate survives the ADC
+    // cut, exact re-rank returns all five despite ids 1-5 dominating the
+    // unfiltered ranking
+    assert(got === (6L to 10L).map((0L, _)).toSet)
+    idx.close(); pq.close()
+  }
+
+  test("full-probe filtered IVF+PQ equals the filtered brute force on the fixture dir") {
+    val gate = SimilarityQueries.queries("ann_ivfpq_filtered_recall")(
+      spark, TestSpark.sfDir).collect()
+    assert(gate.nonEmpty)
+    gate.foreach(r => assert(r.getAs[Double]("recall") === 1.0))
+  }
+
   test("a malformed allowed-id frame fails loudly") {
     val idx = IvfIndex.build(fixture, "vec_id", "embedding", nCells = 2,
       sampleSize = 64)

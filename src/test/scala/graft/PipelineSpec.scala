@@ -67,6 +67,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(last.getLong(0) * 100 + last.getLong(1) + last.getLong(2) === total)
   }
 
+  test("shuffle positions are a permutation matching the global md5 order") {
+    val docs = spark.range(0, 700).select(col("id").as("doc_id"))
+    val got = Packing.shuffleAssign(docs, "doc_id", seed = "t", nShards = 4)
+      .select("doc_id", "order_key", "pos", "shard").collect()
+    // positions are exactly 0..n-1
+    assert(got.map(_.getLong(2)).sorted.toSeq == (0L until 700L))
+    // and agree with a driver-side sort of the same keys (the
+    // single-window formulation the oracle runs)
+    val expected = got.map(r => (r.getString(1), r.getLong(0)))
+      .sorted.zipWithIndex.map { case ((_, id), i) => id -> i.toLong }.toMap
+    got.foreach(r => assert(r.getLong(2) === expected(r.getLong(0))))
+    // round-robin deal over the shuffled order: shards balanced to +-1
+    val sizes = got.groupBy(_.getInt(3)).view.mapValues(_.length).values.toSeq
+    assert(sizes.size === 4 && sizes.max - sizes.min <= 1)
+  }
+
+  test("shuffle is reproducible for a seed and independent across seeds") {
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"))
+    def posMap(seed: String): Map[Long, Long] =
+      Packing.shuffleAssign(docs, "doc_id", seed, nShards = 8)
+        .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(posMap("a") == posMap("a"))
+    val a = posMap("a"); val b = posMap("b")
+    assert(a != b, "different seeds must give different permutations")
+    // neither permutation is the identity (md5 scrambles)
+    assert(a.count { case (id, p) => id == p } < 10)
+  }
+
   test("packing with duplicate ids stays sequential (ROWS frame, no overlap)") {
     val docs = Seq((5L, 10L), (5L, 10L), (6L, 4L)).toDF("doc_id", "n_tokens")
     val packed = Packing.packSequences(docs, "doc_id", "n_tokens", 8, blockSize = 100)
