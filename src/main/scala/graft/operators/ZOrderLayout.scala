@@ -92,29 +92,27 @@ object ZOrderLayout {
     } finally reader.close()
   }
 
-  /** Write `df` z-ordered by `cols` into `nFiles` parquet files plus the
-    * skipping manifest (footer-derived — no second pass over the data). */
-  def write(df: DataFrame, cols: Seq[String], path: String, nFiles: Int,
-      bitsPer: Int = 12): Unit = {
-    require(nFiles >= 1)
-    val z = zcode(df, cols, bitsPer)
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    val spark = df.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(conf)
-    val dataFiles = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.toString)
-    val sb = new StringBuilder("{\"cols\":[")
-    sb.append(cols.map(c => s""""$c"""").mkString(","))
-    sb.append("],\"files\":[")
-    dataFiles.zipWithIndex.foreach { case (f, i) =>
-      if (i > 0) sb.append(',')
-      sb.append(s"""{"file":"${f.toString}"""")
+  /** Inner text of the `"key":[ ... ]` array in the engine-written
+    * manifest (entries never contain ']'); None when the key is absent
+    * (manifests written before the field existed). */
+  private def arraySection(json: String, key: String): Option[String] = {
+    val marker = s""""$key":["""
+    val i = json.indexOf(marker)
+    if (i < 0) None
+    else {
+      val start = i + marker.length
+      Some(json.substring(start, json.indexOf(']', start)))
+    }
+  }
+
+  /** One manifest entry per data file: the file path plus footer-derived
+    * min/max per clustering column (absent when the footer has no usable
+    * stats — such a file is never skipped). */
+  private def fileEntries(conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[String],
+      files: Seq[org.apache.hadoop.fs.Path]): Seq[String] =
+    files.map { f =>
+      val sb = new StringBuilder(s"""{"file":"${f.toString}"""")
       cols.foreach { c =>
         footerBounds(conf, f, c).foreach { case (lo, hi) =>
           sb.append(s""","min_$c":$lo""")
@@ -122,12 +120,96 @@ object ZOrderLayout {
         }
       }
       sb.append('}')
+      sb.toString
     }
-    sb.append("]}")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      cols: Seq[String], entries: Seq[String], applied: Seq[String]): Unit = {
+    val json = "{\"cols\":[" + cols.map(c => s""""$c"""").mkString(",") +
+      "],\"files\":[" + entries.mkString(",") +
+      "],\"applied\":[" + applied.map(t => s""""$t"""").mkString(",") + "]}"
     val p = new org.apache.hadoop.fs.Path(path, ManifestName)
     val out = fs.create(p, true)
-    out.write(sb.toString.getBytes("UTF-8"))
+    out.write(json.getBytes("UTF-8"))
     out.close()
+  }
+
+  private def readManifestJson(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, ManifestName))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  private def zWrite(df: DataFrame, cols: Seq[String], path: String,
+      nFiles: Int, bitsPer: Int, mode: String): Unit = {
+    val z = zcode(df, cols, bitsPer)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Write `df` z-ordered by `cols` into `nFiles` parquet files plus the
+    * skipping manifest (footer-derived — no second pass over the data). */
+  def write(df: DataFrame, cols: Seq[String], path: String, nFiles: Int,
+      bitsPer: Int = 12): Unit = {
+    require(nFiles >= 1)
+    zWrite(df, cols, path, nFiles, bitsPer, "overwrite")
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val dataFiles = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.toString).toSeq
+    writeManifest(fs, path, cols, fileEntries(conf, cols, dataFiles), Nil)
+  }
+
+  /** Incrementally extend a written layout with new rows — the OPTIMIZE
+    * ZORDER append path: new rows are z-clustered among THEMSELVES (their
+    * own equi-depth cuts; per-file min/max stays exact regardless of
+    * binning, so skipping never loses rows — only the new files' box
+    * tightness depends on the batch) and written as additional files whose
+    * footer stats extend the manifest. No existing file is read or
+    * rewritten.
+    *
+    * Idempotent under retry via the applied-source ledger: `sourceTag`
+    * names the ingested batch; a tag already in the manifest makes the
+    * call a NO-OP (returns false) instead of silently duplicating rows —
+    * the crashed-job-retry failure the index appends close the same way.
+    * The MANIFEST update is the commit point: a crash after the data
+    * write but before it leaves orphan part-files that no manifest entry
+    * references, which manifest-driven reads ([[filesFor]]/[[readBox]])
+    * never see; the retry then appends a complete fresh set. */
+  def appendTo(df: DataFrame, path: String, nFiles: Int, sourceTag: String,
+      bitsPer: Int = 12): Boolean = {
+    require(nFiles >= 1)
+    require(sourceTag.nonEmpty && !sourceTag.exists(c => c == '"' || c == ']'),
+      s"sourceTag must be non-empty without '\"' or ']': $sourceTag")
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val json = readManifestJson(fs, path)
+    val applied = arraySection(json, "applied").toSeq
+      .flatMap(_.split(",")).map(_.replaceAll("\"", "")).filter(_.nonEmpty)
+    if (applied.contains(sourceTag)) return false
+    val cols = arraySection(json, "cols").getOrElse("")
+      .split(",").map(_.replaceAll("\"", "")).filter(_.nonEmpty).toSeq
+    val oldEntries = arraySection(json, "files").getOrElse("")
+      .split("\\},\\{").filter(_.nonEmpty)
+      .map(e => if (e.startsWith("{")) e else "{" + e)
+      .map(e => if (e.endsWith("}")) e else e + "}").toSeq
+    val before = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).toSet
+    zWrite(df, cols, path, nFiles, bitsPer, "append")
+    val added = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !before(p.getName))
+      .sortBy(_.toString).toSeq
+    writeManifest(fs, path, cols, oldEntries ++ fileEntries(conf, cols, added),
+      applied :+ sourceTag)
+    true
   }
 
   /** Files whose manifest box intersects the predicate box. Bounds are
@@ -136,26 +218,21 @@ object ZOrderLayout {
     * stats mean "cannot prune", never "drop"). */
   def filesFor(spark: SparkSession, path: String,
       bounds: Map[String, (Double, Double)]): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path, ManifestName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    val json = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    in.close()
+    val fs = new org.apache.hadoop.fs.Path(path, ManifestName)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     // manifest is engine-written, schema-fixed: parse with the same
     // minimal quoting rules Verify uses for emission
-    val colsPart = json.substring(json.indexOf("{\"cols\":[") + 9,
-      json.indexOf("],\"files\":["))
-    val clustered = colsPart.split(",").map(_.replaceAll("\"", ""))
-      .filter(_.nonEmpty).toSet
+    val json = readManifestJson(fs, path)
+    val clustered = arraySection(json, "cols").getOrElse("")
+      .split(",").map(_.replaceAll("\"", "")).filter(_.nonEmpty).toSet
     bounds.keys.foreach { c =>
       require(clustered.contains(c),
         s"column '$c' is not in this layout's manifest (clustered " +
           s"columns: ${clustered.mkString(", ")}) — only clustering " +
           "columns can drive file skipping")
     }
-    val filesPart = json.substring(json.indexOf("],\"files\":[") + 11)
-      .stripSuffix("]}")
-    val entries = filesPart.split("\\},\\{").toSeq.filter(_.nonEmpty)
+    val entries = arraySection(json, "files").getOrElse("")
+      .split("\\},\\{").toSeq.filter(_.nonEmpty)
     entries.flatMap { e =>
       val body = e.stripPrefix("{").stripSuffix("}")
       val fields = body.split(",(?=\")").map { kv =>

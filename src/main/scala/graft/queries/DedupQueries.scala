@@ -168,6 +168,26 @@ object DedupQueries {
       Dedup.incrementalNew(newBatch, corpus, "text", expectedCorpusItems = 1L << 16)
         .select("doc_id").orderBy("doc_id")
     }),
+    // Incremental NEAR-dup ingest filter, batch form — the same operator
+    // the streaming tier runs (StreamingOps.ingestNearDupStream is
+    // DataFrame-generic; StreamingSpec pins stream==batch), now under the
+    // driver's hash gate: arrivals surviving exact dedup AND a banded
+    // minhash + exact-jaccard >= 0.6 check against the corpus. The oracle
+    // recomputes the survivor set banding-free (exact all-pairs jaccard),
+    // so the row hash-matches iff banding loses NOTHING here — the same
+    // full-recall fact dedup_minhash_recall pins for this (family, seed,
+    // threshold). Survivors are keyed by content fingerprint, not doc_id:
+    // the within-stream exact-dedup stage keeps an arbitrary copy of
+    // duplicated text (any copy is correct), while the surviving CONTENT
+    // is deterministic.
+    "dedup_ingest_neardup" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val stream = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+      graft.streaming.StreamingOps.ingestNearDupStream(stream, corpus, "text")
+        .select(md5(col("text")).as("survivor_fp"))
+        .orderBy("survivor_fp")
+    }),
     // Keep-BEST-per-cluster resolution: longest text survives (ties by
     // min id) — the realistic policy when duplicates differ in
     // completeness
@@ -448,6 +468,32 @@ object DedupQueries {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 5 <> 0 AND c.text = n.text)
         |ORDER BY doc_id""".stripMargin,
+    // banding-free reformulation: exact all-pairs jaccard >= 0.6 between
+    // the deduped stream slice and the corpus — hash-matches iff the
+    // banded path loses nothing (full recall at this family/seed/threshold)
+    "dedup_ingest_neardup" ->
+      """WITH s0 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0),
+        |cx AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+        |sx AS (SELECT text FROM s0 WHERE text NOT IN (SELECT text FROM cx)),
+        |ssh AS (
+        |  SELECT text,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS sh
+        |  FROM (SELECT text, string_split(lower(text), ' ') AS w FROM sx
+        |        WHERE len(string_split(lower(text), ' ')) >= 3)),
+        |csh AS (
+        |  SELECT list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS sh
+        |  FROM (SELECT string_split(lower(text), ' ') AS w FROM cx
+        |        WHERE len(string_split(lower(text), ' ')) >= 3)),
+        |dropped AS (
+        |  SELECT DISTINCT a.text
+        |  FROM ssh a JOIN csh b ON
+        |    len(list_intersect(a.sh, b.sh)) * 1.0
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
+        |SELECT md5(text) AS survivor_fp FROM sx
+        |WHERE text NOT IN (SELECT text FROM dropped)
+        |ORDER BY survivor_fp""".stripMargin,
     "dedup_cluster_keep_best" ->
       ("WITH RECURSIVE " + duckShinglesBody +
         """,

@@ -39,6 +39,39 @@ class ZOrderSpec extends AnyFunSuite {
     (lo, hi)
   }
 
+  test("append extends the layout; re-applying the same tag is a no-op") {
+    val apath = "target/zorder-test/orders-z-append"
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val batch = orders.filter(col("o_orderkey") % 3 === 0)
+    ZOrderLayout.write(base, Seq("o_custkey", "o_totalprice"), apath, 8)
+    assert(ZOrderLayout.appendTo(batch, apath, 4, sourceTag = "day-1"))
+    val bounds = Map("o_custkey" -> midBounds("o_custkey"))
+    val got = ZOrderLayout.readBox(spark, apath, bounds)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val expected = orders
+      .filter(col("o_custkey") >= bounds("o_custkey")._1 &&
+        col("o_custkey") <= bounds("o_custkey")._2)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got === expected, "appended rows must be visible through the manifest")
+    // appended files carry bounds: a manifest read plans over a file set
+    // that includes at least one appended file only when its box overlaps
+    val allFiles = ZOrderLayout.filesFor(spark, apath,
+      Map("o_custkey" -> ((Double.MinValue, Double.MaxValue))))
+    assert(allFiles.size === 12, s"8 base + 4 appended, got ${allFiles.size}")
+    // retry with the SAME tag: no-op — no new files, same manifest rows
+    assert(!ZOrderLayout.appendTo(batch, apath, 4, sourceTag = "day-1"))
+    val afterRetry = ZOrderLayout.filesFor(spark, apath,
+      Map("o_custkey" -> ((Double.MinValue, Double.MaxValue))))
+    assert(afterRetry.size === 12, "an already-applied tag must change nothing")
+    // and the data read is unchanged (no duplicated rows)
+    val again = ZOrderLayout.readBox(spark, apath, bounds)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(again === expected)
+    // a second batch under a new tag lands
+    assert(ZOrderLayout.appendTo(
+      batch.limit(50), apath, 2, sourceTag = "day-2"))
+  }
+
   test("readBox equals the full-scan filter exactly") {
     writtenOnce
     val bounds = Map("o_custkey" -> midBounds("o_custkey"),
