@@ -360,11 +360,16 @@ object IvfIndex {
     * IDEMPOTENT: the manifest keeps a ledger of every applied source tag,
     * and a tag already in the ledger makes the call a no-op (returns
     * false) — so the common failure, a crashed job RETRYING the same
-    * day's append, cannot silently duplicate vectors. (A crash in the
-    * window between the data append and the manifest refresh is still
-    * DETECTED rather than validated: the stale manifest's row count no
-    * longer matches the table, `loadIfValid` refuses, and the operator
-    * rebuilds.) Returns true when the append was applied. */
+    * day's append, cannot silently duplicate vectors. A crash in the
+    * window between the data append and the manifest refresh is caught
+    * by the PRE-APPEND RECOUNT below: the table no longer matches the
+    * manifest's row count, so a retry (whose tag is not yet in the
+    * ledger) REFUSES instead of appending a second copy on top of the
+    * partial write and then counting the duplicates into a manifest that
+    * `loadIfValid` would validate. The operator's recovery for that
+    * refused state is a rebuild ([[build]] + [[IvfIndex#write]] —
+    * overwrite mode replaces the torn table). Returns true when the
+    * append was applied. */
   def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean = {
     val mPath = manifestPath(path)
@@ -376,6 +381,14 @@ object IvfIndex {
       .map(_.split(SourceSep).toSet)
       .getOrElse(Set(prior.getProperty("source", "")))
     if (ledger.contains(newSource)) return false // already applied: no-op
+    // partial-append guard: the table must still match the last committed
+    // manifest before new files land — a footer-stats recount, not a scan
+    val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val currentRows = spark.read.parquet(s"$path/cells").count()
+    require(currentRows == priorRows,
+      s"index at $path has $currentRows rows but its manifest committed " +
+        s"$priorRows — a previous append crashed mid-write; rebuild the " +
+        "index instead of appending onto a torn table")
     val idx = load(spark, path)
     val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))

@@ -84,9 +84,11 @@ object Packing {
   def shuffleAssign(df: DataFrame, idCol: String, seed: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be positive, got $nShards")
+    // order_key must come from the ALIASED doc_id: after the select only
+    // "doc_id" resolves, so col(idCol) would throw for any other id name
     val base = df.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("order_key",
-        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
       .withColumn("block", substring(col("order_key"), 1, 2))
     val wIn = Window.partitionBy("block").orderBy("order_key", "doc_id")
     val wBlocks = Window.orderBy("block")

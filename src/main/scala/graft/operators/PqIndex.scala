@@ -238,8 +238,12 @@ object PqIndex {
     * and an already-applied tag makes the call a no-op (returns false) —
     * a crashed-job retry of the same batch cannot silently duplicate
     * codes. A crash between the data append and the manifest refresh is
-    * DETECTED, not validated: the stale row count fails `loadIfValid`
-    * and the operator rebuilds. Returns true when applied. */
+    * caught by the PRE-APPEND RECOUNT: a retry (tag not yet in the
+    * ledger) finds the codes table off the manifest's committed count
+    * and REFUSES, instead of stacking a second copy on the partial write
+    * and validating the duplicates into the refreshed manifest. Recovery
+    * is a rebuild (overwrite replaces the torn table). Returns true when
+    * applied. */
   def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean = {
     val mPath = manifestPath(path)
@@ -251,6 +255,14 @@ object PqIndex {
       .map(_.split(SourceSep).toSet)
       .getOrElse(Set(prior.getProperty("source", "")))
     if (ledger.contains(newSource)) return false // already applied: no-op
+    // partial-append guard: refuse when the table no longer matches the
+    // last committed manifest (footer-stats recount, not a data scan)
+    val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val currentRows = spark.read.parquet(s"$path/codes").count()
+    require(currentRows == priorRows,
+      s"index at $path has $currentRows rows but its manifest committed " +
+        s"$priorRows — a previous append crashed mid-write; rebuild the " +
+        "index instead of appending onto a torn table")
     val idx = load(spark, path)
     df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))

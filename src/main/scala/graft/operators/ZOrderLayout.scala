@@ -107,11 +107,20 @@ object ZOrderLayout {
 
   /** One manifest entry per data file: the file path plus footer-derived
     * min/max per clustering column (absent when the footer has no usable
-    * stats — such a file is never skipped). */
+    * stats — such a file is never skipped).
+    *
+    * Footers are read in PARALLEL (a parallel collection over the file
+    * list — each read is independent metadata I/O), so the manifest pass
+    * scales with driver cores, not file count: a serial loop at 100k
+    * files is minutes of single-threaded driver wall per write/append
+    * for work that is embarrassingly parallel. `par.map` preserves input
+    * order, so the manifest entry order (and any hash over it) is
+    * byte-identical to the serial formulation. */
   private def fileEntries(conf: org.apache.hadoop.conf.Configuration,
       cols: Seq[String],
-      files: Seq[org.apache.hadoop.fs.Path]): Seq[String] =
-    files.map { f =>
+      files: Seq[org.apache.hadoop.fs.Path]): Seq[String] = {
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { f =>
       val sb = new StringBuilder(s"""{"file":"${f.toString}"""")
       cols.foreach { c =>
         footerBounds(conf, f, c).foreach { case (lo, hi) =>
@@ -121,7 +130,8 @@ object ZOrderLayout {
       }
       sb.append('}')
       sb.toString
-    }
+    }.seq
+  }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
       cols: Seq[String], entries: Seq[String], applied: Seq[String]): Unit = {
@@ -185,8 +195,13 @@ object ZOrderLayout {
   def appendTo(df: DataFrame, path: String, nFiles: Int, sourceTag: String,
       bitsPer: Int = 12): Boolean = {
     require(nFiles >= 1)
-    require(sourceTag.nonEmpty && !sourceTag.exists(c => c == '"' || c == ']'),
-      s"sourceTag must be non-empty without '\"' or ']': $sourceTag")
+    // ',' is forbidden because the applied ledger is read back by
+    // splitting the JSON array text on ',' — a comma-bearing tag would be
+    // written as one entry but parsed as two, so a retry with the same
+    // tag would NOT be recognized as applied and would duplicate the batch
+    require(sourceTag.nonEmpty &&
+      !sourceTag.exists(c => c == '"' || c == ']' || c == ',' || c == '{' || c == '}'),
+      s"sourceTag must be non-empty without any of \" ] , {{ }}: $sourceTag")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)

@@ -207,4 +207,34 @@ class IvfPersistSpec extends AnyFunSuite {
       } finally again.close()
     } finally built.close()
   }
+
+  test("appendTo refuses a torn table (crash between data append and manifest)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val tornPath = "target/ivf-torn-test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tornPath))
+    val built = IvfIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nCells = 8)
+    try {
+      built.write(tornPath, source = "base")
+      // simulate the crashed-append window: data files land under cells/
+      // but the manifest refresh never runs (so the crashed tag is NOT in
+      // the ledger and a plain retry would sail past the ledger check)
+      val idx = IvfIndex.load(spark, tornPath)
+      val partial = idx.cells.limit(10).collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(partial.toIndexedSeq), idx.cells.schema)
+        .write.mode("append").partitionBy("cell").parquet(s"$tornPath/cells")
+      // the retry must REFUSE — appending on top of the partial write and
+      // refreshing the manifest would VALIDATE the duplicated rows
+      val ex = intercept[IllegalArgumentException] {
+        IvfIndex.appendTo(spark, tornPath,
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          newSource = "crashed-batch-retry")
+      }
+      assert(ex.getMessage.contains("rebuild"), s"wrong error: ${ex.getMessage}")
+      // and the torn state still fails loadIfValid (stale row count)
+      assert(IvfIndex.loadIfValid(spark, tornPath, "base").isEmpty,
+        "torn table validated against the stale manifest")
+    } finally built.close()
+  }
 }

@@ -83,6 +83,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes.size === 4 && sizes.max - sizes.min <= 1)
   }
 
+  test("shuffle accepts any id column name (order_key from the aliased column)") {
+    // regression: order_key used to be built from col(idCol) AFTER the
+    // select aliased it to doc_id, so any other name threw an
+    // unresolved-column AnalysisException
+    val named = spark.range(0, 100).select(col("id").as("event_pk"))
+    val viaName = Packing.shuffleAssign(named, "event_pk", seed = "t", nShards = 4)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val canonical = Packing.shuffleAssign(
+        spark.range(0, 100).select(col("id").as("doc_id")), "doc_id", "t", 4)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(viaName == canonical, "column name must not change the permutation")
+  }
+
   test("shuffle is reproducible for a seed and independent across seeds") {
     val docs = spark.range(0, 200).select(col("id").as("doc_id"))
     def posMap(seed: String): Map[Long, Long] =

@@ -82,6 +82,32 @@ class PqPersistSpec extends AnyFunSuite {
     } finally built.close()
   }
 
+  test("appendTo refuses a torn table (crash between data append and manifest)") {
+    val tornPath = "target/pq-torn-test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tornPath))
+    val built = PqIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", m = 8, ksub = 16)
+    try {
+      built.write(tornPath, source = "base")
+      // crashed-append window: codes landed, manifest refresh never ran —
+      // the crashed tag is absent from the ledger, so a plain retry would
+      // pass the ledger check and stack a second copy
+      val idx = PqIndex.load(spark, tornPath)
+      val partial = idx.codes.limit(10).collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(partial.toIndexedSeq), idx.codes.schema)
+        .write.mode("append").parquet(s"$tornPath/codes")
+      val ex = intercept[IllegalArgumentException] {
+        PqIndex.appendTo(spark, tornPath,
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          newSource = "crashed-batch-retry")
+      }
+      assert(ex.getMessage.contains("rebuild"), s"wrong error: ${ex.getMessage}")
+      assert(PqIndex.loadIfValid(spark, tornPath, "base").isEmpty,
+        "torn table validated against the stale manifest")
+    } finally built.close()
+  }
+
   test("manifest-validated reload runs zero build jobs; wrong source rebuilds") {
     val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     try {

@@ -70,6 +70,14 @@ class ZOrderSpec extends AnyFunSuite {
     // a second batch under a new tag lands
     assert(ZOrderLayout.appendTo(
       batch.limit(50), apath, 2, sourceTag = "day-2"))
+    // ledger-breaking characters are rejected up front: a ',' tag would be
+    // written as one ledger entry but parsed back as two, so its retry
+    // would NOT be recognized as applied and would duplicate the batch
+    for (tag <- Seq("day-1,retry", "a\"b", "a]b", "a{b", "a}b", "")) {
+      intercept[IllegalArgumentException] {
+        ZOrderLayout.appendTo(batch.limit(5), apath, 1, sourceTag = tag)
+      }
+    }
   }
 
   test("readBox equals the full-scan filter exactly") {
