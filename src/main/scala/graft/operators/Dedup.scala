@@ -776,37 +776,76 @@ object Dedup {
     * run (exact for any minRun >= k); the first occurrence contributes no
     * duplicate anchors and is untouched.
     *
-    * Scale shape: anchors shuffle keyed by gram hash (bounded buckets —
-    * the boilerplate_ngrams family); the first-occurrence join is keyed
-    * by the same hash and prefiltered to grams with >= 2 occurrences
-    * (frequency-1 grams — ~all of a real corpus — never leave their
-    * aggregate); interval merging windows by doc_id over DUPLICATE
-    * anchors only, a tiny fraction of the corpus at realistic dup rates.
-    * Nothing is broadcast or collected.
+    * Scale shape: the duplicated-gram set (grams with >= 2 occurrences —
+    * a tiny fraction of a real corpus) is distilled ONCE, eagerly, by the
+    * full-anchor aggregate, then compressed to a BLOOM LITERAL planted as
+    * a scan filter (the [[contaminationIntervals]] shape). Both sides of
+    * the verify join then stream only bloom-positive anchors: the
+    * first-occurrence table is re-derived from the prefiltered stream —
+    * EXACT, because the filter depends only on the gram key (a bloom has
+    * no false negatives, so every occurrence of a true dup gram survives
+    * and its n_occ recount is unchanged; false-positive grams recount to
+    * n_occ == 1 and die at the >= 2 filter as before) — and the verify
+    * join shuffles candidates, not the corpus. Before this, the join
+    * streamed EVERY corpus anchor a second time: broadcastable at test
+    * scale, a full second anchor shuffle at 100 TB. Net cost: one bloom
+    * build pass (scan + the anchor aggregate that already existed);
+    * net saving: the second full-anchor shuffle is gone. Interval merging
+    * windows by doc_id over DUPLICATE anchors only. Nothing corpus-sized
+    * is broadcast or collected (the bloom is fpp-bounded bytes).
+    *
+    * `expectedDupGrams` sizes the bloom (same conf-cap contract as
+    * [[contaminationIntervals]]); an overestimate wastes bits, an
+    * underestimate saturates the filter — more false positives, weaker
+    * pruning, correctness unchanged (the exact join still decides).
     *
     * Returns (doc_id, start_pos, end_pos, span_tokens): 1-based inclusive
     * positions over the lowercased whitespace tokens. */
   def substringRepeatIntervals(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 13, minRun: Int = 50): DataFrame = {
+      k: Int = 13, minRun: Int = 50,
+      expectedDupGrams: Long = 1L << 20): DataFrame = {
     require(k >= 2 && minRun >= k, s"need minRun >= k >= 2, got k=$k minRun=$minRun")
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val spark = df.sparkSession
     val w = toks(col(textCol))
     // native one-pass gram hashing (functions.GramMd5) — value-identical
     // to transform(sequence(1, n-k+1), i -> md5(concat_ws(' ',
     // slice(w, i, k)))) but ~6x cheaper (no interpreted lambda, no
     // per-position string concat chain); parity pinned in
     // SubstringDedupSpec
-    val grams = org.apache.spark.sql.graft.bridge.column(
-      graft.functions.GramMd5(
-        org.apache.spark.sql.graft.bridge.expression(w), k))
+    val grams = bridge.column(
+      graft.functions.GramMd5(bridge.expression(w), k))
     val occ = df.filter(size(w) >= k)
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(grams).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
-    val firsts = occ.groupBy("g")
+    def firstsOf(anchors: DataFrame): DataFrame = anchors.groupBy("g")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
-    val dup = occ.join(firsts, "g")
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedDupGrams <= maxItems && expectedDupGrams * 8L <= maxBits,
+      s"expectedDupGrams=$expectedDupGrams exceeds the bloom conf caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise the runtime " +
+        "bloom filter confs or the filter would clamp and lose its fpp bound")
+    val bloomAgg = bridge.column(BloomFilterAggregate(
+      new XxHash64(Seq(bridge.expression(col("g")))),
+      Literal(expectedDupGrams), Literal(expectedDupGrams * 8L), 0, 0)
+      .toAggregateExpression())
+    val bloomBytes = firstsOf(occ).agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) return mergeCoveredIntervals( // no dup grams at all
+      occ.limit(0).select(col("doc_id"), col("pos"), col("pos").as("e")), minRun)
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      new XxHash64(Seq(bridge.expression(col("g"))))))
+    val cand = occ.filter(mightContain)
+    val dup = cand.join(firstsOf(cand), "g")
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
     mergeCoveredIntervals(dup, minRun)

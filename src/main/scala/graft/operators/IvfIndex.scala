@@ -183,9 +183,11 @@ final class IvfIndex private (
     cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // row count via parquet footer stats over what was just written — a
-    // metadata pass, not a data scan, at any scale
-    val rows = spark.read.parquet(s"$path/cells").count()
+    // row counts via parquet footer stats over what was just written — a
+    // metadata pass, not a data scan, at any scale (the zero-column
+    // count(*) per cell partition is satisfied from file row counts)
+    val sizes = IvfIndex.cellCounts(spark, path)
+    val rows = sizes.map(_._2).sum
     val props = new java.util.Properties()
     props.setProperty("version", IvfIndex.ManifestVersion)
     props.setProperty("source", source)
@@ -193,6 +195,9 @@ final class IvfIndex private (
     props.setProperty("nCells", nCells.toString)
     props.setProperty("rows", rows.toString)
     props.setProperty("centroidSha", IvfIndex.centroidSha(centroids))
+    // build-time cell-balance snapshot: the baseline every later
+    // staleness() call compares against (appends preserve it verbatim)
+    props.setProperty("buildCellSizes", IvfIndex.formatSizes(sizes))
     val mPath = IvfIndex.manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(mPath, true)
@@ -394,7 +399,9 @@ object IvfIndex {
       .withColumn("cn", vec_l2norm(col("cv")))
     assignCells(base, idx.centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    // manifest refresh: same centroids, new row count + source + ledger
+    // manifest refresh: same centroids, new row count + source + ledger;
+    // the BUILD-TIME cell snapshot is preserved verbatim — it is the
+    // staleness() baseline, not a description of the current table
     val rows = spark.read.parquet(s"$path/cells").count()
     val props = new java.util.Properties()
     props.setProperty("version", ManifestVersion)
@@ -403,10 +410,113 @@ object IvfIndex {
     props.setProperty("nCells", idx.nCells.toString)
     props.setProperty("rows", rows.toString)
     props.setProperty("centroidSha", centroidSha(idx.centroids))
+    Option(prior.getProperty("buildCellSizes"))
+      .foreach(props.setProperty("buildCellSizes", _))
     val out = fs.create(mPath, true)
     try props.store(out, "graft IVF inverted-file manifest")
     finally out.close()
     true
+  }
+
+  /** (cell, rows) of the written cells table — a zero-data-column count
+    * per partition, satisfied from parquet file row counts (metadata). */
+  private def cellCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Long)] =
+    spark.read.parquet(s"$path/cells").groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  private def formatSizes(sizes: Seq[(Int, Long)]): String =
+    sizes.map { case (c, n) => s"$c:$n" }.mkString(",")
+
+  private def parseSizes(s: String): Seq[(Int, Long)] =
+    s.split(",").filter(_.nonEmpty).map { kv =>
+      val Array(c, n) = kv.split(":", 2); (c.toInt, n.toLong)
+    }.toSeq
+
+  /** Quantizer-drift report for a written index. `buildSkew`/`nowSkew`
+    * are max-cell/mean-cell population ratios (1.0 = perfectly balanced,
+    * nCells = everything in one cell) at build time and now;
+    * `fracAppended` is the share of the current table that arrived after
+    * the quantizer was frozen. */
+  final case class DriftReport(buildSkew: Double, nowSkew: Double,
+      fracAppended: Double, stale: Boolean)
+
+  /** Measure how far the frozen quantizer has drifted from the data it
+    * now serves — the maintenance signal [[appendTo]] cannot give:
+    * appends assign arrivals under the build-time centroids FOREVER, so
+    * a shifted corpus silently piles into few cells, probe selectivity
+    * (nprobe/nCells of the BYTES, the entire 100 TB contract) decays,
+    * and recall at fixed nprobe drops. The check is metadata-sized:
+    * current per-cell counts (file row counts) against the manifest's
+    * build-time snapshot. Stale when the cell-skew ratio grew by
+    * `skewGrowth` x, or `appendedFrac` of the table postdates the
+    * quantizer — either way the operator's move is [[retrain]]. */
+  def staleness(spark: org.apache.spark.sql.SparkSession, path: String,
+      skewGrowth: Double = 2.0, appendedFrac: Double = 0.5): DriftReport = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = new java.util.Properties()
+    val in = fs.open(mPath)
+    try props.load(in) finally in.close()
+    val buildSizes = parseSizes(Option(props.getProperty("buildCellSizes"))
+      .getOrElse(sys.error(s"manifest at $path predates buildCellSizes — " +
+        "rewrite the index to enable drift tracking")))
+    val nowSizes = cellCounts(spark, path)
+    val nCells = props.getProperty("nCells").toInt
+    def skew(sizes: Seq[(Int, Long)]): Double = {
+      val total = sizes.map(_._2).sum.toDouble
+      if (total == 0) 1.0 else sizes.map(_._2).max / (total / nCells)
+    }
+    val buildRows = buildSizes.map(_._2).sum.toDouble
+    val nowRows = nowSizes.map(_._2).sum.toDouble
+    val frac = if (nowRows == 0) 0.0 else (nowRows - buildRows) / nowRows
+    val bs = skew(buildSizes)
+    val ns = skew(nowSizes)
+    DriftReport(bs, ns, frac, ns > skewGrowth * bs || frac >= appendedFrac)
+  }
+
+  /** Rebuild the index under a FRESH quantizer fitted to everything the
+    * table now holds, and atomically swap it in — the recovery move when
+    * [[staleness]] flags drift. The new index is written to a staging
+    * directory first (the current table keeps serving reads throughout
+    * the rebuild — build's bounded sample and the assignment scan read
+    * the live table, the partitioned rewrite lands in staging), then
+    * swapped via delete + rename with the manifest already inside; the
+    * applied-sources ledger is CARRIED OVER (plus `newSource`), so a
+    * late retry of any pre-retrain batch is still refused. A crash
+    * between delete and rename leaves no manifest at `path` — detected,
+    * and the staging dir still holds the complete rebuild. */
+  def retrain(spark: org.apache.spark.sql.SparkSession, path: String,
+      nCells: Int, newSource: String, seed: Long = 42L, maxIter: Int = 10,
+      sampleSize: Int = 4096): IvfIndex = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    val staging = s"$path.retrain"
+    val current = load(spark, path).cells.select("c_id", "cv")
+    val rebuilt = build(current, "c_id", "cv", nCells, seed, maxIter, sampleSize)
+    try {
+      rebuilt.write(staging, source = newSource)
+      // carry the pre-retrain ledger into the fresh manifest
+      val sPath = manifestPath(staging)
+      val sProps = new java.util.Properties()
+      val sIn = fs.open(sPath)
+      try sProps.load(sIn) finally sIn.close()
+      sProps.setProperty("appliedSources",
+        (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+      val sOut = fs.create(sPath, true)
+      try sProps.store(sOut, "graft IVF inverted-file manifest")
+      finally sOut.close()
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path)), s"rename $staging -> $path failed")
+    } finally rebuilt.close()
+    load(spark, path)
   }
 
   /** Sum of squared distances to the closest centroid. */

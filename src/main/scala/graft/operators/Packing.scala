@@ -61,6 +61,47 @@ object Packing {
         "spans_boundary" +: carryCols).map(col): _*)
   }
 
+  /** Document-aware FIRST-FIT-DECREASING packing: every document stays
+    * WHOLE — the packing used when cross-document attention (or mid-doc
+    * truncation) is unacceptable, versus [[packSequences]]' concat-and-
+    * chunk which splits docs across window boundaries. Docs are dealt to
+    * `nShards` deterministic md5 shards (uniform, partition-layout-
+    * independent — the [[Sampling.hashFraction]] family), each shard is
+    * sorted by (length desc, doc_id) and packed by exact greedy FFD into
+    * bins of `budget` tokens via the native [[graft.functions.FfdPack]]
+    * kernel; a doc longer than the budget opens its own forever-singleton
+    * bin. Deterministic end to end (hash shard, total sort order, greedy
+    * placement), so a SQL oracle reproduces every placement exactly.
+    *
+    * Scale shape: one shuffle keyed by shard; the sequential FFD core runs
+    * per shard over a BOUNDED collected list (choose nShards so shards
+    * stay bounded — packing at corpus scale is per-output-shard anyway,
+    * and a uniform random shard packs as well as global FFD in
+    * expectation). FFD guarantee per shard: at most one bin at or below
+    * half occupancy, so total bins < 2·optimal + 1 (the classic 11/9·OPT
+    * bound holds per shard for docs within budget).
+    *
+    * Returns (doc_id, n_tokens, shard, bin) — bins are 1-based per shard. */
+  def packDocumentsFfd(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.graft.bridge
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % nShards).cast("int"))
+    val packed = bridge.column(graft.functions.FfdPack(
+      bridge.expression(sort_array(collect_list(
+        struct((-col("n_tokens")).as("neg_len"), col("doc_id"))))), budget))
+    base.groupBy("shard")
+      .agg(packed.as("placed"))
+      .select(col("shard"), explode(col("placed")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.n_tokens").as("n_tokens"),
+        col("shard"), col("p.bin").as("bin"))
+  }
+
   /** Deterministic global training-order shuffle: every document gets a
     * reproducible position in a seed-keyed pseudo-random total order, plus
     * a shard assignment — the "shuffle once, stream shards" step before a

@@ -67,6 +67,12 @@ final class PqIndex private (
     props.setProperty("ksub", ksub.toString)
     props.setProperty("rows", rows.toString)
     props.setProperty("codebookSha", PqIndex.codebookSha(codebook))
+    // build-time staleness baselines (appends preserve both verbatim):
+    // quantization error of the frozen codebook on a bounded sample of
+    // the indexed population, and the population size it was fitted for
+    props.setProperty("buildMse",
+      PqIndex.sampleMse(spark.read.parquet(s"$path/codes"), codebook).toString)
+    props.setProperty("buildRows", rows.toString)
     val mPath = PqIndex.manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(mPath, true)
@@ -278,10 +284,119 @@ object PqIndex {
     props.setProperty("ksub", idx.ksub.toString)
     props.setProperty("rows", rows.toString)
     props.setProperty("codebookSha", codebookSha(idx.codebook))
+    // staleness baselines are BUILD-time facts — preserved, not refreshed
+    Option(prior.getProperty("buildMse"))
+      .foreach(props.setProperty("buildMse", _))
+    Option(prior.getProperty("buildRows"))
+      .foreach(props.setProperty("buildRows", _))
     val out = fs.create(mPath, true)
     try props.store(out, "graft PQ index manifest")
     finally out.close()
     true
+  }
+
+  /** Mean squared reconstruction error ||cv - decode(code)||² of the
+    * codebook over a BOUNDED deterministic (md5, id)-ordered sample of
+    * the codes table — the quantization-quality probe used as the
+    * staleness baseline and its recheck. Driver-side over <= `sampleSize`
+    * rows; never a corpus scan. */
+  private[operators] def sampleMse(codes: DataFrame,
+      codebook: Array[Array[Array[Double]]], sampleSize: Int = 1024): Double = {
+    val rows = codes.select(col("c_id"), col("cv"), col("code"))
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(sampleSize).collect()
+    if (rows.isEmpty) return 0.0
+    val sub = codebook(0)(0).length
+    var total = 0.0
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val code = r.getSeq[Byte](2)
+      var s = 0.0
+      var j = 0
+      while (j < code.length) {
+        val ctr = codebook(j)((code(j) & 0xff))
+        var i = 0
+        while (i < sub) {
+          val d = v(j * sub + i) - ctr(i)
+          s += d * d
+          i += 1
+        }
+        j += 1
+      }
+      total += s
+    }
+    total / rows.length
+  }
+
+  /** Codebook-drift report: `buildMse`/`nowMse` are the bounded-sample
+    * quantization errors at build time and now; `fracAppended` the share
+    * of the table encoded after the codebook was frozen. */
+  final case class DriftReport(buildMse: Double, nowMse: Double,
+      fracAppended: Double, stale: Boolean)
+
+  /** Measure codebook drift for a written index — [[appendTo]] encodes
+    * arrivals under the frozen codebook forever, so a shifted corpus
+    * quantizes with growing error, the ADC ordering degrades, and
+    * shortlist recall decays silently. The recheck costs one bounded
+    * sample of the codes table (reservoir contract of [[sampleMse]]) plus
+    * manifest metadata. Stale when the sample error grew `mseGrowth` x
+    * over the build baseline, or `appendedFrac` of the table postdates
+    * the codebook — the operator's move is [[retrain]]. */
+  def staleness(spark: org.apache.spark.sql.SparkSession, path: String,
+      mseGrowth: Double = 2.0, appendedFrac: Double = 0.5): DriftReport = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = new java.util.Properties()
+    val in = fs.open(mPath)
+    try props.load(in) finally in.close()
+    val buildMse = Option(props.getProperty("buildMse")).map(_.toDouble)
+      .getOrElse(sys.error(s"manifest at $path predates buildMse — " +
+        "rewrite the index to enable drift tracking"))
+    val buildRows = Option(props.getProperty("buildRows")).map(_.toDouble)
+      .getOrElse(sys.error(s"manifest at $path predates buildRows"))
+    val idx = load(spark, path)
+    val nowMse = sampleMse(idx.codes, idx.codebook)
+    val nowRows = idx.codes.count().toDouble
+    val frac = if (nowRows == 0) 0.0 else (nowRows - buildRows) / nowRows
+    DriftReport(buildMse, nowMse, frac,
+      nowMse > mseGrowth * math.max(buildMse, 1e-12) || frac >= appendedFrac)
+  }
+
+  /** Rebuild under a FRESH codebook fitted to everything the table now
+    * holds and atomically swap it in — the recovery for a stale index.
+    * Staging-dir write (the live table keeps serving reads), delete +
+    * rename with the manifest already inside, applied-sources ledger
+    * carried over so pre-retrain batch retries stay refused. */
+  def retrain(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Int, ksub: Int, newSource: String, seed: Long = 42L,
+      maxIter: Int = 10, sampleSize: Int = 4096): PqIndex = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    val staging = s"$path.retrain"
+    val current = load(spark, path).codes.select("c_id", "cv")
+    val rebuilt = build(current, "c_id", "cv", m, ksub, seed, maxIter, sampleSize)
+    try {
+      rebuilt.write(staging, source = newSource)
+      val sPath = manifestPath(staging)
+      val sProps = new java.util.Properties()
+      val sIn = fs.open(sPath)
+      try sProps.load(sIn) finally sIn.close()
+      sProps.setProperty("appliedSources",
+        (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+      val sOut = fs.create(sPath, true)
+      try sProps.store(sOut, "graft PQ index manifest")
+      finally sOut.close()
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path)), s"rename $staging -> $path failed")
+    } finally rebuilt.close()
+    load(spark, path)
   }
 
   /** Reopen a [[PqIndex#write]]ten index: the codes table is a LAZY

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised token-count quality/domain classifier with the TRAIN/SERVE
+  * lifecycle split — the DCLM/FineWeb-Edu curation step where a classifier
+  * is fitted ONCE on a small labeled seed set and then scores every crawl
+  * shard (fastText-style supervised filtering; the heuristic, untrained
+  * counterpart is the [[TextAnalysis]] quality chain).
+  *
+  * A trained model is the multinomial Naive-Bayes sufficient statistics,
+  * all integer counts:
+  *
+  *   classes: (label, n_docs, tot)  docs + token total per class — |L| rows
+  *   counts:  (label, w, c)        token count per (class, word)
+  *   v                             training vocabulary size — one scalar
+  *
+  * DECISION RULE — rational arithmetic, no transcendentals: the classic NB
+  * log-sum decision needs log() (the product of per-token probabilities
+  * underflows), and cross-engine log() is not bit-reproducible, which
+  * breaks this repo's oracle discipline. Instead the class score is the
+  * EXPECTED add-one-smoothed token probability under the class unigram LM,
+  * prior-weighted:
+  *
+  *   score(d, c) = P(c) · Σ_w k_w · (c_{c,w}+1) / (tot_c + v) / n_d
+  *
+  * (the arithmetic mean of token probabilities where NB takes the
+  * geometric — same sufficient statistics, same smoothing, linear-by-counts
+  * like the scoring half of a fastText classifier). Because the smoothing
+  * denominator is CONSTANT per class, the score collapses to exact integer
+  * arithmetic: numerator Σ_w k_w·c_{c,w} + n_d (one inner join against the
+  * count table), denominator tot_c + v, prior n_docs_c (the shared /N and
+  * /n_d factors cancel across classes). The only float op is ONE division
+  * of two exactly-representable integers — IEEE-correctly-rounded and
+  * therefore bit-identical in any engine, so predictions are
+  * hash-checkable. (At populations where n_docs·num exceeds 2^53, compute
+  * the comparison in decimal(38,0) — the fixture scales stay far below.)
+  *
+  * Scale shape: training is one token-keyed aggregation (map-side
+  * combinable), a |L|-row class aggregate, and one bounded vocabulary
+  * count — the [[BigramLm.train]] contract. Scoring joins document token
+  * counts against the count table keyed by word — a co-partitioned shuffle
+  * join, AQE handling hot-token skew — plus a broadcast of the |L|-row
+  * class table; nothing corpus-sized is collected or broadcast. The
+  * durable form (`write`/`loadIfValid`) follows the [[BigramLm]] manifest
+  * contract: build-once / serve-many-sessions, reopen validated by
+  * metadata only, zero training jobs on a hit (QualityClassifierSpec
+  * asserts the skip).
+  */
+final class QualityClassifier private[operators] (
+    /** (label, n_docs, tot) per-class doc count and token total. */
+    val classes: DataFrame,
+    /** (label, w, c) per-(class, word) token counts. */
+    val counts: DataFrame,
+    /** Training-corpus vocabulary size. */
+    val v: Long) {
+
+  /** Durable form: classes + counts tables and a validation manifest. */
+  def write(path: String, source: String = ""): Unit = {
+    val spark = classes.sparkSession
+    classes.write.mode("overwrite").parquet(s"$path/classes")
+    counts.write.mode("overwrite").parquet(s"$path/counts")
+    // footer-stats counts of what was just written — metadata, not a scan
+    val classRows = spark.read.parquet(s"$path/classes").count()
+    val countRows = spark.read.parquet(s"$path/counts").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", QualityClassifier.ManifestVersion)
+    props.setProperty("source", source)
+    props.setProperty("v", v.toString)
+    props.setProperty("classRows", classRows.toString)
+    props.setProperty("countRows", countRows.toString)
+    val mPath = QualityClassifier.manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft quality-classifier manifest")
+    finally out.close()
+  }
+
+  /** Score `df` under THIS (frozen) model: one row per document —
+    * (idCol, n_tokens, pred_label, expected_p) where pred_label is the
+    * prior-weighted argmax over classes (ties broken by label order, a
+    * total deterministic order) and expected_p is the winning class's
+    * expected token probability, rounded DuckDB-compatibly.
+    *
+    * Tokens absent from the model contribute their add-one floor
+    * 1/(tot_c+v) — an all-OOV document still classifies (by prior and
+    * class smoothing mass), exactly as NB does. */
+  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = split(lower(col(textCol)), " ")
+    val docTok = df.select(col(idCol), explode(t).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("k"))
+    val docN = docTok.groupBy(idCol).agg(sum("k").as("n_tokens"))
+    // Σ_w k_w·c_{c,w}: inner join — (doc, class) pairs sharing no word
+    // contribute 0 and are restored by the left join below
+    val hits = docTok.join(counts, Seq("w"))
+      .groupBy(idCol, "label").agg(sum(col("k") * col("c")).as("s"))
+    def round6(c: org.apache.spark.sql.Column) = round(c * 1e6, 0) / 1e6
+    val w = Window.partitionBy(idCol).orderBy(desc("dscore"), col("label"))
+    docN.crossJoin(broadcast(classes))
+      .join(hits, Seq(idCol, "label"), "left")
+      .withColumn("num", coalesce(col("s"), lit(0L)) + col("n_tokens"))
+      .withColumn("den", col("tot") + lit(v))
+      // prior-weighted decision score: n_docs·num / den (the /N and /n_d
+      // factors are class-constant and cancel). Exact-integer operands,
+      // one correctly-rounded division — bit-identical across engines.
+      .withColumn("dscore",
+        (col("n_docs") * col("num")).cast("double") / col("den").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("n_tokens"), col("label").as("pred_label"),
+        round6(col("num").cast("double") / col("den").cast("double"))
+          .as("expected_p"))
+  }
+}
+
+object QualityClassifier {
+  private val trainsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def trainCount: Int = trainsRun.get
+
+  private val ManifestVersion = "1"
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+
+  /** TRAIN: aggregate the NB sufficient statistics from the labeled seed
+    * set `df` (textCol tokenized on single spaces, labelCol the class).
+    * The count tables stay lazy DataFrames; the single action is the
+    * bounded vocabulary count (one scalar — the [[BigramLm.train]]
+    * contract). */
+  def train(df: DataFrame, textCol: String, labelCol: String): QualityClassifier = {
+    trainsRun.incrementAndGet()
+    val t = split(lower(col(textCol)), " ")
+    val occ = df.select(col(labelCol).as("label"), explode(t).as("w"))
+    val counts = occ.groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val classes = df.select(col(labelCol).as("label"), size(t).cast("long").as("n"))
+      .groupBy("label").agg(count(lit(1)).as("n_docs"), sum("n").as("tot"))
+    val v = occ.agg(countDistinct("w")).head().getLong(0)
+    new QualityClassifier(classes, counts, v)
+  }
+
+  /** Reopen a written model ONLY if its manifest proves it complete,
+    * current, and trained from the caller's `source` — metadata-sized
+    * validation, never a data scan, zero training jobs on a hit. */
+  def loadIfValid(spark: SparkSession, path: String,
+      source: String): Option[QualityClassifier] = {
+    val mPath = manifestPath(path)
+    try {
+      val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mPath)) return None
+      val props = new java.util.Properties()
+      val in = fs.open(mPath)
+      try props.load(in) finally in.close()
+      def field(k: String) = Option(props.getProperty(k))
+      if (!field("version").contains(ManifestVersion) ||
+        !field("source").contains(source)) return None
+      val clf = load(spark, path)
+      val valid = field("v").contains(clf.v.toString) &&
+        field("classRows").exists(_.toLong == clf.classes.count()) &&
+        field("countRows").exists(_.toLong == clf.counts.count())
+      if (valid) Some(clf) else None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Reopen a written model: lazy parquet scans + the manifest scalar. */
+  def load(spark: SparkSession, path: String): QualityClassifier = {
+    val props = new java.util.Properties()
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(mPath)
+    try props.load(in) finally in.close()
+    new QualityClassifier(
+      spark.read.parquet(s"$path/classes"),
+      spark.read.parquet(s"$path/counts"),
+      props.getProperty("v").toLong)
+  }
+}

@@ -49,6 +49,19 @@ object PipelineQueries {
       Packing.packSequences(docs, "doc_id", "n_tokens", budget = 256, blockSize = 100)
         .orderBy("doc_id")
     }),
+    // Document-aware FIRST-FIT-DECREASING packing (docs stay WHOLE — the
+    // no-cross-document-attention alternative to pack_sequences'
+    // concat-and-chunk): md5-sharded, per-shard exact greedy FFD into
+    // 200-token bins via the native FfdPack kernel. Deterministic end to
+    // end, so the oracle replays the identical greedy placement with a
+    // recursive CTE.
+    "pack_documents_ffd" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Packing.packDocumentsFfd(docs, "doc_id", "n_tokens",
+          budget = 200, nShards = 8)
+        .orderBy("doc_id")
+    }),
     // Deterministic global training-order shuffle + round-robin shard
     // deal: seed-keyed md5 total order, positions via the shared two-level
     // prefix scan (never a corpus-wide single-partition window), shards
@@ -272,6 +285,47 @@ object PipelineQueries {
         |  n_tokens > 0 AND floor((cum_before + n_tokens - 1) / 256.0)
         |    > floor(cum_before / 256.0) AS spans_boundary
         |FROM c ORDER BY doc_id""".stripMargin,
+    // sequential replay of the identical greedy placement: a recursive
+    // CTE walks each shard's (length desc, doc_id) order carrying the
+    // open-bin occupancy list — first-fit index and bin updates exactly
+    // as the FfdPack kernel computes them
+    "pack_documents_ffd" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(row_number() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS r
+        |  FROM base),
+        |s AS (
+        |  SELECT shard, 0 AS r, CAST(NULL AS BIGINT) AS doc_id,
+        |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS INTEGER) AS bin,
+        |    CAST([] AS BIGINT[]) AS occ
+        |  FROM (SELECT DISTINCT shard FROM ranked)
+        |  UNION ALL
+        |  SELECT d.shard, s.r + 1, d.doc_id, d.n_tokens,
+        |    CAST(coalesce(
+        |      list_filter(range(1, len(s.occ) + 1),
+        |        i -> s.occ[i] + d.n_tokens <= 200)[1],
+        |      len(s.occ) + 1) AS INTEGER) AS bin,
+        |    CASE WHEN list_filter(range(1, len(s.occ) + 1),
+        |           i -> s.occ[i] + d.n_tokens <= 200)[1] IS NULL
+        |      THEN list_append(s.occ, d.n_tokens)
+        |      ELSE list_concat(list_concat(
+        |        s.occ[:list_filter(range(1, len(s.occ) + 1),
+        |          i -> s.occ[i] + d.n_tokens <= 200)[1] - 1],
+        |        [s.occ[list_filter(range(1, len(s.occ) + 1),
+        |          i -> s.occ[i] + d.n_tokens <= 200)[1]] + d.n_tokens]),
+        |        s.occ[list_filter(range(1, len(s.occ) + 1),
+        |          i -> s.occ[i] + d.n_tokens <= 200)[1] + 1:])
+        |    END AS occ
+        |  FROM s JOIN ranked d ON d.shard = s.shard AND d.r = s.r + 1)
+        |SELECT doc_id, n_tokens, shard, bin FROM s
+        |WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin,
     // single-window formulation: the two-level prefix scan must reproduce
     // the plain global row_number over the md5 order exactly
     "corpus_shuffle" ->

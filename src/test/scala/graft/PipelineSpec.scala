@@ -83,6 +83,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes.size === 4 && sizes.max - sizes.min <= 1)
   }
 
+  test("FFD packing keeps docs whole, respects the budget, and is deterministic") {
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"), (col("id") % 97 + 3).as("n_tokens"))
+    val packed = Packing.packDocumentsFfd(docs, "doc_id", "n_tokens",
+      budget = 150, nShards = 4)
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // every doc placed exactly once, never split
+    assert(rows.length === 500 && rows.map(_._1).distinct.length === 500)
+    // no bin exceeds the budget (no doc here is oversized)
+    val occ = rows.groupBy(r => (r._3, r._4)).view.mapValues(_.map(_._2).sum)
+    assert(occ.values.forall(_ <= 150), s"overfull bins: ${occ.filter(_._2 > 150)}")
+    // first-fit invariant: per shard at most ONE bin at or below half
+    occ.toSeq.groupBy(_._1._1).foreach { case (shard, bins) =>
+      val small = bins.count(_._2 <= 75)
+      assert(small <= 1, s"shard $shard has $small bins at <= half occupancy")
+    }
+    // deterministic under any input partitioning
+    val again = Packing.packDocumentsFfd(docs.repartition(7), "doc_id",
+      "n_tokens", budget = 150, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(again.toSet === rows.toSet)
+  }
+
+  test("FFD packing gives an oversized doc its own forever-singleton bin") {
+    import spark.implicits._
+    val docs = Seq((1L, 500L), (2L, 40L), (3L, 40L), (4L, 500L))
+      .toDF("doc_id", "n_tokens")
+    val rows = Packing.packDocumentsFfd(docs, "doc_id", "n_tokens",
+      budget = 100, nShards = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    val binOf = rows.toMap
+    // oversized docs 1 and 4 are alone in their bins; 2 and 3 share one
+    assert(binOf(1L) !== binOf(4L))
+    assert(binOf(2L) === binOf(3L))
+    assert(Set(binOf(1L), binOf(4L)).intersect(Set(binOf(2L))).isEmpty)
+  }
+
   test("shuffle accepts any id column name (order_key from the aliased column)") {
     // regression: order_key used to be built from col(idCol) AFTER the
     // select aliased it to doc_id, so any other name threw an

@@ -33,6 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_pq_topk", "ann_pq_recall", "ann_pq_persisted",
       "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_persisted",
       "term_stats", "lm_bigram_quality", "bm25_rank",
+      // |L|-row class-prior table broadcast into the per-doc scorer
+      "classifier_train_score", "classifier_persisted",
       // exact side of the semantic-recall gate: full-corpus broadcast by
       // design (the verification baseline, not the scale path)
       "dedup_semantic_recall")

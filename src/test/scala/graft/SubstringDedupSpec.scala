@@ -156,6 +156,17 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(graft.functions.GramKernels.md5Grams(two, 13).numElements() === 0)
   }
 
+  test("verify join streams only bloom-prefiltered anchors (scan filter in plan)") {
+    // the 100 TB posture: corpus anchors must die at the scan behind the
+    // dup-gram bloom literal, so the verify join never streams every
+    // anchor a second time — both the join's left side and the re-derived
+    // first-occurrence aggregate read through might_contain
+    val plan = Dedup.substringRepeatIntervals(planted, "doc_id", "text",
+      k = 13, minRun = 50).queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no bloom prefilter in the verify plan:\n$plan")
+  }
+
   test("fuzz: intervals equal a direct single-machine reference on random corpora") {
     // tiny vocab + short grams force heavy natural repetition, fuzzing
     // the first-occurrence rule, intra-doc repeats, and interval merging

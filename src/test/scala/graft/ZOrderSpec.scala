@@ -168,6 +168,26 @@ class ZOrderSpec extends AnyFunSuite {
         "the manifest pass is scanning data again")
   }
 
+  test("many-files manifest pass: parallel footer reads keep order and exactness") {
+    // the footer pass is a parallel collection over the file list; at 64
+    // files the entries must still come out in sorted-file order (par.map
+    // preserves order), each with exact bounds — and a box read over the
+    // many-file layout stays exact, so parallelism changed nothing but wall
+    import spark.implicits._
+    val df = (1L to 4096L).map(i => (i, (i % 64).toDouble)).toDF("id", "a")
+    val p = "target/zorder-test/many-z"
+    ZOrderLayout.write(df, Seq("a"), p, 64)
+    val all = ZOrderLayout.filesFor(spark, p,
+      Map("a" -> ((Double.MinValue, Double.MaxValue))))
+    assert(all.size === 64, s"expected 64 manifest entries, got ${all.size}")
+    assert(all === all.sorted, "manifest entries out of file order")
+    val got = ZOrderLayout.readBox(spark, p, Map("a" -> ((3.0, 5.0))))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (1L to 4096L).filter(i => i % 64 >= 3 && i % 64 <= 5).toSet)
+    assert(ZOrderLayout.filesFor(spark, p, Map("a" -> ((3.0, 5.0)))).size < 64,
+      "narrow box skipped nothing in a 64-file layout")
+  }
+
   test("an all-null clustering column yields no bounds and never prunes rows") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, i.toDouble, Option.empty[Double]))
