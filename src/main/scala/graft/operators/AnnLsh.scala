@@ -117,4 +117,28 @@ object AnnLsh {
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "rank", "cosine")
   }
+
+  /** FILTERED approximate top-k (FAISS IDSelector-style, completing the
+    * family: brute/IVF/IVF+PQ got this in r8): top-k among ONLY the ids
+    * in `allowed` (single `c_id` column — derived from whatever metadata
+    * predicate applies). The restriction is a LEFT SEMI join applied to
+    * the corpus BEFORE hashing, bucketing, and ranking — post-filtering
+    * an already-ranked top-k under-fills (or empties) whenever the
+    * predicate is selective, the classic filtered-search bug
+    * (FilteredAnnSpec plants it). Filtering before the bucket join also
+    * means disallowed rows never hash, never shuffle, and never score;
+    * Catalyst broadcasts the semi join when `allowed` is small and
+    * shuffles both sides on the id otherwise — nothing corpus-sized is
+    * duplicated either way. */
+  def topKFiltered(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      allowed: DataFrame, numHashTables: Int = 4, bucketLen: Double = 1.0,
+      probes: Int = 1, seed: Long = 42L): DataFrame = {
+    require(allowed.columns.toSeq == Seq("c_id"),
+      s"allowed must have exactly one column c_id, got ${allowed.columns.toSeq}")
+    val restricted = corpus.join(allowed,
+      corpus(idCol) === allowed("c_id"), "left_semi")
+    topK(restricted, idCol, vecCol, queries, qIdCol, qVecCol, k,
+      numHashTables, bucketLen, probes, seed)
+  }
 }

@@ -189,6 +189,36 @@ object Sampling {
     * the sample is reproducible across engines and partitionings.
     * tau = 0.5 is computed via sqrt (IEEE-exact, so a SQL oracle
     * reproduces the rates bit-for-bit); other taus use pow. */
+  /** Mixture-to-TOKEN-BUDGET sampling — the practical form of a
+    * data-mixing config ("this run gets B_s tokens of domain s"): each
+    * budgeted stratum is downsampled at rate min(1, B_s / T_s) where T_s
+    * is the stratum's total token count, so the kept token mass hits the
+    * budget in expectation; strata without an explicit budget keep
+    * `defaultRate`. T_s comes from a bounded |strata|-row aggregate (the
+    * [[temperatureRebalance]] contract — metadata-sized, never the
+    * corpus); the keep decision stays the deterministic per-row md5
+    * filter, so the sample is reproducible across engines, runs, and
+    * partition layouts, and nests across budget increases like every
+    * hash sample here. Rates are single correctly-rounded divisions of
+    * exactly-representable integers — bit-identical in any engine. A
+    * budget at or above T_s keeps the stratum whole (rate clamps to 1). */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, strataCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      defaultRate: Double = 1.0): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(defaultRate >= 0 && defaultRate <= 1,
+      s"defaultRate must be in [0, 1], got $defaultRate")
+    val totals = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(sum(col(tokensCol).cast("long")).as("__tok"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val rates = budgets.map { case (s, b) =>
+      // a budgeted stratum absent from the corpus contributes nothing
+      // either way; rate 1.0 keeps the CASE chain total
+      s -> totals.get(s).map(t => math.min(1.0, b.toDouble / t)).getOrElse(1.0)
+    }
+    stratifiedSample(df, keyCol, strataCol, rates, defaultRate)
+  }
+
   def temperatureRebalance(df: DataFrame, keyCol: String, strataCol: String,
       tau: Double = 0.5, keepFraction: Double = 0.5): DataFrame = {
     require(tau > 0 && tau <= 1, s"need 0 < tau <= 1, got $tau")

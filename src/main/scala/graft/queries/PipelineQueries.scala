@@ -81,6 +81,20 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Mixture-to-TOKEN-BUDGET sampling (the practical data-mixing config:
+    // "this run gets 4000 en tokens, 2000 zh tokens, a quarter of the
+    // rest"): per-stratum rate = min(1, budget / stratum_tokens) from a
+    // bounded |strata|-row aggregate; keep decision stays the per-row md5
+    // filter. Rates are single divisions of exact integers, so the oracle
+    // reproduces membership bit-for-bit.
+    "rebalance_token_budget" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      graft.operators.Sampling.tokenBudgetSample(docs, "doc_id", "lang",
+          "n_tokens", Map("en" -> 4000L, "zh" -> 2000L), defaultRate = 0.25)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
     // Temperature-flattened mixture rebalancing (tau = 0.5, keep half the
     // corpus): kept share of each language proportional to sqrt(n_lang),
     // the standard multilingual mixing rule — rare languages are
@@ -353,6 +367,24 @@ object PipelineQueries {
     // folds in — double addition is non-associative, and an unordered
     // sum(...) could differ in the last ulp), so membership agrees
     // bit-for-bit; null strata are dropped on both sides
+    // same rate derivation: budget over the stratum's exact token total,
+    // clamped to 1; same md5-fraction membership test
+    "rebalance_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok
+        |  FROM t WHERE lang IS NOT NULL GROUP BY lang)
+        |SELECT doc_id, lang, n_tokens
+        |FROM t JOIN tot USING (lang)
+        |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |      / 1152921504606846976.0
+        |  < CASE WHEN lang = 'en' THEN least(1.0, 4000.0 / tok)
+        |         WHEN lang = 'zh' THEN least(1.0, 2000.0 / tok)
+        |         ELSE 0.25 END
+        |ORDER BY doc_id""".stripMargin,
     "rebalance_temperature" ->
       """WITH n AS (SELECT lang, count(*) AS n_s FROM documents
         |           WHERE lang IS NOT NULL GROUP BY lang),

@@ -261,6 +261,24 @@ object SimilarityQueries {
       recallOf(graft.operators.AnnLsh.topK(emb, "vec_id", "embedding",
         q, "q_id", "qv", k = 5), spark, dir)
     }),
+    // Filtered-LSH recall gate (completes the IDSelector family across
+    // brute/LSH/IVF/IVF+PQ): the allowed-id semi join restricts the
+    // corpus BEFORE hashing and bucketing — disallowed rows never hash,
+    // never shuffle, never rank — versus the post-filter that under-fills
+    // under any selective predicate. probes=2 (vs the unfiltered path's
+    // 1) because the filtered neighbor set is farther out: the sparser
+    // allowed corpus needs a wider probe window for full recall at
+    // sf0.01, the gate's lossless operating point.
+    "ann_lsh_filtered_recall" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val allowed = emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("c_id"))
+      recallVs(graft.operators.AnnLsh.topKFiltered(emb, "vec_id", "embedding",
+          q, "q_id", "qv", k = 5, allowed, probes = 2),
+        exactTop5Filtered(spark, dir).select("q_id", "c_id"))
+    }),
     // Predicate-FILTERED exact top-5 (serving: "nearest neighbors among
     // rows matching a metadata filter", here label % 2 = 0). The
     // restriction lands on the corpus scan (a pushed-down parquet filter),
@@ -653,6 +671,7 @@ object SimilarityQueries {
     "ann_filtered_topk" -> filteredBruteForceOracle,
     "ann_ivf_filtered_recall" -> filteredFullRecallOracle,
     "ann_ivfpq_filtered_recall" -> filteredFullRecallOracle,
+    "ann_lsh_filtered_recall" -> filteredFullRecallOracle,
     // exact-vs-exact join: structurally the Spark query with the LSH side
     // replaced by the exact formulation — so the hash matches iff the LSH
     // path achieves FULL recall on this data (seed-pinned, deterministic)

@@ -88,6 +88,26 @@ class FilteredAnnSpec extends AnyFunSuite {
     gate.foreach(r => assert(r.getAs[Double]("recall") === 1.0))
   }
 
+  test("filtered LSH restricts candidates before bucketing, so the top-k stays full") {
+    import graft.operators.AnnLsh
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("q_id", "qv")
+    val allowed = (6L to 10L).toDF("c_id")
+    val got = AnnLsh.topKFiltered(fixture, "vec_id", "embedding",
+        q, "q_id", "qv", k = 5, allowed, probes = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // ids 1-5 dominate the unfiltered ranking; a post-filter would return
+    // nothing, the pre-bucket semi join returns all five allowed neighbors
+    assert(got === (6L to 10L).map((0L, _)).toSet)
+  }
+
+  test("filtered LSH gate equals the filtered brute force on the fixture dir") {
+    val gate = SimilarityQueries.queries("ann_lsh_filtered_recall")(
+      spark, TestSpark.sfDir).collect()
+    assert(gate.nonEmpty)
+    gate.foreach(r => assert(r.getAs[Double]("recall") === 1.0,
+      s"query ${r.getAs[Long]("q_id")}: filtered LSH missed neighbors"))
+  }
+
   test("a malformed allowed-id frame fails loudly") {
     val idx = IvfIndex.build(fixture, "vec_id", "embedding", nCells = 2,
       sampleSize = 64)

@@ -203,6 +203,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(zh === docs.filter(col("lang") === "zh").count())
   }
 
+  test("token-budget sample lands near each budget and keeps clamped strata whole") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val totals = docs.groupBy("lang").agg(sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enBudget = totals("en") / 3
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+      Map("en" -> enBudget, "de" -> (totals("de") * 10)), defaultRate = 0.0)
+    val keptTok = kept.groupBy("lang").agg(sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: rate 1/3 — kept token mass within 40% of the budget (the md5
+    // membership is deterministic for the fixture, not random per run)
+    assert(math.abs(keptTok("en").toDouble / enBudget - 1.0) < 0.4,
+      s"en kept ${keptTok("en")} vs budget $enBudget")
+    // de: budget above total — clamped rate 1, stratum kept WHOLE
+    assert(keptTok("de") === totals("de"))
+    // unbudgeted strata at defaultRate 0 are gone entirely
+    assert(!keptTok.contains("es") && !keptTok.contains("fr"))
+    // nesting: half the budget selects a subset of the full-budget sample
+    val ids = kept.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val half = Sampling.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+      Map("en" -> enBudget / 2), defaultRate = 0.0)
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(ids), "samples must nest as the budget grows")
+  }
+
   test("temperature rebalance flattens the mixture toward rare strata") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val before = docs.groupBy("lang").count()
