@@ -834,16 +834,26 @@ object Dedup {
       s"expectedDupGrams=$expectedDupGrams exceeds the bloom conf caps " +
         s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise the runtime " +
         "bloom filter confs or the filter would clamp and lose its fpp bound")
+    // the bloom-build pass needs only WHICH keys repeat, so it aggregates
+    // 8-byte xxhash64 keys with a bare count — not the 32-char md5 string
+    // with the min-(doc,pos) struct the verify side needs — cutting the
+    // full-anchor shuffle's bytes ~4x. A cross-gram xxhash64 collision
+    // only promotes a frequency-1 gram into the bloom (one more false
+    // positive for the exact join to discard); it can never lose a real
+    // duplicate. Both bloom sides hash the SAME derived key: the filter
+    // probes with XxHash64(xxhash64(g)), matching the build.
     val bloomAgg = bridge.column(BloomFilterAggregate(
-      new XxHash64(Seq(bridge.expression(col("g")))),
+      new XxHash64(Seq(bridge.expression(col("h")))),
       Literal(expectedDupGrams), Literal(expectedDupGrams * 8L), 0, 0)
       .toAggregateExpression())
-    val bloomBytes = firstsOf(occ).agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val bloomBytes = occ.select(xxhash64(col("g")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     if (bloomBytes == null) return mergeCoveredIntervals( // no dup grams at all
       occ.limit(0).select(col("doc_id"), col("pos"), col("pos").as("e")), minRun)
     val mightContain = bridge.column(BloomFilterMightContain(
       Literal.create(bloomBytes, BinaryType),
-      new XxHash64(Seq(bridge.expression(col("g"))))))
+      new XxHash64(Seq(bridge.expression(xxhash64(col("g")))))))
     val cand = occ.filter(mightContain)
     val dup = cand.join(firstsOf(cand), "g")
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))

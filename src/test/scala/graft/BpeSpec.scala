@@ -62,4 +62,29 @@ class BpeSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(toks.mkString("") === "café😀x😀x")
   }
+
+  test("durable merge table reloads with zero training jobs, rank order intact") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = "target/bpe-merges-spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    val merges = BpeTokenizer.train(docs, "text", nMerges = 60, vocabWords = 2000)
+    BpeTokenizer.write(spark, path, merges, source = "spec-v1")
+    val before = BpeTokenizer.trainCount
+    val reloaded = BpeTokenizer.loadIfValid(spark, path, "spec-v1")
+    assert(reloaded.isDefined, "valid manifest refused to load")
+    assert(BpeTokenizer.trainCount === before,
+      "loadIfValid ran a training job — the manifest did not short-circuit it")
+    // the SEQUENCE round-trips exactly (merges apply in rank order)
+    assert(reloaded.get.length === merges.length)
+    reloaded.get.zip(merges).foreach { case (a, b) =>
+      assert(a.sameElements(b), s"merge order diverged: ${a.toSeq} vs ${b.toSeq}")
+    }
+    // wrong source and a corrupted manifest both invalidate, never crash
+    assert(BpeTokenizer.loadIfValid(spark, path, "spec-v2").isEmpty)
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    out.write("version=999\n".getBytes("UTF-8")); out.close()
+    assert(BpeTokenizer.loadIfValid(spark, path, "spec-v1").isEmpty)
+  }
 }
