@@ -261,6 +261,32 @@ object SimilarityQueries {
       recallOf(graft.operators.AnnLsh.topK(emb, "vec_id", "embedding",
         q, "q_id", "qv", k = 5), spark, dir)
     }),
+    // HARD-NEGATIVE mining (contrastive-training curation: "most similar
+    // items that are NOT my class"): per-query top-5 cosine among corpus
+    // rows with a DIFFERENT label. Unlike the global allowed-id filter,
+    // the exclusion is PER QUERY — a row disallowed for one query is a
+    // candidate for another — so it lives in the join condition, before
+    // scoring and ranking, where it prunes instead of under-filling.
+    // Brute-force shape (corpus scans once against the broadcast query
+    // set), fully deterministic, hash-checked end-to-end.
+    "ann_hard_negatives" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").as("v"))
+        .withColumn("nrm", graft.functions.functions.vec_l2norm(col("v")))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label").as("q_label"))
+      val c = emb.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("label").as("c_label"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id") && col("c_label") =!= col("q_label"))
+        .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "c_label", "rank", "cosine")
+        .orderBy("q_id", "rank")
+    }),
     // Filtered-LSH recall gate (completes the IDSelector family across
     // brute/LSH/IVF/IVF+PQ): the allowed-id semi join restricts the
     // corpus BEFORE hashing and bucketing — disallowed rows never hash,
@@ -672,6 +698,25 @@ object SimilarityQueries {
     "ann_ivf_filtered_recall" -> filteredFullRecallOracle,
     "ann_ivfpq_filtered_recall" -> filteredFullRecallOracle,
     "ann_lsh_filtered_recall" -> filteredFullRecallOracle,
+    // per-query label exclusion in the join condition, then the same
+    // rank-and-cut as the brute-force oracle
+    "ann_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |    AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT q_id, c_id, c_label, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, c_label, rank, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // exact-vs-exact join: structurally the Spark query with the LSH side
     // replaced by the exact formulation — so the hash matches iff the LSH
     // path achieves FULL recall on this data (seed-pinned, deterministic)

@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
       "ann_ivf_topk", "ann_ivf_persisted", "ann_quantized_topk",
       "ann_filtered_topk", "ann_ivf_filtered_recall", "ann_ivfpq_filtered_recall",
-      "ann_lsh_filtered_recall",
+      "ann_lsh_filtered_recall", "ann_hard_negatives",
       "ann_pq_topk", "ann_pq_recall", "ann_pq_persisted",
       "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_persisted",
       "term_stats", "lm_bigram_quality", "bm25_rank",
