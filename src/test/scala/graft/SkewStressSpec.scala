@@ -160,6 +160,41 @@ class SkewStressSpec extends AnyFunSuite {
     assert(split == baseline, s"skew split changed the result: $split != $baseline")
   }
 
+  test("classifier served-model word join splits the hot-word partition and preserves results") {
+    // the boilerplate words ("free"/"prize"/"now") are each held by 1000
+    // docs — the docTok >< counts join's hot shuffle keys. The model is
+    // the DURABLE one (trained, written, reloaded): with the count table
+    // a storage scan, the join children match OptimizeSkewedJoin's
+    // Sort <- stage pattern (an in-session model would fuse the count
+    // aggregate into the join stage, the bigram fused-form limitation).
+    // The per-doc score aggregate groups by (doc_id, label), not the
+    // word key, so the split is free to engage.
+    val path = "target/skew-clf-test/model"
+    graft.operators.QualityClassifier.train(
+        hotCorpus.filter(col("doc_id") % 2 === 0)
+          .withColumn("label", when(col("doc_id") % 4 === 0, "a").otherwise("b")),
+        "text", "label")
+      .write(path, "skew-spec")
+    val clf = graft.operators.QualityClassifier.load(spark, path)
+    def mk = clf.score(hotCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    def clfDigest(df: DataFrame): ((Long, java.math.BigDecimal), String) = {
+      val g = df.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("doc_id"), col("n_tokens"), col("pred_label"),
+          round(col("expected_p") * 1e6, 0).cast("long"))
+          .cast("decimal(38,0)")).as("chk"))
+      val row = g.collect()(0)
+      ((row.getLong(0), row.getDecimal(1)),
+        g.queryExecution.executedPlan.toString)
+    }
+    val (baseline, _) = withConfs(skewConfs(enabled = false): _*)(clfDigest(mk))
+    assert(baseline._1 === 5000L, s"fixture degenerate: ${baseline._1} docs scored")
+    val (split, plan) = withConfs(skewConfs(enabled = true): _*)(clfDigest(mk))
+    assert(plan.contains("skew=true"),
+      s"skew join did not engage on the hot word:\n$plan")
+    assert(split == baseline, s"skew split changed the result: $split != $baseline")
+  }
+
   test("fused one-call bigram-LM is skew-UNsplittable but result-stable (documented limitation)") {
     // the in-one-call corpus-internal variant (TextAnalysis.bigramLm)
     // fuses the model aggregation's final step into the join's own stage

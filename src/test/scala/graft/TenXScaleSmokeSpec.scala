@@ -193,4 +193,39 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     assert(t10 <= 15 * t1,
       f"10x vector corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear ANN scaling")
   }
+
+  test("classifier serving scales ~linearly onto a 10x corpus with per-copy identical predictions",
+      SlowTest) {
+    // IDENTITY copies (ids offset, text unchanged): a frozen model is a
+    // pure function of the text, so every copy of a doc must score to
+    // the same (n_tokens, pred_label, expected_p) — replica invariance
+    // pins that serving has no corpus-population dependence (the model
+    // side is FROZEN; only training depends on the population)
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text", "lang")
+    val clf = graft.operators.QualityClassifier.train(
+      docs.filter(col("doc_id") % 5 === 0), "text", "lang")
+    def idCopy(c: Int) = docs.select(
+      (col("doc_id") + lit(c * 10000000L)).as("doc_id"), col("text"))
+    val big = (0 until copies).map(idCopy).reduce(_ unionByName _)
+    def score(df: DataFrame): (Long, Double) =
+      timed(clf.score(df, "doc_id", "text").count())
+    score(idCopy(0)) // warmup
+    val (n1, t1) = score(idCopy(0))
+    val (n10, t10) = score(big)
+    assert(n10 === copies * n1, s"10x corpus scored $n10 docs, expected ${copies * n1}")
+    // replica invariance: per-copy digests all equal copy 0's
+    val digests = clf.score(big, "doc_id", "text")
+      .groupBy((col("doc_id") / 10000000L).cast("long").as("copy"))
+      .agg(sum(xxhash64(col("doc_id") % 10000000L, col("n_tokens"),
+        col("pred_label"), round(col("expected_p") * 1e6, 0).cast("long"))
+        .cast("decimal(38,0)")).as("chk"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(digests.size === copies)
+    assert(digests.values.toSet.size === 1,
+      s"copies scored differently: $digests")
+    info(f"classifier serve 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1,
+      f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear classifier serving")
+  }
 }
