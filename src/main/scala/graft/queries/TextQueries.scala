@@ -417,6 +417,29 @@ object TextQueries {
         .score(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Classifier as a FILTER — the step a curation pipeline actually runs
+    // with a trained quality/domain model (DCLM keeps docs the classifier
+    // scores as reference-like): EVERY doc scored under the frozen
+    // %5==0-trained model, kept iff predicted domain is 'en' with enough
+    // expected-probability mass and enough tokens. The confidence
+    // threshold compares the INTEGER-scaled score (x1e6), so the keep
+    // booleans — the filter's real output — are bit-exact across engines,
+    // never a double-rounding coin flip at the boundary.
+    "corpus_filter_classifier" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      clfPersisted(spark, dir).score(docs, "doc_id", "text")
+        .withColumn("expected_p6",
+          org.apache.spark.sql.functions.round(col("expected_p") * 1e6, 0)
+            .cast("long"))
+        .withColumn("keep_domain", col("pred_label") === "en")
+        .withColumn("keep_confidence", col("expected_p6") >= 15000L)
+        .withColumn("keep_length", col("n_tokens") >= 20)
+        .withColumn("keep", col("keep_domain") && col("keep_confidence") &&
+          col("keep_length"))
+        .select("doc_id", "n_tokens", "pred_label", "expected_p6",
+          "keep_domain", "keep_confidence", "keep_length", "keep")
+        .orderBy("doc_id")
+    }),
     // Durable-classifier PARITY gate (the ann_*_persisted pattern): a
     // model trained in-session must score every held-out doc IDENTICALLY
     // to the manifest-reopened durable model — integer counts round-trip
@@ -786,6 +809,51 @@ object TextQueries {
         |                       ORDER BY dscore DESC, label) AS rk
         |  FROM scored)
         |SELECT doc_id, n_tokens, pred_label, expected_p
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // train + serve + threshold composed: the classifier CTEs over ALL
+    // docs, then the same integer-scaled keep rules
+    "corpus_filter_classifier" ->
+      """WITH seedtok AS (
+        |  SELECT doc_id, lang AS label,
+        |    unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |counts AS (SELECT label, w, CAST(count(*) AS BIGINT) AS c
+        |           FROM seedtok GROUP BY label, w),
+        |classes AS (SELECT label,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM seedtok GROUP BY label),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM seedtok),
+        |doctok AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |docn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens
+        |         FROM doctok GROUP BY doc_id),
+        |hits AS (
+        |  SELECT t.doc_id, c.label, CAST(sum(t.k * c.c) AS BIGINT) AS s
+        |  FROM doctok t JOIN counts c USING (w) GROUP BY t.doc_id, c.label),
+        |scored AS (
+        |  SELECT d.doc_id, d.n_tokens, cl.label,
+        |    coalesce(h.s, 0) + d.n_tokens AS num,
+        |    cl.tot + voc.v AS den,
+        |    CAST(cl.n_docs * (coalesce(h.s, 0) + d.n_tokens) AS DOUBLE)
+        |      / CAST(cl.tot + voc.v AS DOUBLE) AS dscore
+        |  FROM docn d CROSS JOIN classes cl CROSS JOIN voc
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = cl.label),
+        |best AS (
+        |  SELECT doc_id, n_tokens, label AS pred_label,
+        |    CAST(round(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)
+        |      / 1e6 * 1e6) AS BIGINT) AS expected_p6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY dscore DESC, label) AS rk
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, pred_label, expected_p6,
+        |  pred_label = 'en' AS keep_domain,
+        |  expected_p6 >= 15000 AS keep_confidence,
+        |  n_tokens >= 20 AS keep_length,
+        |  pred_label = 'en' AND expected_p6 >= 15000 AND n_tokens >= 20 AS keep
         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // parity literals: the durable model must equal the in-session model
     // exactly — counts are recomputed genuinely on the Spark side

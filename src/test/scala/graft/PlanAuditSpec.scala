@@ -35,7 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_persisted",
       "term_stats", "lm_bigram_quality", "bm25_rank",
       // |L|-row class-prior table broadcast into the per-doc scorer
-      "classifier_train_score", "classifier_persisted",
+      "classifier_train_score", "classifier_persisted", "corpus_filter_classifier",
       // exact side of the semantic-recall gate: full-corpus broadcast by
       // design (the verification baseline, not the scale path)
       "dedup_semantic_recall")
