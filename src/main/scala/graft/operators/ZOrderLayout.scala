@@ -227,6 +227,58 @@ object ZOrderLayout {
     true
   }
 
+  /** Rewrite a fragmented layout as ONE fresh z-ordered table — the
+    * OPTIMIZE step after many [[appendTo]] batches: each append z-clusters
+    * only among ITSELF, so over time the table accumulates small files
+    * with overlapping boxes and `readBox` prunes less and less; compact
+    * re-bins and re-sorts EVERYTHING under corpus-wide equi-depth cuts,
+    * restoring tight per-file boxes. Staged like the index retrains: the
+    * fresh layout (data + manifest) lands in a staging dir while the live
+    * table keeps serving manifest reads, then delete + rename swaps it in;
+    * the applied-source ledger is CARRIED OVER so a late retry of any
+    * pre-compact batch is still a no-op. A crash between delete and
+    * rename leaves no manifest at `path` (detected — and staging still
+    * holds the complete rewrite). */
+  def compact(spark: SparkSession, path: String, nFiles: Int,
+      bitsPer: Int = 12): Unit = {
+    require(nFiles >= 1)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val json = readManifestJson(fs, path)
+    val cols = arraySection(json, "cols").getOrElse("")
+      .split(",").map(_.replaceAll("\"", "")).filter(_.nonEmpty).toSeq
+    val applied = arraySection(json, "applied").toSeq
+      .flatMap(_.split(",")).map(_.replaceAll("\"", "")).filter(_.nonEmpty)
+    // read through the MANIFEST's file list (not a bare dir listing), so
+    // orphan part-files from a crashed append stay invisible here too
+    val files = filesFor(spark, path, Map.empty)
+    require(files.nonEmpty, s"nothing to compact at $path")
+    val staging = s"$path.compact"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    write(spark.read.parquet(files: _*), cols, staging, nFiles, bitsPer)
+    if (applied.nonEmpty) { // carry the ledger into the fresh manifest
+      val sJson = readManifestJson(fs, staging)
+      val entries = arraySection(sJson, "files").getOrElse("")
+        .split("\\},\\{").filter(_.nonEmpty)
+        .map(e => if (e.startsWith("{")) e else "{" + e)
+        .map(e => if (e.endsWith("}")) e else e + "}").toSeq
+      writeManifest(fs, staging, cols, entries, applied)
+    }
+    fs.delete(dir, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dir),
+      s"rename $staging -> $path failed")
+    // the manifest's file entries were recorded under the staging dir —
+    // rewrite them to the final location (file names are unchanged by the
+    // rename, only the directory component moves)
+    val moved = readManifestJson(fs, path)
+      .replace(s"/${dir.getName}.compact/", s"/${dir.getName}/")
+    val mp = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val out = fs.create(mp, true)
+    out.write(moved.getBytes("UTF-8"))
+    out.close()
+  }
+
   /** Files whose manifest box intersects the predicate box. Bounds are
     * inclusive; a column absent from `bounds` is unconstrained; a FILE
     * with no recorded bounds for a constrained column is kept (missing

@@ -80,6 +80,46 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites a fragmented layout, preserves rows and the applied ledger") {
+    val cpath = "target/zorder-test/orders-z-compact"
+    val base = orders.filter(col("o_orderkey") % 3 === 1)
+    val b2 = orders.filter(col("o_orderkey") % 3 === 2)
+    val b3 = orders.filter(col("o_orderkey") % 3 === 0)
+    ZOrderLayout.write(base, Seq("o_custkey", "o_totalprice"), cpath, 8)
+    assert(ZOrderLayout.appendTo(b2, cpath, 4, sourceTag = "day-1"))
+    assert(ZOrderLayout.appendTo(b3, cpath, 2, sourceTag = "day-2"))
+    val everything = Map("o_custkey" -> ((Double.MinValue, Double.MaxValue)))
+    assert(ZOrderLayout.filesFor(spark, cpath, everything).size === 14)
+    ZOrderLayout.compact(spark, cpath, nFiles = 6)
+    // one fresh layout: 6 files, identical data through the manifest path
+    assert(ZOrderLayout.filesFor(spark, cpath, everything).size === 6)
+    val bounds = Map("o_custkey" -> midBounds("o_custkey"))
+    val got = ZOrderLayout.readBox(spark, cpath, bounds)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val expected = orders
+      .filter(col("o_custkey") >= bounds("o_custkey")._1 &&
+        col("o_custkey") <= bounds("o_custkey")._2)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got === expected, "compact changed the data visible through the manifest")
+    // corpus-wide re-clustering restored skipping on the compacted files.
+    // Off-center box on purpose: a MID box straddles the top-level Morton
+    // median split in every dimension, so at 6 coarse files it touches all
+    // quadrants by construction — a 10-20th percentile box sits inside
+    // one quadrant and must skip
+    def lowBounds(c: String): (Double, Double) = {
+      val Array(lo, hi) = orders.stat.approxQuantile(c, Array(0.10, 0.20), 0.0)
+      (lo, hi)
+    }
+    val box2d = Map("o_custkey" -> lowBounds("o_custkey"),
+      "o_totalprice" -> lowBounds("o_totalprice"))
+    assert(ZOrderLayout.filesFor(spark, cpath, box2d).size < 6,
+      "low 2-d box skipped nothing after compact")
+    // the ledger survived: pre-compact batches stay refused, new tags land
+    assert(!ZOrderLayout.appendTo(b2, cpath, 2, sourceTag = "day-1"),
+      "compact dropped the applied ledger")
+    assert(ZOrderLayout.appendTo(b2.limit(10), cpath, 1, sourceTag = "day-3"))
+  }
+
   test("readBox equals the full-scan filter exactly") {
     writtenOnce
     val bounds = Map("o_custkey" -> midBounds("o_custkey"),
