@@ -110,6 +110,37 @@ object StreamingOps {
     graft.operators.Dedup.incrementalNew(novelInStream, corpus, textCol)
   }
 
+  /** Continuous-ingest QUALITY gate: the streaming twin of the batch
+    * C4-style filter chain (`corpus_quality_filter`) — length, composite
+    * quality, repetition and language verdicts applied to every arriving
+    * document. Append-legal by construction: every signal is a PER-ROW
+    * projection (the batch path's only aggregate, the distinct-token
+    * repetition ratio, collapses to `size(array_distinct(tokens))` per
+    * row — identical values, no explode-and-regroup, no watermark, no
+    * state). Thresholds compare the same integer-scaled scores as the
+    * batch chain, so a document keeps or drops identically in both
+    * (StreamingSpec pins the equivalence). Composes freely ahead of the
+    * dedup stages — a stateless filter is the cheapest stream operator,
+    * so run it FIRST and let junk never reach the fingerprint state. */
+  def qualityGateStream(stream: DataFrame, textCol: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val t = TextAnalysis.tokens(col(textCol))
+    val nTokD = size(t).cast("double")
+    val stopRatio = size(filter(t,
+      x => x.isInCollection(TextAnalysis.stopwords))) / nTokD
+    val avgLen = length(regexp_replace(col(textCol), " ", "")) / nTokD
+    val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
+    val sizeSat = least(nTokD / 100.0, lit(1.0))
+    val quality4 = round(least(
+      lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
+      lit(1.0)) * 1e4, 0).cast("long")
+    val distinctRatio6 =
+      round(size(array_distinct(t)) * lit(1e6) / size(t), 0).cast("long")
+    stream.filter(size(t) >= 20 && quality4 >= 4000L &&
+      distinctRatio6 >= 300000L &&
+      TextAnalysis.langId(col(textCol)) === "en")
+  }
+
   /** Continuous-ingest NEAR-DUP filter: the streaming twin of the batch
     * minhash near-dup path — emits only documents that are novel against
     * the static corpus at the NEAR-duplicate level (banded minhash

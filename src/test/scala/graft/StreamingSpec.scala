@@ -381,6 +381,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming quality gate keeps exactly the batch chain's keep set") {
+    val docs = Tables.load(spark, dir, "documents")
+    val stream = StreamingOps.readTableStream(spark, dir, "documents")
+    val gated = StreamingOps.qualityGateStream(stream, "text")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("quality_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("quality_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the driver's batch verdict is authoritative: identical keep set
+    val batch = graft.queries.TextQueries.queries("corpus_quality_filter")(
+      spark, dir).filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === batch, "stream verdict diverged from the batch chain")
+    assert(got.nonEmpty && got.size < docs.count(),
+      s"fixture degenerate: ${got.size} of ${docs.count()} kept")
+  }
+
   test("streaming stratified sample equals the batch sample (stateless filter)") {
     import graft.operators.Sampling
     val sampled = Sampling.stratifiedSample(
