@@ -992,6 +992,116 @@ object Dedup {
       contaminationIntervals(corpus, evalSet, idCol, textCol, k,
         expectedEvalNgrams))
 
+  /** Corpus-wide DUPLICATE LINES — the line-granular member of the exact
+    * dedup family (the CCNet / RefinedWeb cleaning step: a line repeated
+    * across a web crawl is navigation chrome, a cookie banner, a footer —
+    * boilerplate that document-level and >= minRun-token substring dedup
+    * both miss because it is too short and its hosts are otherwise
+    * distinct). Reports every non-empty line (textCol split on the
+    * literal `delim`) whose exact content occurs at least `minOcc` times
+    * corpus-wide, with its occurrence count and globally FIRST occurrence
+    * (minimum (doc_id, line_idx), 1-based over the split positions).
+    *
+    * The md5 line key (not the line text) is what shuffles, and the
+    * single aggregate is map-side combinable — one bounded-key shuffle
+    * over (16-byte key, doc, idx) triples is the whole cost. Collisions:
+    * 128-bit, negligible at any corpus size, and engine-portable so the
+    * driver oracle reproduces the table bit-for-bit. */
+  def duplicateLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", minOcc: Int = 2): DataFrame = {
+    require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
+    linesOf(df, idCol, textCol, delim).groupBy("line_md5")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("line_idx"))).as("first"))
+      .filter(col("n_occ") >= minOcc)
+      .select(col("line_md5"), col("n_occ"),
+        col("first.doc_id").as("first_doc_id"),
+        col("first.line_idx").as("first_line_idx"))
+  }
+
+  /** (doc_id, line_idx, line_md5) for every NON-EMPTY line of the corpus;
+    * line_idx is 1-based over ALL split positions (empty lines keep their
+    * slot so excision indexes align with the raw split array). */
+  private def linesOf(df: DataFrame, idCol: String, textCol: String,
+      delim: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("i0", "line")))
+      .filter(length(col("line")) > 0)
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("line_idx"),
+        md5(col("line")).as("line_md5"))
+
+  /** Apply [[duplicateLines]] to the corpus: every document with its
+    * duplicated lines REMOVED — `keepFirst = true` (default) retains the
+    * globally first occurrence of each repeated line (the substring-dedup
+    * convention); `keepFirst = false` drops every occurrence (the CCNet
+    * convention for crawl boilerplate, where the "first" copy is just as
+    * much chrome as the rest). Empty lines are never counted and never
+    * excised. Returns per-doc counts plus an md5 fingerprint of the
+    * kept-line stream rejoined on `delim` (hash-checkable without
+    * shipping cleaned bodies).
+    *
+    * Scale shape mirrors [[substringRepeatIntervals]]: the duplicated
+    * line-key set is distilled to a BLOOM LITERAL planted as a scan
+    * filter, so only bloom-positive lines shuffle into the verify join —
+    * exact, because the filter depends only on the line key (no false
+    * negatives: every occurrence of a truly duplicated line survives and
+    * its n_occ recount is unchanged; false-positive keys recount to
+    * n_occ < minOcc and die as before). The per-doc drop-index table is
+    * excision-sized; the final pass is a doc-keyed join against it plus a
+    * per-row higher-order filter — the corpus itself never re-shuffles. */
+  def exciseDupLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", minOcc: Int = 2, keepFirst: Boolean = true,
+      expectedDupLines: Long = 1L << 20): DataFrame = {
+    require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val spark = df.sparkSession
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedDupLines <= maxItems && expectedDupLines * 8L <= maxBits,
+      s"expectedDupLines=$expectedDupLines exceeds the bloom conf caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise the runtime " +
+        "bloom filter confs or the filter would clamp and lose its fpp bound")
+    val lines = linesOf(df, idCol, textCol, delim)
+    val bloomAgg = bridge.column(BloomFilterAggregate(
+      new XxHash64(Seq(bridge.expression(col("h")))),
+      Literal(expectedDupLines), Literal(expectedDupLines * 8L), 0, 0)
+      .toAggregateExpression())
+    val bloomBytes = lines.select(xxhash64(col("line_md5")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val cand = if (bloomBytes == null) lines.limit(0) else lines.filter(
+      bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType),
+        new XxHash64(Seq(bridge.expression(xxhash64(col("line_md5"))))))))
+    val firsts = cand.groupBy("line_md5")
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+    val dropRows = cand.join(firsts, "line_md5")
+    val drops = (if (keepFirst)
+        dropRows.filter(struct(col("doc_id"), col("line_idx")) =!= col("first"))
+      else dropRows)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("line_idx"))).as("drop_idxs"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), java.util.regex.Pattern.quote(delim)).as("ls"))
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("ls"), (_, i) =>
+        col("drop_idxs").isNull ||
+          !array_contains(col("drop_idxs"), (i + 1).cast("long"))))
+      .select(col("doc_id"), size(col("ls")).as("n_lines"),
+        (size(col("ls")) - size(col("kept"))).as("excised_lines"),
+        size(col("kept")).as("kept_lines"),
+        md5(concat_ws(delim, col("kept"))).as("cleaned_fingerprint"))
+  }
+
   def dropDuplicatesByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val comp = connectedComponents(pairs, srcCol, dstCol)

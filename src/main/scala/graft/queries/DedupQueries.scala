@@ -304,7 +304,36 @@ object DedupQueries {
       Dedup.exciseRepeats(Tables.load(spark, dir, "documents"),
           "doc_id", "text", k = 13, minRun = 50)
         .orderBy("doc_id")
+    }),
+    // Line-level exact dedup (the CCNet/RefinedWeb boilerplate-line
+    // step). The corpus has no newlines, so both engines derive the SAME
+    // line structure first — fixed 10-token segments per doc (the
+    // doc_chunks segmentation shape) rejoined on \n — and the operator
+    // then runs end-to-end over the multi-line pages: split, md5 line
+    // keys, first-occurrence aggregate, corpus-wide counts.
+    "dedup_lines" -> ((spark, dir) => {
+      Dedup.duplicateLines(pagedDocs(spark, dir), "doc_id", "page")
+        .orderBy("line_md5")
+    }),
+    // The applied form: every page with its corpus-duplicated lines
+    // removed (globally first occurrence kept), as counts + an md5
+    // fingerprint of the kept-line stream.
+    "corpus_excise_dup_lines" -> ((spark, dir) => {
+      Dedup.exciseDupLines(pagedDocs(spark, dir), "doc_id", "page")
+        .orderBy("doc_id")
     }))
+
+  /** Documents as multi-line pages: fixed 10-token lines joined on \n —
+    * the deterministic line structure both engines can derive (the corpus
+    * text itself has no newlines). */
+  private[queries] def pagedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    Tables.load(spark, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", transform(
+        sequence(lit(1), floor((size(w) + lit(9)) / lit(10)).cast("int")),
+        i => concat_ws(" ", slice(w, (i - lit(1)) * lit(10) + lit(1), lit(10)))))
+        .as("page"))
+  }
 
   private val duckShinglesBody =
     """tok AS (
@@ -368,6 +397,22 @@ object DedupQueries {
       |  FROM isl GROUP BY doc_id, island
       |  HAVING max(e) - min(pos) + 1 >= 50)""".stripMargin
 
+  /** The paged-line derivation shared by the line-dedup oracles: the same
+    * fixed 10-token segmentation the Spark side builds (`pagedDocs`),
+    * with per-line md5 keys, corpus counts, and first-occurrence rank. */
+  private val duckPagedLinesBody =
+    """d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+      |    array_to_string(list_slice(w, (i - 1) * 10 + 1, i * 10), ' ') AS line
+      |  FROM d, unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS t(i)),
+      |r AS (
+      |  SELECT md5(line) AS line_md5, doc_id, line_idx,
+      |    row_number() OVER (PARTITION BY md5(line)
+      |                       ORDER BY doc_id, line_idx) AS rn,
+      |    count(*) OVER (PARTITION BY md5(line)) AS n_occ
+      |  FROM seg WHERE len(line) > 0)""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
     "dedup_substring" ->
       ("WITH " + duckSubstringBody + """
@@ -390,6 +435,30 @@ object DedupQueries {
         |  CAST(len(w) - len(kept) AS INTEGER) AS excised_tokens,
         |  CAST(len(kept) AS INTEGER) AS kept_tokens,
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fingerprint
+        |FROM cl ORDER BY doc_id""".stripMargin),
+    "dedup_lines" ->
+      ("WITH " + duckPagedLinesBody + """
+        |SELECT line_md5, CAST(n_occ AS BIGINT) AS n_occ,
+        |  CAST(doc_id AS BIGINT) AS first_doc_id,
+        |  CAST(line_idx AS BIGINT) AS first_line_idx
+        |FROM r WHERE rn = 1 AND n_occ >= 2 ORDER BY line_md5""".stripMargin),
+    "corpus_excise_dup_lines" ->
+      ("WITH " + duckPagedLinesBody + """,
+        |drops AS (SELECT doc_id, line_idx FROM r WHERE n_occ >= 2 AND rn > 1),
+        |dl AS (SELECT doc_id, list(line_idx ORDER BY line_idx) AS idxs
+        |       FROM drops GROUP BY doc_id),
+        |pages AS (SELECT doc_id, list(line ORDER BY line_idx) AS ls
+        |          FROM seg GROUP BY doc_id),
+        |cl AS (
+        |  SELECT p.doc_id, len(p.ls) AS n_lines,
+        |    CASE WHEN d.idxs IS NULL THEN p.ls
+        |         ELSE list_filter(p.ls, (x, i) -> NOT list_contains(d.idxs, i))
+        |    END AS kept
+        |  FROM pages p LEFT JOIN dl d ON p.doc_id = d.doc_id)
+        |SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+        |  CAST(n_lines - len(kept) AS INTEGER) AS excised_lines,
+        |  CAST(len(kept) AS INTEGER) AS kept_lines,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_fingerprint
         |FROM cl ORDER BY doc_id""".stripMargin),
     "winnow_fingerprint_stats" ->
       ("WITH " + duckWinnowBody + """
