@@ -172,4 +172,141 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("matched_terms"), round6(sum(idf * tfNorm)).as("bm25"))
   }
+
+  /** The eight Gopher "stop words" (Rae et al. 2021, appendix A1.1):
+    * a document must contain at least two of them to pass rule 7. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter signals (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, appendix
+    * A1.1) — the repetition + heuristic rule set MassiveWeb applies per
+    * document, emitted as INTEGER-scaled fractions (x1e6, one correctly-
+    * rounded division of exact integers each) so every threshold boolean
+    * is bit-exact across engines, plus the composed `keep` verdict.
+    *
+    * Signals and thresholds (keep iff ALL hold):
+    *  - word count in [minWords, maxWords] (paper: 50..100,000)
+    *  - mean word length in [3, 10] chars
+    *  - symbol-to-word ratio ("#", "...", or an ellipsis char) <= 0.1
+    *  - < 90% of lines starting with a bullet ("•", "-", "*")
+    *  - < 30% of lines ending with an ellipsis
+    *  - >= 80% of words containing at least one alphabetic character
+    *  - >= 2 distinct `stops` words present ([[gopherStops]] by default —
+    *    parameterized because the rule targets common function words,
+    *    which vary by corpus/language)
+    *  - duplicate-line fraction <= 0.30; duplicate-line CHAR fraction
+    *    <= 0.20 (within-document, on `delim`-split lines)
+    *  - top {2,3,4}-gram char fraction <= {0.20, 0.18, 0.16}
+    *  - duplicated {5..10}-gram char fraction <= {0.15 .. 0.10}
+    *
+    * Documented variant choices (each deterministic and applied
+    * identically in the driver oracle): tokens split on runs of
+    * whitespace; a gram's char length is its joined-string length and
+    * fractions are relative to length(text); the top-n-gram numerator is
+    * max over grams of count*len (tie-free, vs. "chars of the single most
+    * frequent gram" which needs a tie-break); the duplicated-n-gram
+    * numerator sums count*len over grams with count >= 2 (the map-side-
+    * combinable form — positional character coverage would need a second
+    * per-position pass, and the sum only over-counts overlaps, so it is
+    * the CONSERVATIVE direction for a drop-if-above filter).
+    *
+    * Scale shape: every line/word signal is a per-row higher-order
+    * expression in one corpus scan — no shuffle, stateless, so the whole
+    * non-gram tier is streaming-legal. The gram tier is ONE explode
+    * (all n in [2,10] fused into a single generator, md5 gram keys so
+    * 16-byte hashes shuffle rather than gram text) into a (doc, n, key)
+    * aggregate and a (doc, n) reduce joined back on the doc key —
+    * doc-keyed, AQE-splittable, nothing corpus-sized broadcast. */
+  def gopherSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, delim: String = "\n", minWords: Int = 50,
+      maxWords: Int = 100000,
+      stops: Seq[String] = gopherStops): org.apache.spark.sql.DataFrame = {
+    require(stops.nonEmpty, "need a non-empty stop-word list")
+    val toks = split(lower(col(textCol)), "\\s+")
+    val nWords = size(toks)
+    val textLen = length(col(textCol))
+    def frac6(num: Column, den: Column): Column =
+      round(num * lit(1e6) / den, 0).cast("long")
+    val wordChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stops.map(lit): _*)))
+    val symbols = size(regexp_extract_all(col(textCol),
+      lit("#|\\.\\.\\.|…"), lit(0)))
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("-") || l.startsWith("*")))
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("…") || l.endsWith("...")))
+    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val distinctLineChars = aggregate(array_distinct(lines), lit(0L),
+      (acc, l) => acc + length(l))
+    val perRow = df.select(col(idCol).cast("long").as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      frac6(wordChars, nWords).as("mean_word_chars6"),
+      frac6(alphaWords, nWords).as("alpha_word_frac6"),
+      stopHits.cast("long").as("stop_hits"),
+      frac6(symbols, nWords).as("symbol_frac6"),
+      frac6(bulletLines, nLines).as("bullet_line_frac6"),
+      frac6(ellipsisLines, nLines).as("ellipsis_line_frac6"),
+      frac6(nLines - size(array_distinct(lines)), nLines).as("dup_line_frac6"),
+      frac6(lineChars - distinctLineChars, greatest(lineChars, lit(1L)))
+        .as("dup_line_char_frac6"),
+      textLen.cast("long").as("text_chars"))
+    // one generator for every n in [2,10]: (n, md5(gram), len(gram));
+    // short docs contribute nothing for the ns they cannot fill
+    val gramsAll = flatten(transform(sequence(lit(2), lit(10)), n =>
+      transform(
+        when(size(toks) >= n, sequence(lit(1), size(toks) - n + 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(n.cast("int").as("n"),
+          md5(concat_ws(" ", slice(toks, i, n))).as("h"),
+          length(concat_ws(" ", slice(toks, i, n))).cast("long").as("len")))))
+    val gramStats = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(gramsAll).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.h").as("h"))
+      .agg(count(lit(1)).as("c"), first(col("g.len")).as("len"))
+      .groupBy("doc_id", "n")
+      .agg(max(col("c") * col("len")).as("top_chars"),
+        sum(when(col("c") >= 2, col("c") * col("len")).otherwise(0L))
+          .as("dup_chars"))
+    def nCol(n: Int, src: Column): Column =
+      coalesce(max(when(col("n") === n, src)), lit(0L))
+    val perDocGrams = gramStats.groupBy("doc_id").agg(
+      nCol(2, col("top_chars")).as("top2"), nCol(3, col("top_chars")).as("top3"),
+      nCol(4, col("top_chars")).as("top4"), nCol(5, col("dup_chars")).as("dup5"),
+      nCol(6, col("dup_chars")).as("dup6"), nCol(7, col("dup_chars")).as("dup7"),
+      nCol(8, col("dup_chars")).as("dup8"), nCol(9, col("dup_chars")).as("dup9"),
+      nCol(10, col("dup_chars")).as("dup10"))
+    val joined = perRow.join(perDocGrams, Seq("doc_id"), "left")
+    val g = (name: String) => coalesce(col(name), lit(0L))
+    def gf(name: String): Column =
+      frac6(g(name), greatest(col("text_chars"), lit(1L)))
+    joined.select(
+        (Seq(col("doc_id"), col("n_words"), col("mean_word_chars6"),
+          col("alpha_word_frac6"), col("stop_hits"), col("symbol_frac6"),
+          col("bullet_line_frac6"), col("ellipsis_line_frac6"),
+          col("dup_line_frac6"), col("dup_line_char_frac6")) ++
+          Seq("top2" -> "top2gram_frac6", "top3" -> "top3gram_frac6",
+            "top4" -> "top4gram_frac6", "dup5" -> "dup5gram_frac6",
+            "dup6" -> "dup6gram_frac6", "dup7" -> "dup7gram_frac6",
+            "dup8" -> "dup8gram_frac6", "dup9" -> "dup9gram_frac6",
+            "dup10" -> "dup10gram_frac6").map { case (s, a) => gf(s).as(a) }): _*)
+      .withColumn("keep", col("n_words") >= minWords &&
+        col("n_words") <= maxWords &&
+        col("mean_word_chars6") >= 3000000L && col("mean_word_chars6") <= 10000000L &&
+        col("symbol_frac6") <= 100000L &&
+        col("bullet_line_frac6") < 900000L &&
+        col("ellipsis_line_frac6") < 300000L &&
+        col("alpha_word_frac6") >= 800000L &&
+        col("stop_hits") >= 2 &&
+        col("dup_line_frac6") <= 300000L && col("dup_line_char_frac6") <= 200000L &&
+        col("top2gram_frac6") <= 200000L && col("top3gram_frac6") <= 180000L &&
+        col("top4gram_frac6") <= 160000L &&
+        col("dup5gram_frac6") <= 150000L && col("dup6gram_frac6") <= 140000L &&
+        col("dup7gram_frac6") <= 130000L && col("dup8gram_frac6") <= 120000L &&
+        col("dup9gram_frac6") <= 110000L && col("dup10gram_frac6") <= 100000L)
+  }
 }

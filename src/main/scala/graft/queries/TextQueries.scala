@@ -225,6 +225,20 @@ object TextQueries {
           col("keep_repetition") && col("keep_lang"))
         .orderBy("doc_id")
     }),
+    // Gopher quality rule set (Rae et al. 2021, appendix A1.1): the
+    // MassiveWeb repetition + heuristic filter — word-count/word-shape
+    // rules, symbol and bullet/ellipsis line rules, within-doc duplicate
+    // lines, and the full {2..10}-gram char-fraction ladder — over the
+    // paged view (deterministic 10-token lines; the corpus has no
+    // newlines), with a corpus-appropriate stop list ("the"/"a" are the
+    // only function words in the synthetic vocabulary). All fractions
+    // integer-scaled x1e6 so the keep verdict is bit-exact.
+    "gopher_quality_filter" -> ((spark, dir) => {
+      TextAnalysis.gopherSignals(DedupQueries.pagedDocs(spark, dir),
+          "doc_id", "page",
+          stops = Seq("the", "a", "be", "to", "of", "and", "that", "have"))
+        .orderBy("doc_id")
+    }),
     // BM25 keyword retrieval (seed-retrieval curation primitive): top-20
     // docs for a 3-term query, rational-odds idf so the score is
     // hash-checkable (see TextAnalysis.bm25Rank). Deterministic: rounded
@@ -635,6 +649,90 @@ object TextQueries {
         |  n_tokens >= 20 AND quality4 >= 4000 AND distinct_ratio6 >= 300000
         |    AND lang_pred = 'en' AS keep
         |FROM b JOIN r ON b.doc_id = r.doc_id ORDER BY b.doc_id""".stripMargin),
+    // Gopher rules: the oracle rebuilds the SAME paged view (10-token
+    // lines), then replays every signal — per-token shape rules over a
+    // whitespace re-split of the page, line rules over the segment list,
+    // and the full {2..10}-gram ladder via the positional-gram idiom.
+    "gopher_quality_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+        |    array_to_string(list_slice(w, (i - 1) * 10 + 1, i * 10), ' ') AS line
+        |  FROM d, unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS t(i)),
+        |pg AS (
+        |  SELECT doc_id, list(line ORDER BY line_idx) AS ls,
+        |    array_to_string(list(line ORDER BY line_idx), chr(10)) AS page
+        |  FROM seg GROUP BY doc_id),
+        |tk AS (
+        |  SELECT doc_id, ls, page, CAST(length(page) AS BIGINT) AS text_chars,
+        |    regexp_split_to_array(page, '\s+') AS t
+        |  FROM pg),
+        |rowsig AS (
+        |  SELECT doc_id, text_chars,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(round(list_sum(list_transform(t, x -> length(x))) * 1e6 / len(t)) AS BIGINT) AS mean_word_chars6,
+        |    CAST(round(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1e6 / len(t)) AS BIGINT) AS alpha_word_frac6,
+        |    CAST(len(list_filter(['the','a','be','to','of','and','that','have'],
+        |      s -> list_contains(t, s))) AS BIGINT) AS stop_hits,
+        |    CAST(round(len(regexp_extract_all(page, '#|\.\.\.|…')) * 1e6 / len(t)) AS BIGINT) AS symbol_frac6,
+        |    CAST(round(len(list_filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%')) * 1e6 / len(ls)) AS BIGINT) AS bullet_line_frac6,
+        |    CAST(round(len(list_filter(ls, l -> l LIKE '%…' OR l LIKE '%...')) * 1e6 / len(ls)) AS BIGINT) AS ellipsis_line_frac6,
+        |    CAST(round((len(ls) - len(list_distinct(ls))) * 1e6 / len(ls)) AS BIGINT) AS dup_line_frac6,
+        |    CAST(round((list_sum(list_transform(ls, l -> length(l)))
+        |        - list_sum(list_transform(list_distinct(ls), l -> length(l)))) * 1e6
+        |      / greatest(list_sum(list_transform(ls, l -> length(l))), 1)) AS BIGINT) AS dup_line_char_frac6
+        |  FROM tk),
+        |g AS (
+        |  SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS gram
+        |  FROM tk, unnest(range(2, 11)) AS nn(n), unnest(range(1, len(t) + 1)) AS ii(i)
+        |  WHERE i + n - 1 <= len(t)),
+        |gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |ga AS (
+        |  SELECT doc_id, n, max(c * length(gram)) AS top_chars,
+        |    sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dup_chars
+        |  FROM gc GROUP BY 1, 2),
+        |gp AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS top2,
+        |    coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS top3,
+        |    coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS top4,
+        |    coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0) AS dup5,
+        |    coalesce(max(CASE WHEN n = 6 THEN dup_chars END), 0) AS dup6,
+        |    coalesce(max(CASE WHEN n = 7 THEN dup_chars END), 0) AS dup7,
+        |    coalesce(max(CASE WHEN n = 8 THEN dup_chars END), 0) AS dup8,
+        |    coalesce(max(CASE WHEN n = 9 THEN dup_chars END), 0) AS dup9,
+        |    coalesce(max(CASE WHEN n = 10 THEN dup_chars END), 0) AS dup10
+        |  FROM ga GROUP BY doc_id)
+        |SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.n_words, r.mean_word_chars6,
+        |  r.alpha_word_frac6, r.stop_hits, r.symbol_frac6, r.bullet_line_frac6,
+        |  r.ellipsis_line_frac6, r.dup_line_frac6, r.dup_line_char_frac6,
+        |  CAST(round(coalesce(gp.top2, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS top2gram_frac6,
+        |  CAST(round(coalesce(gp.top3, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS top3gram_frac6,
+        |  CAST(round(coalesce(gp.top4, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS top4gram_frac6,
+        |  CAST(round(coalesce(gp.dup5, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS dup5gram_frac6,
+        |  CAST(round(coalesce(gp.dup6, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS dup6gram_frac6,
+        |  CAST(round(coalesce(gp.dup7, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS dup7gram_frac6,
+        |  CAST(round(coalesce(gp.dup8, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS dup8gram_frac6,
+        |  CAST(round(coalesce(gp.dup9, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS dup9gram_frac6,
+        |  CAST(round(coalesce(gp.dup10, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) AS dup10gram_frac6,
+        |  r.n_words >= 50 AND r.n_words <= 100000
+        |    AND r.mean_word_chars6 >= 3000000 AND r.mean_word_chars6 <= 10000000
+        |    AND r.symbol_frac6 <= 100000
+        |    AND r.bullet_line_frac6 < 900000 AND r.ellipsis_line_frac6 < 300000
+        |    AND r.alpha_word_frac6 >= 800000 AND r.stop_hits >= 2
+        |    AND r.dup_line_frac6 <= 300000 AND r.dup_line_char_frac6 <= 200000
+        |    AND CAST(round(coalesce(gp.top2, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 200000
+        |    AND CAST(round(coalesce(gp.top3, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 180000
+        |    AND CAST(round(coalesce(gp.top4, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 160000
+        |    AND CAST(round(coalesce(gp.dup5, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 150000
+        |    AND CAST(round(coalesce(gp.dup6, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 140000
+        |    AND CAST(round(coalesce(gp.dup7, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 130000
+        |    AND CAST(round(coalesce(gp.dup8, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 120000
+        |    AND CAST(round(coalesce(gp.dup9, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 110000
+        |    AND CAST(round(coalesce(gp.dup10, 0) * 1e6 / greatest(r.text_chars, 1)) AS BIGINT) <= 100000
+        |    AS keep
+        |FROM rowsig r LEFT JOIN gp ON r.doc_id = gp.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "bm25_rank" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
