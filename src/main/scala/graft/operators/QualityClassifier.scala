@@ -113,6 +113,57 @@ final class QualityClassifier private[operators] (
         round6(col("num").cast("double") / col("den").cast("double"))
           .as("expected_p"))
   }
+
+  /** Per-row scoring twin of [[score]] — the SAME decision rule computed
+    * entirely as row-local higher-order expressions with the model
+    * embedded as plan literals (a token→count map per class plus the |L|
+    * class stats). No explode, no aggregate, no window: stateless, so it
+    * is APPEND-LEGAL on a stream, where the batch path's doc-keyed
+    * regroup is a stateful aggregate. The collect here is MODEL-sized
+    * (|L| + vocab rows — the centroid/codebook/LUT sidecar precedent; a
+    * fastText-style model is MBs), never corpus-sized.
+    *
+    * Returns a struct column (n_tokens, pred_label, expected_p) with
+    * values IDENTICAL to [[score]]: the numerator Σ_w k_w·c_{c,w} folds
+    * over the row's own tokens (sum over occurrences == sum over distinct
+    * words of k_w·c_w), the one division is the same correctly-rounded
+    * op, and the argmax tie-break (score desc, label asc) is replayed via
+    * a reversed label index so `array_max`'s lexicographic struct order
+    * picks the same winner. QualityClassifierSpec pins row-for-row parity
+    * with the batch path; StreamingSpec pins the stream keep set. */
+  def rowScore(textCol: String): org.apache.spark.sql.Column = {
+    val cls = classes.orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLabel = counts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (l, rs) => l -> rs.map(t => t._2 -> t._3).toMap }
+    val t = split(lower(col(textCol)), " ")
+    val nTok = size(t).cast("long")
+    val scored = cls.zipWithIndex.map { case ((label, nDocs, tot), i) =>
+      val m = typedLit(byLabel.getOrElse(label, Map.empty[String, Long]))
+      val s = aggregate(t, lit(0L),
+        (acc, w) => acc + coalesce(element_at(m, w), lit(0L)))
+      val num = s + nTok
+      val den = lit(tot + v)
+      struct(
+        ((lit(nDocs) * num).cast("double") / den.cast("double")).as("ds"),
+        lit(cls.length - 1 - i).as("rev"),
+        lit(label).as("label"),
+        (round(num.cast("double") / den.cast("double") * 1e6, 0) / 1e6)
+          .as("expected_p"))
+    }
+    val win = array_max(array(scored: _*))
+    struct(nTok.as("n_tokens"), win.getField("label").as("pred_label"),
+      win.getField("expected_p").as("expected_p"))
+  }
+
+  /** [[rowScore]] projected to the [[score]] output schema. */
+  def scoreRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rs = rowScore(textCol)
+    df.select(col(idCol), rs.getField("n_tokens").as("n_tokens"),
+      rs.getField("pred_label").as("pred_label"),
+      rs.getField("expected_p").as("expected_p"))
+  }
 }
 
 object QualityClassifier {

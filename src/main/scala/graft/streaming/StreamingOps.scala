@@ -141,6 +141,35 @@ object StreamingOps {
       TextAnalysis.langId(col(textCol)) === "en")
   }
 
+  /** Continuous-ingest TRAINED-CLASSIFIER gate: the streaming twin of the
+    * batch `corpus_filter_classifier` keep rule — every arriving document
+    * scored under a FROZEN [[graft.operators.QualityClassifier]] model
+    * (typically manifest-reopened via `loadIfValid`: build-once /
+    * serve-many extended to serve-on-the-stream), kept iff the predicted
+    * label is in `keepLabels` with at least `minExpectedP6` integer-scaled
+    * expected-probability mass and at least `minTokens` tokens — the DCLM
+    * curation rule applied at ingest.
+    *
+    * Append-legal by construction: scoring uses the model's per-row path
+    * ([[graft.operators.QualityClassifier.rowScore]] — model tables as
+    * plan literals, the fold over the row's own tokens), so there is no
+    * stream aggregation, no watermark, no state; the batch `score`'s
+    * doc-keyed regroup would be a stateful aggregate here. The threshold
+    * compares the same x1e6 integer-scaled score as the batch filter, so
+    * a document keeps or drops identically in both (StreamingSpec pins
+    * the keep-set equality). Stateless, so compose it (with the quality
+    * gate) AHEAD of the dedup stages — junk never reaches the
+    * fingerprint state. */
+  def classifierGateStream(stream: DataFrame,
+      model: graft.operators.QualityClassifier, textCol: String,
+      keepLabels: Seq[String] = Seq("en"), minExpectedP6: Long = 15000L,
+      minTokens: Long = 20L): DataFrame = {
+    val rs = model.rowScore(textCol)
+    stream.filter(rs.getField("pred_label").isInCollection(keepLabels) &&
+      round(rs.getField("expected_p") * 1e6, 0).cast("long") >= minExpectedP6 &&
+      rs.getField("n_tokens") >= minTokens)
+  }
+
   /** Continuous-ingest NEAR-DUP filter: the streaming twin of the batch
     * minhash near-dup path — emits only documents that are novel against
     * the static corpus at the NEAR-duplicate level (banded minhash

@@ -89,4 +89,25 @@ class QualityClassifierSpec extends AnyFunSuite {
     val predLabels = preds.select("pred_label").distinct().as[String].collect().toSet
     assert(predLabels.subsetOf(labels), s"alien labels: ${predLabels -- labels}")
   }
+
+  test("per-row scoring path matches the batch path row for row") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val clf = QualityClassifier.train(
+      docs.filter(col("doc_id") % 5 === 0), "text", "lang")
+    val held = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = clf.score(held, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    val rows = clf.scoreRows(held, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(rows === batch, "rowScore diverged from the batch decision rule")
+    // the tie-break replay too: symmetric classes, OOV probe -> first label
+    val sym = QualityClassifier.train(
+      Seq((1L, "xx xx", "p"), (2L, "yy yy", "q")).toDF("doc_id", "text", "label"),
+      "text", "label")
+    val r = sym.scoreRows(Seq((5L, "zz")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(r.getString(2) === "p", s"tie must resolve to the first label: $r")
+  }
 }

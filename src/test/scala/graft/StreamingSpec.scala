@@ -399,6 +399,27 @@ class StreamingSpec extends AnyFunSuite {
       s"fixture degenerate: ${got.size} of ${docs.count()} kept")
   }
 
+  test("streaming classifier gate keeps exactly the batch filter's keep set") {
+    val docs = Tables.load(spark, dir, "documents")
+    // same frozen model the batch corpus_filter_classifier serves:
+    // trained on the %5==0 labeled seed slice
+    val model = graft.operators.QualityClassifier.train(
+      docs.filter(col("doc_id") % 5 === 0), "text", "lang")
+    val stream = StreamingOps.readTableStream(spark, dir, "documents")
+    val gated = StreamingOps.classifierGateStream(stream, model, "text")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("clf_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("clf_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.queries.TextQueries.queries("corpus_filter_classifier")(
+      spark, dir).filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === batch, "stream verdict diverged from the batch filter")
+    assert(got.nonEmpty && got.size < docs.count(),
+      s"fixture degenerate: ${got.size} of ${docs.count()} kept")
+  }
+
   test("streaming stratified sample equals the batch sample (stateless filter)") {
     import graft.operators.Sampling
     val sampled = Sampling.stratifiedSample(
