@@ -137,4 +137,74 @@ object Multimodal {
     media.withColumn("frames",
       expr(s"transform(sequence(0, least(int(n_bytes div $stride), ${maxFrames - 1})), " +
         s"i -> struct(i as frame_no, substring(payload, i * $stride + 1, 1) as sample))"))
+
+  /** Average-hash (aHash) perceptual fingerprints — the image-dedup
+    * primitive (the LAION-style near-dup step: re-encoded, resized, or
+    * slightly-retouched copies of an image land within a few bits of each
+    * other): a tw x th thumbnail ([[thumbnails]] — real pixel sampling for
+    * JDK-decodable images, the deterministic byte fake otherwise), each
+    * cell's bit set iff its brightness is at least the thumbnail mean.
+    *
+    * Arithmetic is INTEGER-exact end to end: per-cell brightness is the
+    * raw r+g+b sum (0..765) and the mean comparison is cross-multiplied
+    * (n·gsum_i >= Σ gsum) — no /3, no mean division, so the bit vector is
+    * reproducible bit-for-bit in any engine (the text/plain stub path is
+    * therefore fully DuckDB-oracle-checkable). Returns per doc: the
+    * bits array (LSB-first), the four 16-bit band values the pair join
+    * keys on, and the popcount. */
+  def aHash(spark: SparkSession, media: DataFrame,
+      tw: Int = 8, th: Int = 8): DataFrame = {
+    require(tw * th == 64, s"aHash is a 64-bit fingerprint; got ${tw}x$th")
+    val gsum = transform(col("pixels"), p =>
+      shiftright(p, 16).bitwiseAND(lit(255)) +
+        shiftright(p, 8).bitwiseAND(lit(255)) + p.bitwiseAND(lit(255)))
+    def bandVal(j: Int): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(slice(col("bits"), j * 16 + 1, 16),
+          sequence(lit(0), lit(15)),
+          (b, i) => b * pow(lit(2), i).cast("int")),
+        lit(0), (acc, x) => acc + x)
+    thumbnails(spark, media, tw, th).toDF()
+      .withColumn("gsum", gsum)
+      .withColumn("tot", aggregate(col("gsum"), lit(0L), (acc, x) => acc + x))
+      .withColumn("bits", transform(col("gsum"), g =>
+        when(g.cast("long") * (tw * th) >= col("tot"), 1).otherwise(0)))
+      .select(col("doc_id"), col("bits"),
+        bandVal(0).as("band0"), bandVal(1).as("band1"),
+        bandVal(2).as("band2"), bandVal(3).as("band3"),
+        aggregate(col("bits"), lit(0L), (acc, x) => acc + x).as("popcount"))
+  }
+
+  /** Perceptual near-duplicate pairs: documents whose [[aHash]]
+    * fingerprints differ in at most `maxHamming` bits — banded exactly
+    * like the text SimHash path (four disjoint 16-bit bands; pigeonhole:
+    * <= 3 differing bits leave at least one band intact, so banding has
+    * EXACT recall at the default radius), candidates joined on the
+    * (band_idx, band_val) bucket key and verified with the exact
+    * bit-vector hamming distance. Nothing all-pairs, nothing broadcast:
+    * the generator is a bucketed equi-join, the verifier runs on
+    * candidates only — the [[graft.operators.Dedup]] posture applied to
+    * the image modality. */
+  def perceptualDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, tw: Int = 8, th: Int = 8): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is only provably exact at hamming <= 3, got $maxHamming")
+    val h = aHash(spark, media, tw, th)
+    val bands = h.select(col("doc_id"), col("bits"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.bits").as("bits1"), col("b.bits").as("bits2"))
+      .dropDuplicates("doc_id_1", "doc_id_2")
+      .withColumn("hamming", aggregate(
+        zip_with(col("bits1"), col("bits2"),
+          (x, y) => when(x =!= y, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_1", "doc_id_2", "hamming")
+  }
 }

@@ -31,6 +31,18 @@ object MultimodalQueries {
         .select("doc_id", "n_bytes", "width", "height", "channels", "n_pixels")
         .orderBy("doc_id")
     }),
+    // Perceptual (average-hash) image near-dup pairs — the LAION-style
+    // image-dedup step over the stub-thumbnail path (text/plain payloads:
+    // the deterministic byte-sampled fake, so the 64-bit fingerprints and
+    // the banded pair join are FULLY oracle-reproducible; the real-decode
+    // path is pinned by PerceptualHashSpec's PNG fixtures). Banding is
+    // exact at hamming <= 3 (four disjoint 16-bit bands), so the oracle's
+    // brute-force all-pairs formulation must agree pair for pair.
+    "multimodal_ahash_pairs" -> ((spark, dir) => {
+      Multimodal.perceptualDupPairs(spark,
+          Multimodal.asMediaTable(Tables.load(spark, dir, "documents")))
+        .orderBy("doc_id_1", "doc_id_2")
+    }),
     // Native session_window batch aggregation (twin of the streaming op);
     // oracle reproduces it with the lag/running-sum formulation — a genuine
     // cross-check of Spark's session semantics
@@ -57,6 +69,29 @@ object MultimodalQueries {
         |  3 AS channels,
         |  CAST((64 + n_bytes % 576) * (64 + (n_bytes * 31) % 448) * 3 AS BIGINT) AS n_pixels
         |FROM m ORDER BY doc_id""".stripMargin,
+    // brute-force all-pairs twin of the banded join (banding is exact at
+    // hamming <= 3, so the pair sets must be identical); the stub
+    // thumbnail samples byte ((i*31) mod n) per cell with r=g=b, so the
+    // mean comparison reduces to 64*b_i >= sum(b) — ASCII corpus text
+    // makes ord(char) == byte
+    "multimodal_ahash_pairs" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    [ord(substring(text, ((i * 31) % n) + 1, 1)) for i in range(0, 64)] AS g
+        |  FROM m),
+        |b AS (SELECT doc_id, g, list_sum(g) AS tot FROM px),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(g, x -> CASE WHEN 64 * x >= tot THEN 1 ELSE 0 END) AS bits
+        |  FROM b),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+        |    list_sum([CASE WHEN a.bits[i] != b2.bits[i] THEN 1 ELSE 0 END
+        |              for i in range(1, 65)]) AS hamming
+        |  FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id)
+        |SELECT doc_id_1, doc_id_2, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 3 ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "session_window_agg" ->
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
