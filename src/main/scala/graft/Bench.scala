@@ -79,14 +79,15 @@ object Bench {
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed_queries":${failedQueries.size},"leaked_persists":$leaked,"sf":"$sfDir"}""")
-    // durable compact artifact: the driver's BENCH_r{N}.json stores only
-    // the stdout TAIL, which truncates the total line and most per-query
+    // durable artifact: the driver's BENCH_r{N}.json stores only the
+    // stdout TAIL, which truncates the total line and most per-query
     // pairs once the query count is large — so round-over-round
     // comparison kept depending on what survived the tail. Write the
-    // compact summary (total + per-query min only, no passes array) to a
-    // file as well; best-effort, never fails the bench.
+    // full summary (total + per-query min + BOTH raw passes, so a
+    // load-skewed pass is diagnosable from the artifact alone) to a file
+    // as well; best-effort, never fails the bench.
     try {
-      val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":${failedQueries.size},"leaked_persists":$leaked,"sf":"$sfDir"}"""
+      val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed_queries":${failedQueries.size},"leaked_persists":$leaked,"sf":"$sfDir"}"""
       val w = new java.io.PrintWriter("BENCH_SUMMARY.json", "UTF-8")
       try w.println(summary) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
