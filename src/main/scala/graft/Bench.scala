@@ -44,14 +44,20 @@ object Bench {
     // comparable to a single-shot cold number; the build cost is visible
     // in pass 1 of the emitted `passes` array, and teardown is proven by
     // `leaked_persists` == 0 below.
-    def time(thunk: => Unit): Double = {
+    // a failed pass returns the -1.0 sentinel but LOGS the cause — an
+    // artifact showing -1.0 with no error anywhere is undiagnosable
+    def time(name: String)(thunk: => Unit): Double = {
       val t0 = System.nanoTime()
-      try thunk catch { case _: Throwable => return -1.0 }
+      try thunk catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name failed: $t")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val p1 = time(fn(spark, sfDir).count())
-      val p2 = time(fn(spark, sfDir).count())
+      val p1 = time(name)(fn(spark, sfDir).count())
+      val p2 = time(name)(fn(spark, sfDir).count())
       name -> (p1, p2)
     }
     def best(p: (Double, Double)): Double =
@@ -78,7 +84,17 @@ object Bench {
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed_queries":${failedQueries.size},"leaked_persists":$leaked,"sf":"$sfDir"}""")
+    // one summary string, used verbatim for stdout and the file artifact
+    // (two hand-maintained copies drifted once already). Failed queries are
+    // listed BY NAME — a bare count can silently vanish in a truncated
+    // artifact while the excluded query skews the total.
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // field order matters: the driver's artifact keeps only the stdout
+    // TAIL, so the headline comparables (total, failed names, sf) go LAST
+    // in the line — the bulky per-query maps are what truncation eats
+    val summary =
+      s"""{"queries":$qs,"passes":$passes,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
+    println(summary)
     // durable artifact: the driver's BENCH_r{N}.json stores only the
     // stdout TAIL, which truncates the total line and most per-query
     // pairs once the query count is large — so round-over-round
@@ -87,7 +103,6 @@ object Bench {
     // load-skewed pass is diagnosable from the artifact alone) to a file
     // as well; best-effort, never fails the bench.
     try {
-      val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed_queries":${failedQueries.size},"leaked_persists":$leaked,"sf":"$sfDir"}"""
       val w = new java.io.PrintWriter("BENCH_SUMMARY.json", "UTF-8")
       try w.println(summary) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Ingestion adapter for the testdata lake: session prep + table loading.
   *
-  * The `events` table stores `ts` as Parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects; we read it as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and normalize to a micros
-  * timestamp at ingest — the standard lakehouse pattern of normalizing
-  * source precision at the boundary so every downstream operator sees a
-  * native TimestampType column (codegen-friendly, prunable).
+  * The fixture generator has shipped the `events.ts` column in multiple
+  * physical encodings across regenerations: Parquet TIMESTAMP(NANOS) (which
+  * Spark's vectorized reader rejects — we read it as raw nanos via
+  * `spark.sql.legacy.parquet.nanosAsLong`), plain `timestamp[us]` with no
+  * timezone (read as TIMESTAMP_NTZ), and tz-adjusted micros (read as
+  * TIMESTAMP). We normalize all of them to a native TimestampType column at
+  * ingest — the standard lakehouse pattern of normalizing source precision
+  * and timezone semantics at the boundary so every downstream operator
+  * (watermarks, `unix_micros`, window functions) sees one canonical type
+  * (codegen-friendly, prunable). The session timezone is pinned UTC, so the
+  * NTZ→TIMESTAMP cast is lossless.
   */
 object Tables {
 
@@ -20,23 +25,40 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
-  /** Load `<dir>/<name>.parquet`, normalizing known nanos columns. */
+  /** Load `<dir>/<name>.parquet`, normalizing known event-time columns. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     prepare(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeNanos(df, "ts") else df
+    if (name == "events") normalizeEventTime(df, "ts") else df
   }
 
-  /** Replace a nanos-as-long column with a micros TimestampType column of
-    * the same name, preserving column position. Floor division (not SQL
-    * `div`, which truncates toward zero) so pre-epoch nanos round to the
-    * earlier microsecond, agreeing with any floor-semantics oracle; integer
-    * arithmetic throughout — nanos exceed 2^53, double division would lose
-    * precision. */
+  /** Normalize an event-time column to TimestampType in place (same name,
+    * same column position), whatever physical encoding the fixture shipped:
+    *
+    *  - LongType (nanos-as-long, from TIMESTAMP(NANOS) +
+    *    `nanosAsLong`): floor-divide to micros — floor, not SQL `div`
+    *    (truncates toward zero), so pre-epoch nanos round to the earlier
+    *    microsecond, agreeing with any floor-semantics oracle; integer
+    *    arithmetic throughout, nanos exceed 2^53 so double division would
+    *    lose precision.
+    *  - TimestampNTZType (plain `timestamp[us]`, no tz): cast to
+    *    TimestampType — lossless under the pinned UTC session timezone.
+    *  - TimestampType: already canonical, pass through.
+    */
+  def normalizeEventTime(df: DataFrame, colName: String): DataFrame =
+    if (!df.schema.fieldNames.contains(colName)) df
+    else df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, timestamp_micros(expr(
+          s"($colName div 1000) + (CASE WHEN $colName % 1000 < 0 THEN -1 ELSE 0 END)")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName,
+          col(colName).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** Former name of [[normalizeEventTime]], kept for source compatibility. */
+  @deprecated("use normalizeEventTime", "r11")
   def normalizeNanos(df: DataFrame, colName: String): DataFrame =
-    if (df.schema.fieldNames.contains(colName) &&
-        df.schema(colName).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(colName, timestamp_micros(expr(
-        s"($colName div 1000) + (CASE WHEN $colName % 1000 < 0 THEN -1 ELSE 0 END)")))
-    else df
+    normalizeEventTime(df, colName)
 }

@@ -70,6 +70,12 @@ object SchemaBuilderCli {
         case "--source-root" => sourceRoot = Some(args(i + 1)); i += 2
         case "--nopii" => noPii = true; i += 1
         case "--piionly" => piiOnly = true; i += 1
+        // dbt runtime flags (schema_builder.py:37-63) — accepted for
+        // drop-in CLI parity, ignored: they configure the dbt/warehouse
+        // adapter that a SparkSession replaces (profiles resolve
+        // connections, --threads sizes the dbt scheduler). Each takes a
+        // value in the reference, so consume one here too.
+        case "--profile" | "--profiles-dir" | "--target" | "--threads" => i += 2
         case other => throw new IllegalArgumentException(s"unknown argument: $other")
       }
     }

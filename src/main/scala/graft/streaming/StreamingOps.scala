@@ -36,7 +36,7 @@ object StreamingOps {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Read a fixture table as a bounded stream (one file per micro-batch),
-    * with the same nanos->micros normalization as the batch path where a
+    * with the same event-time normalization as the batch path where a
     * `ts` column exists. FileStreamSource wants a directory to watch, so
     * the single file is staged into one (in production this is the landing
     * directory files arrive into). */
@@ -52,7 +52,7 @@ object StreamingOps {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
-    if (schema.fieldNames.contains("ts")) graft.Tables.normalizeNanos(raw, "ts")
+    if (schema.fieldNames.contains("ts")) graft.Tables.normalizeEventTime(raw, "ts")
     else raw
   }
 

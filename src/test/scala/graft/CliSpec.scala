@@ -35,6 +35,19 @@ class CliSpec extends AnyFunSuite {
         "--nopii", "--piionly")))
   }
 
+  test("dbt runtime flags are accepted and ignored for drop-in parity") {
+    val dir = writeProject()
+    val cli = SchemaBuilderCli.parseArgs(Array("build",
+      "--project-dir", dir, "--destination-project", "target/cli-out",
+      "--profile", "warehouse", "--profiles-dir", "/tmp/profiles",
+      "--target", "dev", "--threads", "4", "--nopii"))
+    assert(cli.projectDir == dir)
+    assert(cli.noPii)
+    // unknown flags still rejected — the pass-through is a fixed allow-list
+    intercept[IllegalArgumentException](SchemaBuilderCli.parseArgs(Array("build",
+      "--project-dir", dir, "--destination-project", "x", "--fan-out", "9")))
+  }
+
   test("project dir must contain schema_config.yml") {
     val empty = Files.createTempDirectory(Paths.get("target"), "cli-empty").toString
     val e = intercept[IllegalArgumentException](SchemaBuilderCli.parseArgs(
