@@ -219,6 +219,69 @@ object Sampling {
     stratifiedSample(df, keyCol, strataCol, rates, defaultRate)
   }
 
+  /** Per-domain document-COUNT cap (the RefinedWeb-style curation rule:
+    * no single site may contribute more than `cap` documents): keep, for
+    * each domain, the `cap` rows with the smallest md5(key) — a
+    * deterministic "random `cap` per domain" that is reproducible across
+    * engines, runs, and partition layouts, and nests under cap increases
+    * (the kept set for cap=K is a subset of cap=K+1's).
+    *
+    * Scale: top-K per group via ONE window over the whole corpus
+    * partitioned by domain would sort each domain in a single task — a
+    * head domain holding 10% of a 100 TB corpus serializes through one
+    * executor. Two-level exact top-K instead:
+    *   1. local: window over (domain, salt) — `nSalts` hash-split slices
+    *     of each domain, so the biggest sort partition is ~1/nSalts of the
+    *     head domain — keep each slice's top `cap`;
+    *   2. global: window over domain on the survivors — at most
+    *     nSalts*cap rows per domain, metadata-sized whatever the corpus.
+    * Exact by pigeonhole: any row in a domain's global top-cap is top-cap
+    * within its own slice, so level 1 never discards a final keeper.
+    * Output: key, domain, rank (1-based hash-order rank within domain). */
+  def domainDocCap(df: DataFrame, keyCol: String, domainCol: String,
+      cap: Int, nSalts: Int = 16): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val h = md5(col(keyCol).cast("string"))
+    val hashed = df.filter(col(domainCol).isNotNull)
+      .select(col(keyCol), col(domainCol), h.as("__h"),
+        pmod(crc32(col(keyCol).cast("string")), lit(nSalts)).as("__salt"))
+    val local = Window.partitionBy(col(domainCol), col("__salt"))
+      .orderBy(col("__h"), col(keyCol))
+    val global = Window.partitionBy(col(domainCol))
+      .orderBy(col("__h"), col(keyCol))
+    hashed
+      .withColumn("__rl", row_number().over(local))
+      .filter(col("__rl") <= cap)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= cap)
+      .select(col(keyCol), col(domainCol), col("rank"))
+  }
+
+  /** Per-domain SHARE cap (the rate form of domain capping: no domain may
+    * exceed `maxShare` of the kept corpus' input share): domains over the
+    * share are downsampled at rate maxShare*N/n_s, domains under it keep
+    * everything. Rates derive from a bounded |domains|-row aggregate (the
+    * [[temperatureRebalance]] contract); the keep decision stays the
+    * deterministic per-row md5 filter, so membership is bit-reproducible
+    * in any engine. */
+  def domainShareCap(df: DataFrame, keyCol: String, domainCol: String,
+      maxShare: Double): DataFrame = {
+    require(maxShare > 0 && maxShare <= 1,
+      s"maxShare must be in (0, 1], got $maxShare")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "cannot cap an empty corpus")
+    val total = counts.map(_._2).sum.toDouble
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, maxShare * total / n)
+    }.toMap
+    stratifiedSample(df, keyCol, domainCol, rates, defaultRate = 0.0)
+  }
+
   def temperatureRebalance(df: DataFrame, keyCol: String, strataCol: String,
       tau: Double = 0.5, keepFraction: Double = 0.5): DataFrame = {
     require(tau > 0 && tau <= 1, s"need 0 < tau <= 1, got $tau")

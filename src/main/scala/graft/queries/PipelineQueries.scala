@@ -210,6 +210,26 @@ object PipelineQueries {
           "doc_id", "text", k = 13, expectedEvalNgrams = 1L << 16)
         .orderBy("doc_id")
     }),
+    // Per-domain document-count cap (r11, RefinedWeb-style curation: no
+    // site contributes more than K docs): deterministic "random 12 per
+    // source" via md5-order rank, exact two-level top-K — the local
+    // salted window bounds every sort partition, so a head domain never
+    // serializes through one task. Oracle is the single-window rank.
+    "domain_doc_cap" -> ((spark, dir) => {
+      Sampling.domainDocCap(Tables.load(spark, dir, "documents"),
+          "doc_id", "source", cap = 12)
+        .orderBy("doc_id")
+    }),
+    // Per-domain SHARE cap (r11, the rate form): any source above 3% of
+    // the corpus is downsampled to 3% in expectation; rates come from a
+    // bounded |domains|-row aggregate, membership stays the per-row md5
+    // filter — reproducible bit-for-bit in the oracle.
+    "domain_share_cap" -> ((spark, dir) => {
+      Sampling.domainShareCap(Tables.load(spark, dir, "documents"),
+          "doc_id", "source", maxShare = 0.03)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
     // Z-order box scan (r8): orders laid out z-clustered on
     // (o_totalprice, o_custkey) ONCE per (session, dir), then a 2-d box
     // read through the footer-stats manifest — readBox plans over only
@@ -521,6 +541,30 @@ object PipelineQueries {
         |  CAST(len(kept) AS INTEGER) AS kept_tokens,
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fingerprint
         |FROM cl ORDER BY doc_id""".stripMargin),
+    // the single-window formulation the two-level top-K must reproduce
+    "domain_doc_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents WHERE source IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT doc_id, source, rank FROM r WHERE rank <= 12
+        |ORDER BY doc_id""".stripMargin,
+    // same rate derivation as Sampling.domainShareCap: (maxShare * total)
+    // / n_s left-to-right in doubles, clamped to 1 — matches the Scala
+    // fold exactly, so membership agrees bit-for-bit
+    "domain_share_cap" ->
+      """WITH n AS (SELECT source, count(*) AS n_s FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT sum(n_s) AS tot FROM n),
+        |r AS (SELECT source, least(1.0, 0.03 * t.tot / n_s) AS rate FROM n, t)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |      / 1152921504606846976.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     // the skipping read must EQUAL the plain predicate over the full
     // table — file skipping is a superset selection, never a filter
     "zorder_box_scan" ->

@@ -137,6 +137,37 @@ object SimilarityQueries {
       }
     })
 
+  /** One drift-PLANTED durable IVF index per (session, dir): the coarse
+    * quantizer is built (and its cell-balance snapshot committed) over the
+    * odd-vec_id half only, then the even half is appended under the frozen
+    * centroids — a doubling of the table after the quantizer froze, the
+    * index-maintenance situation [[graft.operators.IvfIndex.staleness]]
+    * exists to flag. Build-once like [[ivfPersisted]]: a manifest whose
+    * source tag matches the appended state reopens with zero build jobs. */
+  private val driftCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def driftIndexPath(spark: SparkSession, dir: String): String =
+    driftCache.getOrElseUpdate((spark, dir), driftCache.synchronized {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val path = "target/ivf-drift-index/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val baseTag = ivfSourceTag(spark, dir) + "#drift-base"
+      val appendTag = ivfSourceTag(spark, dir) + "#drift-append"
+      // a completed build+append leaves source == appendTag in the
+      // manifest; anything else (absent, torn, stale fixture) rebuilds
+      if (graft.operators.IvfIndex.loadIfValid(spark, path, appendTag).isEmpty) {
+        val emb = Tables.load(spark, dir, "embeddings")
+        val idx = graft.operators.IvfIndex.build(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", nCells = 8)
+        try idx.write(path, baseTag) finally idx.close()
+        graft.operators.IvfIndex.appendTo(spark, path,
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+      }
+      path
+    })
+
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
     * assignment set per (session, dir) key). */
@@ -147,6 +178,7 @@ object SimilarityQueries {
     pqCache.values.foreach(_.close())
     pqCache.clear()
     pqFileCache.clear() // no persist to release — file-backed
+    driftCache.clear() // no persist to release — file-backed
   }
 
   /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query
@@ -565,6 +597,20 @@ object SimilarityQueries {
           bool_and(col("bound_ok")).as("within_bound"))
         .orderBy("shard")
     }),
+    // Index-health surfacing (r11): the staleness report over the
+    // drift-PLANTED durable index (quantizer frozen on half the corpus,
+    // other half appended) — the maintenance signal that tells an
+    // operator the frozen quantizer no longer represents what the index
+    // serves. The driver-checked fields are the exact-arithmetic ones
+    // (appended fraction from manifest row counts, and the stale verdict
+    // it forces at the 0.5 default); the k-means-dependent skew ratios
+    // are pinned separately in DriftSpec, not hashed here.
+    "ann_ivf_drift_report" -> ((spark, dir) => {
+      val rep = graft.operators.IvfIndex.staleness(spark, driftIndexPath(spark, dir))
+      import spark.implicits._
+      Seq((rep.fracAppended, rep.stale)).toDF("frac_appended", "stale")
+        .withColumn("frac_appended", round(col("frac_appended"), 6))
+    }),
     // Brute-force top-5 over the int8-quantized representation — the
     // ranking a serving tier computes after the 4x storage cut. Both
     // engines quantize then rank the SAME deterministic reconstruction,
@@ -680,6 +726,15 @@ object SimilarityQueries {
 
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_bruteforce_topk" -> bruteForceOracle,
+    // the drift report's exact-arithmetic fields: appended fraction =
+    // (total - odd-half) / total from the embeddings table itself, and
+    // the stale verdict that fraction forces at the 0.5 default
+    "ann_ivf_drift_report" ->
+      """WITH b AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
+        |t AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT round((t.n - b.n) * 1.0 / t.n, 6) AS frac_appended,
+        |  (t.n - b.n) * 1.0 / t.n >= 0.5 AS stale
+        |FROM b, t""".stripMargin,
     "ann_pq_recall" -> fullRecallOracle,
     "ann_ivfpq_recall" -> fullRecallOracle,
     "ann_pq_persisted" ->

@@ -231,6 +231,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(half.subsetOf(ids), "samples must nest as the budget grows")
   }
 
+  test("domain doc cap: two-level top-K equals the single-window rank, exactly cap kept") {
+    // skewed domains: domain d_k holds (k+1)*40 rows — the head domain is
+    // 8x the tail, so the salted local pass actually prunes
+    val rows = spark.range(0, 1200)
+      .select(col("id").as("key"),
+        concat(lit("d"), floor(sqrt(col("id") / 40.0)).cast("int").cast("string")).as("dom"))
+    val capped = Sampling.domainDocCap(rows, "key", "dom", cap = 7, nSalts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // oracle: single global window in memory
+    val byDom = rows.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2)
+    val expected = byDom.toSeq.flatMap { case (dom, ks) =>
+      ks.map(_._1).sortBy(k => (md5str(k), k)).take(7)
+        .zipWithIndex.map { case (k, i) => (k, dom, i + 1L) }
+    }.toSet
+    assert(capped.toSet === expected)
+    // every domain with >= 7 rows contributes exactly 7
+    val kept = capped.groupBy(_._2).map { case (d, xs) => d -> xs.length }
+    byDom.foreach { case (d, ks) => assert(kept(d) === math.min(7, ks.length)) }
+    // nesting: cap=3's kept set is a subset of cap=7's
+    val smaller = Sampling.domainDocCap(rows, "key", "dom", cap = 3, nSalts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(smaller.subsetOf(capped.map(t => (t._1, t._2)).toSet))
+  }
+
+  test("domain share cap: over-share domains downsampled, under-share kept whole") {
+    // d_big = 300 of 400 rows (75% share), d_a/d_b = 50 each (12.5%)
+    val rows = spark.range(0, 400)
+      .select(col("id").as("key"),
+        when(col("id") < 300, "d_big")
+          .when(col("id") < 350, "d_a").otherwise("d_b").as("dom"))
+    val capped = Sampling.domainShareCap(rows, "key", "dom", maxShare = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kept = capped.groupBy(_._2).map { case (d, xs) => d -> xs.length }
+    // under-share domains survive intact
+    assert(kept("d_a") === 50 && kept("d_b") === 50)
+    // the head domain lands near rate 0.25*400/300 = 1/3 of its 300 rows
+    assert(kept("d_big") > 60 && kept("d_big") < 140,
+      s"head domain kept ${kept("d_big")} of 300 at rate 1/3")
+    // membership is the deterministic md5 filter — reproducible
+    val again = Sampling.domainShareCap(rows, "key", "dom", maxShare = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(capped.toSet === again.toSet)
+  }
+
+  private def md5str(k: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
   test("temperature rebalance flattens the mixture toward rare strata") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val before = docs.groupBy("lang").count()
