@@ -168,6 +168,34 @@ object SimilarityQueries {
       path
     })
 
+  /** PQ twin of [[driftIndexPath]]: codebook frozen on the odd half, even
+    * half encoded + appended under it. */
+  private val pqDriftCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def pqDriftIndexPath(spark: SparkSession, dir: String): String =
+    pqDriftCache.getOrElseUpdate((spark, dir), pqDriftCache.synchronized {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val path = "target/pq-drift-index/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val baseTag = ivfSourceTag(spark, dir) + "#drift-base"
+      val appendTag = ivfSourceTag(spark, dir) + "#drift-append"
+      if (graft.operators.PqIndex.loadIfValid(spark, path, appendTag).isEmpty) {
+        val emb = Tables.load(spark, dir, "embeddings")
+        // ksub = 16, not the serving index's 256: the half-corpus training
+        // slice can be smaller than 256 points at small sf, and the
+        // report's driver-checked fields are size-independent
+        val idx = graft.operators.PqIndex.build(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          m = 8, ksub = 16)
+        try idx.write(path, baseTag) finally idx.close()
+        graft.operators.PqIndex.appendTo(spark, path,
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+      }
+      path
+    })
+
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
     * assignment set per (session, dir) key). */
@@ -179,6 +207,7 @@ object SimilarityQueries {
     pqCache.clear()
     pqFileCache.clear() // no persist to release — file-backed
     driftCache.clear() // no persist to release — file-backed
+    pqDriftCache.clear() // no persist to release — file-backed
   }
 
   /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query
@@ -611,6 +640,16 @@ object SimilarityQueries {
       Seq((rep.fracAppended, rep.stale)).toDF("frac_appended", "stale")
         .withColumn("frac_appended", round(col("frac_appended"), 6))
     }),
+    // PQ twin of ann_ivf_drift_report: the frozen CODEBOOK's health under
+    // post-freeze arrivals — same planted half/half drift, same
+    // exact-arithmetic driver fields (appended fraction + forced stale
+    // verdict); the sample-MSE growth term stays pinned in DriftSpec.
+    "ann_pq_drift_report" -> ((spark, dir) => {
+      val rep = graft.operators.PqIndex.staleness(spark, pqDriftIndexPath(spark, dir))
+      import spark.implicits._
+      Seq((rep.fracAppended, rep.stale)).toDF("frac_appended", "stale")
+        .withColumn("frac_appended", round(col("frac_appended"), 6))
+    }),
     // Brute-force top-5 over the int8-quantized representation — the
     // ranking a serving tier computes after the 4x storage cut. Both
     // engines quantize then rank the SAME deterministic reconstruction,
@@ -730,6 +769,12 @@ object SimilarityQueries {
     // (total - odd-half) / total from the embeddings table itself, and
     // the stale verdict that fraction forces at the 0.5 default
     "ann_ivf_drift_report" ->
+      """WITH b AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
+        |t AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT round((t.n - b.n) * 1.0 / t.n, 6) AS frac_appended,
+        |  (t.n - b.n) * 1.0 / t.n >= 0.5 AS stale
+        |FROM b, t""".stripMargin,
+    "ann_pq_drift_report" ->
       """WITH b AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
         |t AS (SELECT count(*) AS n FROM embeddings)
         |SELECT round((t.n - b.n) * 1.0 / t.n, 6) AS frac_appended,
