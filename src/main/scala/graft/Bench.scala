@@ -81,6 +81,7 @@ object Bench {
     // persists would otherwise grow storage unboundedly.
     graft.queries.DedupQueries.clearCaches()
     graft.queries.SimilarityQueries.clearCaches()
+    graft.queries.MultimodalQueries.clearCaches()
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")

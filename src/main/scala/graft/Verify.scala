@@ -49,6 +49,7 @@ object Verify {
     // caches, IVF inverted files) before the session goes away
     graft.queries.DedupQueries.clearCaches()
     graft.queries.SimilarityQueries.clearCaches()
+    graft.queries.MultimodalQueries.clearCaches()
     spark.stop()
   }
 }

