@@ -202,24 +202,62 @@ object StreamingOps {
     * exact-dup handling already happened). */
   def ingestNearDupStream(stream: DataFrame, corpus: DataFrame,
       textCol: String, maxJaccardDistance: Double = 0.4,
+      numHashTables: Int = 4, seed: Long = 42L): DataFrame =
+    ingestNearDupStreamWith(stream, corpus,
+      corpusNearDupSignatures(corpus, textCol, numHashTables, seed),
+      textCol, maxJaccardDistance, numHashTables, seed)
+
+  /** Minhash signatures of `df`'s `textCol` (3-word shingle set, size, and
+    * one min-hash per table), the per-row signature family shared by the
+    * streaming near-dup filter and the batch banding path. */
+  private def withSignatures(df: DataFrame, textCol: String,
+      numHashTables: Int, seed: Long): DataFrame = {
+    val w = split(lower(col(textCol)), " ")
+    val base = df
+      .withColumn("__sh", graft.functions.functions.word_shingles(w, 3))
+      .withColumn("__n", size(col("__sh")))
+    (0 until numHashTables).foldLeft(base)((d, i) =>
+      d.withColumn(s"__m$i", array_min(expr(
+        s"transform(__sh, s -> xxhash64($i, ${seed}L, s))"))))
+  }
+
+  /** The static corpus' signature table for [[ingestNearDupStreamWith]]:
+    * shingle set + size + one min-hash per table for every corpus document
+    * long enough to shingle. Spark re-evaluates a stream-static join's
+    * static side EVERY micro-batch — recomputing shingles and hashes of
+    * the whole reference corpus per trigger is the kind of cost that sinks
+    * a long-running ingest at scale. Compute this once, persist it (or
+    * write it out like the other durable serving artifacts), and pass it
+    * to every micro-batch's plan. Must be built with the SAME
+    * (numHashTables, seed) as the consuming call. */
+  def corpusNearDupSignatures(corpus: DataFrame, textCol: String,
       numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
     require(numHashTables >= 1, s"need numHashTables >= 1, got $numHashTables")
+    withSignatures(
+        corpus.filter(size(split(lower(col(textCol)), " ")) >= 3),
+        textCol, numHashTables, seed)
+      .select(col("__sh") +: col("__n") +:
+        (0 until numHashTables).map(i => col(s"__m$i")): _*)
+  }
+
+  /** [[ingestNearDupStream]] against a PREPARED corpus signature table
+    * (from [[corpusNearDupSignatures]], same numHashTables/seed) — the
+    * form a production ingest runs: reference signatures are a build-once
+    * serving artifact, not a per-trigger recomputation. */
+  def ingestNearDupStreamWith(stream: DataFrame, corpus: DataFrame,
+      corpusSigs: DataFrame, textCol: String,
+      maxJaccardDistance: Double = 0.4,
+      numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numHashTables >= 1, s"need numHashTables >= 1, got $numHashTables")
+    require(corpusSigs.columns.contains(s"__m${numHashTables - 1}"),
+      s"corpus signature table lacks __m${numHashTables - 1} — built with " +
+        "fewer hash tables than this call expects")
     val minJaccard = 1.0 - maxJaccardDistance
     val exactNew = ingestDedupStream(stream, corpus, textCol)
-    val sig = (i: Int) => array_min(expr(
-      s"transform(__sh, s -> xxhash64($i, ${seed}L, s))"))
-    def withSig(df: DataFrame): DataFrame = {
-      val w = split(lower(col(textCol)), " ")
-      val base = df
-        .withColumn("__sh", graft.functions.functions.word_shingles(w, 3))
-        .withColumn("__n", size(col("__sh")))
-      (0 until numHashTables).foldLeft(base)((d, i) =>
-        d.withColumn(s"__m$i", sig(i)))
-    }
-    val longEnough = withSig(
-      exactNew.filter(size(split(lower(col(textCol)), " ")) >= 3))
+    val longEnough = withSignatures(
+      exactNew.filter(size(split(lower(col(textCol)), " ")) >= 3),
+      textCol, numHashTables, seed)
     val tooShort = exactNew.filter(size(split(lower(col(textCol)), " ")) < 3)
-    val corpusSigs = withSig(corpus.filter(size(split(lower(col(textCol)), " ")) >= 3))
     val survived = (0 until numHashTables).foldLeft(longEnough) { (d, i) =>
       val band = corpusSigs.select(col(s"__m$i").as("__cv"),
         col("__sh").as("__csh"), col("__n").as("__cn"))
