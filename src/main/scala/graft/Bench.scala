@@ -82,6 +82,7 @@ object Bench {
     graft.queries.DedupQueries.clearCaches()
     graft.queries.SimilarityQueries.clearCaches()
     graft.queries.MultimodalQueries.clearCaches()
+    graft.queries.PipelineQueries.clearCaches()
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")

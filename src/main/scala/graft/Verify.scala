@@ -50,6 +50,7 @@ object Verify {
     graft.queries.DedupQueries.clearCaches()
     graft.queries.SimilarityQueries.clearCaches()
     graft.queries.MultimodalQueries.clearCaches()
+    graft.queries.PipelineQueries.clearCaches()
     spark.stop()
   }
 }

@@ -905,8 +905,14 @@ object Dedup {
     * inside `intervals` (doc_id, start_pos, end_pos) removed, as counts
     * plus an md5 fingerprint of the cleaned lowercased token stream. The
     * interval join is keyed by doc_id against an excision-sized table;
-    * the token filter is a per-row higher-order `filter`. */
-  private def exciseByIntervals(df: DataFrame, idCol: String, textCol: String,
+    * the token filter is a per-row higher-order `filter`.
+    *
+    * Public because detection and repair naturally share the interval
+    * table: a pipeline that first REPORTS the intervals
+    * ([[substringRepeatIntervals]] / [[contaminationIntervals]]) and then
+    * APPLIES them should compute (and persist) that table once, not once
+    * per stage. */
+  def exciseByIntervals(df: DataFrame, idCol: String, textCol: String,
       intervals: DataFrame): DataFrame = {
     val ivTable = intervals
       .groupBy("doc_id")

@@ -104,6 +104,21 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Repeat-excision interval table (>= 50-token verbatim repeats),
+    * persisted once per (session, dir): detection (`dedup_substring`) and
+    * repair (`corpus_excise_repeats`) consume the SAME intervals — the
+    * table is excision-sized (rows only where repeats exist), so one
+    * persisted copy is the right residency, and a real pipeline reports
+    * and applies one interval set, not two computations of it. */
+  private val repeatIvCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def repeatIntervals(spark: SparkSession, dir: String): DataFrame =
+    repeatIvCache.getOrElseUpdate((spark, dir),
+      Dedup.substringRepeatIntervals(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 13, minRun = 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Release the shared candidate-pair caches (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted pair set
     * per (session, dir) key). */
@@ -116,6 +131,8 @@ object DedupQueries {
     jaccard06Cache.clear()
     ingestSigCache.values.foreach(_.unpersist())
     ingestSigCache.clear()
+    repeatIvCache.values.foreach(_.unpersist())
+    repeatIvCache.clear()
   }
 
   val queries: ListMap[String, Q] = ListMap(
@@ -332,16 +349,16 @@ object DedupQueries {
     // first-occurrence aggregate -> gaps-and-islands interval merge, all
     // engine-portable arithmetic so the interval table hash-checks.
     "dedup_substring" -> ((spark, dir) => {
-      Dedup.substringRepeatIntervals(Tables.load(spark, dir, "documents"),
-          "doc_id", "text", k = 13, minRun = 50)
-        .orderBy("doc_id", "start_pos")
+      repeatIntervals(spark, dir).orderBy("doc_id", "start_pos")
     }),
     // The applied form: every document with its >= 50-token verbatim
     // repeats removed, as counts + an md5 fingerprint of the cleaned
     // token stream (hash-checkable without shipping cleaned bodies).
+    // Excises by the SAME persisted interval table the detection query
+    // reports — one interval computation serves both stages.
     "corpus_excise_repeats" -> ((spark, dir) => {
-      Dedup.exciseRepeats(Tables.load(spark, dir, "documents"),
-          "doc_id", "text", k = 13, minRun = 50)
+      Dedup.exciseByIntervals(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", repeatIntervals(spark, dir))
         .orderBy("doc_id")
     }),
     // Line-level exact dedup (the CCNet/RefinedWeb boilerplate-line

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{DedupQueries, MultimodalQueries, SimilarityQueries}
+import graft.queries.{DedupQueries, MultimodalQueries, PipelineQueries, SimilarityQueries}
 
 /** The shared (session, dir)-keyed persisted intermediates — jaccard /
   * minhash candidate pairs (DedupQueries), IVF inverted files
@@ -21,14 +21,19 @@ class CacheLifecycleSpec extends AnyFunSuite {
     DedupQueries.clearCaches()
     SimilarityQueries.clearCaches()
     MultimodalQueries.clearCaches()
+    PipelineQueries.clearCaches()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
 
     // populate the caches: jaccard pairs (0.8 + 0.6), minhash pairs,
-    // IVF index, aHash fingerprints
+    // IVF index, aHash fingerprints, repeat + contamination intervals,
+    // ingest corpus signatures
     DedupQueries.queries("dedup_ngram_jaccard")(spark, TestSpark.sfDir).count()
     DedupQueries.queries("dedup_minhash_recall")(spark, TestSpark.sfDir).count()
+    DedupQueries.queries("dedup_substring")(spark, TestSpark.sfDir).count()
+    DedupQueries.queries("dedup_ingest_neardup")(spark, TestSpark.sfDir).count()
     SimilarityQueries.queries("ann_ivf_topk")(spark, TestSpark.sfDir).count()
     MultimodalQueries.queries("multimodal_ahash_pairs")(spark, TestSpark.sfDir).count()
+    PipelineQueries.queries("decontaminate_spans")(spark, TestSpark.sfDir).count()
     val populated = spark.sparkContext.getPersistentRDDs.keySet
     assert((populated -- baseline).nonEmpty,
       "expected the query caches to register persisted RDDs")
@@ -36,6 +41,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
     DedupQueries.clearCaches()
     SimilarityQueries.clearCaches()
     MultimodalQueries.clearCaches()
+    PipelineQueries.clearCaches()
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- baseline).isEmpty,
       s"persists leaked past clearCaches(): ${(after -- baseline).toSeq.sorted}")
