@@ -425,16 +425,32 @@ object Dedup {
     * `expectedCorpusItems` sizes the filter (8 bits/item ≈ 2% fpp). */
   def incrementalNew(newDf: DataFrame, corpusDf: DataFrame, textCol: String,
       expectedCorpusItems: Long = 1L << 20): DataFrame = {
+    val hashes = corpusContentHashes(corpusDf, textCol)
+    incrementalNewWith(newDf, hashes, textCol,
+      corpusContentBloom(hashes, expectedCorpusItems))
+  }
+
+  /** sha2 content hashes of the corpus (column `__h`) — the exact-verify
+    * side of [[incrementalNewWith]]'s anti-join. A caller serving many
+    * batches (or a stream, where the static join side re-evaluates every
+    * trigger) should persist this once per corpus version. */
+  def corpusContentHashes(corpusDf: DataFrame, textCol: String): DataFrame =
+    corpusDf.select(sha2(col(textCol), 256).as("__h"))
+
+  /** Distill the corpus content hashes to a driver-side bloom byte array —
+    * ONE aggregate job (algorithm, not a lazy view), the build-once
+    * prefilter artifact of the incremental-dedup family; None for an
+    * empty corpus. 8 bits/item ≈ 2% fpp; sizing only bounds how much of a
+    * batch pays the verify join, never the result. */
+  def corpusContentBloom(corpusHashes: DataFrame,
+      expectedCorpusItems: Long = 1L << 20): Option[Array[Byte]] = {
     import org.apache.spark.sql.graft.bridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
-    val h = sha2(col(textCol), 256)
-    val corpusHashes = corpusDf.select(h.as("__h"))
     // bloom_filter_agg silently clamps to the runtime-filter conf caps;
     // clamping would quietly destroy the fpp guarantee (every batch row
     // bloom-positive -> full join), so make under-sizing loud instead
-    val spark = corpusDf.sparkSession
+    val spark = corpusHashes.sparkSession
     val maxItems = spark.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val maxBits = spark.conf
@@ -448,22 +464,36 @@ object Dedup {
       new XxHash64(Seq(bridge.expression(col("__h")))),
       Literal(expectedCorpusItems), Literal(expectedCorpusItems * 8L), 0, 0)
       .toAggregateExpression())
-    val bloomBytes = corpusHashes.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bloomBytes == null) return newDf // empty corpus: everything is new
-    val mightContain = bridge.column(BloomFilterMightContain(
-      Literal.create(bloomBytes, BinaryType),
-      new XxHash64(Seq(bridge.expression(col("__h"))))))
-    // null content -> null __h, but XxHash64 hashes a null input to its
-    // seed (it never returns null), so might_contain is always boolean.
-    // A null-text row lands in EITHER branch and survives as new either
-    // way: bloom-negative goes straight to sureNew; bloom-positive enters
-    // the anti-join where its null __h key can never match a corpus row.
-    val positive = mightContain
-    val withH = newDf.withColumn("__h", h)
-    val sureNew = withH.filter(!positive)
-    val verifiedNew = withH.filter(positive)
-      .join(corpusHashes, Seq("__h"), "left_anti")
-    sureNew.unionByName(verifiedNew).drop("__h")
+    Option(corpusHashes.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0))
+  }
+
+  /** [[incrementalNew]] against PREPARED corpus artifacts (the hash table
+    * from [[corpusContentHashes]] — persist it — and the bloom from
+    * [[corpusContentBloom]]): the form a long-running ingest runs, paying
+    * the corpus distillation once per corpus version instead of once per
+    * plan build. */
+  def incrementalNewWith(newDf: DataFrame, corpusHashes: DataFrame,
+      textCol: String, bloom: Option[Array[Byte]]): DataFrame = bloom match {
+    case None => newDf // empty corpus: everything is new
+    case Some(bloomBytes) =>
+      import org.apache.spark.sql.graft.bridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+      import org.apache.spark.sql.types.BinaryType
+      val h = sha2(col(textCol), 256)
+      val mightContain = bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType),
+        new XxHash64(Seq(bridge.expression(col("__h"))))))
+      // null content -> null __h, but XxHash64 hashes a null input to its
+      // seed (it never returns null), so might_contain is always boolean.
+      // A null-text row lands in EITHER branch and survives as new either
+      // way: bloom-negative goes straight to sureNew; bloom-positive enters
+      // the anti-join where its null __h key can never match a corpus row.
+      val positive = mightContain
+      val withH = newDf.withColumn("__h", h)
+      val sureNew = withH.filter(!positive)
+      val verifiedNew = withH.filter(positive)
+        .join(corpusHashes, Seq("__h"), "left_anti")
+      sureNew.unionByName(verifiedNew).drop("__h")
   }
 
   /** Benchmark DECONTAMINATION: the corpus documents sharing at least one

@@ -104,10 +104,23 @@ object StreamingOps {
     * column, `dropDuplicatesWithinWatermark` bounds it instead. */
   def ingestDedupStream(stream: DataFrame, corpus: DataFrame,
       textCol: String): DataFrame = {
+    val hashes = graft.operators.Dedup.corpusContentHashes(corpus, textCol)
+    ingestDedupStreamWith(stream, hashes,
+      graft.operators.Dedup.corpusContentBloom(hashes), textCol)
+  }
+
+  /** [[ingestDedupStream]] against PREPARED corpus artifacts — the
+    * long-running form: the corpus hash table (persist it — the static
+    * side of a stream-static join re-evaluates every trigger) and the
+    * bloom literal are built once per corpus version, not once per plan
+    * build. */
+  def ingestDedupStreamWith(stream: DataFrame, corpusHashes: DataFrame,
+      corpusBloom: Option[Array[Byte]], textCol: String): DataFrame = {
     val fp = sha2(col(textCol), 256)
     val novelInStream = stream.withColumn("__fp", fp)
       .dropDuplicates("__fp").drop("__fp")
-    graft.operators.Dedup.incrementalNew(novelInStream, corpus, textCol)
+    graft.operators.Dedup.incrementalNewWith(novelInStream, corpusHashes,
+      textCol, corpusBloom)
   }
 
   /** Continuous-ingest QUALITY gate: the streaming twin of the batch
@@ -203,9 +216,30 @@ object StreamingOps {
   def ingestNearDupStream(stream: DataFrame, corpus: DataFrame,
       textCol: String, maxJaccardDistance: Double = 0.4,
       numHashTables: Int = 4, seed: Long = 42L): DataFrame =
-    ingestNearDupStreamWith(stream, corpus,
-      corpusNearDupSignatures(corpus, textCol, numHashTables, seed),
+    ingestNearDupStreamWith(stream,
+      prepareIngestCorpus(corpus, textCol, numHashTables, seed),
       textCol, maxJaccardDistance, numHashTables, seed)
+
+  /** The build-once serving artifacts the ingest filters hold against a
+    * reference corpus: content hash table + driver-side bloom literal
+    * (exact stage) and the minhash signature table (near-dup stage). A
+    * long-running ingest builds these once per corpus version — and
+    * PERSISTS the two DataFrames — because the static side of a
+    * stream-static join re-evaluates every micro-batch. */
+  final case class IngestCorpusArtifacts(hashes: DataFrame,
+      bloom: Option[Array[Byte]], sigs: DataFrame)
+
+  /** Build [[IngestCorpusArtifacts]] for `corpus` (one bloom aggregate job
+    * now; the two DataFrames stay lazy — persist them for reuse). Must use
+    * the SAME (numHashTables, seed) as the consuming call. */
+  def prepareIngestCorpus(corpus: DataFrame, textCol: String,
+      numHashTables: Int = 4, seed: Long = 42L,
+      expectedCorpusItems: Long = 1L << 20): IngestCorpusArtifacts = {
+    val hashes = graft.operators.Dedup.corpusContentHashes(corpus, textCol)
+    IngestCorpusArtifacts(hashes,
+      graft.operators.Dedup.corpusContentBloom(hashes, expectedCorpusItems),
+      corpusNearDupSignatures(corpus, textCol, numHashTables, seed))
+  }
 
   /** Minhash signatures of `df`'s `textCol` (3-word shingle set, size, and
     * one min-hash per table), the per-row signature family shared by the
@@ -240,20 +274,22 @@ object StreamingOps {
         (0 until numHashTables).map(i => col(s"__m$i")): _*)
   }
 
-  /** [[ingestNearDupStream]] against a PREPARED corpus signature table
-    * (from [[corpusNearDupSignatures]], same numHashTables/seed) — the
-    * form a production ingest runs: reference signatures are a build-once
-    * serving artifact, not a per-trigger recomputation. */
-  def ingestNearDupStreamWith(stream: DataFrame, corpus: DataFrame,
-      corpusSigs: DataFrame, textCol: String,
+  /** [[ingestNearDupStream]] against PREPARED corpus artifacts (from
+    * [[prepareIngestCorpus]], same numHashTables/seed) — the form a
+    * production ingest runs: reference hashes, bloom, and signatures are
+    * build-once serving artifacts, not per-trigger recomputations. */
+  def ingestNearDupStreamWith(stream: DataFrame,
+      artifacts: IngestCorpusArtifacts, textCol: String,
       maxJaccardDistance: Double = 0.4,
       numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
     require(numHashTables >= 1, s"need numHashTables >= 1, got $numHashTables")
+    val corpusSigs = artifacts.sigs
     require(corpusSigs.columns.contains(s"__m${numHashTables - 1}"),
       s"corpus signature table lacks __m${numHashTables - 1} — built with " +
         "fewer hash tables than this call expects")
     val minJaccard = 1.0 - maxJaccardDistance
-    val exactNew = ingestDedupStream(stream, corpus, textCol)
+    val exactNew = ingestDedupStreamWith(stream, artifacts.hashes,
+      artifacts.bloom, textCol)
     val longEnough = withSignatures(
       exactNew.filter(size(split(lower(col(textCol)), " ")) >= 3),
       textCol, numHashTables, seed)
