@@ -185,10 +185,22 @@ object Dedup {
     * bucket population stays ~n/65k (vs n/256 for 8-bit bands).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = df.withColumn("w", toks(col(textCol)))
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSketches(simhashSketches(df, idCol, textCol), maxHamming)
+
+  /** The per-document 64-bit simhash sketch table (doc_id, h) both pair
+    * generators band over. Sketching scans the corpus text; the pair joins
+    * touch only (id, 8-byte sketch) rows — a caller running several pair
+    * passes (or the banded-vs-exact parity check, which needs BOTH
+    * generators over the SAME sketches) computes this once and persists
+    * it. Sub-3-token documents carry no sketch and never pair. */
+  def simhashSketches(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("w", toks(col(textCol)))
       .filter(size(col("w")) >= 3)
       .select(col(idCol).as("doc_id"), simhash64(col("w")).as("h"))
+
+  /** [[simhashPairs]] over a precomputed [[simhashSketches]] table. */
+  def simhashPairsFromSketches(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = sh.select(col("doc_id"), col("h"),
       explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(h, b*16) & 65535 as key))")).as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
@@ -222,12 +234,14 @@ object Dedup {
     * band-extraction bug cannot cancel out of the comparison.
     */
   def simhashPairsExact(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsExactFromSketches(simhashSketches(df, idCol, textCol), maxHamming)
+
+  /** [[simhashPairsExact]] over a precomputed [[simhashSketches]] table. */
+  def simhashPairsExactFromSketches(sh: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4 disjoint bands guarantee recall only at hamming <= 3, got $maxHamming")
-    val sh = df.withColumn("w", toks(col(textCol)))
-      .filter(size(col("w")) >= 3)
-      .select(col(idCol).as("doc_id"), simhash64(col("w")).as("h"))
     // interleaved band key: gather bits {4j + b : j in 0..15} of h into a
     // 16-bit key — a different partition of the same 64 bits than the
     // contiguous slices in simhashPairs
