@@ -238,6 +238,21 @@ object PipelineQueries {
             "o_custkey" -> ((40.0, 120.0))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+    // The layout's WRITE lifecycle on the driver gate (r11): base layout
+    // over 2/3 of orders, the remaining third APPENDED as a daily batch
+    // (ledger-idempotent, footer stats extend the manifest), then
+    // COMPACTED (corpus-wide re-bin/re-sort, atomic swap) — and the same
+    // 2-d box read through the rebuilt manifest. The result must EQUAL
+    // the plain predicate over the FULL table: append losing rows,
+    // compact dropping a file, or a stale manifest each turn the row red.
+    "zorder_append_compact_scan" -> ((spark, dir) => {
+      graft.operators.ZOrderLayout.readBox(spark,
+          zorderLifecycleLayout(spark, dir),
+          Map("o_totalprice" -> ((50000.0, 150000.0)),
+            "o_custkey" -> ((40.0, 120.0))))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }))
 
   /** Contamination-excision interval table (corpus positions whose
@@ -280,6 +295,29 @@ object PipelineQueries {
         dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
       graft.operators.ZOrderLayout.write(Tables.load(spark, dir, "orders"),
         Seq("o_totalprice", "o_custkey"), path, nFiles = 16)
+      path
+    })
+
+  /** Append-then-compact twin of [[zorderLayout]]: base layout over
+    * o_orderkey % 3 != 0, the % 3 == 0 slice appended under a ledger tag,
+    * then compacted — one full write-path lifecycle per (session, dir). */
+  private val zorderLifeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def zorderLifecycleLayout(spark: SparkSession, dir: String): String =
+    zorderLifeCache.getOrElseUpdate((spark, dir), zorderLifeCache.synchronized {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val path = "target/zorder-lifecycle/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val orders = Tables.load(spark, dir, "orders")
+      graft.operators.ZOrderLayout.write(
+        orders.filter(col("o_orderkey") % 3 =!= 0),
+        Seq("o_totalprice", "o_custkey"), path, nFiles = 12)
+      graft.operators.ZOrderLayout.appendTo(
+        orders.filter(col("o_orderkey") % 3 === 0), path, nFiles = 4,
+        sourceTag = "lifecycle-batch")
+      graft.operators.ZOrderLayout.compact(spark, path, nFiles = 16)
       path
     })
 
@@ -589,6 +627,13 @@ object PipelineQueries {
     // the skipping read must EQUAL the plain predicate over the full
     // table — file skipping is a superset selection, never a filter
     "zorder_box_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+        |  AND o_custkey >= 40 AND o_custkey <= 120
+        |ORDER BY o_orderkey""".stripMargin,
+    // write -> append -> compact must serve the SAME rows as the plain
+    // predicate over the full table — the lifecycle never changes results
+    "zorder_append_compact_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
         |  AND o_custkey >= 40 AND o_custkey <= 120
