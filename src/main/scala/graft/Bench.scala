@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Build the one summary line stdout and BENCH_SUMMARY.json share.
+    * Pure so BenchSummarySpec can pin the artifact contract: failed
+    * queries appear BY NAME, the -1.0 sentinel stays out of the total,
+    * and the headline comparables sit at the END of the line (the
+    * driver's artifact keeps only the stdout TAIL — the bulky per-query
+    * maps are what truncation eats). */
+  def summaryJson(results: Iterable[(String, (Double, Double))],
+      leaked: Int, sfDir: String): String = {
+    def best(p: (Double, Double)): Double =
+      if (p._1 < 0) p._2 else if (p._2 < 0) p._1 else math.min(p._1, p._2)
+    val qs = results.map { case (k, p) => s"\"" + k + "\":" + best(p) }
+      .mkString("{", ",", "}")
+    val passes = results
+      .map { case (k, (p1, p2)) => s"\"" + k + "\":[" + p1 + "," + p2 + "]" }
+      .mkString("{", ",", "}")
+    // a query whose BOTH passes failed reports best = -1.0; keep the
+    // sentinel out of the total (it would silently SHRINK it) and name
+    // the failure explicitly instead
+    val failedQueries = results.collect { case (k, (p1, p2)) if p1 < 0 && p2 < 0 => k }
+    val total = results.map { case (_, p) => best(p) }.filter(_ >= 0).sum
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"queries":$qs,"passes":$passes,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,18 +85,7 @@ object Bench {
       val p2 = time(name)(fn(spark, sfDir).count())
       name -> (p1, p2)
     }
-    def best(p: (Double, Double)): Double =
-      if (p._1 < 0) p._2 else if (p._2 < 0) p._1 else math.min(p._1, p._2)
-    val qs = results.map { case (k, p) => s"\"" + k + "\":" + best(p) }
-      .mkString("{", ",", "}")
-    val passes = results
-      .map { case (k, (p1, p2)) => s"\"" + k + "\":[" + p1 + "," + p2 + "]" }
-      .mkString("{", ",", "}")
-    // a query whose BOTH passes failed reports best = -1.0; keep the
-    // sentinel out of the total (it would silently SHRINK it) and flag
-    // the failure count explicitly instead
     val failedQueries = results.collect { case (k, (p1, p2)) if p1 < 0 && p2 < 0 => k }
-    val total = results.values.map(best).filter(_ >= 0).sum
     if (failedQueries.nonEmpty)
       System.err.println(s"[bench] WARNING: ${failedQueries.size} queries failed " +
         s"both passes: ${failedQueries.mkString(", ")}")
@@ -87,15 +101,10 @@ object Bench {
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")
     // one summary string, used verbatim for stdout and the file artifact
-    // (two hand-maintained copies drifted once already). Failed queries are
-    // listed BY NAME — a bare count can silently vanish in a truncated
-    // artifact while the excluded query skews the total.
-    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // field order matters: the driver's artifact keeps only the stdout
-    // TAIL, so the headline comparables (total, failed names, sf) go LAST
-    // in the line — the bulky per-query maps are what truncation eats
-    val summary =
-      s"""{"queries":$qs,"passes":$passes,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
+    // (two hand-maintained copies drifted once already); see summaryJson
+    // for the artifact contract (failure names, sentinel handling, field
+    // order), which BenchSummarySpec pins against a planted failure
+    val summary = summaryJson(results, leaked, sfDir)
     println(summary)
     // durable artifact: the driver's BENCH_r{N}.json stores only the
     // stdout TAIL, which truncates the total line and most per-query

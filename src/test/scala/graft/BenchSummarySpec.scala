@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact contract (`Bench.summaryJson`): a planted failure
+  * must be visible IN the artifact by name, the -1.0 sentinel must stay
+  * out of the total, and the headline comparables must sit at the END of
+  * the line so the driver's stdout-tail capture keeps them. */
+class BenchSummarySpec extends AnyFunSuite {
+
+  private val results = Seq(
+    "q_ok" -> ((0.5, 0.4)),
+    "q_flaky" -> ((-1.0, 2.0)), // one failed pass: best = the good pass
+    "q_dead" -> ((-1.0, -1.0))) // both passes failed
+
+  test("planted failure appears by name; sentinel stays out of the total") {
+    val s = Bench.summaryJson(results, leaked = 0, sfDir = "/x/sf")
+    assert(s.contains(""""failed":["q_dead"]"""), s)
+    assert(s.contains(""""failed_queries":1"""), s)
+    // total = 0.4 (q_ok min) + 2.0 (q_flaky surviving pass); q_dead excluded
+    assert(s.contains(""""value":2.4"""), s)
+    assert(s.contains(""""q_flaky":2.0"""), s)
+  }
+
+  test("headline fields trail the line so a stdout-tail capture keeps them") {
+    val s = Bench.summaryJson(results, leaked = 0, sfDir = "/x/sf")
+    val tail = s.takeRight(200)
+    Seq("\"metric\":\"total\"", "\"value\":", "\"failed\":", "\"leaked_persists\":",
+        "\"sf\":").foreach(f => assert(tail.contains(f), s"$f not in tail: $tail"))
+    assert(s.indexOf("\"queries\":") < s.indexOf("\"metric\":"), s)
+  }
+
+  test("clean run reports an empty failure list") {
+    val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
+    assert(s.contains(""""failed":[]""") && s.contains(""""failed_queries":0"""), s)
+    assert(s.contains(""""value":1.0"""), s)
+  }
+}
