@@ -276,6 +276,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.toSet === again.toSet)
   }
 
+  test("domain doc cap survives a single-domain corpus (worst-case skew)") {
+    // every row in ONE domain: the salted local pass is the only thing
+    // between the sort and a single 2000-row partition
+    val rows = spark.range(0, 2000)
+      .select(col("id").as("key"), lit("only").as("dom"))
+    val capped = Sampling.domainDocCap(rows, "key", "dom", cap = 5, nSalts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = (0L until 2000L).sortBy(k => (md5str(k), k)).take(5)
+      .zipWithIndex.map { case (k, i) => (k, i + 1L) }.toSet
+    assert(capped.toSet === expected)
+  }
+
   private def md5str(k: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(k.toString.getBytes("UTF-8"))
