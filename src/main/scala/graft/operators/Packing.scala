@@ -261,25 +261,35 @@ object Sampling {
   /** Per-domain SHARE cap (the rate form of domain capping: no domain may
     * exceed `maxShare` of the kept corpus' input share): domains over the
     * share are downsampled at rate maxShare*N/n_s, domains under it keep
-    * everything. Rates derive from a bounded |domains|-row aggregate (the
-    * [[temperatureRebalance]] contract); the keep decision stays the
-    * deterministic per-row md5 filter, so membership is bit-reproducible
-    * in any engine. */
+    * everything; the keep decision stays the deterministic per-row md5
+    * filter, so membership is bit-reproducible in any engine.
+    *
+    * Unlike the language-mixing samplers ([[stratifiedSample]] and
+    * friends), whose strata are tens of languages and whose rates are a
+    * caller-supplied map compiled to a CASE chain, DOMAIN cardinality is
+    * web-scale (millions of hosts) — so the rates here stay a DataFrame
+    * end to end: a per-domain count aggregate, a 1-row total joined on,
+    * and a rates join back to the corpus (domain-count-sized — AQE
+    * broadcasts it while it fits and degrades to a shuffle join when it
+    * doesn't). Nothing domain-cardinality-sized ever reaches the driver.
+    * Null domains are dropped (they match no rate row — the
+    * defaultRate = 0 convention of the mixing samplers). Rate arithmetic
+    * is (maxShare * N) / n_s left-to-right in doubles, reproducible
+    * bit-for-bit by a SQL oracle. */
   def domainShareCap(df: DataFrame, keyCol: String, domainCol: String,
       maxShare: Double): DataFrame = {
     require(maxShare > 0 && maxShare <= 1,
       s"maxShare must be in (0, 1], got $maxShare")
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(domainCol).agg(count(lit(1)).as("__n"))
-      .collect()
-      .map(r => r.get(0).toString -> r.getLong(1))
-      .sortBy(_._1)
-    require(counts.nonEmpty, "cannot cap an empty corpus")
-    val total = counts.map(_._2).sum.toDouble
-    val rates = counts.map { case (s, n) =>
-      s -> math.min(1.0, maxShare * total / n)
-    }.toMap
-    stratifiedSample(df, keyCol, domainCol, rates, defaultRate = 0.0)
+    val total = counts.agg(sum("__n").as("__tot"))
+    val rates = counts.crossJoin(total)
+      .select(col(domainCol),
+        least(lit(1.0), lit(maxShare) * col("__tot").cast("double")
+          / col("__n").cast("double")).as("__rate"))
+    df.join(rates, Seq(domainCol))
+      .filter(hashFraction(col(keyCol)) < col("__rate"))
+      .drop("__rate")
   }
 
   def temperatureRebalance(df: DataFrame, keyCol: String, strataCol: String,

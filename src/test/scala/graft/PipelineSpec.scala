@@ -263,7 +263,7 @@ class PipelineSpec extends AnyFunSuite {
         when(col("id") < 300, "d_big")
           .when(col("id") < 350, "d_a").otherwise("d_b").as("dom"))
     val capped = Sampling.domainShareCap(rows, "key", "dom", maxShare = 0.25)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .select("key", "dom").collect().map(r => (r.getLong(0), r.getString(1)))
     val kept = capped.groupBy(_._2).map { case (d, xs) => d -> xs.length }
     // under-share domains survive intact
     assert(kept("d_a") === 50 && kept("d_b") === 50)
@@ -272,7 +272,7 @@ class PipelineSpec extends AnyFunSuite {
       s"head domain kept ${kept("d_big")} of 300 at rate 1/3")
     // membership is the deterministic md5 filter — reproducible
     val again = Sampling.domainShareCap(rows, "key", "dom", maxShare = 0.25)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .select("key", "dom").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(capped.toSet === again.toSet)
   }
 

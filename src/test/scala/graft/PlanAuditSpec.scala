@@ -38,7 +38,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "classifier_train_score", "classifier_persisted", "corpus_filter_classifier",
       // exact side of the semantic-recall gate: full-corpus broadcast by
       // design (the verification baseline, not the scale path)
-      "dedup_semantic_recall")
+      "dedup_semantic_recall",
+      // 1-row corpus-total scalar crossed into the per-domain rate table
+      // (the term_stats N-docs pattern)
+      "domain_share_cap")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
