@@ -105,6 +105,31 @@ object TextQueries {
             lit(1.0)), 4).as("quality"))
         .orderBy("doc_id")
     }),
+    // Score-PROPORTIONAL soft sampling (r11): keep probability = the
+    // composite quality score itself, instead of a hard threshold — the
+    // DCLM-style soft filter that keeps a graded mix (high-quality docs
+    // almost surely, mediocre ones at their score) rather than a cliff.
+    // The keep decision is the same deterministic per-row md5 fraction as
+    // every sampler here, compared against the round-4 score that
+    // text_quality already proves bit-identical across engines — so
+    // membership is exactly reproducible, no RNG anywhere. One scan, the
+    // filter is a pure projection.
+    "sample_quality_weighted" -> ((spark, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val stopRatio = score(t, stopwords) / nTok
+      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
+      val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
+      val sizeSat = least(nTok / 100.0, lit(1.0))
+      val q4 = round(least(
+        lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
+        lit(1.0)), 4)
+      Tables.load(spark, dir, "documents")
+        .withColumn("quality", q4)
+        .filter(graft.operators.Sampling.hashFraction(col("doc_id")) < col("quality"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }),
     // Regex tokenizer (BPE-ish classes: letter runs, single digits, other)
     "token_count_regex" -> ((spark, dir) => {
       Tables.load(spark, dir, "documents")
@@ -578,6 +603,25 @@ object TextQueries {
         |  round(len_shape, 4) AS len_shape,
         |  round(least(0.3 * stop_ratio + 0.3 * size_sat + 0.4 * len_shape, 1.0), 4) AS quality
         |FROM b ORDER BY doc_id""".stripMargin),
+    // same score derivation as text_quality; membership = md5 fraction
+    // below the round-4 score, both sides bit-identical
+    "sample_quality_weighted" ->
+      (s"""WITH b AS (
+        |  SELECT doc_id,
+        |    ${duckScore(stopwords)} * 1.0 / len(string_split(lower(text), ' ')) AS stop_ratio,
+        |    least(len(string_split(lower(text), ' ')) / 100.0, 1.0) AS size_sat,
+        |    1.0 - least(abs(length(replace(text, ' ', '')) * 1.0
+        |      / len(string_split(lower(text), ' ')) - 5.0) / 5.0, 1.0) AS len_shape
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(0.3 * stop_ratio + 0.3 * size_sat + 0.4 * len_shape, 1.0), 4)
+        |      AS quality
+        |  FROM b)
+        |SELECT doc_id, quality FROM q
+        |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |      / 1152921504606846976.0 < quality
+        |ORDER BY doc_id""".stripMargin),
     "token_count_regex" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS n_tokens_regex,
