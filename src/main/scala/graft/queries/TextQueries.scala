@@ -105,6 +105,39 @@ object TextQueries {
             lit(1.0)), 4).as("quality"))
         .orderBy("doc_id")
     }),
+    // Corpus health report (r11): the per-language dashboard a pipeline
+    // checks before training — doc/token totals, mean quality, and
+    // exact-duplicate counts in ONE aggregate pass. Mean quality sums the
+    // x1e4 integer-scaled round-4 scores (integer sums are
+    // order-independent, so the mean is bit-reproducible — a double sum's
+    // last-ulp would depend on aggregation order) and divides once.
+    "corpus_stats_report" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val stopRatio = score(t, stopwords) / nTok
+      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
+      val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
+      val sizeSat = least(nTok / 100.0, lit(1.0))
+      val q4 = round(least(
+        lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
+        lit(1.0)), 4)
+      val keepers = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_doc_id").as("doc_id")).withColumn("__keep", lit(1))
+      docs
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("q4s", org.apache.spark.sql.functions
+          .round(q4 * 10000, 0).cast("long"))
+        .join(keepers, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(sum(col("q4s")).cast("double")
+            / (lit(10000.0) * count(lit(1)).cast("double")), 6).as("mean_quality"),
+          sum(when(col("__keep").isNull, 1L).otherwise(0L)).as("n_dup_docs"))
+        .orderBy("lang")
+    }),
     // Score-PROPORTIONAL soft sampling (r11): keep probability = the
     // composite quality score itself, instead of a hard threshold — the
     // DCLM-style soft filter that keeps a graded mix (high-quality docs
@@ -603,6 +636,25 @@ object TextQueries {
         |  round(len_shape, 4) AS len_shape,
         |  round(least(0.3 * stop_ratio + 0.3 * size_sat + 0.4 * len_shape, 1.0), 4) AS quality
         |FROM b ORDER BY doc_id""".stripMargin),
+    // integer-scaled quality sums (order-independent), single division
+    // for the mean; dup docs = non-min-id members of each text group
+    "corpus_stats_report" ->
+      (s"""WITH q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(round(round(least(
+        |      0.3 * (${duckScore(stopwords)} * 1.0 / len(string_split(lower(text), ' ')))
+        |      + 0.3 * least(len(string_split(lower(text), ' ')) / 100.0, 1.0)
+        |      + 0.4 * (1.0 - least(abs(length(replace(text, ' ', '')) * 1.0
+        |          / len(string_split(lower(text), ' ')) - 5.0) / 5.0, 1.0)),
+        |      1.0), 4) * 10000, 0) AS BIGINT) AS q4s,
+        |    doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text) AS is_keep
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(q4s) AS DOUBLE) / (10000.0 * count(*)), 6) AS mean_quality,
+        |  CAST(sum(CASE WHEN is_keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_docs
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin),
     // same score derivation as text_quality; membership = md5 fraction
     // below the round-4 score, both sides bit-identical
     "sample_quality_weighted" ->
