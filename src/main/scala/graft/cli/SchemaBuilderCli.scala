@@ -74,8 +74,14 @@ object SchemaBuilderCli {
         // drop-in CLI parity, ignored: they configure the dbt/warehouse
         // adapter that a SparkSession replaces (profiles resolve
         // connections, --threads sizes the dbt scheduler). Each takes a
-        // value in the reference, so consume one here too.
-        case "--profile" | "--profiles-dir" | "--target" | "--threads" => i += 2
+        // value in the reference, so consume one here too — and like
+        // argparse, fail loudly when the value is missing (a bare flag
+        // would otherwise swallow the NEXT option, silently dropping
+        // e.g. a following --nopii).
+        case f @ ("--profile" | "--profiles-dir" | "--target" | "--threads") =>
+          if (i + 1 >= args.length || args(i + 1).startsWith("--"))
+            throw new IllegalArgumentException(s"$f expects one argument")
+          i += 2
         case other => throw new IllegalArgumentException(s"unknown argument: $other")
       }
     }

@@ -289,10 +289,7 @@ object PipelineQueries {
 
   private def zorderLayout(spark: SparkSession, dir: String): String =
     zorderCache.getOrElseUpdate((spark, dir), zorderCache.synchronized {
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val path = "target/zorder-layout/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val path = QueryArtifacts.path("target/zorder-layout", dir)
       graft.operators.ZOrderLayout.write(Tables.load(spark, dir, "orders"),
         Seq("o_totalprice", "o_custkey"), path, nFiles = 16)
       path
@@ -306,10 +303,7 @@ object PipelineQueries {
 
   private def zorderLifecycleLayout(spark: SparkSession, dir: String): String =
     zorderLifeCache.getOrElseUpdate((spark, dir), zorderLifeCache.synchronized {
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val path = "target/zorder-lifecycle/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+      val path = QueryArtifacts.path("target/zorder-lifecycle", dir)
       val orders = Tables.load(spark, dir, "orders")
       graft.operators.ZOrderLayout.write(
         orders.filter(col("o_orderkey") % 3 =!= 0),
@@ -320,6 +314,17 @@ object PipelineQueries {
       graft.operators.ZOrderLayout.compact(spark, path, nFiles = 16)
       path
     })
+
+  /** Shared oracle for both z-order reads: the plain predicate over the
+    * full table (identical box bounds on both query paths — file skipping
+    * is a superset selection, and the write->append->compact lifecycle
+    * never changes results). Declared before `oracleSql` so object-init
+    * order resolves it. */
+  private val zorderBoxOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+      |  AND o_custkey >= 40 AND o_custkey <= 120
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Shared CTE body for the span-decontamination oracles: the same
     * 13-gram md5 anchors, eval-set semi join, and gaps-and-islands merge
@@ -612,30 +617,26 @@ object PipelineQueries {
         |  FROM h)
         |SELECT doc_id, source, rank FROM r WHERE rank <= 12
         |ORDER BY doc_id""".stripMargin,
-    // same rate derivation as Sampling.domainShareCap: (maxShare * total)
-    // / n_s left-to-right in doubles, clamped to 1 — matches the Scala
-    // fold exactly, so membership agrees bit-for-bit
+    // same rate derivation as Sampling.domainShareCap, with the literal
+    // CAST to DOUBLE so the arithmetic really is double ops left-to-right:
+    // a bare 0.03 binds as DECIMAL in DuckDB, and DECIMAL(0.03) * tot is
+    // EXACT where double(0.03) * double(tot) rounds — one fewer rounding
+    // than Spark performs, a 1-ulp rate divergence waiting for a corpus
+    // total that lands on it
     "domain_share_cap" ->
       """WITH n AS (SELECT source, count(*) AS n_s FROM documents
         |           WHERE source IS NOT NULL GROUP BY source),
         |t AS (SELECT sum(n_s) AS tot FROM n),
-        |r AS (SELECT source, least(1.0, 0.03 * t.tot / n_s) AS rate FROM n, t)
+        |r AS (SELECT source,
+        |        least(1.0, CAST(0.03 AS DOUBLE) * t.tot / n_s) AS rate FROM n, t)
         |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
         |WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
         |      / 1152921504606846976.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
-    // the skipping read must EQUAL the plain predicate over the full
-    // table — file skipping is a superset selection, never a filter
-    "zorder_box_scan" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
-        |  AND o_custkey >= 40 AND o_custkey <= 120
-        |ORDER BY o_orderkey""".stripMargin,
-    // write -> append -> compact must serve the SAME rows as the plain
-    // predicate over the full table — the lifecycle never changes results
-    "zorder_append_compact_scan" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
-        |  AND o_custkey >= 40 AND o_custkey <= 120
-        |ORDER BY o_orderkey""".stripMargin)
+    // both layout reads must EQUAL the plain predicate over the full
+    // table — file skipping is a superset selection (never a filter), and
+    // the write->append->compact lifecycle never changes results; one
+    // shared oracle keeps the twins in sync
+    "zorder_box_scan" -> zorderBoxOracle,
+    "zorder_append_compact_scan" -> zorderBoxOracle)
 }

@@ -1,0 +1,16 @@
+package graft.queries
+
+/** Canonical on-disk location for a (query-family, source-dir) durable
+  * artifact under target/: a readable sanitized dir name plus a SHA-256
+  * digest of the RAW dir string, so distinct dirs (/a/b vs /a_b) can
+  * never collide. ONE definition — every durable-artifact cache (file
+  * indexes, drift indexes, z-order layouts) depends on the exact scheme,
+  * and a drifted copy would silently fork artifact paths: stale index
+  * reuse or duplicate on-disk layouts. */
+private[queries] object QueryArtifacts {
+  def path(prefix: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    prefix + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+  }
+}

@@ -37,6 +37,24 @@ object TextQueries {
   private def score(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(markers)))
 
+  /** The composite round-4 quality score over a `text` column — THE
+    * cross-engine reproducibility contract of this file (text_quality
+    * proves it bit-identical against the DuckDB oracle; the soft sampler
+    * and the corpus report reuse it by reference, so a weight tweak can
+    * never fork the three silently). 0.3*stopword ratio + 0.3*size
+    * saturation + 0.4*length shape, clamped to 1, rounded half-away at
+    * 4 decimals. */
+  private def quality4: Column = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopRatio = score(t, stopwords) / nTok
+    val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
+    val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
+    val sizeSat = least(nTok / 100.0, lit(1.0))
+    round(least(lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
+      lit(1.0)), 4)
+  }
+
   /** One DURABLE trained BPE merge table per (session, dir) — the same
     * build-once file lifecycle as the bigram LM and the classifier: a
     * later session reopens the manifest-validated merge table with zero
@@ -101,8 +119,7 @@ object TextQueries {
           round(stopRatio, 4).as("stopword_ratio"),
           round(sizeSat, 4).as("size_saturation"),
           round(lenShape, 4).as("len_shape"),
-          round(least(lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
-            lit(1.0)), 4).as("quality"))
+          quality4.as("quality"))
         .orderBy("doc_id")
     }),
     // Corpus health report (r11): the per-language dashboard a pipeline
@@ -113,15 +130,7 @@ object TextQueries {
     // last-ulp would depend on aggregation order) and divides once.
     "corpus_stats_report" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val t = toks(col("text"))
-      val nTok = size(t).cast("double")
-      val stopRatio = score(t, stopwords) / nTok
-      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
-      val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
-      val sizeSat = least(nTok / 100.0, lit(1.0))
-      val q4 = round(least(
-        lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
-        lit(1.0)), 4)
+      val q4 = quality4
       val keepers = graft.operators.Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_doc_id").as("doc_id")).withColumn("__keep", lit(1))
       docs
@@ -148,17 +157,8 @@ object TextQueries {
     // membership is exactly reproducible, no RNG anywhere. One scan, the
     // filter is a pure projection.
     "sample_quality_weighted" -> ((spark, dir) => {
-      val t = toks(col("text"))
-      val nTok = size(t).cast("double")
-      val stopRatio = score(t, stopwords) / nTok
-      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
-      val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
-      val sizeSat = least(nTok / 100.0, lit(1.0))
-      val q4 = round(least(
-        lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
-        lit(1.0)), 4)
       Tables.load(spark, dir, "documents")
-        .withColumn("quality", q4)
+        .withColumn("quality", quality4)
         .filter(graft.operators.Sampling.hashFraction(col("doc_id")) < col("quality"))
         .select("doc_id", "quality")
         .orderBy("doc_id")

@@ -46,6 +46,15 @@ class CliSpec extends AnyFunSuite {
     // unknown flags still rejected — the pass-through is a fixed allow-list
     intercept[IllegalArgumentException](SchemaBuilderCli.parseArgs(Array("build",
       "--project-dir", dir, "--destination-project", "x", "--fan-out", "9")))
+    // a value-less ignored flag fails loudly (argparse parity) instead of
+    // swallowing the next option
+    val e = intercept[IllegalArgumentException](SchemaBuilderCli.parseArgs(
+      Array("build", "--project-dir", dir, "--destination-project", "x",
+        "--profile", "--nopii")))
+    assert(e.getMessage.contains("--profile expects one argument"))
+    intercept[IllegalArgumentException](SchemaBuilderCli.parseArgs(
+      Array("build", "--project-dir", dir, "--destination-project", "x",
+        "--threads")))
   }
 
   test("project dir must contain schema_config.yml") {
