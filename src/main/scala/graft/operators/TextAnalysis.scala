@@ -17,6 +17,24 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** The UNROUNDED composite quality score: 0.3*stopword ratio +
+    * 0.3*size saturation + 0.4*length shape, clamped to 1. ONE definition
+    * for every consumer — text_quality's round-4 display form, the soft
+    * sampler, the corpus report, the batch C4 filter chain's and the
+    * streaming quality gate's x1e4 integer-scaled threshold forms — so a
+    * weight tweak can never fork the batch and streaming verdicts, whose
+    * equality StreamingSpec pins. Callers apply their own rounding. */
+  def qualityScoreRaw(text: Column): Column = {
+    val t = tokens(text)
+    val nTokD = size(t).cast("double")
+    val stopRatio = size(filter(t, x => x.isInCollection(stopwords))) / nTokD
+    val avgLen = length(regexp_replace(text, " ", "")) / nTokD
+    val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
+    val sizeSat = least(nTokD / 100.0, lit(1.0))
+    least(lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
+      lit(1.0))
+  }
+
   /** How many tokens fall in the marker list (with multiplicity). */
   def markerScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(markers)))

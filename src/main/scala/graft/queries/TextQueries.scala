@@ -37,23 +37,14 @@ object TextQueries {
   private def score(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(markers)))
 
-  /** The composite round-4 quality score over a `text` column — THE
-    * cross-engine reproducibility contract of this file (text_quality
-    * proves it bit-identical against the DuckDB oracle; the soft sampler
-    * and the corpus report reuse it by reference, so a weight tweak can
-    * never fork the three silently). 0.3*stopword ratio + 0.3*size
-    * saturation + 0.4*length shape, clamped to 1, rounded half-away at
-    * 4 decimals. */
-  private def quality4: Column = {
-    val t = toks(col("text"))
-    val nTok = size(t).cast("double")
-    val stopRatio = score(t, stopwords) / nTok
-    val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
-    val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
-    val sizeSat = least(nTok / 100.0, lit(1.0))
-    round(least(lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
-      lit(1.0)), 4)
-  }
+  /** The composite round-4 quality score over the `text` column — the
+    * cross-engine reproducibility contract (text_quality proves it
+    * bit-identical against the DuckDB oracle; the soft sampler and the
+    * corpus report reuse it by reference). One underlying definition in
+    * [[TextAnalysis.qualityScoreRaw]], shared with the batch filter chain
+    * and the streaming gate's integer-scaled forms. */
+  private def quality4: Column =
+    round(TextAnalysis.qualityScoreRaw(col("text")), 4)
 
   /** One DURABLE trained BPE merge table per (session, dir) — the same
     * build-once file lifecycle as the bigram LM and the classifier: a
@@ -256,14 +247,8 @@ object TextQueries {
     // across engines, never a double-rounding coin flip at the boundary.
     "corpus_quality_filter" -> ((spark, dir) => {
       val t = toks(col("text"))
-      val nTokD = size(t).cast("double")
-      val stopRatio = score(t, stopwords) / nTokD
-      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTokD
-      val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
-      val sizeSat = least(nTokD / 100.0, lit(1.0))
       val quality4 = org.apache.spark.sql.functions.round(
-        least(lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
-          lit(1.0)) * 1e4, 0).cast("long")
+        TextAnalysis.qualityScoreRaw(col("text")) * 1e4, 0).cast("long")
       val docs = Tables.load(spark, dir, "documents")
       val perRow = docs.select(col("doc_id"),
         size(t).cast("long").as("n_tokens"),

@@ -138,15 +138,11 @@ object StreamingOps {
   def qualityGateStream(stream: DataFrame, textCol: String): DataFrame = {
     import graft.operators.TextAnalysis
     val t = TextAnalysis.tokens(col(textCol))
-    val nTokD = size(t).cast("double")
-    val stopRatio = size(filter(t,
-      x => x.isInCollection(TextAnalysis.stopwords))) / nTokD
-    val avgLen = length(regexp_replace(col(textCol), " ", "")) / nTokD
-    val lenShape = lit(1.0) - least(abs(avgLen - 5.0) / 5.0, lit(1.0))
-    val sizeSat = least(nTokD / 100.0, lit(1.0))
-    val quality4 = round(least(
-      lit(0.3) * stopRatio + lit(0.3) * sizeSat + lit(0.4) * lenShape,
-      lit(1.0)) * 1e4, 0).cast("long")
+    // the SAME score definition as the batch chain (qualityScoreRaw is
+    // the one copy both verdicts derive from; StreamingSpec pins the
+    // keep-set equality)
+    val quality4 = round(
+      TextAnalysis.qualityScoreRaw(col(textCol)) * 1e4, 0).cast("long")
     val distinctRatio6 =
       round(size(array_distinct(t)) * lit(1e6) / size(t), 0).cast("long")
     stream.filter(size(t) >= 20 && quality4 >= 4000L &&
