@@ -106,6 +106,34 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
         "— superlinear scaling in the dedup family")
   }
 
+  test("domain doc cap scales ~linearly onto a 10x corpus with exact per-domain counts",
+      SlowTest) {
+    import graft.operators.Sampling
+    // 17 synthetic domains spread across the id space; every domain holds
+    // hundreds of members at 1x (thousands at 10x), far above the cap, so
+    // the EXACT expected keep is cap rows per domain at both scales — the
+    // two-level salted top-K must neither lose nor over-keep anywhere,
+    // and wall-time must stay ~linear (the salted local window bounds the
+    // sort; a single-task domain sort would blow the bound)
+    def withDom(df: DataFrame) = df.withColumn("dom",
+      concat(lit("d"), pmod(col("doc_id"), lit(17)).cast("string")))
+    val one = withDom(baseDocs)
+    val ten = withDom(saltedCorpus)
+    Sampling.domainDocCap(one, "doc_id", "dom", cap = 9).count() // JIT warmup
+    val (k1, t1) = timed(Sampling.domainDocCap(one, "doc_id", "dom", cap = 9).count())
+    val ((k10, perDomOk), t10) = timed {
+      val capped = Sampling.domainDocCap(ten, "doc_id", "dom", cap = 9)
+      val perDom = capped.groupBy("dom").count().collect()
+      (capped.count(), perDom.length == 17 && perDom.forall(_.getLong(1) == 9L))
+    }
+    assert(k1 == 17L * 9, s"1x kept $k1 != 153")
+    assert(k10 == 17L * 9, s"10x kept $k10 != 153")
+    assert(perDomOk, "a domain kept != cap rows on the 10x corpus")
+    info(f"1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 5.0,
+      f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs)")
+  }
+
   test("winnow pairs on a 10x corpus equal the per-copy sum (no cross-copy pairs)",
       SlowTest) {
     // winnowed fingerprints are md5-valued, so the per-copy shingle
