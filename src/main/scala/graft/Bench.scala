@@ -97,6 +97,7 @@ object Bench {
     graft.queries.SimilarityQueries.clearCaches()
     graft.queries.MultimodalQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()
+    graft.queries.TextQueries.clearCaches()
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")

@@ -51,6 +51,7 @@ object Verify {
     graft.queries.SimilarityQueries.clearCaches()
     graft.queries.MultimodalQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()
+    graft.queries.TextQueries.clearCaches()
     spark.stop()
   }
 }

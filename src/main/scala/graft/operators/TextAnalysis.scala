@@ -327,4 +327,52 @@ object TextAnalysis {
         col("dup7gram_frac6") <= 130000L && col("dup8gram_frac6") <= 120000L &&
         col("dup9gram_frac6") <= 110000L && col("dup10gram_frac6") <= 100000L)
   }
+
+  /** Exact equal-count quantile bucketing of a scored table — the
+    * CCNet-style head/middle/tail corpus partition by LM quality, or any
+    * k-way curriculum split by a per-row score.
+    *
+    * `ntile` over the corpus would be the one-liner, but an unpartitioned
+    * window is a single-task global sort — the canonical 100 TB
+    * scale-killer. This operator gets the EXACT same discrete-quantile
+    * semantics from aggregation shapes only:
+    *
+    *  1. histogram: `groupBy(score).count` — map-side combinable; the
+    *     histogram's cardinality is bounded by the score codomain, not the
+    *     corpus (a round-6 score in [0,1] has <= 1e6+1 distinct values),
+    *  2. cumulative counts via a window over the HISTOGRAM (single
+    *     partition over <= 1e6 rows, never the corpus),
+    *  3. cut scores as a 1-row aggregate — cut j is the smallest score
+    *     whose cumulative count reaches ceil(j*n/k) — broadcast,
+    *  4. stateless per-row bucket assignment by comparing against the
+    *     k-1 broadcast cuts; no corpus shuffle at all beyond the
+    *     histogram's partial aggregation.
+    *
+    * Rows tied on the score always land in the same bucket (buckets are
+    * score-contiguous and deterministic; a tie group straddling a cut
+    * goes wholly to the lower bucket), which is exactly what a
+    * quality-bucketed corpus wants — equal quality, equal treatment.
+    * `labels` is ordered low score -> high score. Output:
+    * (idCol, scoreCol, bucket). */
+  def quantileBuckets(scored: org.apache.spark.sql.DataFrame, idCol: String,
+      scoreCol: String, labels: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(labels.size >= 2, "need at least two bucket labels")
+    require(labels.distinct.size == labels.size, "bucket labels must be distinct")
+    val k = labels.size
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(scoreCol).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy(scoreCol)))
+    val total = scored.agg(count(lit(1)).as("n"))
+    // ceil(j*n/k) in pure integer arithmetic: (j*n + k-1) div k
+    val cuts = (1 until k).map { j =>
+      min(when(col("cum") >= expr(s"($j * n + ${k - 1}) div $k"),
+        col(scoreCol))).as(s"__t$j")
+    }
+    val thr = cum.crossJoin(broadcast(total)).agg(cuts.head, cuts.tail: _*)
+    val bucket = (1 until k).foldRight(lit(labels.last): Column) { (j, acc) =>
+      when(col(scoreCol) <= col(s"__t$j"), lit(labels(j - 1))).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col(scoreCol), bucket.as("bucket"))
+  }
 }

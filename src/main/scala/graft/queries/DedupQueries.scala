@@ -285,6 +285,30 @@ object DedupQueries {
           jaccardPairs08(spark, dir), "doc_id_1", "doc_id_2")
         .orderBy("doc_id")
     }),
+    // Leakage-safe corpus split: every document inherits the
+    // train/val/test assignment of its near-dup CLUSTER representative,
+    // so two near-identical documents can never land on opposite sides of
+    // a split boundary — the eval-contamination mode a naive per-doc hash
+    // split allows whenever the dedup stage keeps both members. Same
+    // md5-range rule as doc_split_assign, applied to the cluster rep id;
+    // leak_repaired marks the docs whose naive per-doc assignment the
+    // cluster rule overrode. Scale: resolveClusters' adaptive connected
+    // components over the bounded pair set + one stateless hash
+    // projection — no new corpus-sized shuffle beyond the cluster join.
+    "split_leakage_safe" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      def splitOf(c: Column): Column = {
+        val d1 = substring(md5(c.cast("string")), 1, 1)
+        when(d1 <= "9", "train").when(d1 <= "c", "val").otherwise("test")
+      }
+      Dedup.resolveClusters(docs, "doc_id", jaccardPairs08(spark, dir),
+          "doc_id_1", "doc_id_2")
+        .select(col("doc_id"), col("keep_doc_id").as("cluster_rep"),
+          splitOf(col("keep_doc_id")).as("split"),
+          (splitOf(col("keep_doc_id")) =!= splitOf(col("doc_id")))
+            .as("leak_repaired"))
+        .orderBy("doc_id")
+    }),
     // Edit-distance verification stage over candidate pairs: exact
     // levenshtein + normalized similarity computed ONLY on the bounded
     // candidate set (never all-pairs — O(len^2) per pair is affordable
@@ -676,6 +700,38 @@ object DedupQueries {
           |LEFT JOIN comp c ON d.doc_id = c.id
           |LEFT JOIN keepers k ON c.comp = k.comp
           |ORDER BY doc_id""".stripMargin),
+    // same transitive closure as dedup_cluster_resolve, then the
+    // doc_split_assign md5-range rule applied to the cluster rep
+    "split_leakage_safe" ->
+      ("WITH RECURSIVE " + duckShinglesBody +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS u, b.doc_id AS v
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |  HAVING round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.8),
+          |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT u, u FROM edges
+          |  UNION
+          |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.r),
+          |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          |res AS (
+          |  SELECT d.doc_id,
+          |    CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_rep
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+          |sp AS (
+          |  SELECT doc_id, cluster_rep,
+          |    CASE WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) <= '9' THEN 'train'
+          |         WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) <= 'c' THEN 'val'
+          |         ELSE 'test' END AS split,
+          |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9' THEN 'train'
+          |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'val'
+          |         ELSE 'test' END AS naive_split
+          |  FROM res)
+          |SELECT doc_id, cluster_rep, split,
+          |  split <> naive_split AS leak_repaired
+          |FROM sp ORDER BY doc_id""".stripMargin),
     "dedup_fuzzy_verify" ->
       (duckShingles +
         """,

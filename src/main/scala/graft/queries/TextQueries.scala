@@ -72,6 +72,29 @@ object TextQueries {
       }
     })
 
+  /** One persisted bigram-LM score table per (session, dir), shared by
+    * lm_bigram_quality and perplexity_buckets — the bucketing query reads
+    * the scored table TWICE (histogram pass + assignment pass), so without
+    * result-level persistence the whole LM training shuffle family would
+    * re-run per consumer (and twice inside one consumer). The result is
+    * one row per document with three numeric columns — far smaller than
+    * the corpus text it derives from. Same residency rationale and
+    * lifecycle as DedupQueries' pair caches; released by [[clearCaches]]. */
+  private val bigramScoresCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bigramScores(spark: SparkSession, dir: String): DataFrame =
+    bigramScoresCache.getOrElseUpdate((spark, dir),
+      TextAnalysis.bigramLm(Tables.load(spark, dir, "documents"),
+          "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release every persisted intermediate this object holds. */
+  def clearCaches(): Unit = {
+    bigramScoresCache.values.foreach(_.unpersist())
+    bigramScoresCache.clear()
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     // Char/token statistics per document
     "text_stats" -> ((spark, dir) => {
@@ -137,6 +160,49 @@ object TextQueries {
             / (lit(10000.0) * count(lit(1)).cast("double")), 6).as("mean_quality"),
           sum(when(col("__keep").isNull, 1L).otherwise(0L)).as("n_dup_docs"))
         .orderBy("lang")
+    }),
+    // Snapshot drift report (r11): distribution shift between the
+    // %5==0 "new crawl" slice and the %5!=0 reference corpus over three
+    // categorical features (language, source, length bucket) — the check
+    // a pipeline runs before admitting a new snapshot into the training
+    // mix. Per feature: total-variation distance and the largest single
+    // category gap. Both stats are computed as INTEGER cross-multiplied
+    // numerators (c_ref*n_new - c_new*n_ref) summed/maxed exactly —
+    // order-independent like corpus_stats_report's scaled-integer mean —
+    // with ONE correctly-rounded division at the end, so the oracle is
+    // bit-identical. Shape: one explode to (feature, category), two
+    // key-partitioned aggregations, a broadcast join of the 3-row totals
+    // table — no windows, no driver state, nothing corpus-sized moves.
+    "corpus_drift_report" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val cat = docs.select((col("doc_id") % 5 === 0).as("is_new"),
+        explode(array(
+          struct(lit("lang").as("feature"), col("lang").as("category")),
+          struct(lit("source").as("feature"), col("source").as("category")),
+          struct(lit("len_bucket").as("feature"),
+            least(expr("n_chars div 200"), lit(20L)).cast("string")
+              .as("category"))))
+          .as("fc"))
+        .select(col("is_new"), col("fc.feature").as("feature"),
+          col("fc.category").as("category"))
+      val perCat = cat.groupBy("feature", "category").agg(
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("c_ref"))
+      val totals = perCat.groupBy("feature")
+        .agg(sum("c_ref").as("n_ref"), sum("c_new").as("n_new"))
+      // exact integer numerator of (c_ref/n_ref - c_new/n_new) over the
+      // common denominator n_ref*n_new
+      val num = col("c_ref") * col("n_new") - col("c_new") * col("n_ref")
+      perCat.join(broadcast(totals), Seq("feature"))
+        .withColumn("anum", abs(num))
+        .groupBy("feature").agg(
+          count(lit(1)).as("n_categories"),
+          min("n_ref").as("n_ref"), min("n_new").as("n_new"),
+          round(sum("anum").cast("double")
+            / (lit(2.0) * min("n_ref") * min("n_new")), 6).as("tv_dist"),
+          round(max("anum").cast("double")
+            / (lit(1.0) * min("n_ref") * min("n_new")), 6).as("max_gap"))
+        .orderBy("feature")
     }),
     // Score-PROPORTIONAL soft sampling (r11): keep probability = the
     // composite quality score itself, instead of a hard threshold — the
@@ -442,8 +508,21 @@ object TextQueries {
     // aggregations + two co-partitioned shuffle joins on the bigram/w1
     // keys; no windows, no driver-side state.
     "lm_bigram_quality" -> ((spark, dir) =>
-      TextAnalysis.bigramLm(Tables.load(spark, dir, "documents"),
-        "doc_id", "text").orderBy("doc_id")),
+      bigramScores(spark, dir).orderBy("doc_id")),
+    // CCNet-style perplexity partition of the corpus: every scored doc
+    // lands in head/middle/tail by exact corpus-wide terciles of the
+    // bigram-LM expected continuation probability (high prob = fluent =
+    // head). The thresholds come from TextAnalysis.quantileBuckets's
+    // histogram shape — never an unpartitioned ntile sort — so the
+    // partition holds its plan at 100 TB; the scores come from the shared
+    // persisted LM table above. Tie groups never straddle buckets (equal
+    // quality, equal treatment), which also makes the assignment
+    // bit-reproducible in the oracle.
+    "perplexity_buckets" -> ((spark, dir) =>
+      TextAnalysis.quantileBuckets(
+          bigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
+          "doc_id", "pred_prob", Seq("tail", "middle", "head"))
+        .orderBy("doc_id")),
     // TRAIN/SERVE split of the bigram LM (the CCNet lifecycle): the model
     // is trained ONCE on the %5!=0 slice, written durable with a manifest
     // (build-once/serve-many — a later session reopens it with zero
@@ -640,6 +719,36 @@ object TextQueries {
         |  round(CAST(sum(q4s) AS DOUBLE) / (10000.0 * count(*)), 6) AS mean_quality,
         |  CAST(sum(CASE WHEN is_keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_docs
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin),
+    // independent re-derivation of the drift stats: same integer
+    // cross-multiplied numerators, same single rounded division
+    "corpus_drift_report" ->
+      """WITH cat AS (
+        |  SELECT (doc_id % 5 = 0) AS is_new, 'lang' AS feature,
+        |    lang AS category FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id % 5 = 0), 'source', source FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id % 5 = 0), 'len_bucket',
+        |    CAST(least(n_chars // 200, 20) AS VARCHAR) FROM documents),
+        |per_cat AS (
+        |  SELECT feature, category,
+        |    sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS c_new,
+        |    sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS c_ref
+        |  FROM cat GROUP BY 1, 2),
+        |tot AS (SELECT feature, sum(c_ref) AS n_ref, sum(c_new) AS n_new
+        |        FROM per_cat GROUP BY 1),
+        |j AS (
+        |  SELECT p.feature, t.n_ref, t.n_new,
+        |    abs(p.c_ref * t.n_new - p.c_new * t.n_ref) AS anum
+        |  FROM per_cat p JOIN tot t USING (feature))
+        |SELECT feature, CAST(count(*) AS BIGINT) AS n_categories,
+        |  CAST(min(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(min(n_new) AS BIGINT) AS n_new,
+        |  round(CAST(sum(anum) AS DOUBLE) / (2.0 * min(n_ref) * min(n_new)), 6)
+        |    AS tv_dist,
+        |  round(CAST(max(anum) AS DOUBLE) / (1.0 * min(n_ref) * min(n_new)), 6)
+        |    AS max_gap
+        |FROM j GROUP BY feature ORDER BY feature""".stripMargin,
     // same score derivation as text_quality; membership = md5 fraction
     // below the round-4 score, both sides bit-identical
     "sample_quality_weighted" ->
@@ -912,6 +1021,44 @@ object TextQueries {
         |    AS pred_prob,
         |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_rate
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same LM score derivation as lm_bigram_quality, then exact discrete
+    // terciles via the same histogram-cumulative shape: cut j = smallest
+    // score whose cumulative count reaches ceil(j*n/3)
+    "perplexity_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM d),
+        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM occ GROUP BY doc_id, bg),
+        |model AS (SELECT bg, sum(k) AS c12 FROM doc_bg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(k) AS c1
+        |        FROM doc_bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM d)),
+        |j AS (
+        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
+        |  FROM doc_bg b
+        |  JOIN model m ON b.bg = m.bg
+        |  JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc),
+        |score AS (
+        |  SELECT doc_id,
+        |    round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
+        |      AS pred_prob
+        |  FROM j GROUP BY doc_id),
+        |hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM score),
+        |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum >= (1 * tot.n + 2) // 3 THEN s END) AS t1,
+        |         min(CASE WHEN cum >= (2 * tot.n + 2) // 3 THEN s END) AS t2
+        |  FROM cum, tot)
+        |SELECT doc_id, pred_prob,
+        |  CASE WHEN pred_prob <= t1 THEN 'tail'
+        |       WHEN pred_prob <= t2 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM score, thr ORDER BY doc_id""".stripMargin,
     // train on the %5!=0 slice, score the held-out %5==0 slice under the
     // frozen counts — unseen bigrams/contexts coalesce to 0 (add-one
     // smoothing floors them at 1/(c1+v) resp. 1/v)

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{DedupQueries, MultimodalQueries, PipelineQueries, SimilarityQueries}
+import graft.queries.{DedupQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 
 /** The shared (session, dir)-keyed persisted intermediates — jaccard /
   * minhash candidate pairs (DedupQueries), IVF inverted files
@@ -22,6 +22,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
     SimilarityQueries.clearCaches()
     MultimodalQueries.clearCaches()
     PipelineQueries.clearCaches()
+    TextQueries.clearCaches()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
 
     // populate the caches: jaccard pairs (0.8 + 0.6), minhash pairs,
@@ -34,6 +35,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
     SimilarityQueries.queries("ann_ivf_topk")(spark, TestSpark.sfDir).count()
     MultimodalQueries.queries("multimodal_ahash_pairs")(spark, TestSpark.sfDir).count()
     PipelineQueries.queries("decontaminate_spans")(spark, TestSpark.sfDir).count()
+    TextQueries.queries("perplexity_buckets")(spark, TestSpark.sfDir).count()
     val populated = spark.sparkContext.getPersistentRDDs.keySet
     assert((populated -- baseline).nonEmpty,
       "expected the query caches to register persisted RDDs")
@@ -42,6 +44,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
     SimilarityQueries.clearCaches()
     MultimodalQueries.clearCaches()
     PipelineQueries.clearCaches()
+    TextQueries.clearCaches()
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- baseline).isEmpty,
       s"persists leaked past clearCaches(): ${(after -- baseline).toSeq.sorted}")

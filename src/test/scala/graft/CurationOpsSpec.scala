@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level semantics of the r11 curation additions: exact discrete
+  * quantile bucketing (the CCNet-style perplexity partition), the
+  * leakage-safe cluster-aware split, and the snapshot drift report.
+  * (Cross-engine value equality is the driver's DuckDB gate; these pin
+  * the invariants the oracle can't express.) */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("quantileBuckets splits distinct scores into exact equal thirds") {
+    import spark.implicits._
+    val df = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val got = graft.operators.TextAnalysis
+      .quantileBuckets(df, "id", "s", Seq("tail", "middle", "head"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1 to 3).forall(i => got(i) == "tail"), got)
+    assert((4 to 6).forall(i => got(i) == "middle"), got)
+    assert((7 to 9).forall(i => got(i) == "head"), got)
+  }
+
+  test("quantileBuckets keeps a tie group wholly on one side of a cut") {
+    import spark.implicits._
+    // 6 rows at score 1.0, 3 at 2.0: cut1 = cut2 = 1.0 (its cumulative
+    // count 6 reaches both ceil(9/3)=3 and ceil(18/3)=6), so the whole
+    // tie group is 'tail', 'middle' is empty and 2.0 is 'head'
+    val df = (Seq.fill(6)(1.0) ++ Seq.fill(3)(2.0)).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val byBucket = graft.operators.TextAnalysis
+      .quantileBuckets(df, "id", "s", Seq("tail", "middle", "head"))
+      .groupBy("bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket == Map("tail" -> 6L, "head" -> 3L), byBucket)
+  }
+
+  test("perplexity_buckets: buckets are score-contiguous and cover all scored docs") {
+    val rows = graft.queries.TextQueries
+      .queries("perplexity_buckets")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getString(2))
+      .map { case (b, rs) => b -> rs.map(_.getDouble(1)) }
+    def maxOf(b: String) = byBucket.get(b).map(_.max)
+    def minOf(b: String) = byBucket.get(b).map(_.min)
+    for (lo <- maxOf("tail"); hi <- minOf("middle")) assert(lo < hi)
+    for (lo <- maxOf("middle"); hi <- minOf("head")) assert(lo < hi)
+    for (lo <- maxOf("tail"); hi <- minOf("head")) assert(lo < hi)
+    // same doc set as the scored LM table
+    val scored = graft.queries.TextQueries
+      .queries("lm_bigram_quality")(spark, TestSpark.sfDir).count()
+    assert(rows.length.toLong == scored)
+  }
+
+  test("split_leakage_safe: one split per cluster; reps are never repaired") {
+    val out = graft.queries.DedupQueries
+      .queries("split_leakage_safe")(spark, TestSpark.sfDir)
+    val forked = out.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(forked == 0, "a cluster straddles a split boundary")
+    // the rep's own naive split IS the cluster split by construction
+    val repRepaired = out.filter(col("doc_id") === col("cluster_rep"))
+      .filter(col("leak_repaired")).count()
+    assert(repRepaired == 0)
+    // covers the whole corpus, one row per doc
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").count()
+    assert(out.count() == docs)
+  }
+
+  test("corpus_drift_report: exact stats stay in range over all features") {
+    val rows = graft.queries.TextQueries
+      .queries("corpus_drift_report")(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted ==
+      Seq("lang", "len_bucket", "source"))
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").count()
+    rows.foreach { r =>
+      val (nRef, nNew) = (r.getLong(2), r.getLong(3))
+      val (tv, mg) = (r.getDouble(4), r.getDouble(5))
+      assert(nRef + nNew == docs, s"slices must partition the corpus: $r")
+      assert(tv >= 0.0 && tv <= 1.0, s"tv_dist out of range: $r")
+      assert(mg >= 0.0 && mg <= 1.0, s"max_gap out of range: $r")
+      // the largest single gap can't exceed the sum of all gaps (= 2*tv)
+      assert(mg <= 2 * tv + 1e-9, s"max_gap exceeds total shift: $r")
+    }
+  }
+}

@@ -41,7 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "dedup_semantic_recall",
       // 1-row corpus-total scalar crossed into the per-domain rate table
       // (the term_stats N-docs pattern)
-      "domain_share_cap")
+      "domain_share_cap",
+      // lm_bigram_quality's 1-row vocabulary broadcast, plus the 1-row
+      // corpus-count and 1-row tercile-cut broadcasts of quantileBuckets
+      "perplexity_buckets")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
