@@ -316,21 +316,33 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"heterogeneous embedding dimension: expected $dim, got "),
         size(col("v")).cast("string"))))
+    // The bucket join moves IDS ONLY: at near-dup thresholds as loose as
+    // 0.5 the Euclidean radius is ~1.0 on the unit sphere, buckets are
+    // wide, and the candidate multiset is large — carrying two
+    // d-float vectors through that shuffle (and scoring every pair once
+    // PER TABLE COLLISION, as this operator did before r11) multiplies
+    // both shuffle bytes and dot products by the collision count. Shape:
+    // (table, bucket)-keyed id join -> distinct id pairs -> attach each
+    // side's vector by one hash join each -> ONE exact score per
+    // surviving pair. Same pair set, same deterministic cosine, ~4x less
+    // compute and an order less shuffle volume at the default 4 tables.
     val keyed = emb.withColumn("u", unitV)
-      .select(col("vec_id"), col("v"), col("nrm"), explode(array(keys.toSeq: _*)).as("k"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("k.t").as("t"), col("k.b").as("b"))
-    val a = keyed.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
-      col("nrm").as("nrm1"), col("t"), col("b"))
-    val b = keyed.select(col("vec_id").as("vec_id_2"), col("v").as("v2"),
-      col("nrm").as("nrm2"), col("t"), col("b"))
-    // a pair colliding in several tables scores its (deterministic) cosine
-    // once per collision; distinct collapses the duplicates afterwards —
-    // cheaper than a first()-aggregate carrying two vectors per pair
-    a.join(b, Seq("t", "b")).filter(col("vec_id_1") < col("vec_id_2"))
+      .select(col("vec_id"), explode(array(keys.toSeq: _*)).as("k"))
+      .select(col("vec_id"), col("k.t").as("t"), col("k.b").as("b"))
+    val cand = keyed.select(col("vec_id").as("vec_id_1"), col("t"), col("b"))
+      .join(keyed.select(col("vec_id").as("vec_id_2"), col("t"), col("b")),
+        Seq("t", "b"))
+      .filter(col("vec_id_1") < col("vec_id_2"))
+      .select("vec_id_1", "vec_id_2")
+      .distinct()
+    val s1 = emb.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
+      col("nrm").as("nrm1"))
+    val s2 = emb.select(col("vec_id").as("vec_id_2"), col("v").as("v2"),
+      col("nrm").as("nrm2"))
+    cand.join(s1, Seq("vec_id_1")).join(s2, Seq("vec_id_2"))
       .withColumn("cosine", vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cosine") >= minCosine)
       .select("vec_id_1", "vec_id_2", "cosine")
-      .distinct()
   }
 
   /** Exact all-pairs embedding cosine — the verification baseline for the
