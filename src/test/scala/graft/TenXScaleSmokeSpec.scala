@@ -134,6 +134,33 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs)")
   }
 
+  test("quantile bucketing scales ~linearly with exactly-10x bucket counts",
+      SlowTest) {
+    import graft.operators.TextAnalysis
+    // uniform histogram: 997 distinct scores, equal multiplicity, so the
+    // tercile CUT SCORES are identical at 1x and 10x and every bucket
+    // count must scale exactly 10x — any histogram/threshold drift (or a
+    // plan that degenerates into a corpus-wide sort) breaks exactness or
+    // the time bound
+    def scores(n: Long): DataFrame =
+      spark.range(n).select(col("id"),
+        (pmod(col("id"), lit(997)).cast("double") / 997.0).as("s"))
+    def bucketCounts(df: DataFrame): Map[String, Long] =
+      TextAnalysis.quantileBuckets(df, "id", "s", Seq("tail", "middle", "head"))
+        .groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n1 = 997L * 500
+    bucketCounts(scores(n1)) // warmup: JIT + codegen
+    val (b1, t1) = timed(bucketCounts(scores(n1)))
+    val (b10, t10) = timed(bucketCounts(scores(n1 * 10)))
+    assert(b1.values.sum == n1, s"1x bucket counts don't cover: $b1")
+    assert(b10 == b1.map { case (k, v) => k -> v * 10 },
+      s"bucket counts not exactly 10x: 1x=$b1 10x=$b10")
+    info(f"1x: $t1%.1fs $b1; 10x: $t10%.1fs $b10; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 5.0,
+      f"10x scores took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs)")
+  }
+
   test("winnow pairs on a 10x corpus equal the per-copy sum (no cross-copy pairs)",
       SlowTest) {
     // winnowed fingerprints are md5-valued, so the per-copy shingle
