@@ -315,4 +315,81 @@ object Sampling {
     }.toMap
     stratifiedSample(df, keyCol, strataCol, rates, defaultRate = 0.0)
   }
+
+  /** Budget WATERFILLING mixture allocation — the planning step a data
+    * mix actually needs when target weights meet finite domains: allocate
+    * a global token `budget` across strata proportional to `weights`, but
+    * no stratum can contribute more tokens than it HAS; the mass a small
+    * stratum cannot absorb spills over to the others (still
+    * weight-proportionally) instead of silently shrinking the run.
+    * Formally: alloc_s = min(n_s, λ·w_s) with the unique λ ≥ 0 making
+    * Σ alloc_s = min(budget, Σ n_s) — the classic waterfill.
+    *
+    * λ is found without iteration: sorted by capacity-per-weight n_s/w_s
+    * ascending, the saturated strata form a PREFIX, and stratum s
+    * saturates iff n_s·(W − cumW) ≤ (budget − cumN)·w_s over the prefix
+    * sums before it — an INTEGER cross-multiplied test, like every
+    * rate decision in this object, so the verdicts are bit-reproducible
+    * in any engine; λ itself is a single division of exact integer sums
+    * taken AFTER the verdicts. Strata without a positive weight are
+    * excluded from the fill and reported at rate 0.
+    *
+    * Scale shape: one key-partitioned token aggregation over the corpus,
+    * then every remaining step runs on the |strata|-row table (the
+    * bounded-metadata contract of the mixing samplers above — tens of
+    * languages/sources, never web-scale domains) — a single-partition
+    * window over that table plus two 1-row broadcasts. Returns one row
+    * per stratum: (strataCol, n_tokens, weight, saturated, rate,
+    * alloc_tokens); feed `rate` to [[stratifiedSample]] (or the md5
+    * filter directly) to materialize the sample. */
+  def waterfillAllocation(df: DataFrame, strataCol: String, tokensCol: String,
+      weights: Map[String, Long], budget: Long): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val dom = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+      .withColumn("weight", wExpr)
+    val active = dom.filter(col("weight") > 0)
+    val wTot = active.agg(sum("weight").as("__W"))
+    // saturation order: capacity-per-weight ascending; prefix sums
+    // EXCLUDE the current row (the "all cheaper strata already filled"
+    // state the criterion needs)
+    val ord = Window
+      .orderBy(col("n_tokens").cast("double") / col("weight"), col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = active.crossJoin(broadcast(wTot))
+      .withColumn("__cumN", coalesce(sum("n_tokens").over(ord), lit(0L)))
+      .withColumn("__cumW", coalesce(sum("weight").over(ord), lit(0L)))
+      .withColumn("saturated",
+        col("n_tokens") * (col("__W") - col("__cumW")) <=
+          (lit(budget) - col("__cumN")) * col("weight"))
+    val lam = flagged.agg(
+      (lit(budget) -
+        coalesce(sum(when(col("saturated"), col("n_tokens"))), lit(0L)))
+        .as("__lamN"),
+      (min("__W") -
+        coalesce(sum(when(col("saturated"), col("weight"))), lit(0L)))
+        .as("__lamD"))
+    // CASE short-circuits per row: with every stratum saturated
+    // (budget >= Σ n) __lamD is 0 but the division branch is never taken
+    val alloc = flagged.crossJoin(broadcast(lam))
+      .select(col(strataCol), col("saturated"),
+        when(col("saturated"), lit(1.0))
+          .otherwise(round6((col("__lamN") * col("weight")).cast("double")
+            / (col("__lamD") * col("n_tokens"))))
+          .as("rate"),
+        when(col("saturated"), col("n_tokens").cast("double"))
+          .otherwise(round6((col("__lamN") * col("weight")).cast("double")
+            / col("__lamD")))
+          .as("alloc_tokens"))
+    dom.join(alloc, Seq(strataCol), "left")
+      .select(col(strataCol), col("n_tokens"), col("weight"),
+        coalesce(col("saturated"), lit(false)).as("saturated"),
+        coalesce(col("rate"), lit(0.0)).as("rate"),
+        coalesce(col("alloc_tokens"), lit(0.0)).as("alloc_tokens"))
+  }
 }

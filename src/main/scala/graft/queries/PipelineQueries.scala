@@ -95,6 +95,23 @@ object PipelineQueries {
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     }),
+    // Budget WATERFILLING mixture allocation (the planning step of a data
+    // mix): 15000 tokens spread over {de:5, es:3, fr:3, en:1} by weight,
+    // but no language contributes more than it has — small high-weight
+    // strata SATURATE (rate 1) and their unfillable share spills to the
+    // rest at the closed-form water level λ; zh carries no weight and
+    // reports rate 0. Saturation verdicts are integer cross-multiplied,
+    // λ is one division of exact integer sums, so the whole allocation
+    // table is bit-reproducible in the oracle. On the fixture this
+    // exercises all three row kinds (saturated, unsaturated, excluded).
+    "mixture_waterfill" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Sampling.waterfillAllocation(docs, "lang", "n_tokens",
+          Map("de" -> 5L, "es" -> 3L, "fr" -> 3L, "en" -> 1L),
+          budget = 15000L)
+        .orderBy("lang")
+    }),
     // Temperature-flattened mixture rebalancing (tau = 0.5, keep half the
     // corpus): kept share of each language proportional to sqrt(n_lang),
     // the standard multilingual mixing rule — rare languages are
@@ -469,6 +486,54 @@ object PipelineQueries {
         |         WHEN lang = 'zh' THEN least(1.0, 2000.0 / tok)
         |         ELSE 0.25 END
         |ORDER BY doc_id""".stripMargin,
+    // independent re-derivation of the waterfill: same sorted prefix
+    // sums, same integer cross-multiplied saturation verdicts, same
+    // single-division water level
+    "mixture_waterfill" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |wt AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(CASE lang WHEN 'de' THEN 5 WHEN 'es' THEN 3 WHEN 'fr' THEN 3
+        |         WHEN 'en' THEN 1 ELSE 0 END AS BIGINT) AS weight
+        |  FROM tok),
+        |act AS (SELECT * FROM wt WHERE weight > 0),
+        |tot AS (SELECT sum(weight) AS W FROM act),
+        |ordw AS (
+        |  SELECT lang, n_tokens, weight, W,
+        |    coalesce(sum(n_tokens) OVER w, 0) AS cumN,
+        |    coalesce(sum(weight) OVER w, 0) AS cumW
+        |  FROM act, tot
+        |  WINDOW w AS (ORDER BY n_tokens * 1.0 / weight, lang
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sat AS (
+        |  SELECT *,
+        |    n_tokens * (W - cumW) <= (15000 - cumN) * weight AS saturated
+        |  FROM ordw),
+        |lam AS (
+        |  SELECT
+        |    15000 - coalesce(sum(CASE WHEN saturated THEN n_tokens END), 0)
+        |      AS lamN,
+        |    min(W) - coalesce(sum(CASE WHEN saturated THEN weight END), 0)
+        |      AS lamD
+        |  FROM sat),
+        |alloc AS (
+        |  SELECT s.lang, s.saturated,
+        |    CASE WHEN s.saturated THEN 1.0
+        |         ELSE round(CAST(l.lamN * s.weight AS DOUBLE)
+        |                    / (l.lamD * s.n_tokens), 6) END AS rate,
+        |    CASE WHEN s.saturated THEN CAST(s.n_tokens AS DOUBLE)
+        |         ELSE round(CAST(l.lamN * s.weight AS DOUBLE) / l.lamD, 6)
+        |         END AS alloc_tokens
+        |  FROM sat s, lam l)
+        |SELECT w.lang, w.n_tokens, w.weight,
+        |  coalesce(a.saturated, FALSE) AS saturated,
+        |  coalesce(a.rate, 0.0) AS rate,
+        |  coalesce(a.alloc_tokens, 0.0) AS alloc_tokens
+        |FROM wt w LEFT JOIN alloc a USING (lang)
+        |ORDER BY lang""".stripMargin,
     "rebalance_temperature" ->
       """WITH n AS (SELECT lang, count(*) AS n_s FROM documents
         |           WHERE lang IS NOT NULL GROUP BY lang),

@@ -68,6 +68,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.count() == docs)
   }
 
+  test("waterfillAllocation matches a hand-computed fill with spillover") {
+    import spark.implicits._
+    // capacities a:100, b:1000, c:10000; weights a:4, b:2, c:1 (W=7),
+    // budget 3000. Ratios n/w: a=25, b=500, c=10000.
+    //  a: 100*7 <= 3000*4            -> saturated, alloc 100
+    //  b: 1000*(7-4) <= (3000-100)*2 -> 3000 <= 5800 -> saturated, 1000
+    //  c: 10000*1 <= 1900*1          -> unsaturated; λ = 1900/1,
+    //     alloc 1900, rate 0.19. Total = 100+1000+1900 = budget. 'x' has
+    //     no weight -> rate 0.
+    val rows = Seq.tabulate(100)(i => (s"a$i", "a", 1L)) ++
+      Seq.tabulate(100)(i => (s"b$i", "b", 10L)) ++
+      Seq.tabulate(100)(i => (s"c$i", "c", 100L)) ++
+      Seq.tabulate(10)(i => (s"x$i", "x", 5L))
+    val df = rows.toDF("id", "dom", "toks")
+    val got = graft.operators.Sampling.waterfillAllocation(df, "dom", "toks",
+        Map("a" -> 4L, "b" -> 2L, "c" -> 1L), budget = 3000L)
+      .orderBy("dom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 100L, 4L, true, 1.0, 100.0),
+      ("b", 1000L, 2L, true, 1.0, 1000.0),
+      ("c", 10000L, 1L, false, 0.19, 1900.0),
+      ("x", 50L, 0L, false, 0.0, 0.0)), got.toSeq)
+  }
+
+  test("waterfillAllocation: budget above total capacity saturates everything") {
+    import spark.implicits._
+    val df = Seq(("1", "a", 10L), ("2", "b", 20L)).toDF("id", "dom", "toks")
+    val got = graft.operators.Sampling.waterfillAllocation(df, "dom", "toks",
+        Map("a" -> 1L, "b" -> 1L), budget = 1000L)
+      .orderBy("dom").collect()
+    assert(got.forall(_.getBoolean(3)), "all strata must saturate")
+    assert(got.map(_.getDouble(5)).sum == 30.0, "allocation must equal capacity")
+  }
+
   test("corpus_drift_report: exact stats stay in range over all features") {
     val rows = graft.queries.TextQueries
       .queries("corpus_drift_report")(spark, TestSpark.sfDir).collect()
