@@ -354,6 +354,39 @@ object TextAnalysis {
     * quality-bucketed corpus wants — equal quality, equal treatment.
     * `labels` is ordered low score -> high score. Output:
     * (idCol, scoreCol, bucket). */
+  /** Exact PER-GROUP discrete quantiles of an integer-valued column — the
+    * per-language token-length dashboard (p50/p95 sequence lengths drive
+    * packing budgets and truncation policy) without a per-group sort.
+    *
+    * Same histogram shape as [[quantileBuckets]], partitioned by group:
+    * `groupBy(group, value).count` bounds every window partition by the
+    * VALUE CODOMAIN (distinct lengths, not rows), cumulative counts run
+    * over those bounded histograms, and quantile q = num/den is read off
+    * as the smallest value whose cumulative count reaches
+    * ceil(num·n/den) — the discrete (type-1) quantile, pure integer
+    * arithmetic, bit-reproducible in any engine. `quantiles` are
+    * (outputName, num, den) with 0 < num/den <= 1. Output: (groupCol,
+    * n_rows, <one column per quantile>). */
+  def groupedQuantiles(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String, quantiles: Seq[(String, Int, Int)])
+      : org.apache.spark.sql.DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, n, d) => n > 0 && d > 0 && n <= d },
+      s"quantiles must satisfy 0 < num/den <= 1: $quantiles")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy(groupCol).orderBy(valueCol)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(groupCol)))
+    val aggs = quantiles.map { case (nm, num, den) =>
+      min(when(col("cum") >= expr(s"($num * n + ${den - 1}) div $den"),
+        col(valueCol))).as(nm)
+    }
+    cum.groupBy(groupCol)
+      .agg(max("n").as("n_rows"), aggs: _*)
+  }
+
   def quantileBuckets(scored: org.apache.spark.sql.DataFrame, idCol: String,
       scoreCol: String, labels: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(labels.size >= 2, "need at least two bucket labels")

@@ -204,6 +204,22 @@ object TextQueries {
             / (lit(1.0) * min("n_ref") * min("n_new")), 6).as("max_gap"))
         .orderBy("feature")
     }),
+    // Per-language token-length quantile report (r11): exact discrete
+    // p25/p50/p75/p95 of tokens-per-document by language — the dashboard
+    // that sets packing budgets and truncation policy. Same
+    // histogram-not-sort shape as perplexity_buckets, partitioned by
+    // language: window partitions are bounded by DISTINCT LENGTHS, never
+    // rows, and the quantile thresholds are pure integer arithmetic —
+    // bit-identical in the oracle.
+    "token_quantiles_report" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      TextAnalysis.groupedQuantiles(docs, "lang", "n_tokens",
+          Seq(("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100),
+            ("p95", 95, 100)))
+        .orderBy("lang")
+    }),
     // Score-PROPORTIONAL soft sampling (r11): keep probability = the
     // composite quality score itself, instead of a hard threshold — the
     // DCLM-style soft filter that keeps a graded mix (high-quality docs
@@ -749,6 +765,25 @@ object TextQueries {
         |  round(CAST(max(anum) AS DOUBLE) / (1.0 * min(n_ref) * min(n_new)), 6)
         |    AS max_gap
         |FROM j GROUP BY feature ORDER BY feature""".stripMargin,
+    // independent re-derivation: same per-language histogram, same
+    // cumulative counts, same ceil(num*n/den) discrete-quantile read-off
+    "token_quantiles_report" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |hist AS (SELECT lang, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum >= (25 * n + 99) // 100 THEN v END) AS p25,
+        |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (75 * n + 99) // 100 THEN v END) AS p75,
+        |  min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END) AS p95
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
     // same score derivation as text_quality; membership = md5 fraction
     // below the round-4 score, both sides bit-identical
     "sample_quality_weighted" ->

@@ -68,6 +68,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.count() == docs)
   }
 
+  test("groupedQuantiles reads off exact discrete quantiles per group") {
+    import spark.implicits._
+    // g1: 1..10 once each -> p25=ceil(2.5)th=3, p50=5, p75=ceil(7.5)th=8,
+    // p95=ceil(9.5)th=10; g2: five 7s -> every quantile 7
+    val df = ((1 to 10).map(v => ("g1", v.toLong)) ++
+      Seq.fill(5)(("g2", 7L))).toDF("g", "v")
+    val got = graft.operators.TextAnalysis.groupedQuantiles(df, "g", "v",
+        Seq(("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100),
+          ("p95", 95, 100)))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("g1", 10L, 3L, 5L, 8L, 10L),
+      ("g2", 5L, 7L, 7L, 7L, 7L)), got.toSeq)
+  }
+
   test("waterfillAllocation matches a hand-computed fill with spillover") {
     import spark.implicits._
     // capacities a:100, b:1000, c:10000; weights a:4, b:2, c:1 (W=7),
