@@ -334,62 +334,58 @@ object Sampling {
     * taken AFTER the verdicts. Strata without a positive weight are
     * excluded from the fill and reported at rate 0.
     *
-    * Scale shape: one key-partitioned token aggregation over the corpus,
-    * then every remaining step runs on the |strata|-row table (the
-    * bounded-metadata contract of the mixing samplers above — tens of
-    * languages/sources, never web-scale domains) — a single-partition
-    * window over that table plus two 1-row broadcasts. Returns one row
-    * per stratum: (strataCol, n_tokens, weight, saturated, rate,
-    * alloc_tokens); feed `rate` to [[stratifiedSample]] (or the md5
-    * filter directly) to materialize the sample. */
+    * Scale shape: ONE key-partitioned token aggregation over the corpus,
+    * collected at |strata| rows (the bounded-metadata contract of the
+    * mixing samplers above — tens of languages/sources, never web-scale
+    * domains; [[temperatureRebalance]] makes the same trade), then the
+    * fill is a driver-side fold over those rows and the allocation table
+    * a local relation — an earlier engine-side formulation re-evaluated
+    * the corpus aggregate subtree per reference (5 scans in the plan).
+    * Returns one row per stratum: (strataCol, n_tokens, weight,
+    * saturated, rate, alloc_tokens); feed `rate` to [[stratifiedSample]]
+    * (or the md5 filter directly) to materialize the sample. */
   def waterfillAllocation(df: DataFrame, strataCol: String, tokensCol: String,
       weights: Map[String, Long], budget: Long): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     require(budget >= 0, s"budget must be non-negative, got $budget")
-    def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
-    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(acc)
+    // the same scaled-HALF_UP rounding as Spark's round(c*1e6, 0)/1e6 and
+    // DuckDB's round(x, 6) (positive domain), so the local relation is
+    // bit-identical to the engine-side/oracle arithmetic
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(sum(col(tokensCol).cast("long")).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
+    val active = counts
+      .map { case (s, n) => (s, n, weights.getOrElse(s, 0L)) }
+      .filter(_._3 > 0)
+    val wTot = active.map(_._3).sum
+    // saturation order: capacity-per-weight ascending; the saturated
+    // strata form a prefix, and each verdict is an integer
+    // cross-multiplied test against the prefix sums before the row
+    var cumN = 0L; var cumW = 0L
+    val verdicts = active
+      .sortBy { case (s, n, w) => (n.toDouble / w, s) }
+      .map { case (s, n, w) =>
+        val isSat = n * (wTot - cumW) <= (budget - cumN) * w
+        cumN += n; cumW += w
+        s -> isSat
+      }.toMap
+    val lamN = budget - active.collect { case (s, n, _) if verdicts(s) => n }.sum
+    val lamD = wTot - active.collect { case (s, _, w) if verdicts(s) => w }.sum
+    val rows = counts.map { case (s, n) =>
+      val w = weights.getOrElse(s, 0L)
+      if (w <= 0) (s, n, w, false, 0.0, 0.0)
+      else if (verdicts(s)) (s, n, w, true, 1.0, n.toDouble)
+      else (s, n, w, false,
+        r6((lamN * w).toDouble / (lamD * n)),
+        r6((lamN * w).toDouble / lamD))
     }
-    val dom = df.filter(col(strataCol).isNotNull)
-      .groupBy(strataCol).agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
-      .withColumn("weight", wExpr)
-    val active = dom.filter(col("weight") > 0)
-    val wTot = active.agg(sum("weight").as("__W"))
-    // saturation order: capacity-per-weight ascending; prefix sums
-    // EXCLUDE the current row (the "all cheaper strata already filled"
-    // state the criterion needs)
-    val ord = Window
-      .orderBy(col("n_tokens").cast("double") / col("weight"), col(strataCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = active.crossJoin(broadcast(wTot))
-      .withColumn("__cumN", coalesce(sum("n_tokens").over(ord), lit(0L)))
-      .withColumn("__cumW", coalesce(sum("weight").over(ord), lit(0L)))
-      .withColumn("saturated",
-        col("n_tokens") * (col("__W") - col("__cumW")) <=
-          (lit(budget) - col("__cumN")) * col("weight"))
-    val lam = flagged.agg(
-      (lit(budget) -
-        coalesce(sum(when(col("saturated"), col("n_tokens"))), lit(0L)))
-        .as("__lamN"),
-      (min("__W") -
-        coalesce(sum(when(col("saturated"), col("weight"))), lit(0L)))
-        .as("__lamD"))
-    // CASE short-circuits per row: with every stratum saturated
-    // (budget >= Σ n) __lamD is 0 but the division branch is never taken
-    val alloc = flagged.crossJoin(broadcast(lam))
-      .select(col(strataCol), col("saturated"),
-        when(col("saturated"), lit(1.0))
-          .otherwise(round6((col("__lamN") * col("weight")).cast("double")
-            / (col("__lamD") * col("n_tokens"))))
-          .as("rate"),
-        when(col("saturated"), col("n_tokens").cast("double"))
-          .otherwise(round6((col("__lamN") * col("weight")).cast("double")
-            / col("__lamD")))
-          .as("alloc_tokens"))
-    dom.join(alloc, Seq(strataCol), "left")
-      .select(col(strataCol), col("n_tokens"), col("weight"),
-        coalesce(col("saturated"), lit(false)).as("saturated"),
-        coalesce(col("rate"), lit(0.0)).as("rate"),
-        coalesce(col("alloc_tokens"), lit(0.0)).as("alloc_tokens"))
+    rows.toSeq
+      .toDF(strataCol, "n_tokens", "weight", "saturated", "rate",
+        "alloc_tokens")
   }
 }

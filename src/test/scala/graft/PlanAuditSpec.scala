@@ -44,10 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "domain_share_cap",
       // lm_bigram_quality's 1-row vocabulary broadcast, plus the 1-row
       // corpus-count and 1-row tercile-cut broadcasts of quantileBuckets
-      "perplexity_buckets",
-      // waterfill's 1-row weight-total and 1-row water-level broadcasts
-      // over the |strata|-row allocation table
-      "mixture_waterfill")
+      "perplexity_buckets")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
