@@ -120,6 +120,76 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_.getDouble(5)).sum == 30.0, "allocation must equal capacity")
   }
 
+  test("quantileBuckets: exact bucket sizes on randomized distinct scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 6) {
+      val n = 5 + rnd.nextInt(40)
+      val k = 2 + rnd.nextInt(3)
+      val labels = (1 to k).map(j => s"b$j")
+      // distinct scores: a random strictly-increasing walk
+      var acc = 0.0
+      val scores = (1 to n).map { i => acc += 0.01 + rnd.nextDouble(); (i.toLong, acc) }
+      val sizes = graft.operators.TextAnalysis
+        .quantileBuckets(scores.toDF("id", "s"), "id", "s", labels)
+        .groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+      val expected = (1 to k).map(j =>
+        labels(j - 1) -> (ceilDiv(j.toLong * n, k) - ceilDiv((j - 1).toLong * n, k)))
+        .filter(_._2 > 0).toMap
+      assert(sizes == expected, s"n=$n k=$k: $sizes != $expected")
+    }
+  }
+
+  test("waterfillAllocation invariants hold on randomized strata") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (caseNo <- 1 to 8) {
+      val nStrata = 1 + rnd.nextInt(6)
+      val strata = (1 to nStrata).map(i => s"s$i")
+      val caps = strata.map(_ -> (1L + rnd.nextInt(10000))).toMap
+      val weights = strata.map(_ -> rnd.nextInt(6).toLong).toMap
+      val rows = strata.flatMap { s =>
+        // split each stratum's capacity over a few docs
+        var left = caps(s); val out = Seq.newBuilder[(String, String, Long)]
+        var i = 0
+        while (left > 0) {
+          val t = math.min(left, 1 + rnd.nextInt(500).toLong)
+          out += ((s"$s-$i", s, t)); left -= t; i += 1
+        }
+        out.result()
+      }
+      val activeTotal = strata.filter(weights(_) > 0).map(caps).sum
+      val budget = rnd.nextInt(2 * math.max(1, activeTotal).toInt).toLong
+      val df = rows.toDF("id", "dom", "toks")
+      def run(b: Long) = graft.operators.Sampling
+        .waterfillAllocation(df, "dom", "toks", weights, b)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4),
+            r.getDouble(5))).toMap
+      val got = run(budget)
+      got.foreach { case (s, (n, w, sat, rate, alloc)) =>
+        assert(n == caps(s) && w == weights(s), s"case $caseNo $s: wrong table row")
+        assert(rate >= 0.0 && rate <= 1.0, s"case $caseNo $s: rate $rate")
+        assert(!(w == 0) || (rate == 0.0 && alloc == 0.0 && !sat),
+          s"case $caseNo $s: weightless stratum must sit out")
+        assert(!sat || (rate == 1.0 && alloc == n.toDouble),
+          s"case $caseNo $s: saturated must take full capacity")
+      }
+      val allocSum = got.values.map(_._5).sum
+      val expect = math.min(budget, activeTotal).toDouble
+      assert(math.abs(allocSum - expect) <= 1e-3,
+        s"case $caseNo: allocations sum to $allocSum, budget law says $expect")
+      // monotonicity: more budget never shrinks any stratum's allocation
+      val more = run(budget + 1 + rnd.nextInt(1000))
+      got.foreach { case (s, (_, _, _, _, alloc)) =>
+        assert(more(s)._5 >= alloc - 1e-6,
+          s"case $caseNo $s: allocation shrank when the budget grew")
+      }
+    }
+  }
+
   test("corpus_drift_report: exact stats stay in range over all features") {
     val rows = graft.queries.TextQueries
       .queries("corpus_drift_report")(spark, TestSpark.sfDir).collect()
