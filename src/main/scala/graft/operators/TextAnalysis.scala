@@ -354,6 +354,26 @@ object TextAnalysis {
     * quality-bucketed corpus wants — equal quality, equal treatment.
     * `labels` is ordered low score -> high score. Output:
     * (idCol, scoreCol, bucket). */
+  /** The drift-report feature space over a documents table — ONE
+    * definition for the batch snapshot report and the streaming monitor
+    * (so a feature/bucketing tweak can never fork their verdicts): each
+    * document contributes its language, its source, and its capped
+    * 200-char length bucket as (feature, category) pairs. `extraCols`
+    * pass through untouched (the batch report threads its slice flag). */
+  def docCategoryPairs(df: org.apache.spark.sql.DataFrame,
+      extraCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val fc = explode(array(
+      struct(lit("lang").as("feature"), col("lang").as("category")),
+      struct(lit("source").as("feature"), col("source").as("category")),
+      struct(lit("len_bucket").as("feature"),
+        least(expr("n_chars div 200"), lit(20L)).cast("string")
+          .as("category"))))
+    df.select(extraCols.map(col) :+ fc.as("fc"): _*)
+      .select(extraCols.map(col) ++
+        Seq(col("fc.feature").as("feature"),
+          col("fc.category").as("category")): _*)
+  }
+
   /** Exact PER-GROUP discrete quantiles of an integer-valued column — the
     * per-language token-length dashboard (p50/p95 sequence lengths drive
     * packing budgets and truncation policy) without a per-group sort.

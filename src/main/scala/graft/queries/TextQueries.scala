@@ -175,16 +175,8 @@ object TextQueries {
     // table — no windows, no driver state, nothing corpus-sized moves.
     "corpus_drift_report" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val cat = docs.select((col("doc_id") % 5 === 0).as("is_new"),
-        explode(array(
-          struct(lit("lang").as("feature"), col("lang").as("category")),
-          struct(lit("source").as("feature"), col("source").as("category")),
-          struct(lit("len_bucket").as("feature"),
-            least(expr("n_chars div 200"), lit(20L)).cast("string")
-              .as("category"))))
-          .as("fc"))
-        .select(col("is_new"), col("fc.feature").as("feature"),
-          col("fc.category").as("category"))
+      val cat = TextAnalysis.docCategoryPairs(
+        docs.withColumn("is_new", col("doc_id") % 5 === 0), Seq("is_new"))
       val perCat = cat.groupBy("feature", "category").agg(
         sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"),
         sum(when(!col("is_new"), 1L).otherwise(0L)).as("c_ref"))

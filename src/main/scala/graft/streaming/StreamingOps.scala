@@ -353,6 +353,74 @@ object StreamingOps {
       .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
   }
 
+  final case class DriftState(counts: Map[String, Long])
+  final case class DriftRow(feature: String, n_ref: Long, n_new: Long,
+      tv_dist: Double, max_gap: Double)
+
+  /** Reference category counts for [[driftMonitorStream]] — the static
+    * side, built ONCE from the admitted corpus (one aggregation job,
+    * collected at category cardinality: languages + sources + 21 length
+    * buckets — metadata-sized by construction). */
+  def driftReferenceCounts(corpus: DataFrame): Map[(String, String), Long] =
+    graft.operators.TextAnalysis.docCategoryPairs(corpus)
+      .groupBy("feature", "category").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  /** Streaming snapshot-drift monitor: the streaming twin of the batch
+    * `corpus_drift_report` — as a new crawl streams in, emit after every
+    * micro-batch one row per feature (lang / source / len_bucket, the
+    * SHARED [[graft.operators.TextAnalysis.docCategoryPairs]] feature
+    * space) with the running total-variation distance and largest
+    * category gap of everything-seen-so-far against the frozen reference
+    * corpus. The pre-admission check becomes a live dashboard: a crawl
+    * whose mix goes wrong is visible at the first trigger, not after the
+    * batch lands.
+    *
+    * State design: `flatMapGroupsWithState` keyed by FEATURE, state = the
+    * feature's category histogram — bounded by the CATEGORY CODOMAIN
+    * (languages, sources, 21 length buckets), never by rows seen, so the
+    * state neither grows with the stream nor needs a timeout; the
+    * reference histogram rides along as a driver literal of the same
+    * bounded size. The drift arithmetic is the batch report's, verbatim:
+    * exact integer cross-multiplied numerators summed/maxed in Scala
+    * longs (order-independent), ONE division, the shared HALF_UP scaled
+    * rounding — so once the full slice has streamed, the emitted rows
+    * EQUAL the batch report's (StreamingSpec pins the equality). */
+  def driftMonitorStream(spark: SparkSession, stream: DataFrame,
+      refCounts: Map[(String, String), Long]): Dataset[DriftRow] = {
+    import spark.implicits._
+    val refByFeature: Map[String, Map[String, Long]] =
+      refCounts.groupBy(_._1._1).map { case (f, m) =>
+        f -> m.map { case ((_, c), n) => c -> n }
+      }
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+    graft.operators.TextAnalysis.docCategoryPairs(stream)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (feature: String, batch: Iterator[(String, String)],
+            state: GroupState[DriftState]) => {
+          val cur = scala.collection.mutable.Map.empty[String, Long] ++=
+            state.getOption.map(_.counts).getOrElse(Map.empty)
+          batch.foreach { case (_, c) => cur(c) = cur.getOrElse(c, 0L) + 1L }
+          state.update(DriftState(cur.toMap))
+          val ref = refByFeature.getOrElse(feature, Map.empty)
+          val nRef = ref.values.sum
+          val nNew = cur.values.sum
+          val nums = (ref.keySet ++ cur.keySet).toSeq.map { c =>
+            math.abs(ref.getOrElse(c, 0L) * nNew - cur.getOrElse(c, 0L) * nRef)
+          }
+          val (tv, mg) =
+            if (nRef == 0 || nNew == 0 || nums.isEmpty) (0.0, 0.0)
+            else (r6(nums.sum.toDouble / (2.0 * nRef * nNew)),
+              r6(nums.max.toDouble / (1.0 * nRef * nNew)))
+          Iterator.single(DriftRow(feature, nRef, nNew, tv, mg))
+        })
+  }
+
   /** Custom state: running per-user totals emitted on every update. State
     * expires on an event-time timeout one hour past the user's last event
     * (watermark-driven, so expiry is deterministic and replayable — at scale

@@ -358,6 +358,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerUser == batchCounts)
   }
 
+  test("streaming drift monitor converges to the batch snapshot report") {
+    // stream the %5==0 "new crawl" slice against the %5!=0 reference —
+    // the exact slices of the batch corpus_drift_report — and the final
+    // per-feature rows must EQUAL the batch report (same integer
+    // numerators, same single division, same rounding)
+    val docs = Tables.load(spark, dir, "documents")
+    val ref = StreamingOps.driftReferenceCounts(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val stream = StreamingOps.readTableStream(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+    val out = StreamingOps.driftMonitorStream(spark, stream, ref)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("drift_mon").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // single staged file -> one micro-batch -> exactly one row per feature
+    val got = spark.table("drift_mon").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == 3, s"expected one row per feature, got $got")
+    val want = graft.queries.TextQueries
+      .queries("corpus_drift_report")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("streaming KMV sketch equals the batch sketch (mergeable state)") {
     import graft.functions.KmvSketch.kmv_sketch
     // the sketch is a TypedImperativeAggregate, so it runs as streaming
