@@ -386,6 +386,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("drift monitor carries its histogram state across micro-batches") {
+    // two files -> two triggers: the update stream must emit a row per
+    // feature per trigger, n_new strictly growing, and the LAST rows must
+    // equal the one-shot result over the union — i.e. the state really
+    // accumulates instead of resetting per batch
+    val docs = Tables.load(spark, dir, "documents")
+    val ref = StreamingOps.driftReferenceCounts(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val staged = java.nio.file.Files.createTempDirectory("drift2").toString
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+      .write.parquet(s"$staged/a")
+    docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+      .write.parquet(s"$staged/b")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(staged)
+    val out = StreamingOps.driftMonitorStream(spark, stream, ref)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("drift_mon2").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val rows = spark.table("drift_mon2").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 6, s"expected 3 features x 2 triggers: ${rows.toSeq}")
+    val lastPerFeature = rows.groupBy(_._1)
+      .map { case (f, rs) => f -> rs.maxBy(_._2) }
+    rows.groupBy(_._1).foreach { case (f, rs) =>
+      val ns = rs.map(_._2).sorted
+      assert(ns.distinct.length == 2 && ns(0) < ns(1),
+        s"$f: n_new must strictly grow across triggers: ${ns.toSeq}")
+    }
+    // one-shot truth over the union slice (%5==0 == %10 in {0,5})
+    val batchGot = graft.queries.TextQueries
+      .queries("corpus_drift_report")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    lastPerFeature.foreach { case (f, (_, n, tv)) =>
+      assert((n, tv) == batchGot(f),
+        s"$f: final streamed row ($n, $tv) != batch ${batchGot(f)}")
+    }
+  }
+
   test("streaming KMV sketch equals the batch sketch (mergeable state)") {
     import graft.functions.KmvSketch.kmv_sketch
     // the sketch is a TypedImperativeAggregate, so it runs as streaming
