@@ -143,6 +143,42 @@ object Packing {
       .withColumn("shard", (col("pos") % nShards).cast("int"))
       .select("doc_id", "order_key", "pos", "shard")
   }
+
+  /** Curriculum training order: a global position for every document such
+    * that all of phase p precedes all of phase p+1, and WITHIN a phase the
+    * order is the seed-keyed md5 shuffle of [[shuffleAssign]] — the staged
+    * data schedule of anneal-to-quality training runs (generic phases
+    * first, the highest-quality phase last), with the reproducibility
+    * contract of every ordering here: position is a pure function of
+    * (seed, phase, doc_id).
+    *
+    * Same two-level prefix scan as [[shuffleAssign]], with the phase
+    * prepended to the block key: per-(phase, md5-prefix-block) local ranks
+    * in parallel, then block offsets via one window over the
+    * n_phases·256-row block table — equivalent to `row_number() OVER
+    * (ORDER BY phase, order_key, id)` without the single-task corpus
+    * sort (the block is a PREFIX of the order key, so block order is
+    * consistent with the global order). Output: (doc_id, phase,
+    * order_key, pos). */
+  def curriculumOrder(df: DataFrame, idCol: String, phaseCol: String,
+      seed: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        col(phaseCol).cast("int").as("phase"))
+      .withColumn("order_key",
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("block", substring(col("order_key"), 1, 2))
+    val wIn = Window.partitionBy("phase", "block")
+      .orderBy("order_key", "doc_id")
+    val wBlocks = Window.orderBy("phase", "block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("phase", "block").agg(count(lit(1)).as("cnt"))
+      .withColumn("block_offset", coalesce(sum("cnt").over(wBlocks), lit(0L)))
+      .select("phase", "block", "block_offset")
+    base.withColumn("rank_in_block", row_number().over(wIn))
+      .join(offsets, Seq("phase", "block"))
+      .withColumn("pos", col("block_offset") + col("rank_in_block") - 1)
+      .select("doc_id", "phase", "order_key", "pos")
+  }
 }
 
 /** Deterministic hash-based sampling for training-data mixing: the keep

@@ -531,6 +531,28 @@ object TextQueries {
           bigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
           "doc_id", "pred_prob", Seq("tail", "middle", "head"))
         .orderBy("doc_id")),
+    // Anneal-to-quality curriculum order (r11): every document gets a
+    // global training position — phase 0 (tail) streams first, the head
+    // phase last, and within a phase the order is the seed-keyed md5
+    // shuffle — composing the perplexity terciles above with
+    // Packing.curriculumOrder's two-level prefix scan (equivalent to one
+    // global row_number over (phase, order_key), without the single-task
+    // corpus sort). Docs the LM cannot score (under two tokens) default
+    // to phase 0.
+    "curriculum_order" -> ((spark, dir) => {
+      val phases = TextAnalysis.quantileBuckets(
+          bigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
+          "doc_id", "pred_prob", Seq("tail", "middle", "head"))
+        .select(col("doc_id"),
+          when(col("bucket") === "tail", 0)
+            .when(col("bucket") === "middle", 1).otherwise(2).as("phase"))
+      val docs = Tables.load(spark, dir, "documents").select("doc_id")
+      val phased = docs.join(phases, Seq("doc_id"), "left")
+        .withColumn("phase", coalesce(col("phase"), lit(0)))
+      graft.operators.Packing.curriculumOrder(phased, "doc_id", "phase",
+          seed = "cur1")
+        .orderBy("doc_id")
+    }),
     // TRAIN/SERVE split of the bigram LM (the CCNet lifecycle): the model
     // is trained ONCE on the %5!=0 slice, written durable with a manifest
     // (build-once/serve-many — a later session reopens it with zero
@@ -1086,6 +1108,52 @@ object TextQueries {
         |       WHEN pred_prob <= t2 THEN 'middle'
         |       ELSE 'head' END AS bucket
         |FROM score, thr ORDER BY doc_id""".stripMargin,
+    // the perplexity-tercile derivation above, then the two-level prefix
+    // scan's single-window reformulation: one global row_number over
+    // (phase, order_key, doc_id)
+    "curriculum_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM d),
+        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM occ GROUP BY doc_id, bg),
+        |model AS (SELECT bg, sum(k) AS c12 FROM doc_bg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(k) AS c1
+        |        FROM doc_bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM d)),
+        |j AS (
+        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
+        |  FROM doc_bg b
+        |  JOIN model m ON b.bg = m.bg
+        |  JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc),
+        |score AS (
+        |  SELECT doc_id,
+        |    round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
+        |      AS pred_prob
+        |  FROM j GROUP BY doc_id),
+        |hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM score),
+        |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum >= (1 * tot.n + 2) // 3 THEN s END) AS t1,
+        |         min(CASE WHEN cum >= (2 * tot.n + 2) // 3 THEN s END) AS t2
+        |  FROM cum, tot),
+        |bk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pred_prob <= t1 THEN 0
+        |         WHEN pred_prob <= t2 THEN 1 ELSE 2 END AS phase
+        |  FROM score, thr),
+        |al AS (
+        |  SELECT doc.doc_id, coalesce(bk.phase, 0) AS phase,
+        |    md5('cur1:' || CAST(doc.doc_id AS VARCHAR)) AS order_key
+        |  FROM documents doc LEFT JOIN bk USING (doc_id))
+        |SELECT doc_id, phase, order_key,
+        |  CAST(row_number() OVER (ORDER BY phase, order_key, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM al ORDER BY doc_id""".stripMargin,
     // train on the %5!=0 slice, score the held-out %5==0 slice under the
     // frozen counts — unseen bigrams/contexts coalesce to 0 (add-one
     // smoothing floors them at 1/(c1+v) resp. 1/v)

@@ -190,6 +190,37 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumOrder equals the single-window formulation and separates phases") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.queries.TextQueries
+      .queries("curriculum_order")(spark, TestSpark.sfDir)
+    // two-level prefix scan == one global row_number over
+    // (phase, order_key, doc_id)
+    val oneWindow = out.withColumn("ref_pos",
+      row_number().over(Window.orderBy("phase", "order_key", "doc_id"))
+        .cast("long") - 1)
+    assert(oneWindow.filter(col("pos") =!= col("ref_pos")).count() == 0,
+      "two-level positions diverge from the single-window truth")
+    // positions are a permutation of 0..n-1 and phases occupy disjoint
+    // contiguous position ranges in phase order
+    val n = out.count()
+    assert(out.select("pos").distinct().count() == n)
+    assert(out.agg(min("pos"), max("pos")).collect().head match {
+      case r => r.getLong(0) == 0L && r.getLong(1) == n - 1
+    })
+    val ranges = out.groupBy("phase")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("cnt"))
+      .orderBy("phase").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ranges.foreach { case (_, lo, hi, cnt) => assert(hi - lo + 1 == cnt,
+      s"phase range not contiguous: $ranges") }
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(hi1 < lo2, s"phases interleave: $ranges")
+      case _ => ()
+    }
+  }
+
   test("corpus_drift_report: exact stats stay in range over all features") {
     val rows = graft.queries.TextQueries
       .queries("corpus_drift_report")(spark, TestSpark.sfDir).collect()
