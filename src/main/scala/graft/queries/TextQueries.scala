@@ -89,10 +89,27 @@ object TextQueries {
           "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The perplexity-tercile bucket table, shared by perplexity_buckets
+    * and curriculum_order (same residency rationale as the LM scores it
+    * derives from: one row per document, three narrow columns; the
+    * bucketing pass otherwise re-runs its histogram + threshold
+    * aggregates per consumer). */
+  private val bucketsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    bucketsCache.getOrElseUpdate((spark, dir),
+      TextAnalysis.quantileBuckets(
+          bigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
+          "doc_id", "pred_prob", Seq("tail", "middle", "head"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Release every persisted intermediate this object holds. */
   def clearCaches(): Unit = {
     bigramScoresCache.values.foreach(_.unpersist())
     bigramScoresCache.clear()
+    bucketsCache.values.foreach(_.unpersist())
+    bucketsCache.clear()
   }
 
   val queries: ListMap[String, Q] = ListMap(
@@ -527,10 +544,7 @@ object TextQueries {
     // quality, equal treatment), which also makes the assignment
     // bit-reproducible in the oracle.
     "perplexity_buckets" -> ((spark, dir) =>
-      TextAnalysis.quantileBuckets(
-          bigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
-          "doc_id", "pred_prob", Seq("tail", "middle", "head"))
-        .orderBy("doc_id")),
+      perplexityBuckets(spark, dir).orderBy("doc_id")),
     // Anneal-to-quality curriculum order (r11): every document gets a
     // global training position — phase 0 (tail) streams first, the head
     // phase last, and within a phase the order is the seed-keyed md5
@@ -540,9 +554,7 @@ object TextQueries {
     // corpus sort). Docs the LM cannot score (under two tokens) default
     // to phase 0.
     "curriculum_order" -> ((spark, dir) => {
-      val phases = TextAnalysis.quantileBuckets(
-          bigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
-          "doc_id", "pred_prob", Seq("tail", "middle", "head"))
+      val phases = perplexityBuckets(spark, dir)
         .select(col("doc_id"),
           when(col("bucket") === "tail", 0)
             .when(col("bucket") === "middle", 1).otherwise(2).as("phase"))
