@@ -161,6 +161,38 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       f"10x scores took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs)")
   }
 
+  test("curriculum order scales ~linearly and keeps phases exactly sized",
+      SlowTest) {
+    import graft.operators.Packing
+    // synthetic phases with known sizes: phase = id % 3 (so each phase
+    // holds exactly n/3 rows); positions must be a permutation with
+    // phase ranges exactly [0, n/3), [n/3, 2n/3), [2n/3, n) at BOTH
+    // scales, and wall-time must stay ~linear — a regression toward the
+    // single-window global sort shows up in the time bound first
+    def ordered(n: Long) = Packing.curriculumOrder(
+      spark.range(n).select(col("id"),
+        pmod(col("id"), lit(3)).cast("int").as("ph")),
+      "id", "ph", seed = "tenx")
+    def check(n: Long): Boolean = {
+      val ranges = ordered(n).groupBy("phase")
+        .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("cnt"))
+        .orderBy("phase").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      ranges.length == 3 && ranges.zipWithIndex.forall { case ((lo, hi, cnt), i) =>
+        cnt == n / 3 && lo == i * (n / 3) && hi == (i + 1) * (n / 3) - 1
+      }
+    }
+    val n1 = 300000L
+    check(n1) // warmup: JIT + codegen
+    val (ok1, t1) = timed(check(n1))
+    val (ok10, t10) = timed(check(n1 * 10))
+    assert(ok1, "1x phase ranges wrong")
+    assert(ok10, "10x phase ranges wrong")
+    info(f"1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 5.0,
+      f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time ($t10%.1fs vs $t1%.1fs)")
+  }
+
   test("winnow pairs on a 10x corpus equal the per-copy sum (no cross-copy pairs)",
       SlowTest) {
     // winnowed fingerprints are md5-valued, so the per-copy shingle
