@@ -159,11 +159,13 @@ object Packing {
     * (ORDER BY phase, order_key, id)` without the single-task corpus
     * sort (the block is a PREFIX of the order key, so block order is
     * consistent with the global order). Output: (doc_id, phase,
-    * order_key, pos). */
+    * order_key, pos, carryCols...) — carry columns ride through the scan
+    * like [[packSequences]]' (a join-back would re-evaluate the input
+    * subtree). */
   def curriculumOrder(df: DataFrame, idCol: String, phaseCol: String,
-      seed: String): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
-        col(phaseCol).cast("int").as("phase"))
+      seed: String, carryCols: Seq[String] = Nil): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id") +:
+        col(phaseCol).cast("int").as("phase") +: carryCols.map(col): _*)
       .withColumn("order_key",
         md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
       .withColumn("block", substring(col("order_key"), 1, 2))
@@ -177,7 +179,8 @@ object Packing {
     base.withColumn("rank_in_block", row_number().over(wIn))
       .join(offsets, Seq("phase", "block"))
       .withColumn("pos", col("block_offset") + col("rank_in_block") - 1)
-      .select("doc_id", "phase", "order_key", "pos")
+      .select(("doc_id" +: "phase" +: "order_key" +: "pos" +:
+        carryCols).map(col): _*)
   }
 }
 

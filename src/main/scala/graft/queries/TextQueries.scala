@@ -565,6 +565,49 @@ object TextQueries {
           seed = "cur1")
         .orderBy("doc_id")
     }),
+    // The round-11 assembly capstone — the full planning chain a staged
+    // training run consumes, as ONE lazy DAG (plus the two bounded
+    // driver folds its operators document): exact-dedup survivors ->
+    // length gate -> budget-WATERFILLED language mixture (rates from the
+    // survivors' own token mass, kept by the md5 filter) -> corpus-level
+    // perplexity phases -> curriculum positions (two-level scan) ->
+    // 512-token sequence packing OVER THE CURRICULUM ORDER, so the
+    // packed stream is phase-ordered: generic tail sequences first, the
+    // head phase last. Every stage is the scale-shaped operator from its
+    // own query; composition adds no new shuffle beyond the position
+    // scan.
+    "corpus_materialize_curriculum" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val keepers = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_doc_id").as("doc_id"))
+      val surv = docs.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+        .select("doc_id", "lang", "n_tokens")
+      val rates = graft.operators.Sampling.waterfillAllocation(surv, "lang",
+          "n_tokens", Map("de" -> 2L, "en" -> 1L, "es" -> 2L, "fr" -> 2L,
+            "zh" -> 2L), budget = 8000L)
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+      val mixed = graft.operators.Sampling.stratifiedSample(surv, "doc_id",
+        "lang", rates, defaultRate = 0.0)
+      val phases = perplexityBuckets(spark, dir)
+        .select(col("doc_id"),
+          when(col("bucket") === "tail", 0)
+            .when(col("bucket") === "middle", 1).otherwise(2).as("phase"))
+      val phased = mixed.join(phases, Seq("doc_id"), "left")
+        .withColumn("phase", coalesce(col("phase"), lit(0)))
+      val positioned = graft.operators.Packing.curriculumOrder(phased,
+          "doc_id", "phase", seed = "mat1",
+          carryCols = Seq("lang", "n_tokens"))
+        .withColumnRenamed("doc_id", "orig_doc_id")
+      graft.operators.Packing.packSequences(positioned, "pos", "n_tokens",
+          budget = 512, blockSize = 100,
+          carryCols = Seq("orig_doc_id", "lang", "phase"))
+        .select(col("orig_doc_id").as("doc_id"), col("lang"), col("phase"),
+          col("doc_id").as("pos"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    }),
     // TRAIN/SERVE split of the bigram LM (the CCNet lifecycle): the model
     // is trained ONCE on the %5!=0 slice, written durable with a manifest
     // (build-once/serve-many — a later session reopens it with zero
@@ -1166,6 +1209,97 @@ object TextQueries {
         |  CAST(row_number() OVER (ORDER BY phase, order_key, doc_id) - 1
         |    AS BIGINT) AS pos
         |FROM al ORDER BY doc_id""".stripMargin,
+    // the full chain re-derived: dedup + gate, waterfilled rates over the
+    // survivors' token mass, md5-filter mixture, LM tercile phases,
+    // single-window curriculum positions, running-sum packing in that
+    // order
+    "corpus_materialize_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM d),
+        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM occ GROUP BY doc_id, bg),
+        |model AS (SELECT bg, sum(k) AS c12 FROM doc_bg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(k) AS c1
+        |        FROM doc_bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM d)),
+        |jj AS (
+        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
+        |  FROM doc_bg b
+        |  JOIN model m ON b.bg = m.bg
+        |  JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc),
+        |score AS (
+        |  SELECT doc_id,
+        |    round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
+        |      AS pred_prob
+        |  FROM jj GROUP BY doc_id),
+        |hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM score),
+        |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum >= (1 * tot.n + 2) // 3 THEN s END) AS t1,
+        |         min(CASE WHEN cum >= (2 * tot.n + 2) // 3 THEN s END) AS t2
+        |  FROM cum, tot),
+        |bk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pred_prob <= t1 THEN 0
+        |         WHEN pred_prob <= t2 THEN 1 ELSE 2 END AS phase
+        |  FROM score, thr),
+        |surv AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |    AND len(string_split(text, ' ')) >= 20),
+        |tokc AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n
+        |         FROM surv WHERE lang IS NOT NULL GROUP BY 1),
+        |wt AS (
+        |  SELECT lang, n,
+        |    CAST(CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+        |         WHEN 'fr' THEN 2 WHEN 'zh' THEN 2 ELSE 0 END AS BIGINT) AS w
+        |  FROM tokc),
+        |act AS (SELECT * FROM wt WHERE w > 0),
+        |tw AS (SELECT sum(w) AS wtot FROM act),
+        |ordw AS (
+        |  SELECT lang, n, w, wtot,
+        |    coalesce(sum(n) OVER win, 0) AS cumN,
+        |    coalesce(sum(w) OVER win, 0) AS cumW
+        |  FROM act, tw
+        |  WINDOW win AS (ORDER BY n * 1.0 / w, lang
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sat AS (
+        |  SELECT *, n * (wtot - cumW) <= (8000 - cumN) * w AS satd FROM ordw),
+        |lam AS (
+        |  SELECT 8000 - coalesce(sum(CASE WHEN satd THEN n END), 0) AS lamN,
+        |         min(wtot) - coalesce(sum(CASE WHEN satd THEN w END), 0) AS lamD
+        |  FROM sat),
+        |rates AS (
+        |  SELECT s.lang,
+        |    CASE WHEN s.satd THEN 1.0
+        |         ELSE round(CAST(l.lamN * s.w AS DOUBLE) / (l.lamD * s.n), 6)
+        |         END AS rate
+        |  FROM sat s, lam l),
+        |kept AS (
+        |  SELECT v.doc_id, v.lang, v.n_tokens, coalesce(bk.phase, 0) AS phase,
+        |    md5('mat1:' || CAST(v.doc_id AS VARCHAR)) AS order_key
+        |  FROM surv v JOIN rates r USING (lang) LEFT JOIN bk USING (doc_id)
+        |  WHERE (('0x' || substring(md5(CAST(v.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0 < r.rate),
+        |po AS (
+        |  SELECT doc_id, lang, n_tokens, phase,
+        |    CAST(row_number() OVER (ORDER BY phase, order_key, doc_id) - 1
+        |      AS BIGINT) AS pos,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY phase, order_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM kept)
+        |SELECT doc_id, lang, phase, pos, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
+        |FROM po ORDER BY doc_id""".stripMargin,
     // train on the %5!=0 slice, score the held-out %5==0 slice under the
     // frozen counts — unseen bigrams/contexts coalesce to 0 (add-one
     // smoothing floors them at 1/(c1+v) resp. 1/v)

@@ -221,6 +221,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_materialize_curriculum: packed stream is phase-ordered and accounts every token") {
+    val rows = graft.queries.TextQueries
+      .queries("corpus_materialize_curriculum")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(3), r.getInt(2), r.getLong(4), r.getLong(5),
+        r.getLong(6))) // (pos, phase, n_tokens, seq_id, seq_offset)
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // positions dense from 0; phases and seq_ids non-decreasing in pos
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._2 && a._4 <= b._4
+      case _ => true
+    }, "phase or seq_id decreases along the packed stream")
+    // each doc starts exactly where the previous stream position left off
+    var cum = 0L
+    rows.foreach { case (_, _, n, seqId, seqOff) =>
+      assert(seqId == cum / 512 && seqOff == cum % 512,
+        s"placement mismatch at cum=$cum")
+      cum += n
+    }
+  }
+
   test("corpus_drift_report: exact stats stay in range over all features") {
     val rows = graft.queries.TextQueries
       .queries("corpus_drift_report")(spark, TestSpark.sfDir).collect()

@@ -44,8 +44,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "domain_share_cap",
       // lm_bigram_quality's 1-row vocabulary broadcast, plus the 1-row
       // corpus-count and 1-row tercile-cut broadcasts of quantileBuckets
-      // (curriculum_order consumes the same LM-score subtree)
-      "perplexity_buckets", "curriculum_order")
+      // (curriculum_order and the materialize capstone consume the same
+      // LM-score subtree)
+      "perplexity_buckets", "curriculum_order",
+      "corpus_materialize_curriculum")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
