@@ -84,6 +84,30 @@ class CurationOpsSpec extends AnyFunSuite {
       ("g2", 5L, 7L, 7L, 7L, 7L)), got.toSeq)
   }
 
+  test("groupedQuantiles equals the sorted-index definition on randomized groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val qs = Seq(("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1))
+    for (_ <- 1 to 5) {
+      val groups = (1 to (1 + rnd.nextInt(4))).map(g => s"g$g")
+      val data = groups.flatMap { g =>
+        // heavy ties on purpose: values from a small codomain
+        Seq.fill(1 + rnd.nextInt(60))((g, (1 + rnd.nextInt(9)).toLong))
+      }
+      val got = graft.operators.TextAnalysis
+        .groupedQuantiles(data.toDF("g", "v"), "g", "v", qs)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      data.groupBy(_._1).foreach { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        def q(num: Int, den: Int): Long =
+          sorted(((num.toLong * sorted.size + den - 1) / den - 1).toInt)
+        val want = (q(1, 10), q(1, 2), q(9, 10), q(1, 1))
+        assert(got(g) == want, s"group $g: ${got(g)} != $want over $sorted")
+      }
+    }
+  }
+
   test("waterfillAllocation matches a hand-computed fill with spillover") {
     import spark.implicits._
     // capacities a:100, b:1000, c:10000; weights a:4, b:2, c:1 (W=7),
