@@ -38,12 +38,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ AnalyticsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ SqlSurfaceQueries.queries ++ PipelineQueries.queries
+      MultimodalQueries.queries ++ SqlSurfaceQueries.queries ++ PipelineQueries.queries ++
+      CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      MultimodalQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++ PipelineQueries.oracleSql
+      MultimodalQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      CdcQueries.oracleSql
 }

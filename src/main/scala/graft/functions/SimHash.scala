@@ -135,6 +135,12 @@ object functions {
   def pq_adc_score(codes: Column, lut: Column, ksub: Int): Column =
     bridge.column(PqAdcScore(bridge.expression(codes), bridge.expression(lut), ksub))
 
+  /** Content-defined chunk cut points (Gear rolling hash, codegen'd).
+    * Stateless rule by default; minSize/maxSize give FastCDC semantics. */
+  def gear_chunk_ends(payload: Column, maskBits: Int,
+      minSize: Int = 1, maxSize: Int = 0): Column =
+    bridge.column(GearChunkEnds(bridge.expression(payload), maskBits, minSize, maxSize))
+
   /** Unicode NFC canonicalization (codegen'd; JDK Normalizer). */
   def nfc_normalize(text: Column): Column =
     bridge.column(NormalizeText(bridge.expression(text), stripAccents = false))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{BpeEncode, DotProduct, InterleaveBits, L2Norm, NormalizeText, PqAdcScore, QuantileBinSearch, ShingleGenerator, SimHash64, WordShingles}
+import graft.functions.{BpeEncode, DotProduct, GearChunkEnds, InterleaveBits, L2Norm, NormalizeText, PqAdcScore, QuantileBinSearch, ShingleGenerator, SimHash64, WordShingles}
 
 /** Optimizer rule: prune the CosineTopK query set when a literal q_id
   * equality filter sits on top of it.
@@ -103,6 +103,13 @@ object GraftExtensions {
       exprs => QuantileBinSearch(exprs(0),
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray().sorted), "built-in")
+    reg.createOrReplaceTempFunction("gear_chunk_ends",
+      // (payload, maskBits[, minSize, maxSize]) — size args are literals,
+      // baked in at shim time like word_shingles' k
+      exprs => GearChunkEnds(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 1,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0), "built-in")
     reg.createOrReplaceTempFunction("bpe_encode",
       exprs => {
         val raw = exprs(1).eval()

@@ -1,0 +1,78 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{CdcChunking, Multimodal}
+
+/** Content-defined chunking queries: the Gear-CDC chunk table and the
+  * chunk-hash dedup over it. Stateless cut rule (maskBits = 6, expected
+  * 64-byte chunks) so the oracle can reproduce every cut with a windowed
+  * sum — the rolling hash at position i provably depends on the last 6
+  * bytes only (see [[graft.functions.GearChunkEnds]]).
+  */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
+    CdcChunking.chunkTable(
+      Multimodal.asMediaTable(Tables.load(spark, dir, "documents")), maskBits = 6)
+
+  val queries: ListMap[String, Q] = ListMap(
+    // Per-doc CDC chunk table: offsets + md5 per chunk. Cut positions are
+    // the codegen'd Gear scan; the oracle recomputes each cut as a
+    // windowed sum over the last 6 bytes.
+    "cdc_chunks" -> ((spark, dir) =>
+      chunks(spark, dir).orderBy("doc_id", "chunk_no")),
+    // Chunk-hash dedup: every substantial (>= 16 byte) chunk content shared
+    // by more than one occurrence — copied passages and boilerplate surface
+    // here even when no two whole documents are byte-equal. Plain
+    // hash-shuffle on chunk_md5; nothing all-pairs.
+    "cdc_chunk_dedup" -> ((spark, dir) =>
+      CdcChunking.dupChunkGroups(chunks(spark, dir))
+        .filter(col("chunk_len") >= 16)
+        .orderBy(desc("n_occurrences"), col("chunk_md5"))))
+
+  /** Shared chunk-table CTE: positions -> gear values -> windowed-sum hash
+    * -> cuts -> bounds -> chunk rows. `(b*2654435761) % 64 == (b*49) % 64`
+    * and contributions older than 6 bytes vanish mod 2^6, so the windowed
+    * sum reproduces the engine's sequential rolling hash exactly. Corpus
+    * text is ASCII (pinned by the fixture), so character positions equal
+    * byte positions and `ord` equals the byte value. */
+  private val chunksCte: String =
+    """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pb AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, text FROM m),
+      |pg AS (SELECT doc_id, n, i,
+      |    (ord(substring(text, CAST(i AS INTEGER), 1)) * 49) % 64 AS g FROM pb),
+      |h AS (SELECT p.doc_id, p.i, p.n,
+      |    CAST(sum(q.g * (1 << CAST(p.i - q.i AS INTEGER))) % 64 AS BIGINT) AS hv
+      |  FROM pg p JOIN pg q ON q.doc_id = p.doc_id AND q.i BETWEEN p.i - 5 AND p.i
+      |  GROUP BY p.doc_id, p.i, p.n),
+      |cuts AS (SELECT doc_id, i FROM h WHERE hv = 0 AND i < n),
+      |bounds AS (SELECT doc_id, e,
+      |    lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS prev
+      |  FROM (SELECT doc_id, i AS e FROM cuts UNION ALL SELECT doc_id, n AS e FROM m)),
+      |chunks AS (SELECT b.doc_id,
+      |    CAST(row_number() OVER (PARTITION BY b.doc_id ORDER BY b.e) - 1 AS BIGINT) AS chunk_no,
+      |    CAST(b.prev + 1 AS INTEGER) AS chunk_start,
+      |    CAST(b.e - b.prev AS INTEGER) AS chunk_len,
+      |    md5(substring(m.text, CAST(b.prev + 1 AS INTEGER), CAST(b.e - b.prev AS INTEGER))) AS chunk_md5
+      |  FROM bounds b JOIN m USING (doc_id))""".stripMargin
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "cdc_chunks" -> (chunksCte +
+      "\nSELECT doc_id, chunk_no, chunk_start, chunk_len, chunk_md5 FROM chunks" +
+      "\nORDER BY doc_id, chunk_no"),
+    "cdc_chunk_dedup" -> (chunksCte +
+      """,
+        |g AS (SELECT chunk_md5, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs, min(chunk_len) AS chunk_len
+        |  FROM chunks GROUP BY chunk_md5
+        |  HAVING count(*) > 1 AND min(chunk_len) >= 16)
+        |SELECT chunk_md5, n_occurrences, n_docs, CAST(chunk_len AS INTEGER) AS chunk_len
+        |FROM g ORDER BY n_occurrences DESC, chunk_md5""".stripMargin))
+}

@@ -64,6 +64,20 @@ object MultimodalQueries {
       Multimodal.perceptualDupPairsFromHashes(ahashTable(spark, dir))
         .orderBy("doc_id_1", "doc_id_2")
     }),
+    // Deterministic frame sampling over the binary payload (every 64th
+    // byte, at most 8 frames): the array<struct> row shape of audio/video
+    // frame extraction with the codec stubbed to a byte probe — the
+    // plumbing (binary in, bounded frame array out, explode downstream)
+    // is exactly what a real decoder slots into. Hex-string samples keep
+    // the row DuckDB-comparable (corpus text is ASCII, so byte == char).
+    "multimodal_frame_sample" -> ((spark, dir) => {
+      val media = Multimodal.asMediaTable(Tables.load(spark, dir, "documents"))
+      Multimodal.sampleFrames(media, stride = 64, maxFrames = 8)
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"), col("f.frame_no").as("frame_no"),
+          hex(col("f.sample")).as("sample_hex"))
+        .orderBy("doc_id", "frame_no")
+    }),
     // Native session_window batch aggregation (twin of the streaming op);
     // oracle reproduces it with the lag/running-sum formulation — a genuine
     // cross-check of Spark's session semantics
@@ -113,6 +127,16 @@ object MultimodalQueries {
         |  FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id)
         |SELECT doc_id_1, doc_id_2, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 3 ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    // byte probe at i*64+1 for i in 0..min(n div 64, 7); a probe landing
+    // one past the end (n an exact multiple of 64) yields the empty
+    // binary -> hex '' in both engines
+    "multimodal_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+        |  hex(substring(text, CAST(i * 64 + 1 AS INTEGER), 1)) AS sample_hex
+        |FROM (SELECT doc_id, text, unnest(range(0, least(n // 64, 7) + 1)) AS i FROM m)
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "session_window_agg" ->
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
