@@ -65,4 +65,36 @@ object CdcChunking {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("chunk_len")).as("chunk_len"))
       .filter(col("n_occurrences") > 1)
+
+  /** Document-pair near-dup by shared chunk content: ordered pairs sharing
+    * at least `minShared` distinct substantial (>= `minLen` byte) chunk
+    * hashes, with each side's substantial-chunk count for context — the
+    * same decision artifact as the winnowing pair join, derived from the
+    * CDC family instead of selected k-gram fingerprints. Edit-robust by
+    * the cut rule's shift invariance: an insertion perturbs at most the
+    * chunks within `maskBits` bytes of the edit, so revision pairs keep
+    * most of their shared hashes.
+    *
+    * Scale shape: the candidate generator is an equi-join on chunk_md5 —
+    * the bounded-key bucket-join posture (two docs pair iff they share a
+    * chunk; nothing all-pairs). A corpus-universal boilerplate chunk is a
+    * hot key exactly like a hot minhash band; AQE's skew split applies,
+    * and [[dupChunkGroups]] is the audit that finds such chunks first.
+    * All outputs are integers — no rounding coin flips to reconcile. */
+  def chunkOverlapPairs(chunks: DataFrame, minLen: Int = 16,
+      minShared: Long = 2L): DataFrame = {
+    val sc = chunks.filter(col("chunk_len") >= minLen)
+      .select("doc_id", "chunk_md5").distinct()
+    val cnt = sc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sc.as("a").join(sc.as("b"),
+        col("a.chunk_md5") === col("b.chunk_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") >= minShared)
+      .join(cnt.as("c1"), col("doc_id_1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("doc_id_2") === col("c2.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_shared_chunks"),
+        col("c1.n").as("n_chunks_1"), col("c2.n").as("n_chunks_2"))
+  }
 }

@@ -35,7 +35,13 @@ object CdcQueries {
     "cdc_chunk_dedup" -> ((spark, dir) =>
       CdcChunking.dupChunkGroups(chunks(spark, dir))
         .filter(col("chunk_len") >= 16)
-        .orderBy(desc("n_occurrences"), col("chunk_md5"))))
+        .orderBy(desc("n_occurrences"), col("chunk_md5"))),
+    // Doc-pair near-dup by shared chunk content (>= 2 distinct substantial
+    // chunks) — the CDC family's winnow_dup_pairs analogue; candidates via
+    // a chunk_md5 equi-join, never all-pairs, all-integer output.
+    "dedup_chunk_overlap" -> ((spark, dir) =>
+      CdcChunking.chunkOverlapPairs(chunks(spark, dir))
+        .orderBy("doc_id_1", "doc_id_2")))
 
   /** Shared chunk-table CTE: positions -> gear values -> windowed-sum hash
     * -> cuts -> bounds -> chunk rows. `(b*2654435761) % 64 == (b*49) % 64`
@@ -74,5 +80,18 @@ object CdcQueries {
         |  FROM chunks GROUP BY chunk_md5
         |  HAVING count(*) > 1 AND min(chunk_len) >= 16)
         |SELECT chunk_md5, n_occurrences, n_docs, CAST(chunk_len AS INTEGER) AS chunk_len
-        |FROM g ORDER BY n_occurrences DESC, chunk_md5""".stripMargin))
+        |FROM g ORDER BY n_occurrences DESC, chunk_md5""".stripMargin),
+    "dedup_chunk_overlap" -> (chunksCte +
+      """,
+        |sc AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks WHERE chunk_len >= 16),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    count(*) AS n_shared_chunks
+        |  FROM sc a JOIN sc b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_id_1, doc_id_2, n_shared_chunks,
+        |  c1.n AS n_chunks_1, c2.n AS n_chunks_2
+        |FROM p JOIN cnt c1 ON c1.doc_id = doc_id_1
+        |JOIN cnt c2 ON c2.doc_id = doc_id_2
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin))
 }

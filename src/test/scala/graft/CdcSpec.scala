@@ -177,6 +177,27 @@ class CdcSpec extends AnyFunSuite {
     assert(dups.forall(_.getLong(2) == 2L), "each dup group spans both docs")
   }
 
+  test("chunkOverlapPairs surfaces the revision pair, ignores unrelated docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def rand(n: Int) = (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val core = rand(600)
+    val docs = Seq(
+      (1L, "PREFIX-EDIT " + core),     // revision pair: shared 600-byte core
+      (2L, core + " SUFFIX-EDIT"),
+      (3L, rand(600)))                 // unrelated — must not pair
+    val media = Multimodal.asMediaTable(
+      docs.map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = CdcChunking.chunkOverlapPairs(
+      CdcChunking.chunkTable(media, 6)).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val p = pairs.head
+    assert(p.getLong(2) >= 2, "revision pair must share >= 2 chunks")
+    // shared count can never exceed either side's substantial-chunk count
+    assert(p.getLong(2) <= math.min(p.getLong(3), p.getLong(4)))
+  }
+
   test("sql registry exposes gear_chunk_ends and agrees with the column api") {
     import spark.implicits._
     graft.plans.GraftExtensions.registerSqlFunctions(spark)
