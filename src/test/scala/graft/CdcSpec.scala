@@ -68,6 +68,24 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("cut positions match the reference on full-byte-range binary payloads") {
+    // the corpus fixture is ASCII, but the expression must be pinned over
+    // all 256 byte values (negative JVM bytes, 0x00, 0xff) — a sign-
+    // extension bug in gear() would only surface here
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val payloads = (0 until 40).map { i =>
+      val b = new Array[Byte](30 + rnd.nextInt(500)); rnd.nextBytes(b); (i.toLong, b)
+    }
+    val got = payloads.toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        CdcChunking.gearChunkEnds(col("payload"), 6).as("cuts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    payloads.foreach { case (id, b) =>
+      assert(got(id) == refCuts(b, 6), s"payload $id cut mismatch on binary bytes")
+    }
+  }
+
   test("expected chunk length tracks 2^maskBits") {
     val rnd = new scala.util.Random(11)
     val text = (0 until 20000).map(_ => (32 + rnd.nextInt(95)).toChar).mkString

@@ -315,4 +315,55 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     assert(t10 <= 15 * t1,
       f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear classifier serving")
   }
+
+  test("CDC chunking scales ~linearly onto 10 identical copies with exact oracles",
+      SlowTest) {
+    // chunking is PER-DOC LOCAL (no corpus-wide interaction), so on ten
+    // byte-identical copies (id offset only) every count is exactly
+    // predictable from the base corpus:
+    //  - chunk table rows: exactly 10x the base table;
+    //  - dup groups (len >= 16): every distinct substantial chunk md5 of
+    //    the base now occurs 10k >= 10 > 1 times -> group count == the
+    //    base's DISTINCT substantial md5 count, every occurrence count
+    //    divisible by 10;
+    //  - overlap pairs: 45*D clone pairs (D = base docs with >= 2
+    //    distinct substantial chunks; a clone pair shares ALL of them)
+    //    + 100*P cross pairs (each base pair appears in all 10x10 copy
+    //    combinations).
+    import graft.operators.{CdcChunking, Multimodal}
+    def media(df: DataFrame) = Multimodal.asMediaTable(
+      df.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars")))
+    def idCopy(c: Int): DataFrame = baseDocs.select(
+      (col("doc_id") + lit(c * 10000000L)).as("doc_id"), col("text"))
+    val big = (0 until copies).map(idCopy).reduce(_ unionByName _)
+
+    val baseChunks = CdcChunking.chunkTable(media(idCopy(0)), 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nBase, t1) = timed(baseChunks.count())
+    val sub = baseChunks.filter(col("chunk_len") >= 16)
+      .select("doc_id", "chunk_md5").distinct()
+    val distinctSubstantial = sub.select("chunk_md5").distinct().count()
+    val dDocs = sub.groupBy("doc_id").count().filter(col("count") >= 2).count()
+    val basePairs = CdcChunking.chunkOverlapPairs(baseChunks).count()
+
+    val bigChunks = CdcChunking.chunkTable(media(big), 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (n10, t10) = timed(bigChunks.count())
+    assert(n10 == copies * nBase, s"chunk rows $n10 != ${copies}x$nBase")
+    val groups = CdcChunking.dupChunkGroups(bigChunks)
+      .filter(col("chunk_len") >= 16)
+      .select("n_occurrences").collect().map(_.getLong(0))
+    assert(groups.length == distinctSubstantial,
+      s"dup groups ${groups.length} != base distinct substantial $distinctSubstantial")
+    assert(groups.forall(_ % copies == 0),
+      "an occurrence count not divisible by 10 — copies chunked differently")
+    val pairs10 = CdcChunking.chunkOverlapPairs(bigChunks).count()
+    assert(pairs10 == 45L * dDocs + 100L * basePairs,
+      s"overlap pairs $pairs10 != 45*$dDocs + 100*$basePairs")
+    baseChunks.unpersist(); bigChunks.unpersist()
+    info(f"cdc chunk 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1,
+      f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear chunking")
+  }
 }
