@@ -3,8 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GearChunkEnds
-import org.apache.spark.sql.graft.bridge
+import graft.functions.{functions => gfn}
 
 /** Content-defined chunking over binary payloads + chunk-level dedup.
   *
@@ -27,14 +26,17 @@ import org.apache.spark.sql.graft.bridge
 object CdcChunking {
 
   /** Cut positions (1-based, end-exclusive final cut omitted) for a binary
-    * column. Stateless mode by default (oracle-checkable); pass
-    * `minSize`/`maxSize` for FastCDC-style normalized chunk sizes. */
+    * column — alias of [[graft.functions.functions.gear_chunk_ends]] (one
+    * wrapper, re-exported here for operator-level discoverability). */
   def gearChunkEnds(payload: Column, maskBits: Int,
       minSize: Int = 1, maxSize: Int = 0): Column =
-    bridge.column(GearChunkEnds(bridge.expression(payload), maskBits, minSize, maxSize))
+    gfn.gear_chunk_ends(payload, maskBits, minSize, maxSize)
 
   /** Explode a media table (doc_id, payload binary) into its CDC chunk
-    * table: (doc_id, chunk_no, chunk_start, chunk_len, chunk_md5). */
+    * table: (doc_id, chunk_no, chunk_start, chunk_len, chunk_md5). An
+    * empty payload yields ZERO chunk rows (not one empty chunk — two
+    * content-free documents must not read as sharing content downstream
+    * in [[dupChunkGroups]]). */
   def chunkTable(media: DataFrame, maskBits: Int = 6,
       minSize: Int = 1, maxSize: Int = 0): DataFrame = {
     val withCuts = media
@@ -53,6 +55,7 @@ object CdcChunking {
         (col("col.e") - col("col.s") + lit(1)).as("chunk_len"),
         md5(col("payload").substr(col("col.s"), col("col.e") - col("col.s") + lit(1)))
           .as("chunk_md5"))
+      .filter(col("chunk_len") > 0)
   }
 
   /** Chunk-level duplicate groups: every chunk hash occurring more than

@@ -181,6 +181,18 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("empty payloads yield zero chunk rows, never a shared phantom chunk") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "", "en", "t", 0L), (2L, "", "en", "t", 0L), (3L, "real text here", "en", "t", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val chunks = CdcChunking.chunkTable(media, 6)
+    assert(chunks.filter(col("doc_id") =!= 3L).count() == 0,
+      "empty payloads must contribute no chunk rows")
+    assert(CdcChunking.dupChunkGroups(chunks).count() == 0,
+      "two content-free docs must not read as sharing a duplicate chunk")
+  }
+
   test("dupChunkGroups finds the shared passage between two edited copies") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
