@@ -69,6 +69,34 @@ object CdcChunking {
         min(col("chunk_len")).as("chunk_len"))
       .filter(col("n_occurrences") > 1)
 
+  /** Per-document overlap against a REFERENCE corpus's chunk table: how
+    * many of each document's distinct substantial (>= `minLen` byte)
+    * chunk hashes already exist in the corpus, plus the keep verdict
+    * (`n_shared < minShared`). The admission rule a continuous ingest
+    * applies: an arriving document that shares >= minShared substantial
+    * chunks with the accepted corpus is a re-crawl / trivial revision and
+    * is dropped — CDC's shift invariance makes the shared-suffix chunks
+    * hash identically no matter how the wrapper text changed.
+    *
+    * Scale shape: docs' chunk rows LEFT SEMI against the corpus's DISTINCT
+    * substantial hash set (16-byte keys both sides), one doc-keyed count.
+    * `corpusChunks` is typically built once per corpus version
+    * ([[chunkTable]]) and persisted — the build-once/serve-many contract
+    * every ingest artifact here follows. */
+  def corpusOverlapReport(docs: DataFrame, corpusChunks: DataFrame,
+      minLen: Int = 16, minShared: Long = 2L): DataFrame = {
+    val corpusSet = corpusChunks.filter(col("chunk_len") >= minLen)
+      .select("chunk_md5").distinct()
+    val docSub = docs.filter(col("chunk_len") >= minLen)
+      .select("doc_id", "chunk_md5").distinct()
+    val matched = docSub.join(corpusSet, Seq("chunk_md5"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select("doc_id").distinct()
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("keep", col("n_shared") < minShared)
+  }
+
   /** Document-pair near-dup by shared chunk content: ordered pairs sharing
     * at least `minShared` distinct substantial (>= `minLen` byte) chunk
     * hashes, with each side's substantial-chunk count for context — the

@@ -41,7 +41,19 @@ object CdcQueries {
     // a chunk_md5 equi-join, never all-pairs, all-integer output.
     "dedup_chunk_overlap" -> ((spark, dir) =>
       CdcChunking.chunkOverlapPairs(chunks(spark, dir))
-        .orderBy("doc_id_1", "doc_id_2")))
+        .orderBy("doc_id_1", "doc_id_2")),
+    // Ingest admission by corpus chunk overlap (batch form of the
+    // streaming gate): the %5==0 slice arrives against the %5!=0 corpus;
+    // a doc sharing >= 2 distinct substantial chunk hashes with the
+    // corpus is a re-crawl/revision and is dropped. Same TRAIN/SERVE
+    // slicing convention as lm_bigram_score_heldout.
+    "dedup_ingest_chunk_overlap" -> ((spark, dir) => {
+      val all = chunks(spark, dir)
+      CdcChunking.corpusOverlapReport(
+          all.filter(col("doc_id") % 5 === 0),
+          all.filter(col("doc_id") % 5 =!= 0))
+        .orderBy("doc_id")
+    }))
 
   /** Shared chunk-table CTE: positions -> gear values -> windowed-sum hash
     * -> cuts -> bounds -> chunk rows. `(b*2654435761) % 64 == (b*49) % 64`
@@ -93,5 +105,19 @@ object CdcQueries {
         |  c1.n AS n_chunks_1, c2.n AS n_chunks_2
         |FROM p JOIN cnt c1 ON c1.doc_id = doc_id_1
         |JOIN cnt c2 ON c2.doc_id = doc_id_2
-        |ORDER BY doc_id_1, doc_id_2""".stripMargin))
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    "dedup_ingest_chunk_overlap" -> (chunksCte +
+      """,
+        |corpus_set AS (SELECT DISTINCT chunk_md5 FROM chunks
+        |  WHERE doc_id % 5 != 0 AND chunk_len >= 16),
+        |arr AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks
+        |  WHERE doc_id % 5 = 0 AND chunk_len >= 16),
+        |mt AS (SELECT a.doc_id, count(*) AS n_shared FROM arr a
+        |  WHERE a.chunk_md5 IN (SELECT chunk_md5 FROM corpus_set)
+        |  GROUP BY a.doc_id)
+        |SELECT d.doc_id, COALESCE(mt.n_shared, 0) AS n_shared,
+        |  COALESCE(mt.n_shared, 0) < 2 AS keep
+        |FROM (SELECT DISTINCT doc_id FROM chunks WHERE doc_id % 5 = 0) d
+        |LEFT JOIN mt ON mt.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
 }

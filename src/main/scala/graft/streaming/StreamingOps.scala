@@ -367,6 +367,71 @@ object StreamingOps {
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
+  /** One admitted document of [[ingestChunkOverlapStream]]. */
+  final case class IngestDoc(doc_id: Long, text: String)
+
+  /** Continuous-ingest CHUNK-OVERLAP gate: the streaming twin of the batch
+    * `dedup_ingest_chunk_overlap` admission rule — an arriving document
+    * sharing at least `minShared` distinct substantial (>= `minLen` byte)
+    * CDC chunk hashes with the accepted corpus is a re-crawl / trivial
+    * revision and is dropped. The Gear cut rule's shift invariance
+    * ([[graft.functions.GearChunkEnds]]) is what makes this catch
+    * wrapper-text edits the exact-dup stage misses: the shared suffix
+    * re-synchronizes to identical chunk hashes within `maskBits` bytes of
+    * the edit.
+    *
+    * Streaming shape: chunk hashes are computed PER ROW (the batch
+    * chunkTable arithmetic folded into higher-order functions over the
+    * codegen'd cut kernel — no stream-side explode-and-regroup state),
+    * membership is one stream-static LEFT OUTER join against the corpus's
+    * distinct substantial hash set (16-byte keys; PERSIST `corpusChunks` —
+    * the static side re-evaluates every trigger), and the per-document
+    * verdict re-groups the document's own chunk rows with
+    * `flatMapGroupsWithState`. The state is degenerate BY CONSTRUCTION:
+    * all chunk rows of a document are projections of one input row, so
+    * they land in the same micro-batch, the verdict completes in the one
+    * invocation, and nothing is ever stored (`NoTimeout`, no
+    * `state.update`) — bounded-state discipline with an empty state.
+    * Emits each distinct arriving doc_id at most once per micro-batch
+    * (within-batch re-deliveries collapse, matching
+    * [[ingestDedupStream]]'s within-stream semantics); compose that gate
+    * first for cross-batch exactly-once. */
+  def ingestChunkOverlapStream(spark: SparkSession, stream: DataFrame,
+      corpusChunks: DataFrame, textCol: String, minShared: Long = 2L,
+      minLen: Int = 16, maskBits: Int = 6): Dataset[IngestDoc] = {
+    import spark.implicits._
+    val corpusSet = corpusChunks.filter(col("chunk_len") >= minLen)
+      .select(col("chunk_md5").as("__corpus_ck")).distinct()
+    val payload = col(textCol).cast("binary")
+    val cuts = graft.operators.CdcChunking.gearChunkEnds(payload, maskBits)
+    val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
+    val ends = concat(cuts, array(octet_length(payload)))
+    val md5s = zip_with(starts, ends, (s, e) =>
+      when(e - s + lit(1) >= minLen, md5(payload.substr(s, e - s + lit(1))))
+        .otherwise(lit(null)))
+    val withChunks = stream.select(col("doc_id"), col(textCol).as("__text"),
+      array_distinct(filter(md5s, _.isNotNull)).as("__cks"))
+    withChunks
+      .select(col("doc_id"), col("__text"), explode_outer(col("__cks")).as("__ck"))
+      .join(corpusSet, col("__ck") === col("__corpus_ck"), "left_outer")
+      .select(col("doc_id"), col("__text"),
+        coalesce(col("__ck"), lit("")).as("__ck"),
+        col("__corpus_ck").isNotNull.as("__hit"))
+      .as[(Long, String, String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[(Long, String, String, Boolean)],
+            state: GroupState[Boolean]) => {
+          // hits counted as a SET of chunk hashes so a within-batch
+          // re-delivery of the same document cannot double-count
+          var text: String = null
+          val hit = scala.collection.mutable.HashSet.empty[String]
+          rows.foreach { case (_, t, ck, h) => text = t; if (h) hit += ck }
+          if (hit.size < minShared) Iterator.single(IngestDoc(id, text))
+          else Iterator.empty
+        })
+  }
+
   /** Streaming snapshot-drift monitor: the streaming twin of the batch
     * `corpus_drift_report` — as a new crawl streams in, emit after every
     * micro-batch one row per feature (lang / source / len_bucket, the

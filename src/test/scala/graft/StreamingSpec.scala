@@ -508,4 +508,50 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(got == batch && got.nonEmpty)
   }
+
+  test("streaming chunk-overlap gate drops prefix-edited revisions and equals the batch report") {
+    import graft.operators.{CdcChunking, Multimodal}
+    // corpus = docs %5 != 0; the stream delivers (a) the fresh %5 == 0
+    // docs and (b) 5 PREFIX-EDITED copies of the longest corpus docs —
+    // different bytes end to end (invisible to exact dedup, and the edit
+    // is at the FRONT, the worst case for fixed-offset chunking), but CDC
+    // cuts re-synchronize within maskBits bytes, so the revisions share
+    // their suffix chunk hashes with the corpus and must be dropped
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val revisions = corpus.orderBy(desc("n_chars"), col("doc_id")).limit(5)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(lit("ENTIRELY NEW PREAMBLE BOLTED ON "), col("text")))
+    val src = java.nio.file.Paths.get("target/stream-src-chunkoverlap")
+    org.apache.commons.io.FileUtils.deleteQuietly(src.toFile)
+    fresh.coalesce(1).write.parquet(src.toString)
+    revisions.coalesce(1).write.mode("append").parquet(src.toString)
+
+    val corpusChunks = CdcChunking.chunkTable(Multimodal.asMediaTable(corpus))
+      .persist()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val out = StreamingOps.ingestChunkOverlapStream(spark, stream, corpusChunks, "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_chunk_overlap").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ingest_chunk_overlap")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch twin: the dedup_ingest_chunk_overlap report over the same
+    // arrivals vs the same corpus chunk table — keep sets must be EQUAL
+    val streamInput = fresh.unionByName(revisions)
+    val report = CdcChunking.corpusOverlapReport(
+      CdcChunking.chunkTable(Multimodal.asMediaTable(streamInput)), corpusChunks)
+    val expected = report.filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    corpusChunks.unpersist()
+    assert(got == expected, "streamed keep set != batch report keep set")
+    // the gate did real work: most planted revisions share >= 2 suffix
+    // chunks with their originals and are gone; fresh docs survive
+    val revIds = revisions.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((revIds -- got).size >= 3, s"revisions kept: ${revIds.intersect(got)}")
+    assert(got.exists(_ < 100000), "gate dropped every fresh doc")
+  }
 }
