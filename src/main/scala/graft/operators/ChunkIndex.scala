@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable CDC chunk table — the serving artifact behind chunk-level
+  * dedup and the chunk-overlap ingest gate, under the same
+  * build-once / serve-many manifest contract as [[BigramLm]] / [[PqIndex]]:
+  * chunking the corpus is the expensive deterministic pass (one codegen'd
+  * scan over every payload byte), while every consumer — duplicate-group
+  * audits, pair joins, the stream-static admission join — reads only the
+  * (doc_id, offsets, chunk_md5) rows. A long-running ingest reopens the
+  * table across sessions with ZERO chunking jobs (`loadIfValid` validates
+  * by manifest metadata, never a payload scan) and admits each day's
+  * accepted arrivals with an idempotent [[ChunkIndex.appendTo]] — the
+  * applied-sources ledger makes a crashed job's retry a no-op instead of
+  * a silent double-count, and a torn table (data landed, manifest didn't)
+  * is detected by recount and refused, exactly the [[IvfIndex]] semantics.
+  */
+final class ChunkIndex private[operators] (
+    /** The chunk table: (doc_id, chunk_no, chunk_start, chunk_len, chunk_md5). */
+    val chunks: DataFrame,
+    /** Cut-rule mask width the table was built under. */
+    val maskBits: Int) {
+
+  /** Durable form: chunk rows + validation manifest. */
+  def write(path: String, source: String = ""): Unit = {
+    val spark = chunks.sparkSession
+    chunks.write.mode("overwrite").parquet(s"$path/chunks")
+    val rows = spark.read.parquet(s"$path/chunks").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", ChunkIndex.ManifestVersion)
+    props.setProperty("source", source)
+    props.setProperty("appliedSources", source)
+    props.setProperty("maskBits", maskBits.toString)
+    props.setProperty("rows", rows.toString)
+    val mPath = ChunkIndex.manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft CDC chunk-index manifest")
+    finally out.close()
+  }
+}
+
+object ChunkIndex {
+  private val buildsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def buildCount: Int = buildsRun.get
+
+  private val ManifestVersion = "1"
+
+  /** Ledger separator — same escape-sequence convention as IvfIndex. */
+  private val SourceSep = "\u0001"
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+
+  /** BUILD: chunk a media table (doc_id, payload). One codegen'd pass;
+    * the table stays a lazy DataFrame until written or acted on. */
+  def build(media: DataFrame, maskBits: Int = 6): ChunkIndex = {
+    buildsRun.incrementAndGet()
+    new ChunkIndex(CdcChunking.chunkTable(media, maskBits), maskBits)
+  }
+
+  /** Reopen a written index ONLY if its manifest proves it complete,
+    * current, parameter-compatible, and chunked from the caller's
+    * `source` — metadata validation plus one footer-stats recount, zero
+    * chunking jobs on a hit. */
+  def loadIfValid(spark: SparkSession, path: String, source: String,
+      maskBits: Int = 6): Option[ChunkIndex] = {
+    val mPath = manifestPath(path)
+    try {
+      val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mPath)) return None
+      val props = new java.util.Properties()
+      val in = fs.open(mPath)
+      try props.load(in) finally in.close()
+      def field(k: String) = Option(props.getProperty(k))
+      if (!field("version").contains(ManifestVersion) ||
+        !field("source").contains(source) ||
+        !field("maskBits").contains(maskBits.toString)) return None
+      val idx = load(spark, path)
+      val valid = field("rows").exists(_.toLong == idx.chunks.count())
+      if (valid) Some(idx) else None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Reopen a written index: one lazy parquet scan + manifest params. */
+  def load(spark: SparkSession, path: String): ChunkIndex = {
+    val props = new java.util.Properties()
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(mPath)
+    try props.load(in) finally in.close()
+    new ChunkIndex(spark.read.parquet(s"$path/chunks"),
+      props.getProperty("maskBits").toInt)
+  }
+
+  /** Append the chunk rows of newly accepted documents under the EXISTING
+    * cut parameters. IDEMPOTENT via the applied-sources ledger (a replayed
+    * batch tag no-ops, returns false); a torn table from a crash between
+    * data append and manifest refresh is detected by the pre-append
+    * recount and REFUSED (recovery = rebuild + write, overwrite mode).
+    * Returns true when the append was applied. */
+  def appendTo(spark: SparkSession, path: String, media: DataFrame,
+      newSource: String): Boolean = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val currentRows = spark.read.parquet(s"$path/chunks").count()
+    require(currentRows == priorRows,
+      s"chunk index at $path has $currentRows rows but its manifest " +
+        s"committed $priorRows — a previous append crashed mid-write; " +
+        "rebuild the index instead of appending onto a torn table")
+    val mb = prior.getProperty("maskBits").toInt
+    CdcChunking.chunkTable(media, mb)
+      .write.mode("append").parquet(s"$path/chunks")
+    val rows = spark.read.parquet(s"$path/chunks").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    props.setProperty("maskBits", mb.toString)
+    props.setProperty("rows", rows.toString)
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft CDC chunk-index manifest")
+    finally out.close()
+    true
+  }
+}

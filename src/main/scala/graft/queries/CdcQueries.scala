@@ -18,9 +18,44 @@ object CdcQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(Tables.load(spark, dir, "documents"))
+
   private def chunks(spark: SparkSession, dir: String): DataFrame =
-    CdcChunking.chunkTable(
-      Multimodal.asMediaTable(Tables.load(spark, dir, "documents")), maskBits = 6)
+    CdcChunking.chunkTable(media(spark, dir), maskBits = 6)
+
+  /** Source tag for the durable chunk index: a digest of the documents
+    * parquet's file statuses — any regeneration invalidates the index. */
+  private def chunkSourceTag(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(p))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    statuses.foreach { s =>
+      md.update(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime};"
+        .getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** One durable chunk index per (session, dir) — written once, validated
+    * reopens after that (see operators.ChunkIndex). The synchronized
+    * block keeps two concurrent first calls from racing overwrite writes
+    * to the same path. */
+  private val chunkFileCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.ChunkIndex]
+
+  private def chunkPersisted(spark: SparkSession, dir: String): graft.operators.ChunkIndex =
+    chunkFileCache.getOrElseUpdate((spark, dir), chunkFileCache.synchronized {
+      val path = QueryArtifacts.path("target/cdc-chunk-index", dir)
+      val tag = chunkSourceTag(spark, dir)
+      graft.operators.ChunkIndex.loadIfValid(spark, path, tag).getOrElse {
+        graft.operators.ChunkIndex.build(media(spark, dir), maskBits = 6).write(path, tag)
+        graft.operators.ChunkIndex.load(spark, path)
+      }
+    })
 
   val queries: ListMap[String, Q] = ListMap(
     // Per-doc CDC chunk table: offsets + md5 per chunk. Cut positions are
@@ -53,6 +88,23 @@ object CdcQueries {
           all.filter(col("doc_id") % 5 === 0),
           all.filter(col("doc_id") % 5 =!= 0))
         .orderBy("doc_id")
+    }),
+    // Durable chunk-index PARITY gate (the ann_ivf_persisted pattern):
+    // the manifest-reopened file table must equal the in-session chunk
+    // table row for row — the table a second session's ingest gate
+    // actually serves, on the driver gate clock.
+    "cdc_chunks_persisted" -> ((spark, dir) => {
+      val cols = Seq("doc_id", "chunk_no", "chunk_start", "chunk_len", "chunk_md5")
+      val mem = chunks(spark, dir).withColumn("in_mem", lit(1))
+      val file = chunkPersisted(spark, dir).chunks.withColumn("in_file", lit(1))
+      mem.join(file, cols, "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
     }))
 
   /** Shared chunk-table CTE: positions -> gear values -> windowed-sum hash
@@ -119,5 +171,8 @@ object CdcQueries {
         |  COALESCE(mt.n_shared, 0) < 2 AS keep
         |FROM (SELECT DISTINCT doc_id FROM chunks WHERE doc_id % 5 = 0) d
         |LEFT JOIN mt ON mt.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin),
+    "cdc_chunks_persisted" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CdcChunking, ChunkIndex, Multimodal}
+
+/** Durable CDC chunk-index lifecycle: write -> manifest-validated reload
+  * with zero chunking jobs, exact table parity, source/param
+  * invalidation, idempotent append (replay no-op), and torn-table
+  * refusal — the [[graft.operators.IvfIndex]] append semantics applied
+  * to the chunk artifact. */
+class ChunkIndexPersistSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+  private def media(df: org.apache.spark.sql.DataFrame) = Multimodal.asMediaTable(df)
+  private lazy val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+  private lazy val arrivals = docs.filter(col("doc_id") % 4 === 0)
+  private val path = "target/cdc-chunk-index-test/idx"
+
+  private def tableRows(idx: ChunkIndex): Set[(Long, Long, Int, Int, String)] =
+    idx.chunks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toSet
+
+  test("written + reloaded index reproduces the in-session chunk table exactly") {
+    val built = ChunkIndex.build(media(corpus))
+    built.write(path, source = "spec-v1")
+    val loaded = ChunkIndex.load(spark, path)
+    assert(loaded.maskBits === built.maskBits)
+    assert(tableRows(loaded) === tableRows(built))
+  }
+
+  test("manifest-validated reload runs zero chunking builds; wrong source/params refuse") {
+    ChunkIndex.build(media(corpus)).write(path, source = "spec-v1")
+    val before = ChunkIndex.buildCount
+    val hit = ChunkIndex.loadIfValid(spark, path, "spec-v1")
+    assert(hit.isDefined, "valid manifest refused")
+    assert(ChunkIndex.buildCount === before, "reload ran a chunking build")
+    assert(hit.get.chunks.count() > 0)
+    assert(ChunkIndex.loadIfValid(spark, path, "spec-v2").isEmpty,
+      "stale source accepted")
+    assert(ChunkIndex.loadIfValid(spark, path, "spec-v1", maskBits = 8).isEmpty,
+      "mask-width mismatch accepted")
+  }
+
+  test("append adds the arrivals' chunks; a replayed batch tag no-ops") {
+    ChunkIndex.build(media(corpus)).write(path, source = "spec-v1")
+    val base = ChunkIndex.load(spark, path).chunks.count()
+    assert(ChunkIndex.appendTo(spark, path, media(arrivals), "day-1"))
+    val after = ChunkIndex.load(spark, path)
+    val expected = CdcChunking.chunkTable(media(arrivals)).count()
+    assert(after.chunks.count() === base + expected)
+    // the appended table serves the ingest gate: every arrival now reads
+    // as already-present (shares ALL its substantial chunks with itself)
+    val report = CdcChunking.corpusOverlapReport(
+      CdcChunking.chunkTable(media(arrivals)), after.chunks)
+    assert(report.filter(col("keep") && col("n_shared") >= 2).count() === 0)
+    // replay of the same tag must be a no-op, not a duplicate append
+    assert(!ChunkIndex.appendTo(spark, path, media(arrivals), "day-1"))
+    assert(ChunkIndex.load(spark, path).chunks.count() === base + expected)
+  }
+
+  test("a torn table (data landed, manifest did not) refuses further appends") {
+    ChunkIndex.build(media(corpus)).write(path, source = "spec-v1")
+    // simulate the crash window: rows land without a manifest refresh
+    CdcChunking.chunkTable(media(arrivals.limit(3)))
+      .write.mode("append").parquet(s"$path/chunks")
+    val e = intercept[IllegalArgumentException] {
+      ChunkIndex.appendTo(spark, path, media(arrivals), "day-2")
+    }
+    assert(e.getMessage.contains("torn table"))
+    // recovery: rebuild + overwrite, then appends work again
+    ChunkIndex.build(media(corpus)).write(path, source = "spec-v1")
+    assert(ChunkIndex.appendTo(spark, path, media(arrivals), "day-2"))
+  }
+}
