@@ -9,7 +9,7 @@ object Bench {
     * driver's artifact keeps only the stdout TAIL — the bulky per-query
     * maps are what truncation eats). */
   def summaryJson(results: Iterable[(String, (Double, Double))],
-      leaked: Int, sfDir: String): String = {
+      leaked: Int, sfDir: String, loadAvg: Seq[Double] = Nil): String = {
     def best(p: (Double, Double)): Double =
       if (p._1 < 0) p._2 else if (p._2 < 0) p._1 else math.min(p._1, p._2)
     val qs = results.map { case (k, p) => s"\"" + k + "\":" + best(p) }
@@ -23,7 +23,11 @@ object Bench {
     val failedQueries = results.collect { case (k, (p1, p2)) if p1 < 0 && p2 < 0 => k }
     val total = results.map { case (_, p) => best(p) }.filter(_ >= 0).sum
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"queries":$qs,"passes":$passes,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
+    // host 1/5/15-min load at bench start: totals on this shared box have
+    // swung ±40% with co-tenant load, so the artifact carries the
+    // contamination evidence itself (empty when /proc/loadavg is absent)
+    val load = loadAvg.mkString("[", ",", "]")
+    s"""{"queries":$qs,"passes":$passes,"loadavg":$load,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -105,7 +109,12 @@ object Bench {
     // (two hand-maintained copies drifted once already); see summaryJson
     // for the artifact contract (failure names, sentinel handling, field
     // order), which BenchSummarySpec pins against a planted failure
-    val summary = summaryJson(results, leaked, sfDir)
+    val loadAvg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+    val summary = summaryJson(results, leaked, sfDir, loadAvg)
     println(summary)
     // durable artifact: the driver's BENCH_r{N}.json stores only the
     // stdout TAIL, which truncates the total line and most per-query

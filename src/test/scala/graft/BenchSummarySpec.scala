@@ -35,4 +35,14 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""failed":[]""") && s.contains(""""failed_queries":0"""), s)
     assert(s.contains(""""value":1.0"""), s)
   }
+
+  test("host load average rides in the artifact; headline still trails it") {
+    val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
+      loadAvg = Seq(1.5, 2.25, 3.0))
+    assert(s.contains(""""loadavg":[1.5,2.25,3.0]"""), s)
+    assert(s.indexOf("\"loadavg\":") < s.indexOf("\"metric\":"), s)
+    // absent on platforms without /proc: emitted as an empty array, valid JSON
+    val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
+    assert(none.contains(""""loadavg":[]"""), none)
+  }
 }
