@@ -288,6 +288,20 @@ object Dedup {
     * DedupScaleSpec asserts equality on the fixture. The bound scales as
     * sqrt(1/d), so for low-dimensional embeddings (d < 16) the table
     * count is automatically raised to at least 8.
+    *
+    * THRESHOLD GEOMETRY CAVEAT: discrimination degrades as `minCosine`
+    * loosens. At t = 0.5 a qualifying pair sits at Euclidean distance 1.0
+    * on the unit sphere while a RANDOM pair sits at sqrt(2) — a 1.41x
+    * gap, for which any exact-recall single-projection bucketing needs
+    * buckets so wide (L = 2r) that most of the corpus shares one bucket
+    * and the candidate set approaches all-pairs (LSH theory: candidate
+    * volume ~ n^(1+1/c^2) with c = 1.41 -> ~n^1.5 even with an
+    * aggressively tuned multi-probe family). This operator therefore
+    * stays recall-exact and candidate-cheap at tight thresholds
+    * (t >= 0.8: r <= 0.63, buckets discriminate), and at loose
+    * thresholds the at-scale path is [[semanticPairs]], whose k-means
+    * cells bound the quadratic term by construction instead of by
+    * projection geometry.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
