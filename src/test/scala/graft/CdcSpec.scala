@@ -228,6 +228,48 @@ class CdcSpec extends AnyFunSuite {
     assert(p.getLong(2) <= math.min(p.getLong(3), p.getLong(4)))
   }
 
+  test("corpusOverlapReport invariants: totality, bounds, corpus-growth monotonicity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def rand(n: Int) = (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val shared = rand(1500)
+    def mediaOf(rows: Seq[(Long, String)]) = Multimodal.asMediaTable(
+      rows.map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val arrivals = Seq(
+      (1L, "edit-a " + shared),          // revision of corpus content
+      (2L, rand(300)),                   // fresh
+      (3L, "tiny"))                      // no substantial chunks at all
+    val arrChunks = CdcChunking.chunkTable(mediaOf(arrivals), 6)
+    val corpusSmall = CdcChunking.chunkTable(mediaOf(Seq((100L, rand(300)))), 6)
+    val corpusBig = CdcChunking.chunkTable(mediaOf(Seq(
+      (100L, rand(300)), (101L, "other-lead-in " + shared + " edit-b"))), 6)
+    def reportMap(corpus: org.apache.spark.sql.DataFrame) =
+      CdcChunking.corpusOverlapReport(arrChunks, corpus).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val small = reportMap(corpusSmall)
+    val big = reportMap(corpusBig)
+    // totality: every arriving doc gets exactly one verdict row
+    assert(small.keySet == Set(1L, 2L, 3L) && big.keySet == small.keySet)
+    // bound: n_shared can never exceed the doc's own substantial count
+    val subCount = arrChunks.filter(col("chunk_len") >= 16)
+      .select("doc_id", "chunk_md5").distinct()
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    big.foreach { case (id, (n, _)) =>
+      assert(n <= subCount.getOrElse(id, 0L), s"doc $id shares more than it has") }
+    // chunkless docs trivially keep with zero overlap
+    assert(small(3L) == ((0L, true)))
+    // monotonicity: growing the corpus can only raise n_shared / flip keep->drop
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(big(id)._1 >= small(id)._1, s"doc $id lost overlap on corpus growth")
+      assert(!(big(id)._2 && !small(id)._2), s"doc $id flipped drop->keep on corpus growth")
+    }
+    // the planted revision is dropped once its source enters the corpus
+    assert(small(1L)._2, "revision must keep against an unrelated corpus")
+    assert(!big(1L)._2, "revision must drop once its original is in the corpus")
+  }
+
   test("sql registry exposes gear_chunk_ends and agrees with the column api") {
     import spark.implicits._
     graft.plans.GraftExtensions.registerSqlFunctions(spark)
