@@ -196,15 +196,20 @@ object DedupQueries {
     }),
     // SemDeDup (cluster-scoped semantic near-dup): all-pairs cosine WITHIN
     // the shared IVF index's k-means cells only — the quadratic term is
-    // bounded per cell, never corpus-wide. nAssign=2 soft multi-assignment
+    // bounded per cell, never corpus-wide. nAssign=4 soft multi-assignment
     // makes the pair set boundary-robust (a pair is found iff it shares
-    // ANY of each vector's 2 closest cells) at ~2x the shuffle. Rows-only
-    // (the pair set depends on the seeded clustering); dedup_semantic_recall
-    // below is the hash-checked gate. Same rounding-boundary discipline as
-    // dedup_embedding_cosine.
+    // ANY of each vector's 4 closest cells) at ~4x the shuffle — the
+    // LOSSLESS operating point for the 0.5-threshold gate at BOTH
+    // documented scales (nAssign=2 was full-recall at sf0.01 but missed
+    // 7/14 exact pairs at sf0.1: cosine-0.5 pairs sit 90 degrees apart,
+    // which is far enough to quantize 2+ cells away under 8 spherical
+    // cells; measured nAssign recall at sf0.1: 2 -> 7/14, 3 -> 13/14,
+    // 4 -> 14/14). Rows-only (the pair set depends on the seeded
+    // clustering); dedup_semantic_recall below is the hash-checked gate.
+    // Same rounding-boundary discipline as dedup_embedding_cosine.
     "dedup_semantic" -> ((spark, dir) => {
       Dedup.semanticPairs(SimilarityQueries.ivfIndex(spark, dir),
-          minCosine = 0.4999, nAssign = 2)
+          minCosine = 0.4999, nAssign = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .filter(col("cosine") >= 0.5)
         .select("vec_id_1", "vec_id_2", "cosine", "cell")
@@ -215,9 +220,9 @@ object DedupQueries {
     // pair set. The oracle computes exact-vs-exact (trivially full), so
     // the row hash-matches iff NO qualifying pair escaped every shared
     // soft-assigned cell on the fixture — any quantizer regression that
-    // splits a near-dup pair past nAssign=2 turns the row red.
+    // splits a near-dup pair past nAssign=4 turns the row red.
     // (Deterministic: the k-means fit is seed-pinned over an md5-ordered
-    // sample.)
+    // sample.) Green at sf0.01 AND sf0.1 at nAssign=4 (see dedup_semantic).
     "dedup_semantic_recall" -> ((spark, dir) => {
       val exact = Dedup.embeddingCosinePairsExact(
           Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -226,7 +231,7 @@ object DedupQueries {
         .filter(col("cosine") >= 0.5)
         .select("vec_id_1", "vec_id_2")
       val sem = Dedup.semanticPairs(SimilarityQueries.ivfIndex(spark, dir),
-          minCosine = 0.4999, nAssign = 2)
+          minCosine = 0.4999, nAssign = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .filter(col("cosine") >= 0.5)
         .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("hit"))
