@@ -33,6 +33,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // capture BEFORE any Spark work: the 1-minute figure must reflect the
+    // co-tenant load the run started under, not our own 32 threads
+    val loadAvg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,11 +116,6 @@ object Bench {
     // (two hand-maintained copies drifted once already); see summaryJson
     // for the artifact contract (failure names, sentinel handling, field
     // order), which BenchSummarySpec pins against a planted failure
-    val loadAvg = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        .split("\\s+").take(3).toSeq.map(_.toDouble)
-    } catch { case scala.util.control.NonFatal(_) => Nil }
     val summary = summaryJson(results, leaked, sfDir, loadAvg)
     println(summary)
     // durable artifact: the driver's BENCH_r{N}.json stores only the
