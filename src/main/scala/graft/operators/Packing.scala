@@ -427,4 +427,62 @@ object Sampling {
       .toDF(strataCol, "n_tokens", "weight", "saturated", "rate",
         "alloc_tokens")
   }
+
+  /** Epoch-aware UP-sampling plan — the repetition side of a data mix
+    * (the Llama/DoReMi recipe: small high-value strata are seen for
+    * several epochs while the head stays at one): stratum s with token
+    * budget B_s above its supply T_s repeats at
+    *
+    *   rate_s = min(B_s / T_s, maxEpochs)
+    *
+    * and every document in it appears floor(rate_s) times, plus once more
+    * iff its md5 fraction falls below frac(rate_s) — so the emitted token
+    * mass hits the budget in expectation and the repetition cap bounds
+    * memorization exposure. A budget BELOW supply degrades to plain
+    * downsampling (0-or-1 epochs — [[tokenBudgetSample]]'s semantics),
+    * and strata without a budget pass through at exactly one epoch, so
+    * one operator expresses the whole mixture plan. Output: one row per
+    * (document, epoch) with `epoch` in 1..n — the materialized training
+    * manifest a shuffle/pack stage consumes.
+    *
+    * Determinism contract (the discipline of every sampler here): T_s is
+    * a bounded |strata|-row aggregate; rate_s is ONE correctly-rounded
+    * division of exact longs, its floor/frac split is exact IEEE
+    * arithmetic, and the extra-epoch decision is the per-row md5 filter
+    * under a distinct salt (`:epoch`) so it decorrelates from every other
+    * sampler's keep decision on the same keys. A SQL oracle reproduces
+    * membership AND multiplicity bit-for-bit. Scale shape: the explode
+    * multiplies rows by a per-stratum constant ≤ maxEpochs — output is
+    * O(rate·corpus), never quadratic — and everything row-wise stays in
+    * whole-stage codegen. */
+  def epochUpsample(df: DataFrame, keyCol: String, strataCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      maxEpochs: Int = 4): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val totals = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(sum(col(tokensCol).cast("long")).as("__tok"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val rates = budgets.flatMap { case (s, b) =>
+      // a budgeted stratum absent from the corpus has nothing to repeat
+      totals.get(s).map(t => s -> math.min(b.toDouble / t, maxEpochs.toDouble))
+    }
+    // floor/frac split driver-side on the SAME doubles the oracle
+    // computes (floor and subtraction are exact), embedded as literals
+    val fullCol = rates.toSeq.sortBy(_._1).foldLeft(lit(1L)) {
+      case (acc, (s, r)) =>
+        when(col(strataCol) === s, lit(math.floor(r).toLong)).otherwise(acc)
+    }
+    val fracCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, r)) =>
+        when(col(strataCol) === s, lit(r - math.floor(r))).otherwise(acc)
+    }
+    val extra = (hashFraction(concat(col(keyCol).cast("string"), lit(":epoch")))
+      < fracCol).cast("long")
+    df.filter(col(strataCol).isNotNull)
+      .withColumn("__n_epochs", fullCol + extra)
+      .filter(col("__n_epochs") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n_epochs"))))
+      .drop("__n_epochs")
+  }
 }

@@ -112,6 +112,25 @@ object PipelineQueries {
           budget = 15000L)
         .orderBy("lang")
     }),
+    // Epoch-aware UP-sampling plan (the repetition side of the mix — the
+    // Llama/DoReMi recipe): en repeats at ~2.5 epochs (2 full + md5
+    // fraction), zh at ~1.4, de saturates the maxEpochs=4 cap exactly
+    // (frac 0 — every de doc appears 4 times), fr's budget is BELOW
+    // supply so it degrades to 0-or-1-epoch downsampling, and unbudgeted
+    // es passes through at one epoch — all five row kinds on one fixture.
+    // Rates are single divisions of exact longs, the floor/frac split is
+    // exact IEEE arithmetic, and the extra-epoch decision is the salted
+    // per-row md5 filter, so the oracle reproduces membership AND
+    // multiplicity bit-for-bit.
+    "mixture_epochs" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Sampling.epochUpsample(docs, "doc_id", "lang", "n_tokens",
+          Map("en" -> 30000L, "zh" -> 6000L, "de" -> 50000L, "fr" -> 2000L),
+          maxEpochs = 4)
+        .select("doc_id", "lang", "n_tokens", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
     // Temperature-flattened mixture rebalancing (tau = 0.5, keep half the
     // corpus): kept share of each language proportional to sqrt(n_lang),
     // the standard multilingual mixing rule — rare languages are
@@ -486,6 +505,36 @@ object PipelineQueries {
         |         WHEN lang = 'zh' THEN least(1.0, 2000.0 / tok)
         |         ELSE 0.25 END
         |ORDER BY doc_id""".stripMargin,
+    // multiplicity replayed end-to-end: same rate division, same
+    // floor/frac split, same salted md5 extra-epoch decision, epochs
+    // materialized via unnest(range) instead of Spark's explode(sequence)
+    "mixture_epochs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok
+        |  FROM t WHERE lang IS NOT NULL GROUP BY lang),
+        |r AS (
+        |  SELECT doc_id, t.lang, n_tokens,
+        |    CASE WHEN t.lang = 'en' THEN least(30000.0 / tok, 4.0)
+        |         WHEN t.lang = 'zh' THEN least(6000.0 / tok, 4.0)
+        |         WHEN t.lang = 'de' THEN least(50000.0 / tok, 4.0)
+        |         WHEN t.lang = 'fr' THEN least(2000.0 / tok, 4.0)
+        |         ELSE 1.0 END AS rate
+        |  FROM t JOIN tot USING (lang)),
+        |n AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(floor(rate) AS BIGINT)
+        |    + CASE WHEN (('0x' || substring(
+        |          md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0 < rate - floor(rate)
+        |      THEN 1 ELSE 0 END AS n_epochs
+        |  FROM r)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+        |FROM n WHERE n_epochs >= 1 ORDER BY doc_id, epoch""".stripMargin,
     // independent re-derivation of the waterfill: same sorted prefix
     // sums, same integer cross-multiplied saturation verdicts, same
     // single-division water level

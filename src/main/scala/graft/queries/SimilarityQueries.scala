@@ -244,6 +244,60 @@ object SimilarityQueries {
       .filter(col("rank") <= 5).select("q_id", "c_id", "rank", "cosine")
   }
 
+  /** Matryoshka-style prefix-dimension serving (the MRL pattern: nested
+    * representations make the FIRST `prefixDims` coordinates a usable
+    * coarse embedding): a cheap coarse cosine over the 16-dim prefix
+    * ranks the corpus, the per-query top-`shortlist` survivors are
+    * re-ranked by the exact full-dimension cosine. At scale the prefix is
+    * its own (4x narrower) column: the coarse scan reads a quarter of the
+    * vector bytes and carries only (q_id, c_id) forward — ids, never
+    * vectors, move through the ranking; the re-rank joins the bounded
+    * shortlist back to the corpus (AQE broadcasts it). Fully
+    * deterministic — no seeds, no training — so unlike the LSH/IVF
+    * families the END-TO-END result is hash-checked: the oracle replays
+    * coarse ranking, shortlist cut, and re-rank bit-for-bit.
+    *
+    * No driver recall gate, deliberately: prefix pruning's premise is an
+    * MRL-TRAINED embedding whose leading coordinates carry the signal.
+    * The fixture's vectors are isotropic (no nesting structure), so full
+    * recall@5 there needs a ~90% shortlist — a "gate" at that operating
+    * point would certify nothing. RecallSpec instead pins recall = 1.0 at
+    * shortlist 50/500 on a synthetic front-loaded fixture (the contract
+    * the operator actually serves), and the parity row above keeps engine
+    * drift visible independently. */
+  private[graft] def matryoshkaTop5On(emb: DataFrame,
+      prefixDims: Int = 16, shortlist: Int = 50): DataFrame = {
+    val pref = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, prefixDims).as("pv"))
+      .withColumn("pn", vec_l2norm(col("pv")))
+    val qp = pref.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pn").as("qpn"))
+    val cp = pref.select(col("vec_id").as("c_id"), col("pv").as("cpv"),
+      col("pn").as("cpn"))
+    val coarse = cp.crossJoin(broadcast(qp))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("pcos",
+        round(vec_dot(col("qpv"), col("cpv")) / (col("qpn") * col("cpn")), 6))
+    val wc = Window.partitionBy("q_id").orderBy(desc("pcos"), col("c_id"))
+    val short = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= shortlist).select("q_id", "c_id")
+    val full = withNorm(emb)
+    val reranked = short
+      .join(full.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("c_id"))
+      .join(broadcast(full.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), Seq("q_id"))
+      .withColumn("cosine", round(dot / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "c_id", "rank", "cosine")
+  }
+
+  private def matryoshkaTop5(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaTop5On(Tables.load(spark, dir, "embeddings"))
+
   val queries: ListMap[String, Q] = ListMap(
     // Exact brute-force cosine top-5 for query vectors vec_id < 5
     "ann_bruteforce_topk" -> ((spark, dir) => {
@@ -669,7 +723,16 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "rank", "cosine")
         .orderBy("q_id", "rank")
-    }))
+    }),
+    // Matryoshka prefix-dimension top-5 (see matryoshkaTop5On): coarse
+    // rank on the 16-dim prefix, exact re-rank of the top-50 shortlist.
+    // Deterministic end to end, so the full approximate pipeline is
+    // hash-checked — the oracle replays coarse ranking, shortlist cut,
+    // and re-rank, not just a gate. (Recall on a front-loaded fixture is
+    // pinned in RecallSpec; see matryoshkaTop5On's note on why a recall
+    // gate over the isotropic driver fixture would certify nothing.)
+    "ann_matryoshka_topk" -> ((spark, dir) =>
+      matryoshkaTop5(spark, dir).orderBy("q_id", "rank")))
 
   private val bruteForceOracle =
       """WITH e AS (
@@ -768,8 +831,41 @@ object SimilarityQueries {
       |  (t.n - b.n) * 1.0 / t.n >= 0.5 AS stale_by_fraction
       |FROM b, t""".stripMargin
 
+  /** End-to-end replay of the Matryoshka pipeline: coarse cosine over the
+    * first 16 coordinates (same double-widened products in index order),
+    * identical (pcos DESC, c_id) shortlist cut at 50, exact re-rank of
+    * the survivors — the whole approximate path, not just its gate. */
+  private val matryoshkaOracle =
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
+        |    sqrt(list_sum(list_transform((CAST(embedding AS DOUBLE[]))[1:16], x -> x * x))) AS pn
+        |  FROM embeddings),
+        |coarse AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, 17)])
+        |      / (q.pn * c.pn), 6) AS pcos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |short AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, c_id) AS crank
+        |    FROM coarse) WHERE crank <= 50),
+        |scored AS (
+        |  SELECT s.q_id, s.c_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM short s JOIN e q ON q.vec_id = s.q_id JOIN e c ON c.vec_id = s.c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, rank, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
     "ann_bruteforce_topk" -> bruteForceOracle,
+    "ann_matryoshka_topk" -> matryoshkaOracle,
     "ann_ivf_drift_report" -> driftFractionOracle,
     "ann_pq_drift_report" -> driftFractionOracle,
     "ann_pq_recall" -> fullRecallOracle,

@@ -322,4 +322,45 @@ class PipelineSpec extends AnyFunSuite {
       .agg(count(lit(1))).head().getLong(0)
     assert(again === keptTotal.toLong)
   }
+
+  test("epoch upsample: capped, fractional, downsampled, and pass-through strata") {
+    // four strata of 10 docs x 10 tokens (supply 100 each):
+    //   sat  budget 1000 -> rate 10 capped at 3 (frac 0: EVERY doc 3 epochs)
+    //   up   budget  250 -> rate 2.5 (2 full + md5-fraction third)
+    //   down budget   50 -> rate 0.5 (degrades to 0-or-1 downsampling)
+    //   pass unbudgeted  -> exactly 1 epoch
+    val langs = Array("sat", "up", "down", "pass")
+    val docs = (0 until 40).map(i => (i.toLong, langs(i % 4), 10L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = Sampling.epochUpsample(docs, "doc_id", "lang", "n_tokens",
+      Map("sat" -> 1000L, "up" -> 250L, "down" -> 50L), maxEpochs = 3)
+    val got = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("epoch").as("mn"), max("epoch").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent reimplementation of the salted md5 fraction (pure JDK,
+    // no Spark expression shared with the operator under test)
+    def frac(key: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:epoch".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) / 1152921504606846976.0
+    }
+    (0 until 40).foreach { i =>
+      val expected = langs(i % 4) match {
+        case "sat" => 3L
+        case "up" => 2L + (if (frac(i.toLong) < 0.5) 1L else 0L)
+        case "down" => if (frac(i.toLong) < 0.5) 1L else 0L
+        case _ => 1L
+      }
+      val (n, mn, mx) = got.getOrElse(i.toLong, (0L, 0L, 0L))
+      assert(n === expected, s"doc $i (${langs(i % 4)}): $n epochs, wanted $expected")
+      // epochs are the contiguous run 1..n, no gaps, no duplicates
+      if (expected > 0) assert(mn === 1L && mx === expected)
+    }
+    // the fractional stratum actually exercised both outcomes
+    val upCounts = (0 until 40).filter(_ % 4 == 1).map(i => got(i.toLong)._1).toSet
+    assert(upCounts === Set(2L, 3L),
+      s"fixture left the fractional branch one-sided: $upCounts")
+  }
 }

@@ -33,6 +33,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_lsh_filtered_recall", "ann_hard_negatives",
       "ann_pq_topk", "ann_pq_recall", "ann_pq_persisted",
       "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_persisted",
+      // the same <=5-row query-set broadcast as ann_bruteforce_topk, over
+      // the 16-dim prefix columns (the coarse pass of the MRL re-ranker)
+      "ann_matryoshka_topk",
       "term_stats", "lm_bigram_quality", "bm25_rank",
       // |L|-row class-prior table broadcast into the per-doc scorer
       "classifier_train_score", "classifier_persisted", "corpus_filter_classifier",

@@ -91,4 +91,46 @@ class RecallSpec extends AnyFunSuite {
       assert(second.length == 9, s"3 queries x k=3, got ${second.length}")
     } finally index.close()
   }
+
+  test("matryoshka prefix re-rank keeps full recall on a front-loaded fixture") {
+    // The operator's contract is an MRL-style embedding whose leading
+    // coordinates carry the signal. Build one: 500 vectors whose first 16
+    // dims are a deterministic pseudo-random direction and whose 48 tail
+    // dims are the SAME direction's continuation scaled by 0.1 — prefix
+    // cosine then tracks full cosine tightly, so the 50-of-500 shortlist
+    // must keep every exact top-5 neighbor.
+    def noise(i: Long, j: Int, scale: Float): Float = {
+      // cheap deterministic LCG on (i, j); values in [-1, 1)
+      val x = (i * 6364136223846793005L + j * 1442695040888963407L + 11L)
+      ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat * scale
+    }
+    val rows = (0L until 500L).map { i =>
+      val head = Array.tabulate(16)(j => noise(i, j, 1.0f))
+      val tail = Array.tabulate(48)(j => noise(i, j + 16, 0.1f))
+      (i, head ++ tail)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val approx = SimilarityQueries.matryoshkaTop5On(emb)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    // exact full-dimension top-5 per query (independent formulation)
+    import graft.functions.functions.{vec_dot, vec_l2norm}
+    val n = emb.withColumn("nrm", vec_l2norm(col("embedding")))
+    val q = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    val exact = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(vec_dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn")) * 1e6, 0) / 1e6)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (qq, cs) => qq -> cs.map(_._2).toSet }
+    val r = recallAtK(approx, exact)
+    assert(r === 1.0, s"matryoshka recall@5 on the front-loaded fixture = $r")
+    // and the shortlist really is a shortlist: 5 queries x top-5 output
+    assert(approx.values.map(_.size).sum === 25)
+  }
 }
