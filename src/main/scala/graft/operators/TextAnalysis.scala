@@ -39,6 +39,32 @@ object TextAnalysis {
   def markerScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(markers)))
 
+  /** C4-style blocklist filter (the "bad words" stage of Raffel et al.
+    * 2020's C4 pipeline: any page containing a term from the blocklist is
+    * removed; deployments use the per-language LDNOOBW-style lists): a
+    * document is flagged when any blocked TOKEN occurs (word-boundary
+    * exact, multiplicity reported) or any blocked multi-word PHRASE
+    * appears as a substring of the lowercased text. Both lists ride in
+    * the plan as literals (real lists are a few hundred terms — far under
+    * literal limits), so the filter is a stateless projection: it pushes
+    * to the scan, stays in whole-stage codegen, and shuffles nothing at
+    * any corpus size. Output: (id, token_hits, phrase_hits, keep). */
+  def blocklistSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blockedTokens: Seq[String],
+      blockedPhrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blockedTokens.nonEmpty || blockedPhrases.nonEmpty,
+      "blocklist must contain at least one token or phrase")
+    val tokenHits =
+      (if (blockedTokens.isEmpty) lit(0)
+       else markerScore(col(textCol), blockedTokens)).cast("long")
+    val phraseHits = blockedPhrases
+      .map(p => when(lower(col(textCol)).contains(p), lit(1L)).otherwise(lit(0L)))
+      .foldLeft(lit(0L))(_ + _)
+    df.select(col(idCol), tokenHits.as("token_hits"),
+      phraseHits.as("phrase_hits"),
+      (tokenHits === 0 && phraseHits === 0).as("keep"))
+  }
+
   /** Priority-argmax language ID over the marker scores (en>es>fr>de>und). */
   def langId(text: Column): Column = {
     val (en, es, fr, de) = (markerScore(text, enMarkers), markerScore(text, esMarkers),

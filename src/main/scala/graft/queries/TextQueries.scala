@@ -336,6 +336,17 @@ object TextQueries {
     // Scores are emitted as INTEGER-scaled values (x1e4 / x1e6) so the
     // threshold booleans — the actual output of a filter — are bit-exact
     // across engines, never a double-rounding coin flip at the boundary.
+    // C4 "bad words" blocklist stage (Raffel et al. 2020): docs flagged
+    // by a blocked token (word-boundary exact, multiplicity counted) or a
+    // blocked phrase (substring). On the fixture 'dup' hits 25 docs and
+    // 'slow scan' 23, so kept and dropped rows — and both trigger kinds —
+    // all appear. A pure stateless projection; fully hash-checked.
+    "blocklist_filter" -> ((spark, dir) => {
+      TextAnalysis.blocklistSignals(Tables.load(spark, dir, "documents"),
+          "doc_id", "text",
+          blockedTokens = Seq("dup"), blockedPhrases = Seq("slow scan"))
+        .orderBy("doc_id")
+    }),
     "corpus_quality_filter" -> ((spark, dir) => {
       val t = toks(col("text"))
       val quality4 = org.apache.spark.sql.functions.round(
@@ -909,6 +920,15 @@ object TextQueries {
         |  round(tf_total * (n.n_docs + 1) * 1.0 / (df + 1), 6) AS tfidf_total
         |FROM s, n WHERE df >= 2
         |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    "blocklist_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('dup'))) AS BIGINT) AS token_hits,
+        |  CAST(CASE WHEN contains(lower(text), 'slow scan') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS phrase_hits,
+        |  len(list_filter(string_split(lower(text), ' '), t -> t IN ('dup'))) = 0
+        |    AND NOT contains(lower(text), 'slow scan') AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_quality_filter" ->
       (s"""WITH b AS (
         |  SELECT doc_id,

@@ -284,4 +284,26 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(mg <= 2 * tv + 1e-9, s"max_gap exceeds total shift: $r")
     }
   }
+
+  test("blocklist filter: token boundary exactness, multiplicity, phrase substring") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean words only"),          // no hit -> keep
+      (2L, "zap then zap again"),        // blocked token twice
+      (3L, "a bad phrase lives here"),   // blocked phrase as substring
+      (4L, "zapx is not the token zapy"),// substring != word-boundary token
+      (5L, "phrase bad in reverse"))     // phrase words present, order wrong
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.blocklistSignals(
+        docs, "doc_id", "text",
+        blockedTokens = Seq("zap"), blockedPhrases = Seq("bad phrase"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, true),
+      (2L, 2L, 0L, false),
+      (3L, 0L, 1L, false),
+      (4L, 0L, 0L, true),
+      (5L, 0L, 0L, true)))
+  }
 }

@@ -363,4 +363,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(upCounts === Set(2L, 3L),
       s"fixture left the fractional branch one-sided: $upCounts")
   }
+
+  test("epoch upsample is monotone in the budget and lands the token mass") {
+    val docs = (0 until 200).map(i => (i.toLong, "xx", (i % 7 + 1).toLong))
+      .toDF("doc_id", "lang", "n_tokens")
+    val supply = (0 until 200).map(i => (i % 7 + 1).toLong).sum
+    def multiplicities(budget: Long): Map[Long, Long] =
+      Sampling.epochUpsample(docs, "doc_id", "lang", "n_tokens",
+          Map("xx" -> budget), maxEpochs = 10)
+        .groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val budgets = Seq(supply / 2, supply, supply * 2, supply * 7 / 2)
+    val runs = budgets.map(multiplicities)
+    // a larger budget never takes an epoch away from any document (floor
+    // grows stepwise, the md5 threshold grows within each step)
+    runs.sliding(2).foreach { case Seq(lo, hi) =>
+      (0L until 200L).foreach { id =>
+        assert(lo.getOrElse(id, 0L) <= hi.getOrElse(id, 0L),
+          s"doc $id lost an epoch when the budget grew")
+      }
+    }
+    // emitted token mass lands on the budget (md5-fraction noise only)
+    budgets.zip(runs).foreach { case (b, m) =>
+      val mass = (0 until 200)
+        .map(i => m.getOrElse(i.toLong, 0L) * (i % 7 + 1)).sum
+      assert(math.abs(mass.toDouble - b) / b < 0.15,
+        s"budget $b materialized $mass tokens")
+    }
+  }
 }

@@ -133,4 +133,15 @@ class RecallSpec extends AnyFunSuite {
     // and the shortlist really is a shortlist: 5 queries x top-5 output
     assert(approx.values.map(_.size).sum === 25)
   }
+
+  test("matryoshka degenerates to exact brute force at full prefix + corpus-wide shortlist") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val degenerate = SimilarityQueries.matryoshkaTop5On(emb,
+        prefixDims = 64, shortlist = 1000)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityQueries.queries("ann_bruteforce_topk")(spark, TestSpark.sfDir)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(degenerate === exact,
+      "full-prefix, uncut matryoshka must equal the brute-force top-5")
+  }
 }
