@@ -36,6 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // the same <=5-row query-set broadcast as ann_bruteforce_topk, over
       // the 16-dim prefix columns (the coarse pass of the MRL re-ranker)
       "ann_matryoshka_topk",
+      // the bounded EVAL-set broadcast (benchmarks are thousands of rows
+      // however large the corpus); the corpus side streams through one scan
+      "decontaminate_semantic",
       "term_stats", "lm_bigram_quality", "bm25_rank",
       // |L|-row class-prior table broadcast into the per-doc scorer
       "classifier_train_score", "classifier_persisted", "corpus_filter_classifier",

@@ -103,4 +103,26 @@ class SemDedupSpec extends AnyFunSuite {
         "exact pairs on the fixture")
     assert(r.getAs[Double]("recall") === 1.0)
   }
+
+  test("semantic decontamination: a planted eval copy is flagged at cosine 1.0, " +
+      "an orthogonal vector is not") {
+    // eval row 0 = (1,0,0,0); corpus row 1 = a scaled copy (cosine 1.0,
+    // must be flagged), corpus row 3 orthogonal (cosine 0, clean), corpus
+    // row 11 at 45 degrees (cosine ~0.7071 — below the 0.9 threshold, so
+    // it stays clean, pinning that near-but-not-contaminated survives)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (11L, Array(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = queries.SimilarityQueries.semanticContaminationOn(
+        emb, col("vec_id") % 10 === 0, minCosine = 0.9)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1.0, true),
+      (3L, 0.0, false),
+      (11L, 0.707107, false)))
+  }
 }
