@@ -54,16 +54,26 @@ object TextAnalysis {
       blockedPhrases: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(blockedTokens.nonEmpty || blockedPhrases.nonEmpty,
       "blocklist must contain at least one token or phrase")
-    val tokenHits =
-      (if (blockedTokens.isEmpty) lit(0)
-       else markerScore(col(textCol), blockedTokens)).cast("long")
-    val phraseHits = blockedPhrases
-      .map(p => when(lower(col(textCol)).contains(p), lit(1L)).otherwise(lit(0L)))
-      .foldLeft(lit(0L))(_ + _)
+    val tokenHits = blocklistTokenHits(col(textCol), blockedTokens)
+    val phraseHits = blocklistPhraseHits(col(textCol), blockedPhrases)
     df.select(col(idCol), tokenHits.as("token_hits"),
       phraseHits.as("phrase_hits"),
       (tokenHits === 0 && phraseHits === 0).as("keep"))
   }
+
+  /** Blocked-token occurrence count (word-boundary exact, multiplicity) —
+    * the ONE definition both the batch report and the streaming ingest
+    * gate derive their verdicts from. */
+  def blocklistTokenHits(text: Column, blockedTokens: Seq[String]): Column =
+    (if (blockedTokens.isEmpty) lit(0)
+     else markerScore(text, blockedTokens)).cast("long")
+
+  /** Number of blocked phrases appearing as substrings of the lowercased
+    * text (0/1 per phrase). Shared by batch and streaming verdicts. */
+  def blocklistPhraseHits(text: Column, blockedPhrases: Seq[String]): Column =
+    blockedPhrases
+      .map(p => when(lower(text).contains(p), lit(1L)).otherwise(lit(0L)))
+      .foldLeft(lit(0L))(_ + _)
 
   /** Priority-argmax language ID over the marker scores (en>es>fr>de>und). */
   def langId(text: Column): Column = {

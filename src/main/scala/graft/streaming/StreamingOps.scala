@@ -150,6 +150,47 @@ object StreamingOps {
       TextAnalysis.langId(col(textCol)) === "en")
   }
 
+  /** Continuous-ingest BLOCKLIST gate: the streaming twin of the batch
+    * `blocklist_filter` keep rule — a page containing any blocked token
+    * (word-boundary exact) or blocked phrase (substring) never enters the
+    * pipeline. Both hit counts are the SAME column definitions the batch
+    * report uses ([[graft.operators.TextAnalysis.blocklistTokenHits]] /
+    * `blocklistPhraseHits`), so the verdicts cannot drift. Stateless and
+    * append-legal (row-local projections over plan-literal lists — no
+    * watermark, no state); composes ahead of the fingerprint/near-dup
+    * stages so blocked pages never reach their state. */
+  def blocklistGateStream(stream: DataFrame, textCol: String,
+      blockedTokens: Seq[String], blockedPhrases: Seq[String]): DataFrame = {
+    import graft.operators.TextAnalysis
+    stream.filter(
+      TextAnalysis.blocklistTokenHits(col(textCol), blockedTokens) === 0 &&
+        TextAnalysis.blocklistPhraseHits(col(textCol), blockedPhrases) === 0)
+  }
+
+  /** Continuous-ingest SEMANTIC-DECONTAMINATION gate: the streaming twin
+    * of the batch `decontaminate_semantic` verdict — an arriving vector
+    * with cosine >= `minCosine` against ANY eval-benchmark vector is
+    * dropped before it can enter a training corpus. The eval set is
+    * bounded however large the stream (the batch operator's broadcast
+    * contract), and the exclusion is ONE stream-static LEFT ANTI join
+    * with the cosine threshold in the join condition — the
+    * [[ingestNearDupStream]] shape: no stream-side aggregation, no
+    * regroup, append-legal by construction. The batch report computes
+    * max-cosine per vector; existence against the threshold is the same
+    * verdict, so StreamingSpec pins the stream's survivor set equal to
+    * the batch report's unflagged set. */
+  def semanticDecontaminationGateStream(stream: DataFrame, vecCol: String,
+      evalVectors: DataFrame, evalVecCol: String,
+      minCosine: Double): DataFrame = {
+    import graft.functions.functions.{vec_dot, vec_l2norm}
+    val ev = evalVectors
+      .select(col(evalVecCol).as("__ev"))
+      .withColumn("__en", vec_l2norm(col("__ev")))
+    val cos = round(vec_dot(col(vecCol), col("__ev"))
+      / (vec_l2norm(col(vecCol)) * col("__en")) * 1e6, 0) / 1e6
+    stream.join(broadcast(ev), cos >= minCosine, "left_anti")
+  }
+
   /** Continuous-ingest TRAINED-CLASSIFIER gate: the streaming twin of the
     * batch `corpus_filter_classifier` keep rule — every arriving document
     * scored under a FROZEN [[graft.operators.QualityClassifier]] model

@@ -491,6 +491,45 @@ class StreamingSpec extends AnyFunSuite {
       s"fixture degenerate: ${got.size} of ${docs.count()} kept")
   }
 
+  test("streaming blocklist gate keeps exactly the batch filter's keep set") {
+    val docs = Tables.load(spark, dir, "documents")
+    val stream = StreamingOps.readTableStream(spark, dir, "documents")
+    val gated = StreamingOps.blocklistGateStream(stream, "text",
+      blockedTokens = Seq("dup"), blockedPhrases = Seq("slow scan"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("blocklist_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("blocklist_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.queries.TextQueries.queries("blocklist_filter")(
+      spark, dir).filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === batch, "stream verdict diverged from the batch blocklist")
+    assert(got.nonEmpty && got.size < docs.count(),
+      s"fixture degenerate: ${got.size} of ${docs.count()} kept")
+  }
+
+  test("streaming semantic decontamination gate keeps the batch unflagged set") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val evalSet = emb.filter(col("vec_id") % 10 === 0)
+    val stream = StreamingOps.readTableStream(spark, dir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+    val gated = StreamingOps.semanticDecontaminationGateStream(
+      stream, "embedding", evalSet, "embedding", minCosine = 0.35)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("decon_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("decon_stream").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.queries.SimilarityQueries.queries("decontaminate_semantic")(
+      spark, dir).filter(!col("flagged")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === batch, "stream survivors diverged from the batch report")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0).count()
+    assert(got.nonEmpty && got.size < corpus,
+      s"fixture degenerate: ${got.size} of $corpus kept")
+  }
+
   test("streaming stratified sample equals the batch sample (stateless filter)") {
     import graft.operators.Sampling
     val sampled = Sampling.stratifiedSample(
