@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Term-partitioned inverted index with BM25 serving — the text-retrieval
+  * member of the durable build-once / serve-many index family
+  * ([[IvfIndex]], [[PqIndex]], [[ChunkIndex]], [[BigramLm]]).
+  *
+  * Building tokenizes the corpus ONCE into classic posting rows
+  * (term, doc, tf, dl — document length denormalized onto the posting so
+  * serving never joins a corpus-sized side), plus a per-term document-
+  * frequency sidecar and two manifest scalars (document count, total
+  * length). Both tables are written PARTITIONED BY a term hash bucket, so
+  * a query's scan plans only the buckets its terms hash to — the static
+  * partition pruning an IVF probe gets from cells, applied to text: at
+  * corpus scale a 3-term query over a 4096-bucket index touches <= 3
+  * buckets of posting files and none of the raw text.
+  *
+  * Serving computes the SAME BM25 formulation as the fused
+  * [[TextAnalysis.bm25Rank]] (idf = (N - df + 0.5)/(df + 0.5), tf
+  * normalized by k1/b against avgdl, round-6 sum per document), so the
+  * served ranking is bit-identical to the one-call form and shares its
+  * DuckDB oracle. avgdl divides two exact manifest longs — document
+  * lengths are integers, so their double sum is exact in any order and
+  * the division matches the fused path's avg() to the bit.
+  *
+  * Reopen across sessions is manifest-validated metadata only
+  * ([[InvertedIndex.loadIfValid]]): zero tokenize/aggregate jobs on a
+  * hit, the [[BigramLm]] contract.
+  */
+final class InvertedIndex private[operators] (
+    private[operators] val spark: SparkSession,
+    /** (idCol, term, tf, dl, bucket) posting rows. */
+    val postings: DataFrame,
+    /** (term, df, bucket) document frequencies. */
+    val terms: DataFrame,
+    /** Name of the document id column the index was built over. */
+    val idCol: String,
+    /** Corpus document count (all docs, matched or not). */
+    val nDocs: Long,
+    /** Sum of document lengths (tokens) over the corpus. */
+    val sumDl: Long,
+    /** Term hash-bucket count (the partition key space). */
+    val nBuckets: Int) {
+
+  /** BM25 score per document containing at least one query term:
+    * (idCol, matched_terms, bm25). Bucket + term filters restrict the
+    * posting scan; on a file-backed index the bucket predicate is a
+    * static PARTITION filter — only the query terms' buckets are read. */
+  def serve(queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"need k1 > 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    val buckets = queryTerms.map(InvertedIndex.bucketOf(_, nBuckets)).distinct
+    val post = postings
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+    val df = terms
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+      .select("term", "df")
+    val avgdl = sumDl.toDouble / nDocs
+    def round6(c: Column) = round(c * 1e6, 0) / 1e6
+    val idf = (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    post.join(df, "term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_terms"),
+        round6(sum(idf * tfNorm)).as("bm25"))
+  }
+
+  /** Durable form: bucket-partitioned postings + terms and a validation
+    * manifest carrying the corpus scalars. */
+  def write(path: String, source: String = ""): Unit = {
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    terms.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/terms")
+    val postRows = spark.read.parquet(s"$path/postings").count()
+    val termRows = spark.read.parquet(s"$path/terms").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", InvertedIndex.ManifestVersion)
+    props.setProperty("source", source)
+    props.setProperty("idCol", idCol)
+    props.setProperty("nDocs", nDocs.toString)
+    props.setProperty("sumDl", sumDl.toString)
+    props.setProperty("nBuckets", nBuckets.toString)
+    props.setProperty("postRows", postRows.toString)
+    props.setProperty("termRows", termRows.toString)
+    val mPath = InvertedIndex.manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft inverted-index manifest")
+    finally out.close()
+  }
+}
+
+object InvertedIndex {
+  private val buildsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def buildCount: Int = buildsRun.get
+
+  private val ManifestVersion = "1"
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+
+  /** The engine-side bucket key; [[bucketOf]] is its driver-side twin. */
+  private def bucketCol(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Driver-side bucket of a term — evaluates the SAME Catalyst xxhash64
+    * the build used, so the serve-time literals always land on the
+    * partitions the writer created. */
+  private[graft] def bucketOf(term: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // seed 42 = the default the SQL-level xxhash64() builds with
+    val h = XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
+  /** BUILD: tokenize once, aggregate postings + term frequencies, count
+    * the two corpus scalars (the single bounded action — the BigramLm
+    * vocabulary-count analogue). The posting/term tables stay lazy. */
+  def build(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 64): InvertedIndex = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    buildsRun.incrementAndGet()
+    val spark = df.sparkSession
+    val t = split(lower(col(textCol)), " ")
+    val dl = df.select(col(idCol), size(t).cast("long").as("dl"))
+    val Array(nDocs, sumDl) = dl
+      .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val postings = df.select(col(idCol), explode(t).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .join(dl, idCol)
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+    val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+    new InvertedIndex(spark, postings, terms, idCol, nDocs, sumDl, nBuckets)
+  }
+
+  /** Reopen a written index ONLY if its manifest proves it complete,
+    * current, and built from the caller's `source` — metadata-sized
+    * validation, zero build jobs on a hit. */
+  def loadIfValid(spark: SparkSession, path: String,
+      source: String): Option[InvertedIndex] = {
+    val mPath = manifestPath(path)
+    try {
+      val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mPath)) return None
+      val props = new java.util.Properties()
+      val in = fs.open(mPath)
+      try props.load(in) finally in.close()
+      def field(k: String) = Option(props.getProperty(k))
+      if (!field("version").contains(ManifestVersion) ||
+        !field("source").contains(source)) return None
+      val idx = load(spark, path)
+      val valid =
+        field("postRows").exists(_.toLong == idx.postings.count()) &&
+          field("termRows").exists(_.toLong == idx.terms.count())
+      if (valid) Some(idx) else None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Reopen a written index: lazy partitioned scans + manifest scalars. */
+  def load(spark: SparkSession, path: String): InvertedIndex = {
+    val props = new java.util.Properties()
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(mPath)
+    try props.load(in) finally in.close()
+    new InvertedIndex(spark,
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/terms"),
+      props.getProperty("idCol"),
+      props.getProperty("nDocs").toLong,
+      props.getProperty("sumDl").toLong,
+      props.getProperty("nBuckets").toInt)
+  }
+}

@@ -395,6 +395,16 @@ object TextQueries {
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(20)
     }),
+    // The SAME ranking served from the durable term-partitioned inverted
+    // index (build-once/serve-many; only the query terms' hash buckets
+    // are read — static partition pruning, the IVF probe posture applied
+    // to text). Shares bm25_rank's oracle: served == fused bit-for-bit.
+    "bm25_served" -> ((spark, dir) => {
+      invertedIndexPersisted(spark, dir)
+        .serve(Seq("hash", "join", "vector"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    }),
     // PII scrubbing: count + redact emails / URLs / long digit runs — the
     // compliance-filtering stage of a training-data pipeline. Patterns are
     // dialect-portable (same semantics in Java regex and DuckDB's RE2);
@@ -734,6 +744,26 @@ object TextQueries {
       }
     })
 
+  /** One durable inverted index per (session, dir) — same build-once file
+    * lifecycle as [[bigramLmPersisted]] (manifest-validated reopen, zero
+    * tokenize jobs on a hit); serving reads only the query terms' hash
+    * buckets via static partition pruning. */
+  private val invFileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.InvertedIndex]
+
+  private def invertedIndexPersisted(spark: SparkSession,
+      dir: String): graft.operators.InvertedIndex =
+    invFileCache.getOrElseUpdate((spark, dir), invFileCache.synchronized {
+      val path = QueryArtifacts.path("target/inverted-index", dir)
+      val tag = lmSourceTag(spark, dir)
+      graft.operators.InvertedIndex.loadIfValid(spark, path, tag).getOrElse {
+        graft.operators.InvertedIndex
+          .build(Tables.load(spark, dir, "documents"), "doc_id", "text")
+          .write(path, tag)
+        graft.operators.InvertedIndex.load(spark, path)
+      }
+    })
+
   /** One durable quality classifier per (session, dir), trained on the
     * %5==0 labeled seed slice — same build-once file lifecycle as
     * [[bigramLmPersisted]]. */
@@ -755,6 +785,27 @@ object TextQueries {
         graft.operators.QualityClassifier.load(spark, path)
       }
     })
+
+  /** One BM25 oracle for the fused (`bm25_rank`) and index-served
+    * (`bm25_served`) rows — the two engines and the two in-repo
+    * formulations must all agree on the same ranking. */
+  private val bm25Oracle =
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(tok.w) AS t(term)
+        |  WHERE t.term IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+        |  round(sum((n_docs - df + 0.5) / (df + 0.5)
+        |    * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
+        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |GROUP BY tf.doc_id, n_docs, avgdl
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   private def duckScore(markers: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -1047,23 +1098,11 @@ object TextQueries {
         |    AS keep
         |FROM rowsig r LEFT JOIN gp ON r.doc_id = gp.doc_id
         |ORDER BY doc_id""".stripMargin,
-    "bm25_rank" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, t.term, count(*) AS tf
-        |  FROM tok, unnest(tok.w) AS t(term)
-        |  WHERE t.term IN ('hash', 'join', 'vector')
-        |  GROUP BY doc_id, t.term),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-        |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
-        |  round(sum((n_docs - df + 0.5) / (df + 0.5)
-        |    * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
-        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
-        |GROUP BY tf.doc_id, n_docs, avgdl
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "bm25_rank" -> bm25Oracle,
+    // the served path must reproduce the fused ranking bit-for-bit, so
+    // the two rows share ONE oracle — an index/serve divergence turns
+    // exactly one of them red
+    "bm25_served" -> bm25Oracle,
     "text_scrub_pii" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,

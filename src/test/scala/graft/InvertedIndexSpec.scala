@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{InvertedIndex, TextAnalysis}
+
+/** Durable inverted index: served BM25 == the fused one-call ranking
+  * row-for-row, driver/engine bucket parity, manifest-validated zero-build
+  * reopen, and evidence that serving reads only the query terms' buckets
+  * (the partition-pruning contract that makes the index an index). */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val queryTerms = Seq("hash", "join", "vector")
+
+  private def ranked(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "matched_terms", "bm25")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  test("served BM25 equals the fused bm25Rank row-for-row") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    val served = ranked(idx.serve(queryTerms))
+    val fused = ranked(TextAnalysis.bm25Rank(docs, "doc_id", "text", queryTerms))
+    assert(served === fused)
+    assert(served.nonEmpty)
+  }
+
+  test("driver-side bucketOf matches the engine-side bucket for every corpus term") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val engine = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+      .distinct()
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(64L)).cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(engine.nonEmpty)
+    engine.foreach { case (term, b) =>
+      assert(InvertedIndex.bucketOf(term, 64) === b, s"bucket mismatch for '$term'")
+    }
+  }
+
+  test("manifest reopen: zero build jobs, identical serving, stale source rejected") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = "target/test-inverted-index"
+    InvertedIndex.build(docs, "doc_id", "text").write(path, source = "tag-a")
+    val builds = InvertedIndex.buildCount
+    val reopened = InvertedIndex.loadIfValid(spark, path, source = "tag-a")
+    assert(reopened.isDefined, "valid manifest must reopen")
+    assert(InvertedIndex.buildCount === builds, "reopen must not rebuild")
+    val served = ranked(reopened.get.serve(queryTerms))
+    val fused = ranked(TextAnalysis.bm25Rank(docs, "doc_id", "text", queryTerms))
+    assert(served === fused)
+    // a different source fingerprint must refuse the reopen
+    assert(InvertedIndex.loadIfValid(spark, path, source = "tag-b").isEmpty)
+  }
+
+  test("serving reads only the query terms' buckets (partition pruning)") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = "target/test-inverted-index-prune"
+    InvertedIndex.build(docs, "doc_id", "text").write(path, source = "t")
+    val idx = InvertedIndex.load(spark, path)
+    val totalPostings = idx.postings.count()
+    // rows actually in the query terms' buckets — the pruning budget
+    val buckets = queryTerms.map(InvertedIndex.bucketOf(_, idx.nBuckets)).distinct
+    val inBuckets = idx.postings.filter(col("bucket").isin(buckets: _*)).count()
+    assert(inBuckets < totalPostings,
+      "fixture degenerate: query buckets cover the whole index")
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      idx.serve(queryTerms).collect()
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // scan cost = query-bucket postings + the (tiny) terms sidecar, never
+    // the full posting table; allow slack for the terms scan
+    assert(read.get() <= inBuckets + idx.terms.count() + 16,
+      s"serve read ${read.get()} records; bucket budget was $inBuckets " +
+        s"of $totalPostings postings")
+  }
+}
