@@ -145,6 +145,86 @@ object InvertedIndex {
     new InvertedIndex(spark, postings, terms, idCol, nDocs, sumDl, nBuckets)
   }
 
+  private val SourceSep = "\u0001"
+
+  /** Incrementally index a batch of NEW documents into a written index —
+    * the daily-crawl lifecycle ([[ChunkIndex.appendTo]] semantics, with
+    * the ledger making a crashed job's retry a no-op):
+    *
+    *  - posting rows for new documents are disjoint from existing ones
+    *    (the caller appends new doc ids, the family's append contract),
+    *    so the posting table extends by a pure parquet append;
+    *  - per-term document frequencies MERGE (df' = df + delta), so the
+    *    vocab-sized terms sidecar is rebuilt into a staging dir and
+    *    swapped by rename — never read-and-overwritten in place;
+    *  - the corpus scalars add; the manifest (with the new-source ledger
+    *    entry) commits LAST, so a crash at any earlier point leaves a
+    *    table the recount checks refuse as torn instead of silently
+    *    double-counting.
+    *
+    * Returns false (no-op) when `newSource` is already in the ledger. */
+  def appendTo(spark: SparkSession, path: String, newDocs: DataFrame,
+      textCol: String, newSource: String): Boolean = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val priorPost = prior.getProperty("postRows").toLong
+    val priorTerm = prior.getProperty("termRows").toLong
+    require(spark.read.parquet(s"$path/postings").count() == priorPost &&
+      spark.read.parquet(s"$path/terms").count() == priorTerm,
+      s"inverted index at $path does not match its committed manifest — " +
+        "a previous append crashed mid-write; rebuild instead of appending")
+    val idCol = prior.getProperty("idCol")
+    val nBuckets = prior.getProperty("nBuckets").toInt
+    val t = split(lower(col(textCol)), " ")
+    val dl = newDocs.select(col(idCol), size(t).cast("long").as("dl"))
+    val Array(dDocs, dSumDl) = dl
+      .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val deltaPostings = newDocs.select(col(idCol), explode(t).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .join(dl, idCol)
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+    deltaPostings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    // merge the vocab-sized df sidecar into a staging dir, then swap
+    val deltaDf = deltaPostings.groupBy("term").agg(count(lit(1)).as("df"))
+    val merged = spark.read.parquet(s"$path/terms").select("term", "df")
+      .unionByName(deltaDf)
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/terms-next")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/terms"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/terms-next"),
+      new org.apache.hadoop.fs.Path(s"$path/terms"))
+    val postRows = spark.read.parquet(s"$path/postings").count()
+    val termRows = spark.read.parquet(s"$path/terms").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    props.setProperty("idCol", idCol)
+    props.setProperty("nDocs",
+      (prior.getProperty("nDocs").toLong + dDocs).toString)
+    props.setProperty("sumDl",
+      (prior.getProperty("sumDl").toLong + dSumDl).toString)
+    props.setProperty("nBuckets", nBuckets.toString)
+    props.setProperty("postRows", postRows.toString)
+    props.setProperty("termRows", termRows.toString)
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft inverted-index manifest")
+    finally out.close()
+    true
+  }
+
   /** Reopen a written index ONLY if its manifest proves it complete,
     * current, and built from the caller's `source` — metadata-sized
     * validation, zero build jobs on a hit. */

@@ -83,4 +83,37 @@ class InvertedIndexSpec extends AnyFunSuite {
       s"serve read ${read.get()} records; bucket budget was $inBuckets " +
         s"of $totalPostings postings")
   }
+
+  test("append merges df and scalars: served == fused over the union corpus; " +
+      "ledger makes a retry a no-op; torn table refused") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val path = "target/test-inverted-index-append"
+    InvertedIndex.build(base, "doc_id", "text").write(path, source = "base")
+    assert(InvertedIndex.appendTo(spark, path, batch, "text", "day-1"))
+    val idx = InvertedIndex.load(spark, path)
+    // df merged and scalars added: the served ranking over base+batch is
+    // bit-identical to a fused pass over the whole corpus
+    val served = ranked(idx.serve(queryTerms))
+    val fused = ranked(TextAnalysis.bm25Rank(docs, "doc_id", "text", queryTerms))
+    assert(served === fused, "appended index diverged from the union corpus")
+    // retrying the same batch is a ledger no-op: nothing double-counts
+    val postRows = idx.postings.count()
+    assert(!InvertedIndex.appendTo(spark, path, batch, "text", "day-1"))
+    assert(InvertedIndex.load(spark, path).postings.count() === postRows)
+    // the latest source reopens with zero builds; the stale one refuses
+    val builds = InvertedIndex.buildCount
+    assert(InvertedIndex.loadIfValid(spark, path, "day-1").isDefined)
+    assert(InvertedIndex.buildCount === builds)
+    assert(InvertedIndex.loadIfValid(spark, path, "base").isEmpty)
+    // a torn table (rows landed, manifest didn't) refuses further appends
+    Seq((999999L, "zzz", 1L, 1L, 0))
+      .toDF("doc_id", "term", "tf", "dl", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.appendTo(spark, path, batch, "text", "day-2")
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
 }
