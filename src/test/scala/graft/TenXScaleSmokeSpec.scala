@@ -366,4 +366,35 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     assert(t10 <= 15 * t1,
       f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear chunking")
   }
+
+  test("inverted index scales ~linearly onto a 10x corpus; renamed serving " +
+      "equals the per-copy base result", SlowTest) {
+    import graft.operators.InvertedIndex
+    // the injective word rename makes each copy's postings a renamed
+    // replica of the base's: tf/dl preserved, vocabularies disjoint — so
+    // posting rows, vocab size, and the corpus scalars scale EXACTLY 10x,
+    // and serving one copy's renamed query must return that copy's docs
+    // with the base's matched_terms per doc (bm25 shifts with N, by
+    // design — idf sees the 10x corpus).
+    val idxB = InvertedIndex.build(baseDocs, "doc_id", "text")
+    val (nPostB, t1) = timed(idxB.postings.count())
+    val nTermB = idxB.terms.count()
+    val baseServe = idxB.serve(Seq("hash", "join", "vector"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val idx10 = InvertedIndex.build(saltedCorpus, "doc_id", "text")
+    val (nPost10, t10) = timed(idx10.postings.count())
+    assert(nPost10 == copies * nPostB,
+      s"posting rows $nPost10 != ${copies}x$nPostB")
+    assert(idx10.terms.count() == copies * nTermB,
+      "vocab did not scale 10x — the rename is not injective")
+    assert(idx10.nDocs == copies * idxB.nDocs &&
+      idx10.sumDl == copies * idxB.sumDl, "manifest scalars not 10x")
+    val served = idx10.serve(Seq("c3_hash", "c3_join", "c3_vector"))
+      .collect().map(r => (r.getLong(0) - 3000000L, r.getLong(1))).toMap
+    assert(served == baseServe,
+      "copy-3 renamed serve diverged from the base per-copy result")
+    info(f"inverted index 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1,
+      f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear build")
+  }
 }
