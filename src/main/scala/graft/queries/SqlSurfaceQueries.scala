@@ -200,6 +200,42 @@ object SqlSurfaceQueries {
             .as("p99_within_1pct"))
         .orderBy("l_returnflag")
     }),
+    // Count-min sketch frequency gate — the third sketch family (HLL =
+    // distinct, KLL = quantiles, CMS = frequency): one CMS over the
+    // token stream, probed for a BOUNDED list of candidate terms (the
+    // heavy-hitter shortlist a monitoring tier tracks — never the vocab,
+    // which is web-scale). The estimate is engine-private like the HLL
+    // registers, so the hashed columns are the exact counts plus the two
+    // CMS guarantees as booleans: est >= exact always (CMS never
+    // undercounts), est <= exact + eps*N (the width bound; seed pinned,
+    // so deterministic). The oracle computes the exact counts and states
+    // the literal TRUEs — a sketch regression turns the row red while
+    // sketch internals stay engine-private (the approx_sketches_gate
+    // discipline). Driver-side probing reads ONE kilobyte-sized sketch —
+    // the centroid/codebook bounded-collect precedent.
+    "cms_term_counts" -> ((spark, dir) => {
+      val probeTerms = Seq("dup", "hash", "join", "slow", "the", "vector")
+      val eps = 0.001
+      val docs = Tables.load(spark, dir, "documents")
+      val terms = docs.select(
+        explode(split(lower(col("text")), " ")).as("term"))
+      val Array(skBytes, total) = terms
+        .agg(count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)),
+          count(lit(1)))
+        .head().toSeq.toArray
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes.asInstanceOf[Array[Byte]]))
+      val slack = math.ceil(eps * total.asInstanceOf[Long]).toLong
+      val exact = terms.filter(col("term").isin(probeTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("exact_count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      import spark.implicits._
+      exact.toSeq.map { case (t, ex) =>
+        val est = cms.estimateCount(t)
+        (t, ex, est >= ex, est <= ex + slack)
+      }.toDF("term", "exact_count", "no_undercount", "overcount_within_eps")
+        .orderBy("term")
+    }),
     // Scalar function library: string, date and math built-ins in one pass
     "scalar_functions" -> ((spark, dir) => {
       Tables.load(spark, dir, "orders")
@@ -405,6 +441,14 @@ object SqlSurfaceQueries {
         |  TRUE AS median_within_1pct,
         |  TRUE AS p99_within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact probe-term counts + the stated CMS guarantees as literal TRUEs
+    "cms_term_counts" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS exact_count,
+        |  TRUE AS no_undercount, TRUE AS overcount_within_eps
+        |FROM t WHERE term IN ('dup', 'hash', 'join', 'slow', 'the', 'vector')
+        |GROUP BY term ORDER BY term""".stripMargin,
     "window_functions" ->
       """SELECT o_orderkey, o_custkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

@@ -105,4 +105,31 @@ class SketchErrorSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == got)
   }
+
+  test("count-min sketch never undercounts and stays within eps*N on a skewed stream") {
+    import spark.implicits._
+    // zipf-ish synthetic stream: item i appears ~3000/i times over a
+    // 200-item universe — heavy head, long tail, guaranteed collisions
+    // at a deliberately COARSE eps (width ~20 cells for 200 items)
+    val rows = (1 to 200).flatMap(i => Seq.fill(3000 / i)(s"item_$i"))
+    val df = rows.toDF("term")
+    val n = rows.size.toLong
+    val eps = 0.1
+    val skBytes = df
+      .agg(count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val exact = rows.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val slack = math.ceil(eps * n).toLong
+    exact.foreach { case (t, ex) =>
+      val est = cms.estimateCount(t)
+      assert(est >= ex, s"$t undercounted: $est < $ex")
+      assert(est <= ex + slack, s"$t overcount ${est - ex} exceeds eps*N = $slack")
+    }
+    // coarse width must actually collide somewhere, or the bound check
+    // proved nothing
+    assert(exact.exists { case (t, ex) => cms.estimateCount(t) > ex },
+      "no collisions at width ~2/eps over 200 items — fixture degenerate")
+  }
 }
