@@ -530,6 +530,51 @@ class StreamingSpec extends AnyFunSuite {
       s"fixture degenerate: ${got.size} of $corpus kept")
   }
 
+  test("streaming space_saving heavy hitters keep their guarantees across micro-batches") {
+    import graft.functions.SpaceSaving.space_saving
+    import spark.implicits._
+    // zipf-ish stream delivered in TWO micro-batches — the aggregate's
+    // merge path runs under incremental (complete-mode) execution, where
+    // partial states from earlier batches merge with each trigger's. The
+    // deterministic guarantees must survive that ordering: every item
+    // above n/k tracked, no undercounts, overcount <= declared max_err
+    // <= n/k. (Estimates themselves may differ from the one-pass batch
+    // values — SpaceSaving is order-sensitive by design — which is why
+    // the BOUNDS are the contract, as in SketchErrorSpec.)
+    val rows = (0 until 60).flatMap(i => Seq.fill(3000 / (i + 1))(s"term_$i"))
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val src = java.nio.file.Paths.get("target/stream-src-hh")
+    org.apache.commons.io.FileUtils.deleteQuietly(src.toFile)
+    first.toDF("term").coalesce(1).write.parquet(src.toString)
+    second.toDF("term").coalesce(1).write.mode("append").parquet(src.toString)
+    val k = 24
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .agg(space_saving(col("term"), k).as("hh"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("hh_stream")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.count_est"), col("e.max_err"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val bound = n / k
+    exact.filter(_._2 > bound).keys.foreach { item =>
+      assert(got.contains(item), s"$item (freq ${exact(item)} > $bound) missing")
+    }
+    got.foreach { case (item, (est, err)) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est >= t, s"$item undercounted: $est < $t")
+      assert(est - t <= err, s"$item overcount ${est - t} exceeds declared $err")
+      assert(err <= bound, s"$item declared err $err exceeds n/k = $bound")
+    }
+  }
+
   test("streaming stratified sample equals the batch sample (stateless filter)") {
     import graft.operators.Sampling
     val sampled = Sampling.stratifiedSample(
