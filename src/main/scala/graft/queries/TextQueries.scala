@@ -370,6 +370,34 @@ object TextQueries {
           col("keep_repetition") && col("keep_lang"))
         .orderBy("doc_id")
     }),
+    // Curation FUNNEL report — the standard pipeline-debugging artifact:
+    // for every document, the FIRST stage that rejects it (exact-dup ->
+    // blocklist -> quality) or 'kept'. Each verdict is the stage's own
+    // operator reused verbatim (the quality stage literally calls the
+    // corpus_quality_filter entry), so the funnel can never disagree
+    // with the stages it reports on; the oracle shares the quality CTEs
+    // the same way. Three doc_id-keyed joins — co-partitioned shuffles,
+    // no new corpus-sized state.
+    "corpus_funnel_report" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val keepers = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_doc_id").as("doc_id"), lit(true).as("is_keeper"))
+      val bl = TextAnalysis.blocklistSignals(docs, "doc_id", "text",
+          Seq("dup"), Seq("slow scan"))
+        .select(col("doc_id"), col("keep").as("bl_keep"))
+      val q = queries("corpus_quality_filter")(spark, dir)
+        .select(col("doc_id"), col("keep").as("q_keep"))
+      docs.select("doc_id")
+        .join(keepers, Seq("doc_id"), "left")
+        .join(bl, "doc_id")
+        .join(q, "doc_id")
+        .select(col("doc_id"),
+          when(col("is_keeper").isNull, "duplicate")
+            .when(!col("bl_keep"), "blocklist")
+            .when(!col("q_keep"), "quality")
+            .otherwise("kept").as("drop_stage"))
+        .orderBy("doc_id")
+    }),
     // Gopher quality rule set (Rae et al. 2021, appendix A1.1): the
     // MassiveWeb repetition + heuristic filter — word-count/word-shape
     // rules, symbol and bullet/ellipsis line rules, within-doc duplicate
@@ -786,6 +814,36 @@ object TextQueries {
       }
     })
 
+  /** Shared quality CTEs (per-doc signals + repetition ratio) — the ONE
+    * SQL definition behind both corpus_quality_filter's keep verdict and
+    * the funnel report's quality stage. */
+  private lazy val qualityCtes =
+    s"""b AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(round(least(
+      |      0.3 * (${duckScore(stopwords)} * 1.0 / len(string_split(lower(text), ' ')))
+      |      + 0.3 * least(len(string_split(lower(text), ' ')) / 100.0, 1.0)
+      |      + 0.4 * (1.0 - least(abs(length(replace(text, ' ', '')) * 1.0
+      |          / len(string_split(lower(text), ' ')) - 5.0) / 5.0, 1.0)),
+      |      1.0) * 1e4) AS BIGINT) AS quality4,
+      |    CASE
+      |      WHEN ${duckScore(enM)} > 0 AND ${duckScore(enM)} >= ${duckScore(esM)}
+      |        AND ${duckScore(enM)} >= ${duckScore(frM)} AND ${duckScore(enM)} >= ${duckScore(deM)} THEN 'en'
+      |      WHEN ${duckScore(esM)} > 0 AND ${duckScore(esM)} >= ${duckScore(frM)}
+      |        AND ${duckScore(esM)} >= ${duckScore(deM)} THEN 'es'
+      |      WHEN ${duckScore(frM)} > 0 AND ${duckScore(frM)} >= ${duckScore(deM)} THEN 'fr'
+      |      WHEN ${duckScore(deM)} > 0 THEN 'de'
+      |      ELSE 'und' END AS lang_pred
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents) GROUP BY doc_id, term),
+      |r AS (SELECT doc_id, CAST(round(count(*) * 1e6 / sum(tf)) AS BIGINT)
+      |        AS distinct_ratio6
+      |      FROM g GROUP BY doc_id)""".stripMargin
+
   /** One BM25 oracle for the fused (`bm25_rank`) and index-served
     * (`bm25_served`) rows — the two engines and the two in-repo
     * formulations must all agree on the same ranking. */
@@ -981,31 +1039,7 @@ object TextQueries {
         |    AND NOT contains(lower(text), 'slow scan') AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_quality_filter" ->
-      (s"""WITH b AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(round(least(
-        |      0.3 * (${duckScore(stopwords)} * 1.0 / len(string_split(lower(text), ' ')))
-        |      + 0.3 * least(len(string_split(lower(text), ' ')) / 100.0, 1.0)
-        |      + 0.4 * (1.0 - least(abs(length(replace(text, ' ', '')) * 1.0
-        |          / len(string_split(lower(text), ' ')) - 5.0) / 5.0, 1.0)),
-        |      1.0) * 1e4) AS BIGINT) AS quality4,
-        |    CASE
-        |      WHEN ${duckScore(enM)} > 0 AND ${duckScore(enM)} >= ${duckScore(esM)}
-        |        AND ${duckScore(enM)} >= ${duckScore(frM)} AND ${duckScore(enM)} >= ${duckScore(deM)} THEN 'en'
-        |      WHEN ${duckScore(esM)} > 0 AND ${duckScore(esM)} >= ${duckScore(frM)}
-        |        AND ${duckScore(esM)} >= ${duckScore(deM)} THEN 'es'
-        |      WHEN ${duckScore(frM)} > 0 AND ${duckScore(frM)} >= ${duckScore(deM)} THEN 'fr'
-        |      WHEN ${duckScore(deM)} > 0 THEN 'de'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-        |        FROM documents) GROUP BY doc_id, term),
-        |r AS (SELECT doc_id, CAST(round(count(*) * 1e6 / sum(tf)) AS BIGINT)
-        |        AS distinct_ratio6
-        |      FROM g GROUP BY doc_id)
+      (s"""WITH $qualityCtes
         |SELECT b.doc_id, n_tokens, quality4, lang_pred, distinct_ratio6,
         |  n_tokens >= 20 AS keep_length,
         |  quality4 >= 4000 AS keep_quality,
@@ -1014,6 +1048,30 @@ object TextQueries {
         |  n_tokens >= 20 AND quality4 >= 4000 AND distinct_ratio6 >= 300000
         |    AND lang_pred = 'en' AS keep
         |FROM b JOIN r ON b.doc_id = r.doc_id ORDER BY b.doc_id""".stripMargin),
+    // the funnel replays the exact-dup, blocklist, and quality verdicts
+    // (the quality CTEs are SHARED with corpus_quality_filter's oracle,
+    // so the two rows can never disagree on the quality stage)
+    "corpus_funnel_report" ->
+      (s"""WITH $qualityCtes,
+        |k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+        |bl AS (SELECT doc_id,
+        |  len(list_filter(string_split(lower(text), ' '), t -> t IN ('dup'))) = 0
+        |    AND NOT contains(lower(text), 'slow scan') AS bl_keep
+        |  FROM documents),
+        |q AS (SELECT b.doc_id,
+        |    n_tokens >= 20 AND quality4 >= 4000 AND distinct_ratio6 >= 300000
+        |      AND lang_pred = 'en' AS q_keep
+        |  FROM b JOIN r ON b.doc_id = r.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN k.keep_id IS NULL THEN 'duplicate'
+        |       WHEN NOT bl.bl_keep THEN 'blocklist'
+        |       WHEN NOT q.q_keep THEN 'quality'
+        |       ELSE 'kept' END AS drop_stage
+        |FROM documents d
+        |LEFT JOIN k ON d.doc_id = k.keep_id
+        |JOIN bl ON d.doc_id = bl.doc_id
+        |JOIN q ON d.doc_id = q.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // Gopher rules: the oracle rebuilds the SAME paged view (10-token
     // lines), then replays every signal — per-token shape rules over a
     // whitespace re-split of the page, line rules over the segment list,

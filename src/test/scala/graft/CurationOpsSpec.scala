@@ -285,6 +285,32 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel report agrees with its component stages on every document") {
+    import graft.queries.TextQueries
+    val funnel = TextQueries.queries("corpus_funnel_report")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quality = TextQueries.queries("corpus_quality_filter")(spark, TestSpark.sfDir)
+      .select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val block = TextQueries.queries("blocklist_filter")(spark, TestSpark.sfDir)
+      .select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(funnel.size === quality.size)
+    funnel.foreach { case (id, stage) =>
+      stage match {
+        case "kept" => assert(block(id) && quality(id), s"doc $id kept wrongly")
+        case "blocklist" => assert(!block(id), s"doc $id not actually blocked")
+        case "quality" =>
+          assert(block(id) && !quality(id), s"doc $id mis-staged as quality")
+        case "duplicate" => // min-id dup semantics pinned by the sf0.1 oracle
+        case other => fail(s"unknown stage $other")
+      }
+    }
+    // the fixture must exercise a mixed funnel, not a single stage
+    assert(Set("kept", "quality", "blocklist").subsetOf(funnel.values.toSet),
+      s"fixture degenerate: stages ${funnel.values.toSet}")
+  }
+
   test("blocklist filter: token boundary exactness, multiplicity, phrase substring") {
     import spark.implicits._
     val docs = Seq(
