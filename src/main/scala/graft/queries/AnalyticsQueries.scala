@@ -115,6 +115,36 @@ object AnalyticsQueries {
           round(sum("value"), 2).as("session_value"))
         .orderBy("user_id", "session_id")
     }),
+    // Conversion funnel (windowed ordered-sequence matching, the product-
+    // analytics staple): per user, the first view, the first click within
+    // 3 days AFTER it, the first purchase within 3 days after THAT; stage
+    // = how far the user got. Each step is one event_type-filtered
+    // aggregate keyed by user plus a user-keyed join back — co-partitioned
+    // shuffles on the high-cardinality user key, no window over the whole
+    // event stream, no self-theta-join; AQE broadcasts the shrinking
+    // stage tables while they fit. Deterministic (min over timestamps),
+    // fully hash-checked. The 3-day window yields a mixed 150->115->81
+    // funnel at sf0.01 — all three stages exercised at every SF.
+    "event_funnel" -> ((spark, dir) => {
+      val w = expr("INTERVAL 3 DAYS")
+      val ev = Tables.load(spark, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + w)
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + w)
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy("user_id")
+    }),
     // Range (interval) join, binned: pairs of orders by the same customer
     // placed within 7 days of each other. The naive formulation is a
     // theta-join (nested-loop at scale); binning the time axis turns it
@@ -195,6 +225,29 @@ object AnalyticsQueries {
         |      ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rank
         |  FROM part) t
         |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+    "event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |    AND CAST(e.ts AS TIMESTAMP) <= v.t_view + INTERVAL 3 DAY
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |    AND CAST(e.ts AS TIMESTAMP) <= c.t_click + INTERVAL 3 DAY
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+        |    AS INTEGER) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "sessionize_events" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu,
