@@ -145,6 +145,26 @@ object AnalyticsQueries {
             + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
         .orderBy("user_id")
     }),
+    // Cohort retention (the funnel's sibling): users grouped by the day
+    // of their FIRST event; for each (cohort_day, day_offset), how many
+    // of that cohort were active again offset days later — the retention
+    // matrix a growth dashboard plots. One user-keyed aggregate for the
+    // cohort assignment, a co-partitioned join back, a (user, cohort,
+    // offset) distinct bounded by user-count x active-days, then a tiny
+    // matrix aggregate. No whole-stream window, nothing driver-side.
+    "cohort_retention" -> ((spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("day", min("ts")).as("cohort_day"))
+      val active = ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(date_trunc("day", col("ts")), col("cohort_day"))
+            .cast("int").as("day_offset"))
+        .distinct()
+      active.groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
     // Range (interval) join, binned: pairs of orders by the same customer
     // placed within 7 days of each other. The naive formulation is a
     // theta-join (nested-loop at scale); binning the time axis turns it
@@ -248,6 +268,19 @@ object AnalyticsQueries {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_day,
+        |    CAST(datediff('day', f.cohort_day,
+        |      date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS INTEGER) AS day_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "sessionize_events" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsu,
