@@ -73,13 +73,19 @@ final class InvertedIndex private[operators] (
   }
 
   /** Durable form: bucket-partitioned postings + terms and a validation
-    * manifest carrying the corpus scalars. */
+    * manifest carrying the corpus scalars. The terms sidecar is derived
+    * from the postings JUST WRITTEN (df = posting rows per term — the
+    * same aggregate, over the on-disk result), so the corpus-sized
+    * tokenize+aggregate plan executes once here, not once per table. */
   def write(path: String, source: String = ""): Unit = {
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
-    terms.write.mode("overwrite").partitionBy("bucket")
+    val written = spark.read.parquet(s"$path/postings")
+    written.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", InvertedIndex.bucketCol(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/terms")
-    val postRows = spark.read.parquet(s"$path/postings").count()
+    val postRows = written.count()
     val termRows = spark.read.parquet(s"$path/terms").count()
     val props = new java.util.Properties()
     props.setProperty("version", InvertedIndex.ManifestVersion)
@@ -123,18 +129,24 @@ object InvertedIndex {
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 
-  /** BUILD: tokenize once, aggregate postings + term frequencies, count
-    * the two corpus scalars (the single bounded action — the BigramLm
-    * vocabulary-count analogue). The posting/term tables stay lazy. */
+  /** BUILD: tokenize via [[TextAnalysis.tokens]] — the repo's ONE
+    * tokenization definition, the same one the fused bm25Rank derives
+    * from, so the served==fused parity contract cannot drift — aggregate
+    * postings + term frequencies, and count the two corpus scalars (the
+    * single bounded action — the BigramLm vocabulary-count analogue).
+    * `nDocs` counts documents WITH a token list (dl non-null), matching
+    * the fused path's avg("dl") null semantics: a null-text row
+    * contributes to neither numerator nor denominator in either
+    * formulation. The posting/term tables stay lazy. */
   def build(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 64): InvertedIndex = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     buildsRun.incrementAndGet()
     val spark = df.sparkSession
-    val t = split(lower(col(textCol)), " ")
+    val t = TextAnalysis.tokens(col(textCol))
     val dl = df.select(col(idCol), size(t).cast("long").as("dl"))
     val Array(nDocs, sumDl) = dl
-      .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
+      .agg(count(col("dl")).cast("long"), sum("dl").cast("long"))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val postings = df.select(col(idCol), explode(t).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
@@ -182,28 +194,42 @@ object InvertedIndex {
         "a previous append crashed mid-write; rebuild instead of appending")
     val idCol = prior.getProperty("idCol")
     val nBuckets = prior.getProperty("nBuckets").toInt
-    val t = split(lower(col(textCol)), " ")
+    // same tokenization + null semantics as build (TextAnalysis.tokens;
+    // dl-count denominators), so an appended index can never drift from a
+    // fresh build over the union corpus
+    val t = TextAnalysis.tokens(col(textCol))
     val dl = newDocs.select(col(idCol), size(t).cast("long").as("dl"))
     val Array(dDocs, dSumDl) = dl
-      .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
+      .agg(count(col("dl")).cast("long"), sum("dl").cast("long"))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    // the delta is batch-sized; persist it so the postings append and the
+    // df merge don't each re-run the tokenize+aggregate plan
     val deltaPostings = newDocs.select(col(idCol), explode(t).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .join(dl, idCol)
       .withColumn("bucket", bucketCol(col("term"), nBuckets))
-    deltaPostings.write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    // merge the vocab-sized df sidecar into a staging dir, then swap
-    val deltaDf = deltaPostings.groupBy("term").agg(count(lit(1)).as("df"))
-    val merged = spark.read.parquet(s"$path/terms").select("term", "df")
-      .unionByName(deltaDf)
-      .groupBy("term").agg(sum("df").cast("long").as("df"))
-      .withColumn("bucket", bucketCol(col("term"), nBuckets))
-    merged.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/terms-next")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/terms"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/terms-next"),
-      new org.apache.hadoop.fs.Path(s"$path/terms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      deltaPostings.write.mode("append").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      // merge the vocab-sized df sidecar into a staging dir, then swap.
+      // Hadoop delete/rename report failure by RETURNING false, not
+      // throwing — check both, or a failed swap would leave the stale
+      // sidecar in place under a freshly committed manifest (recounts
+      // would then pass against the wrong table forever).
+      val deltaDf = deltaPostings.groupBy("term").agg(count(lit(1)).as("df"))
+      val merged = spark.read.parquet(s"$path/terms").select("term", "df")
+        .unionByName(deltaDf)
+        .groupBy("term").agg(sum("df").cast("long").as("df"))
+        .withColumn("bucket", bucketCol(col("term"), nBuckets))
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/terms-next")
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/terms"), true),
+        s"could not delete $path/terms for the sidecar swap")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/terms-next"),
+        new org.apache.hadoop.fs.Path(s"$path/terms")),
+        s"could not rename $path/terms-next into place")
+    } finally deltaPostings.unpersist()
     val postRows = spark.read.parquet(s"$path/postings").count()
     val termRows = spark.read.parquet(s"$path/terms").count()
     val props = new java.util.Properties()

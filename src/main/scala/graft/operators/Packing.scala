@@ -479,8 +479,12 @@ object Sampling {
     }
     val extra = (hashFraction(concat(col(keyCol).cast("string"), lit(":epoch")))
       < fracCol).cast("long")
-    df.filter(col(strataCol).isNotNull)
-      .withColumn("__n_epochs", fullCol + extra)
+    // a NULL stratum matches no CASE branch and so falls to the
+    // unbudgeted default (exactly one epoch) — the pass-through contract,
+    // consistent with tokenBudgetSample's defaultRate treatment of
+    // unmatched rows (dropping them would silently delete documents from
+    // the training manifest)
+    df.withColumn("__n_epochs", fullCol + extra)
       .filter(col("__n_epochs") >= 1)
       .withColumn("epoch", explode(sequence(lit(1L), col("__n_epochs"))))
       .drop("__n_epochs")

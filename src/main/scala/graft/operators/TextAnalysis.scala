@@ -63,16 +63,20 @@ object TextAnalysis {
 
   /** Blocked-token occurrence count (word-boundary exact, multiplicity) —
     * the ONE definition both the batch report and the streaming ingest
-    * gate derive their verdicts from. */
+    * gate derive their verdicts from. The match runs over lowercased
+    * document tokens, so the caller's list is lowercased too — a
+    * real-world blocklist file with capitalized entries must still fire
+    * (a verbatim comparison would silently never match them). */
   def blocklistTokenHits(text: Column, blockedTokens: Seq[String]): Column =
     (if (blockedTokens.isEmpty) lit(0)
-     else markerScore(text, blockedTokens)).cast("long")
+     else markerScore(text, blockedTokens.map(_.toLowerCase))).cast("long")
 
   /** Number of blocked phrases appearing as substrings of the lowercased
-    * text (0/1 per phrase). Shared by batch and streaming verdicts. */
+    * text (0/1 per phrase; phrases lowercased to match — see
+    * [[blocklistTokenHits]]). Shared by batch and streaming verdicts. */
   def blocklistPhraseHits(text: Column, blockedPhrases: Seq[String]): Column =
     blockedPhrases
-      .map(p => when(lower(text).contains(p), lit(1L)).otherwise(lit(0L)))
+      .map(p => when(lower(text).contains(p.toLowerCase), lit(1L)).otherwise(lit(0L)))
       .foldLeft(lit(0L))(_ + _)
 
   /** Priority-argmax language ID over the marker scores (en>es>fr>de>und). */

@@ -523,7 +523,7 @@ object PipelineQueries {
         |         WHEN t.lang = 'de' THEN least(50000.0 / tok, 4.0)
         |         WHEN t.lang = 'fr' THEN least(2000.0 / tok, 4.0)
         |         ELSE 1.0 END AS rate
-        |  FROM t JOIN tot USING (lang)),
+        |  FROM t LEFT JOIN tot USING (lang)),
         |n AS (
         |  SELECT doc_id, lang, n_tokens,
         |    CAST(floor(rate) AS BIGINT)

@@ -320,12 +320,19 @@ object SimilarityQueries {
       .select(col("v").as("ev"), col("nrm").as("en"))
     val co = base.filter(!col("__is_eval"))
       .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
-    co.crossJoin(broadcast(ev))
+    // LEFT join on true (== a cross join whenever the eval set is
+    // non-empty): an EMPTY eval set must report every corpus vector
+    // unflagged with a null max — a plain cross join would emit zero
+    // rows, silently vanishing the corpus, while the streaming twin's
+    // left-anti against an empty side keeps everything; the two verdicts
+    // must agree on this edge too
+    co.join(broadcast(ev), lit(true), "left")
       .withColumn("cos",
         round(vec_dot(col("cv"), col("ev")) / (col("cn") * col("en")), 6))
       .groupBy("vec_id")
       .agg(max("cos").as("max_eval_cosine"))
-      .withColumn("flagged", col("max_eval_cosine") >= minCosine)
+      .withColumn("flagged",
+        coalesce(col("max_eval_cosine") >= minCosine, lit(false)))
   }
 
   val queries: ListMap[String, Q] = ListMap(

@@ -331,5 +331,13 @@ class CurationOpsSpec extends AnyFunSuite {
       (3L, 0L, 1L, false),
       (4L, 0L, 0L, true),
       (5L, 0L, 0L, true)))
+    // a capitalized blocklist file must fire against lowercased text —
+    // the lists are normalized, not compared verbatim
+    val cased = graft.operators.TextAnalysis.blocklistSignals(
+        docs, "doc_id", "text",
+        blockedTokens = Seq("ZAP"), blockedPhrases = Seq("Bad Phrase"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(cased.toSeq.map(_._2) === Seq(true, false, false, true, true))
   }
 }

@@ -332,6 +332,10 @@ class PipelineSpec extends AnyFunSuite {
     val langs = Array("sat", "up", "down", "pass")
     val docs = (0 until 40).map(i => (i.toLong, langs(i % 4), 10L))
       .toDF("doc_id", "lang", "n_tokens")
+      // a null-stratum doc rides along: pass-through at exactly 1 epoch
+      // (dropping it would delete the doc from the training manifest)
+      .unionByName(Seq((99L, Option.empty[String], 10L))
+        .toDF("doc_id", "lang", "n_tokens"))
     val out = Sampling.epochUpsample(docs, "doc_id", "lang", "n_tokens",
       Map("sat" -> 1000L, "up" -> 250L, "down" -> 50L), maxEpochs = 3)
     val got = out.groupBy("doc_id")
@@ -362,6 +366,8 @@ class PipelineSpec extends AnyFunSuite {
     val upCounts = (0 until 40).filter(_ % 4 == 1).map(i => got(i.toLong)._1).toSet
     assert(upCounts === Set(2L, 3L),
       s"fixture left the fractional branch one-sided: $upCounts")
+    // the null-stratum doc passed through at exactly one epoch
+    assert(got.get(99L).map(_._1) === Some(1L), s"null-stratum doc: ${got.get(99L)}")
   }
 
   test("epoch upsample is monotone in the budget and lands the token mass") {

@@ -124,5 +124,14 @@ class SemDedupSpec extends AnyFunSuite {
       (1L, 1.0, true),
       (3L, 0.0, false),
       (11L, 0.707107, false)))
+    // an EMPTY eval set keeps every corpus vector, unflagged with a null
+    // max — matching the streaming twin's left-anti against an empty
+    // side, and never vanishing the corpus
+    val noEval = queries.SimilarityQueries.semanticContaminationOn(
+        emb, lit(false), minCosine = 0.9)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getBoolean(2)))
+    assert(noEval.toSeq ===
+      Seq((0L, true, false), (1L, true, false), (3L, true, false), (11L, true, false)))
   }
 }
