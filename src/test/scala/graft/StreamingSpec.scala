@@ -491,6 +491,33 @@ class StreamingSpec extends AnyFunSuite {
       s"fixture degenerate: ${got.size} of ${docs.count()} kept")
   }
 
+  test("windowed streaming KMV distinct users equals the batch per-window sketch") {
+    import graft.functions.KmvSketch.kmv_sketch
+    // tumbling event-time windows x event_type with the custom
+    // TypedImperativeAggregate as the windowed state: per-batch partial
+    // buffers merge into each (window, type) group exactly as the batch
+    // shuffle merges partials, so the daily distinct-user sketches are
+    // identical row-for-row
+    def sketched(df: org.apache.spark.sql.DataFrame) = df
+      .select(window(col("ts"), "1 day").as("w"), col("event_type"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy("w", "event_type")
+      .agg(kmv_sketch(col("h"), 64).as("s"))
+      .select(col("w.start").as("day"), col("event_type"),
+        col("s.kth_hash"), col("s.n_kept"), col("s.est_distinct"))
+    val q = sketched(StreamingOps.readEventsStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_win_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getTimestamp(0), r.getString(1)) ->
+        (r.getString(2), r.getInt(3), r.getDouble(4))).toMap
+    val got = keyed(spark.table("kmv_win_stream").collect())
+    val batch = keyed(sketched(Tables.load(spark, dir, "events")).collect())
+    assert(got === batch, "windowed stream sketches diverged from batch")
+    assert(got.size > 5, s"fixture degenerate: ${got.size} (day, type) groups")
+  }
+
   test("streaming blocklist gate keeps exactly the batch filter's keep set") {
     val docs = Tables.load(spark, dir, "documents")
     val stream = StreamingOps.readTableStream(spark, dir, "documents")
