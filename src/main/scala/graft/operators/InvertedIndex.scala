@@ -7,27 +7,36 @@ import org.apache.spark.sql.functions._
   * member of the durable build-once / serve-many index family
   * ([[IvfIndex]], [[PqIndex]], [[ChunkIndex]], [[BigramLm]]).
   *
-  * Building tokenizes the corpus ONCE into classic posting rows
+  * Building tokenizes the corpus through [[TextAnalysis.tokens]] (the
+  * repo's ONE tokenization definition — the same one the fused
+  * [[TextAnalysis.bm25Rank]] derives from) into classic posting rows
   * (term, doc, tf, dl — document length denormalized onto the posting so
   * serving never joins a corpus-sized side), plus a per-term document-
-  * frequency sidecar and two manifest scalars (document count, total
-  * length). Both tables are written PARTITIONED BY a term hash bucket, so
-  * a query's scan plans only the buckets its terms hash to — the static
-  * partition pruning an IVF probe gets from cells, applied to text: at
-  * corpus scale a 3-term query over a 4096-bucket index touches <= 3
-  * buckets of posting files and none of the raw text.
+  * frequency sidecar and the corpus scalars. Both tables are written
+  * PARTITIONED BY a term hash bucket, so a query's scan plans only the
+  * buckets its terms hash to — the static partition pruning an IVF probe
+  * gets from cells, applied to text: at corpus scale a 3-term query over
+  * a 4096-bucket index touches <= 3 buckets of posting files and none of
+  * the raw text.
   *
-  * Serving computes the SAME BM25 formulation as the fused
-  * [[TextAnalysis.bm25Rank]] (idf = (N - df + 0.5)/(df + 0.5), tf
-  * normalized by k1/b against avgdl, round-6 sum per document), so the
-  * served ranking is bit-identical to the one-call form and shares its
-  * DuckDB oracle. avgdl divides two exact manifest longs — document
-  * lengths are integers, so their double sum is exact in any order and
-  * the division matches the fused path's avg() to the bit.
+  * Serving scores through [[TextAnalysis.bm25TermScore]] — the SAME
+  * expression tree as the fused path, so the served ranking is
+  * bit-identical to the one-call form and shares its DuckDB oracle. Two
+  * corpus scalars ride the manifest because the fused path's two
+  * denominators have different null semantics: idf's N counts EVERY row
+  * (`count(lit(1))`) while avgdl's mean skips null-text rows
+  * (`avg("dl")`), so the index stores nDocs (all rows) and nDl + sumDl
+  * (non-null lengths) separately.
   *
   * Reopen across sessions is manifest-validated metadata only
   * ([[InvertedIndex.loadIfValid]]): zero tokenize/aggregate jobs on a
   * hit, the [[BigramLm]] contract.
+  *
+  * Serving lifecycle note: an index that was built but never written
+  * serves from the LAZY build plan — each serve re-derives postings and
+  * df from the corpus (the parity-check path InvertedIndexSpec uses).
+  * Production serving is write() + load(): scans then read the bucketed
+  * parquet, and only the query buckets.
   */
 final class InvertedIndex private[operators] (
     private[operators] val spark: SparkSession,
@@ -37,15 +46,18 @@ final class InvertedIndex private[operators] (
     val terms: DataFrame,
     /** Name of the document id column the index was built over. */
     val idCol: String,
-    /** Corpus document count (all docs, matched or not). */
+    /** Corpus document count, ALL rows — the BM25 idf N. */
     val nDocs: Long,
+    /** Documents with a non-null token list — avgdl's denominator. */
+    val nDl: Long,
     /** Sum of document lengths (tokens) over the corpus. */
     val sumDl: Long,
     /** Term hash-bucket count (the partition key space). */
     val nBuckets: Int) {
 
   /** BM25 score per document containing at least one query term:
-    * (idCol, matched_terms, bm25). Bucket + term filters restrict the
+    * (idCol, matched_terms, bm25). Query terms are lowercased to match
+    * the lowercased token stream. Bucket + term filters restrict the
     * posting scan; on a file-backed index the bucket predicate is a
     * static PARTITION filter — only the query terms' buckets are read. */
   def serve(queryTerms: Seq[String], k1: Double = 1.2,
@@ -53,38 +65,43 @@ final class InvertedIndex private[operators] (
     require(queryTerms.nonEmpty, "need at least one query term")
     require(k1 > 0 && b >= 0 && b <= 1,
       s"need k1 > 0 and 0 <= b <= 1, got k1=$k1 b=$b")
-    val buckets = queryTerms.map(InvertedIndex.bucketOf(_, nBuckets)).distinct
+    val termList = queryTerms.map(_.toLowerCase)
+    val buckets = termList.map(InvertedIndex.bucketOf(_, nBuckets)).distinct
     val post = postings
       .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(queryTerms: _*))
+        col("term").isin(termList: _*))
     val df = terms
       .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(queryTerms: _*))
+        col("term").isin(termList: _*))
       .select("term", "df")
-    val avgdl = sumDl.toDouble / nDocs
-    def round6(c: Column) = round(c * 1e6, 0) / 1e6
-    val idf = (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)
-    val tfNorm = col("tf") * (k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val avgdl = sumDl.toDouble / nDl
     post.join(df, "term")
       .groupBy(idCol)
       .agg(count(lit(1)).as("matched_terms"),
-        round6(sum(idf * tfNorm)).as("bm25"))
+        TextAnalysis.bm25Round6(sum(TextAnalysis.bm25TermScore(
+          lit(nDocs), col("df"), col("tf"), col("dl"), lit(avgdl), k1, b)))
+          .as("bm25"))
   }
 
   /** Durable form: bucket-partitioned postings + terms and a validation
     * manifest carrying the corpus scalars. The terms sidecar is derived
     * from the postings JUST WRITTEN (df = posting rows per term — the
     * same aggregate, over the on-disk result), so the corpus-sized
-    * tokenize+aggregate plan executes once here, not once per table. */
+    * tokenize+aggregate plan executes once here, not once per table.
+    * Overwrite mode is pinned STATIC: under a session-wide dynamic
+    * partition-overwrite setting, a rebuild over a changed corpus would
+    * keep stale bucket directories and the recount would then certify
+    * the mixed table. */
   def write(path: String, source: String = ""): Unit = {
-    postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
+    postings.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(s"$path/postings")
     val written = spark.read.parquet(s"$path/postings")
     written.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("bucket", InvertedIndex.bucketCol(col("term"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/terms")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(s"$path/terms")
     val postRows = written.count()
     val termRows = spark.read.parquet(s"$path/terms").count()
     val props = new java.util.Properties()
@@ -92,6 +109,7 @@ final class InvertedIndex private[operators] (
     props.setProperty("source", source)
     props.setProperty("idCol", idCol)
     props.setProperty("nDocs", nDocs.toString)
+    props.setProperty("nDl", nDl.toString)
     props.setProperty("sumDl", sumDl.toString)
     props.setProperty("nBuckets", nBuckets.toString)
     props.setProperty("postRows", postRows.toString)
@@ -129,15 +147,11 @@ object InvertedIndex {
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 
-  /** BUILD: tokenize via [[TextAnalysis.tokens]] — the repo's ONE
-    * tokenization definition, the same one the fused bm25Rank derives
-    * from, so the served==fused parity contract cannot drift — aggregate
-    * postings + term frequencies, and count the two corpus scalars (the
-    * single bounded action — the BigramLm vocabulary-count analogue).
-    * `nDocs` counts documents WITH a token list (dl non-null), matching
-    * the fused path's avg("dl") null semantics: a null-text row
-    * contributes to neither numerator nor denominator in either
-    * formulation. The posting/term tables stay lazy. */
+  /** BUILD: one tokenize pass aggregated into postings + term
+    * frequencies, plus the bounded corpus-scalars action (the BigramLm
+    * vocabulary-count analogue): nDocs counts EVERY row (the idf N of
+    * the fused path's count(lit(1))), nDl/sumDl only rows with a token
+    * list (the avg("dl") null semantics). The tables stay lazy. */
   def build(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 64): InvertedIndex = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
@@ -145,8 +159,9 @@ object InvertedIndex {
     val spark = df.sparkSession
     val t = TextAnalysis.tokens(col(textCol))
     val dl = df.select(col(idCol), size(t).cast("long").as("dl"))
-    val Array(nDocs, sumDl) = dl
-      .agg(count(col("dl")).cast("long"), sum("dl").cast("long"))
+    val Array(nDocs, nDl, sumDl) = dl
+      .agg(count(lit(1)).cast("long"), count(col("dl")).cast("long"),
+        sum("dl").cast("long"))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val postings = df.select(col(idCol), explode(t).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
@@ -154,7 +169,8 @@ object InvertedIndex {
       .withColumn("bucket", bucketCol(col("term"), nBuckets))
     val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("bucket", bucketCol(col("term"), nBuckets))
-    new InvertedIndex(spark, postings, terms, idCol, nDocs, sumDl, nBuckets)
+    new InvertedIndex(spark, postings, terms, idCol, nDocs, nDl, sumDl,
+      nBuckets)
   }
 
   private val SourceSep = "\u0001"
@@ -168,13 +184,17 @@ object InvertedIndex {
     *    so the posting table extends by a pure parquet append;
     *  - per-term document frequencies MERGE (df' = df + delta), so the
     *    vocab-sized terms sidecar is rebuilt into a staging dir and
-    *    swapped by rename — never read-and-overwritten in place;
+    *    swapped by two renames — never read-and-overwritten in place;
     *  - the corpus scalars add; the manifest (with the new-source ledger
     *    entry) commits LAST, so a crash at any earlier point leaves a
     *    table the recount checks refuse as torn instead of silently
     *    double-counting.
     *
-    * Returns false (no-op) when `newSource` is already in the ledger. */
+    * Writer contract (shared with the whole index family): ONE appender
+    * at a time per path, and no live readers during the append — the
+    * sidecar swap changes the file set under any open handle (reopen
+    * after the append; the manifest is the publication point). Returns
+    * false (no-op) when `newSource` is already in the ledger. */
   def appendTo(spark: SparkSession, path: String, newDocs: DataFrame,
       textCol: String, newSource: String): Boolean = {
     val mPath = manifestPath(path)
@@ -182,25 +202,30 @@ object InvertedIndex {
     val prior = new java.util.Properties()
     val in = fs.open(mPath)
     try prior.load(in) finally in.close()
-    val ledger = Option(prior.getProperty("appliedSources"))
+    def field(k: String) = Option(prior.getProperty(k))
+    require(field("version").contains(ManifestVersion),
+      s"inverted index at $path has manifest version " +
+        s"${field("version").getOrElse("<none>")}; this appender " +
+        s"understands only $ManifestVersion — rebuild instead of appending")
+    val ledger = field("appliedSources")
       .map(_.split(SourceSep).toSet)
       .getOrElse(Set(prior.getProperty("source", "")))
     if (ledger.contains(newSource)) return false // already applied: no-op
-    val priorPost = prior.getProperty("postRows").toLong
-    val priorTerm = prior.getProperty("termRows").toLong
+    val priorPost = field("postRows").map(_.toLong).getOrElse(-1L)
+    val priorTerm = field("termRows").map(_.toLong).getOrElse(-1L)
     require(spark.read.parquet(s"$path/postings").count() == priorPost &&
       spark.read.parquet(s"$path/terms").count() == priorTerm,
       s"inverted index at $path does not match its committed manifest — " +
         "a previous append crashed mid-write; rebuild instead of appending")
     val idCol = prior.getProperty("idCol")
     val nBuckets = prior.getProperty("nBuckets").toInt
-    // same tokenization + null semantics as build (TextAnalysis.tokens;
-    // dl-count denominators), so an appended index can never drift from a
-    // fresh build over the union corpus
+    // same tokenization + null semantics as build, so an appended index
+    // can never drift from a fresh build over the union corpus
     val t = TextAnalysis.tokens(col(textCol))
     val dl = newDocs.select(col(idCol), size(t).cast("long").as("dl"))
-    val Array(dDocs, dSumDl) = dl
-      .agg(count(col("dl")).cast("long"), sum("dl").cast("long"))
+    val Array(dDocs, dNl, dSumDl) = dl
+      .agg(count(lit(1)).cast("long"), count(col("dl")).cast("long"),
+        sum("dl").cast("long"))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     // the delta is batch-sized; persist it so the postings append and the
     // df merge don't each re-run the tokenize+aggregate plan
@@ -212,23 +237,29 @@ object InvertedIndex {
     try {
       deltaPostings.write.mode("append").partitionBy("bucket")
         .parquet(s"$path/postings")
-      // merge the vocab-sized df sidecar into a staging dir, then swap.
-      // Hadoop delete/rename report failure by RETURNING false, not
-      // throwing — check both, or a failed swap would leave the stale
-      // sidecar in place under a freshly committed manifest (recounts
-      // would then pass against the wrong table forever).
+      // merge the vocab-sized df sidecar into a staging dir, then swap
+      // with two RENAMES (old aside, next into place, drop old) — the
+      // table is never half-deleted, and Hadoop delete/rename report
+      // failure by RETURNING false, so both swap steps are checked (an
+      // unchecked failed swap would leave the stale sidecar under a
+      // freshly committed manifest that every later recount accepts)
       val deltaDf = deltaPostings.groupBy("term").agg(count(lit(1)).as("df"))
       val merged = spark.read.parquet(s"$path/terms").select("term", "df")
         .unionByName(deltaDf)
         .groupBy("term").agg(sum("df").cast("long").as("df"))
         .withColumn("bucket", bucketCol(col("term"), nBuckets))
-      merged.write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/terms-next")
-      require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/terms"), true),
-        s"could not delete $path/terms for the sidecar swap")
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/terms-next"),
-        new org.apache.hadoop.fs.Path(s"$path/terms")),
-        s"could not rename $path/terms-next into place")
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket").parquet(s"$path/terms-next")
+      val termsPath = new org.apache.hadoop.fs.Path(s"$path/terms")
+      val nextPath = new org.apache.hadoop.fs.Path(s"$path/terms-next")
+      val oldPath = new org.apache.hadoop.fs.Path(s"$path/terms-old")
+      fs.delete(oldPath, true) // leftover from a crashed prior swap
+      require(fs.rename(termsPath, oldPath),
+        s"could not move $termsPath aside for the sidecar swap")
+      require(fs.rename(nextPath, termsPath),
+        s"could not rename $nextPath into place")
+      fs.delete(oldPath, true)
     } finally deltaPostings.unpersist()
     val postRows = spark.read.parquet(s"$path/postings").count()
     val termRows = spark.read.parquet(s"$path/terms").count()
@@ -240,6 +271,8 @@ object InvertedIndex {
     props.setProperty("idCol", idCol)
     props.setProperty("nDocs",
       (prior.getProperty("nDocs").toLong + dDocs).toString)
+    props.setProperty("nDl",
+      (prior.getProperty("nDl").toLong + dNl).toString)
     props.setProperty("sumDl",
       (prior.getProperty("sumDl").toLong + dSumDl).toString)
     props.setProperty("nBuckets", nBuckets.toString)
@@ -288,6 +321,7 @@ object InvertedIndex {
       spark.read.parquet(s"$path/terms"),
       props.getProperty("idCol"),
       props.getProperty("nDocs").toLong,
+      props.getProperty("nDl").toLong,
       props.getProperty("sumDl").toLong,
       props.getProperty("nBuckets").toInt)
   }

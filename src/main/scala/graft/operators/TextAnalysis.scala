@@ -215,21 +215,34 @@ object TextAnalysis {
       b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    // tokens are lowercased, so the query is too (the blocklist rule: a
+    // capitalized term must match, not silently return nothing)
+    val terms = queryTerms.map(_.toLowerCase)
     val t = tokens(col(textCol))
     val dl = df.select(col(idCol), size(t).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val tf = df.select(col(idCol), explode(t).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
-    val idf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
-    val tfNorm = col("tf") * (k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     tf.join(dfreq, "term").join(dl, idCol).crossJoin(broadcast(stats))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("matched_terms"), round6(sum(idf * tfNorm)).as("bm25"))
+      .agg(count(lit(1)).as("matched_terms"),
+        bm25Round6(sum(bm25TermScore(col("n_docs"), col("df"), col("tf"),
+          col("dl"), col("avgdl"), k1, b))).as("bm25"))
   }
+
+  /** The per-(doc, term) BM25 contribution — idf odds x normalized tf —
+    * as ONE expression shared by the fused [[bm25Rank]] and the
+    * index-served [[InvertedIndex.serve]], so the two paths' bit-parity
+    * contract is structural, not a manually synchronized copy. */
+  private[operators] def bm25TermScore(nDocs: Column, df: Column,
+      tf: Column, dl: Column, avgdl: Column, k1: Double, b: Double): Column =
+    ((nDocs - df + 0.5) / (df + 0.5)) *
+      (tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)))
+
+  /** DuckDB-compatible scaled rounding shared by both BM25 paths. */
+  private[operators] def bm25Round6(c: Column): Column = round(c * 1e6, 0) / 1e6
 
   /** The eight Gopher "stop words" (Rae et al. 2021, appendix A1.1):
     * a document must contain at least two of them to pass rule 7. */

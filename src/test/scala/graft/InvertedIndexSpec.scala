@@ -29,6 +29,34 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("null-text rows: served idf N and avgdl keep the fused path's split semantics") {
+    // fused bm25Rank: idf's N = count of ALL rows, avgdl = mean over
+    // NON-null dl. A single scalar can't serve both; the index carries
+    // nDocs and nDl separately — parity must hold on a corpus where they
+    // differ
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, Option.empty[String]),
+        (900002L, Option.empty[String])).toDF("doc_id", "text"))
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    assert(idx.nDocs === idx.nDl + 2, "null rows must count toward N only")
+    val served = ranked(idx.serve(queryTerms))
+    val fused = ranked(TextAnalysis.bm25Rank(docs, "doc_id", "text", queryTerms))
+    assert(served === fused,
+      "served ranking diverged from fused on a corpus with null texts")
+  }
+
+  test("capitalized query terms match the lowercased token stream on both paths") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val cased = Seq("Hash", "JOIN", "Vector")
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    val served = ranked(idx.serve(cased))
+    val fused = ranked(TextAnalysis.bm25Rank(docs, "doc_id", "text", cased))
+    val lower = ranked(TextAnalysis.bm25Rank(docs, "doc_id", "text", queryTerms))
+    assert(served === lower && fused === lower,
+      "capitalized query terms must not silently match nothing")
+  }
+
   test("driver-side bucketOf matches the engine-side bucket for every corpus term") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val engine = docs.select(explode(split(lower(col("text")), " ")).as("term"))
