@@ -58,7 +58,11 @@ object AnalyticsQueries {
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(10)
     }),
-    // Multi-join star query with explicitly broadcast dimensions
+    // Multi-join star query: the true dimension (nation, 25 rows at any
+    // SF) is explicitly broadcast; customer is FACT-side (scales with the
+    // corpus — q3's posture), so its join is left to AQE, which
+    // broadcasts while it fits and degrades to a shuffle join when it
+    // doesn't — a forced broadcast would OOM at the 100 TB posture
     "q5_nation_revenue" -> ((spark, dir) => {
       val nation = Tables.load(spark, dir, "nation")
       val customer = Tables.load(spark, dir, "customer")
@@ -66,7 +70,7 @@ object AnalyticsQueries {
       val lineitem = Tables.load(spark, dir, "lineitem")
       lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(

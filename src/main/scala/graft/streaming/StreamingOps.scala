@@ -42,12 +42,26 @@ object StreamingOps {
     * directory files arrive into). */
   def readTableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
     graft.Tables.prepare(spark)
-    val staged = java.nio.file.Paths.get(
-      "target/stream-src", dir.replaceAll("[^A-Za-z0-9_.-]", "_"), table)
+    // staging dir keyed by a digest of the RAW dir besides the readable
+    // sanitization (distinct dirs can never collide), and the staged copy
+    // refreshed whenever the source's size/mtime moved — a regenerated
+    // fixture must not silently stream the stale copy while the batch
+    // side reads the fresh one
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val staged = java.nio.file.Paths.get("target/stream-src",
+      dir.replaceAll("[^A-Za-z0-9_.-]", "_") + "-" + digest, table)
     java.nio.file.Files.createDirectories(staged)
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     val target = staged.resolve(s"$table.parquet")
-    if (!java.nio.file.Files.exists(target))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"), target)
+    val stale = !java.nio.file.Files.exists(target) ||
+      java.nio.file.Files.size(target) != java.nio.file.Files.size(src) ||
+      java.nio.file.Files.getLastModifiedTime(target)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(src)) != 0
+    if (stale)
+      java.nio.file.Files.copy(src, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -327,11 +341,14 @@ object StreamingOps {
     val minJaccard = 1.0 - maxJaccardDistance
     val exactNew = ingestDedupStreamWith(stream, artifacts.hashes,
       artifacts.bloom, textCol)
-    val longEnough = withSignatures(
-      exactNew.filter(size(split(lower(col(textCol)), " ")) >= 3),
-      textCol, numHashTables, seed)
-    val tooShort = exactNew.filter(size(split(lower(col(textCol)), " ")) < 3)
-    val survived = (0 until numHashTables).foldLeft(longEnough) { (d, i) =>
+    // ONE branch for every arrival: a sub-shingle (< 3-word) document
+    // gets an EMPTY shingle set, so its per-table min-hash is null, the
+    // band equality never holds, and it survives every anti join
+    // untouched — the earlier long/short fork + union instantiated the
+    // upstream plan (including the exact-dedup fingerprint state) twice,
+    // doubling the state the scaladoc calls irreducible
+    val signed = withSignatures(exactNew, textCol, numHashTables, seed)
+    val survived = (0 until numHashTables).foldLeft(signed) { (d, i) =>
       val band = corpusSigs.select(col(s"__m$i").as("__cv"),
         col("__sh").as("__csh"), col("__n").as("__cn"))
       val inter = size(array_intersect(d("__sh"), band("__csh"))).cast("double")
@@ -341,7 +358,7 @@ object StreamingOps {
         "left_anti")
     }
     val helper = Seq("__sh", "__n") ++ (0 until numHashTables).map(i => s"__m$i")
-    survived.drop(helper: _*).unionByName(tooShort)
+    survived.drop(helper: _*)
   }
 
   /** Stream-static enrichment join: the static dimension is read once per
@@ -359,19 +376,8 @@ object StreamingOps {
     * watermarks and the join condition is time-bounded, so each side's
     * buffered state is dropped once the other side's watermark passes the
     * interval — bounded state, the requirement for an unbounded run. */
-  def purchasesAfterSignup(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "10 minutes")
-    val signups = events.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-      .withWatermark("s_ts", "10 minutes")
-    purchases.join(signups,
-      col("user_id") === col("s_user") &&
-        col("p_ts") >= col("s_ts") &&
-        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
-      .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
-  }
+  def purchasesAfterSignup(events: DataFrame): DataFrame =
+    signupIntervalJoin(events, "inner")
 
   /** LEFT OUTER variant of the interval join: every purchase is emitted,
     * with null signup columns for purchases no signup preceded within the
@@ -379,7 +385,14 @@ object StreamingOps {
     * proves no match can still arrive — same bounded state as the inner
     * join, plus the correctness of never losing an unattributed purchase
     * (the row a training pipeline's attrition analysis needs). */
-  def purchasesWithOptionalSignup(events: DataFrame): DataFrame = {
+  def purchasesWithOptionalSignup(events: DataFrame): DataFrame =
+    signupIntervalJoin(events, "left_outer")
+
+  /** The one definition both interval-join variants share — watermarks,
+    * window bound, and projection can't drift between the inner and the
+    * outer form. */
+  private def signupIntervalJoin(events: DataFrame,
+      joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "10 minutes")
@@ -390,7 +403,7 @@ object StreamingOps {
       col("user_id") === col("s_user") &&
         col("p_ts") >= col("s_ts") &&
         col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"),
-      "left_outer")
+      joinType)
       .select(col("user_id"), col("p_ts"), col("s_ts"), col("value"))
   }
 
@@ -452,8 +465,19 @@ object StreamingOps {
         .otherwise(lit(null)))
     val withChunks = stream.select(col("doc_id"), col(textCol).as("__text"),
       array_distinct(filter(md5s, _.isNotNull)).as("__cks"))
+    // the payload rides on ONE row per document (chunk position 0; the
+    // null-position row of an empty chunk set), never on every exploded
+    // chunk — replicating the text per chunk row would shuffle bytes
+    // quadratic in document size through the corpus join and the regroup,
+    // the exact cost the chunk-table contract ("16-byte hashes move,
+    // never payload") exists to avoid
     withChunks
-      .select(col("doc_id"), col("__text"), explode_outer(col("__cks")).as("__ck"))
+      .select(col("doc_id"), col("__text"),
+        posexplode_outer(col("__cks")).as(Seq("__pos", "__ck")))
+      .select(col("doc_id"),
+        when(col("__pos").isNull || col("__pos") === 0, col("__text"))
+          .as("__text"),
+        col("__ck"), col("__pos"))
       .join(corpusSet, col("__ck") === col("__corpus_ck"), "left_outer")
       .select(col("doc_id"), col("__text"),
         coalesce(col("__ck"), lit("")).as("__ck"),
@@ -467,7 +491,10 @@ object StreamingOps {
           // re-delivery of the same document cannot double-count
           var text: String = null
           val hit = scala.collection.mutable.HashSet.empty[String]
-          rows.foreach { case (_, t, ck, h) => text = t; if (h) hit += ck }
+          rows.foreach { case (_, t, ck, h) =>
+            if (t != null) text = t
+            if (h) hit += ck
+          }
           if (hit.size < minShared) Iterator.single(IngestDoc(id, text))
           else Iterator.empty
         })
@@ -492,7 +519,17 @@ object StreamingOps {
     * exact integer cross-multiplied numerators summed/maxed in Scala
     * longs (order-independent), ONE division, the shared HALF_UP scaled
     * rounding — so once the full slice has streamed, the emitted rows
-    * EQUAL the batch report's (StreamingSpec pins the equality). */
+    * EQUAL the batch report's (StreamingSpec pins the equality).
+    *
+    * Throughput caveat — the exception to the module's high-cardinality
+    * key rule: the group key IS the feature (3 values), so each trigger's
+    * category rows funnel through 3 tasks. That is the right trade for a
+    * MONITOR (the stream into this operator is per-document metadata, and
+    * correctness needs the whole feature's histogram in one place to
+    * compute tv_dist); it is not a shape to copy for a data-plane
+    * operator. If monitor input volume ever bound a trigger, pre-reduce
+    * with a watermarked groupBy(feature, category) count upstream and
+    * feed this operator the per-batch category deltas. */
   def driftMonitorStream(spark: SparkSession, stream: DataFrame,
       refCounts: Map[(String, String), Long]): Dataset[DriftRow] = {
     import spark.implicits._
