@@ -74,7 +74,13 @@ final class InvertedIndex private[operators] (
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termList: _*))
       .select("term", "df")
-    val avgdl = sumDl.toDouble / nDl
+    // nDl == 0 (every corpus text null) would make avgdl NaN and poison
+    // the scores, where the fused bm25Rank's avg("dl") is null; the
+    // fallback is inert — with no tokenized documents the posting table
+    // is empty, so serve returns zero rows either way (the same verdict
+    // as the fused path on the degenerate corpus) and avgdl never
+    // touches an output value
+    val avgdl = if (nDl > 0) sumDl.toDouble / nDl else 1.0
     post.join(df, "term")
       .groupBy(idCol)
       .agg(count(lit(1)).as("matched_terms"),

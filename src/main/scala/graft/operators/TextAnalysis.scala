@@ -241,8 +241,17 @@ object TextAnalysis {
     ((nDocs - df + 0.5) / (df + 0.5)) *
       (tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)))
 
+  /** DuckDB-compatible scaled rounding (HALF_UP on the exact scaled
+    * double) — the ONE round-to-6 definition for every engine-side score
+    * that a threshold verdict or an oracle compare depends on. Spark's
+    * `round(x, 6)` and this scaled form can differ by 1 ulp at a
+    * boundary value, which is enough to flip a `>= threshold` verdict
+    * between two paths that must agree (batch report vs streaming gate),
+    * so both sides of any such pair must call THIS helper. */
+  private[graft] def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
+
   /** DuckDB-compatible scaled rounding shared by both BM25 paths. */
-  private[operators] def bm25Round6(c: Column): Column = round(c * 1e6, 0) / 1e6
+  private[operators] def bm25Round6(c: Column): Column = round6(c)
 
   /** The eight Gopher "stop words" (Rae et al. 2021, appendix A1.1):
     * a document must contain at least two of them to pass rule 7. */

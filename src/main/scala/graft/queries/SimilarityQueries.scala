@@ -326,9 +326,13 @@ object SimilarityQueries {
     // rows, silently vanishing the corpus, while the streaming twin's
     // left-anti against an empty side keeps everything; the two verdicts
     // must agree on this edge too
+    // the rounded cosine MUST be the same structural expression as the
+    // streaming gate's (one shared helper): the two >= minCosine verdicts
+    // are pinned equal by StreamingSpec, and a 1-ulp divergence between
+    // round(x, 6) and the scaled form can flip a boundary verdict
     co.join(broadcast(ev), lit(true), "left")
-      .withColumn("cos",
-        round(vec_dot(col("cv"), col("ev")) / (col("cn") * col("en")), 6))
+      .withColumn("cos", graft.operators.TextAnalysis.round6(
+        vec_dot(col("cv"), col("ev")) / (col("cn") * col("en"))))
       .groupBy("vec_id")
       .agg(max("cos").as("max_eval_cosine"))
       .withColumn("flagged",

@@ -200,8 +200,12 @@ object StreamingOps {
     val ev = evalVectors
       .select(col(evalVecCol).as("__ev"))
       .withColumn("__en", vec_l2norm(col("__ev")))
-    val cos = round(vec_dot(col(vecCol), col("__ev"))
-      / (vec_l2norm(col(vecCol)) * col("__en")) * 1e6, 0) / 1e6
+    // SAME rounding helper as the batch report (semanticContaminationOn):
+    // the two >= minCosine verdicts must be structurally identical or a
+    // boundary cosine could keep in one path and drop in the other
+    val cos = graft.operators.TextAnalysis.round6(
+      vec_dot(col(vecCol), col("__ev"))
+        / (vec_l2norm(col(vecCol)) * col("__en")))
     stream.join(broadcast(ev), cos >= minCosine, "left_anti")
   }
 
@@ -346,7 +350,14 @@ object StreamingOps {
     // band equality never holds, and it survives every anti join
     // untouched — the earlier long/short fork + union instantiated the
     // upstream plan (including the exact-dedup fingerprint state) twice,
-    // doubling the state the scaladoc calls irreducible
+    // doubling the state the scaladoc calls irreducible.
+    // NULL-text arrivals take the same route BY DESIGN: word_shingles of
+    // a null token array yields null signature columns, every join
+    // condition is null, and the row survives all anti joins — a null
+    // payload has no content to be a near-duplicate OF, exactly like the
+    // batch corpus side (which drops null texts from the signature table
+    // rather than matching them). StreamingSpec pins this null-text
+    // parity with the batch formulation.
     val signed = withSignatures(exactNew, textCol, numHashTables, seed)
     val survived = (0 until numHashTables).foldLeft(signed) { (d, i) =>
       val band = corpusSigs.select(col(s"__m$i").as("__cv"),

@@ -155,6 +155,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.select("text").except(got.select("text")).count() === 0L)
   }
 
+  test("near-dup ingest null-text parity: a null payload survives every anti join") {
+    // a null text has no content to be a near-duplicate OF: shingling a
+    // null token array yields null signatures, every band-join condition
+    // evaluates to null, and the row passes all anti joins — the
+    // documented semantics (StreamingOps.ingestNearDupStreamWith
+    // scaladoc), matching the batch side where Dedup.incrementalNew
+    // keeps null-text rows as new and minhash signatures exclude them.
+    // Pinned so a refactor that silently drops (or NPEs on) a null
+    // payload turns this red.
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    import spark.implicits._
+    val nullRow = Seq((999999L, Option.empty[String])).toDF("doc_id", "text")
+    val src = java.nio.file.Paths.get("target/stream-src-nulltext")
+    org.apache.commons.io.FileUtils.deleteQuietly(src.toFile)
+    nullRow.coalesce(1).write.parquet(src.toString)
+    val stream = spark.readStream.schema(nullRow.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val out = StreamingOps.ingestNearDupStream(stream, corpus, "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_nulltext").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ingest_nulltext")
+    assert(got.count() === 1L, "the null-text arrival must survive ingest")
+    assert(got.filter(col("text").isNull).count() === 1L)
+    // batch twin: incrementalNew keeps the null-text row as new too
+    val batch = graft.operators.Dedup.incrementalNew(nullRow, corpus, "text")
+    assert(batch.count() === 1L && batch.head().isNullAt(1))
+  }
+
   test("stream-static broadcast join enriches events with customer segment") {
     val events = StreamingOps.readEventsStream(spark, dir)
     val customer = Tables.load(spark, dir, "customer")
