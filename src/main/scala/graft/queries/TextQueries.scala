@@ -89,18 +89,38 @@ object TextQueries {
           "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One persisted corpus-internal TRIGRAM-LM score table per (session,
+    * dir) — the interpolated absolute-discount trigram chain
+    * ([[graft.operators.TrigramLm]]) trained on the whole corpus and
+    * scoring it, the model the perplexity partition now stands on (the
+    * CCNet reference LM is a 5-gram; the bigram table above remains as
+    * the lighter signal). Same residency rationale as [[bigramScores]]:
+    * the bucketing consumer reads it twice. */
+  private val trigramScoresCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def trigramScores(spark: SparkSession, dir: String): DataFrame =
+    trigramScoresCache.getOrElseUpdate((spark, dir), {
+      val docs = Tables.load(spark, dir, "documents")
+      graft.operators.TrigramLm.train(docs, "text")
+        .score(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** The perplexity-tercile bucket table, shared by perplexity_buckets
     * and curriculum_order (same residency rationale as the LM scores it
     * derives from: one row per document, three narrow columns; the
     * bucketing pass otherwise re-runs its histogram + threshold
-    * aggregates per consumer). */
+    * aggregates per consumer). Since r12 the score underneath is the
+    * interpolated TRIGRAM LM — a sharper fluency signal than the add-one
+    * bigram, same deterministic-rational discipline. */
   private val bucketsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     bucketsCache.getOrElseUpdate((spark, dir),
       TextAnalysis.quantileBuckets(
-          bigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
+          trigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
           "doc_id", "pred_prob", Seq("tail", "middle", "head"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -108,6 +128,8 @@ object TextQueries {
   def clearCaches(): Unit = {
     bigramScoresCache.values.foreach(_.unpersist())
     bigramScoresCache.clear()
+    trigramScoresCache.values.foreach(_.unpersist())
+    trigramScoresCache.clear()
     bucketsCache.values.foreach(_.unpersist())
     bucketsCache.clear()
   }
@@ -670,6 +692,31 @@ object TextQueries {
         .score(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Corpus-internal interpolated-trigram LM score (r12): the CCNet-style
+    // perplexity signal upgraded from add-one bigram to a real backoff
+    // chain — absolute discounting with the dyadic D = 1/2, so c - D and
+    // D*n are exact doubles and the only roundings are the per-level
+    // divisions (see TrigramLm scaladoc). Per-trigram probabilities are
+    // quantized to exact integer p14 = round(p3*1e14) and summed as
+    // integers (order-independent), so the doc score is bit-identical in
+    // the oracle. Training is three key-partitioned n-gram aggregations;
+    // scoring is five co-partitioned joins on n-gram/context keys —
+    // nothing corpus-sized collected, no windows.
+    "lm_trigram_quality" -> ((spark, dir) =>
+      trigramScores(spark, dir).orderBy("doc_id")),
+    // TRAIN/SERVE split of the trigram LM (the lm_bigram_score_heldout
+    // lifecycle one order up): trained ONCE on the %5!=0 slice, written
+    // durable with a manifest (build-once/serve-many — TextLmSpec asserts
+    // a reopen runs zero training jobs), held-out %5==0 docs scored UNDER
+    // the frozen counts. Unseen trigrams discount to the interpolation
+    // mass; unseen contexts back off a level (bigram, then add-one
+    // unigram) — the oracle replays every backoff branch exactly.
+    "lm_trigram_score_heldout" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      trigramLmPersisted(spark, dir)
+        .score(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // TRAINED quality/domain classifier (the DCLM/FineWeb-Edu curation
     // step): Naive-Bayes sufficient statistics fitted ONCE on the labeled
     // %5==0 seed slice (label = the fixture's lang column), written
@@ -772,6 +819,25 @@ object TextQueries {
       }
     })
 
+  /** One durable trigram LM per (session, dir), trained on the %5!=0
+    * slice — the [[bigramLmPersisted]] lifecycle for the interpolated
+    * trigram model (manifest-validated reopen, zero training jobs on a
+    * hit). */
+  private val trigramFileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.TrigramLm]
+
+  private def trigramLmPersisted(spark: SparkSession, dir: String): graft.operators.TrigramLm =
+    trigramFileCache.getOrElseUpdate((spark, dir), trigramFileCache.synchronized {
+      val path = QueryArtifacts.path("target/trigram-lm", dir)
+      val tag = lmSourceTag(spark, dir)
+      graft.operators.TrigramLm.loadIfValid(spark, path, tag).getOrElse {
+        val docs = Tables.load(spark, dir, "documents")
+        graft.operators.TrigramLm.train(docs.filter(col("doc_id") % 5 =!= 0), "text")
+          .write(path, tag)
+        graft.operators.TrigramLm.load(spark, path)
+      }
+    })
+
   /** One durable inverted index per (session, dir) — same build-once file
     * lifecycle as [[bigramLmPersisted]] (manifest-validated reopen, zero
     * tokenize jobs on a hit); serving reads only the query terms' hash
@@ -867,6 +933,66 @@ object TextQueries {
 
   private def duckScore(markers: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  /** The ONE corpus-internal interpolated-trigram score derivation (ends
+    * in `score(doc_id, n_trigrams, pred_prob)`), shared verbatim by the
+    * lm_trigram_quality, perplexity_buckets, curriculum_order and
+    * corpus_materialize_curriculum oracles — the staged p1 -> p2 -> p3
+    * CTEs mirror TrigramLm.score's withColumn chain expression for
+    * expression, so every intermediate double is bit-identical. Model
+    * trained on the WHOLE corpus, so every join matches (inner joins;
+    * the heldout oracle is the LEFT-JOIN variant with the backoff
+    * CASEs). */
+  private val duckTrigramScoreCtes: String =
+    """d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |tocc AS (
+      |  SELECT doc_id,
+      |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |            for i in range(1, len(t) - 1)]) AS tg
+      |  FROM d),
+      |doctg AS (SELECT doc_id, tg, count(*) AS k FROM tocc GROUP BY doc_id, tg),
+      |tri AS (SELECT tg, CAST(sum(k) AS BIGINT) AS c123 FROM doctg GROUP BY tg),
+      |ctx2 AS (
+      |  SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS bg12,
+      |    CAST(sum(c123) AS BIGINT) AS c12, CAST(count(*) AS BIGINT) AS n3
+      |  FROM tri GROUP BY 1),
+      |bocc AS (
+      |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+      |  FROM d),
+      |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c23 FROM bocc GROUP BY bg),
+      |ctx1 AS (
+      |  SELECT split_part(bg, ' ', 1) AS w2c, CAST(sum(c23) AS BIGINT) AS c2,
+      |    CAST(count(*) AS BIGINT) AS n2
+      |  FROM bi GROUP BY 1),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1u
+      |        FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+      |lmtot AS (SELECT CAST(count(*) AS BIGINT) AS ntok,
+      |    CAST(count(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(t) AS w FROM d)),
+      |tj AS (
+      |  SELECT b.doc_id, b.k, tri.c123, x2.c12, x2.n3, bi.c23, x1.c2, x1.n2,
+      |    u.c1u, lmtot.ntok, lmtot.v
+      |  FROM doctg b
+      |  JOIN tri ON b.tg = tri.tg
+      |  JOIN ctx2 x2
+      |    ON split_part(b.tg, ' ', 1) || ' ' || split_part(b.tg, ' ', 2) = x2.bg12
+      |  JOIN bi ON split_part(b.tg, ' ', 2) || ' ' || split_part(b.tg, ' ', 3) = bi.bg
+      |  JOIN ctx1 x1 ON split_part(b.tg, ' ', 2) = x1.w2c
+      |  JOIN uni u ON split_part(b.tg, ' ', 3) = u.w, lmtot),
+      |p1s AS (SELECT *, (coalesce(c1u, 0) + 1.0) / (ntok + v) AS p1 FROM tj),
+      |p2s AS (SELECT *, CASE WHEN c2 IS NULL THEN p1
+      |    ELSE (greatest(coalesce(c23, 0) - 0.5, 0.0) + 0.5 * n2 * p1) / c2
+      |    END AS p2 FROM p1s),
+      |p3s AS (SELECT *, CASE WHEN c12 IS NULL THEN p2
+      |    ELSE (greatest(coalesce(c123, 0) - 0.5, 0.0) + 0.5 * n3 * p2) / c12
+      |    END AS p3 FROM p2s),
+      |ps AS (SELECT doc_id, k, c123,
+      |    CAST(round(p3 * 1e14) AS BIGINT) AS p14 FROM p3s),
+      |score AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+      |    round(CAST(sum(k * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob
+      |  FROM ps GROUP BY doc_id)""".stripMargin
 
   val oracleSql: ListMap[String, String] = ListMap(
     "text_stats" ->
@@ -1242,33 +1368,14 @@ object TextQueries {
         |    AS pred_prob,
         |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_rate
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // same LM score derivation as lm_bigram_quality, then exact discrete
-    // terciles via the same histogram-cumulative shape: cut j = smallest
-    // score whose cumulative count reaches ceil(j*n/3)
+    // the trigram LM score derivation (shared CTEs — since r12 the
+    // perplexity partition stands on the interpolated trigram, not the
+    // add-one bigram), then exact discrete terciles via the same
+    // histogram-cumulative shape: cut j = smallest score whose cumulative
+    // count reaches ceil(j*n/3)
     "perplexity_buckets" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |occ AS (
-        |  SELECT doc_id,
-        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
-        |  FROM d),
-        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM occ GROUP BY doc_id, bg),
-        |model AS (SELECT bg, sum(k) AS c12 FROM doc_bg GROUP BY bg),
-        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(k) AS c1
-        |        FROM doc_bg GROUP BY 1),
-        |voc AS (SELECT count(DISTINCT w) AS v
-        |        FROM (SELECT unnest(t) AS w FROM d)),
-        |j AS (
-        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
-        |  FROM doc_bg b
-        |  JOIN model m ON b.bg = m.bg
-        |  JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc),
-        |score AS (
-        |  SELECT doc_id,
-        |    round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
-        |      AS pred_prob
-        |  FROM j GROUP BY doc_id),
-        |hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
+      (s"WITH $duckTrigramScoreCtes,\n" +
+      """hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
         |tot AS (SELECT count(*) AS n FROM score),
         |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
         |thr AS (
@@ -1279,34 +1386,13 @@ object TextQueries {
         |  CASE WHEN pred_prob <= t1 THEN 'tail'
         |       WHEN pred_prob <= t2 THEN 'middle'
         |       ELSE 'head' END AS bucket
-        |FROM score, thr ORDER BY doc_id""".stripMargin,
-    // the perplexity-tercile derivation above, then the two-level prefix
-    // scan's single-window reformulation: one global row_number over
-    // (phase, order_key, doc_id)
+        |FROM score, thr ORDER BY doc_id""".stripMargin),
+    // the perplexity-tercile derivation above (trigram LM since r12),
+    // then the two-level prefix scan's single-window reformulation: one
+    // global row_number over (phase, order_key, doc_id)
     "curriculum_order" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |occ AS (
-        |  SELECT doc_id,
-        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
-        |  FROM d),
-        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM occ GROUP BY doc_id, bg),
-        |model AS (SELECT bg, sum(k) AS c12 FROM doc_bg GROUP BY bg),
-        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(k) AS c1
-        |        FROM doc_bg GROUP BY 1),
-        |voc AS (SELECT count(DISTINCT w) AS v
-        |        FROM (SELECT unnest(t) AS w FROM d)),
-        |j AS (
-        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
-        |  FROM doc_bg b
-        |  JOIN model m ON b.bg = m.bg
-        |  JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc),
-        |score AS (
-        |  SELECT doc_id,
-        |    round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
-        |      AS pred_prob
-        |  FROM j GROUP BY doc_id),
-        |hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
+      (s"WITH $duckTrigramScoreCtes,\n" +
+      """hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
         |tot AS (SELECT count(*) AS n FROM score),
         |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
         |thr AS (
@@ -1325,35 +1411,14 @@ object TextQueries {
         |SELECT doc_id, phase, order_key,
         |  CAST(row_number() OVER (ORDER BY phase, order_key, doc_id) - 1
         |    AS BIGINT) AS pos
-        |FROM al ORDER BY doc_id""".stripMargin,
+        |FROM al ORDER BY doc_id""".stripMargin),
     // the full chain re-derived: dedup + gate, waterfilled rates over the
-    // survivors' token mass, md5-filter mixture, LM tercile phases,
-    // single-window curriculum positions, running-sum packing in that
-    // order
+    // survivors' token mass, md5-filter mixture, trigram-LM tercile
+    // phases, single-window curriculum positions, running-sum packing in
+    // that order
     "corpus_materialize_curriculum" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |occ AS (
-        |  SELECT doc_id,
-        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
-        |  FROM d),
-        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM occ GROUP BY doc_id, bg),
-        |model AS (SELECT bg, sum(k) AS c12 FROM doc_bg GROUP BY bg),
-        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(k) AS c1
-        |        FROM doc_bg GROUP BY 1),
-        |voc AS (SELECT count(DISTINCT w) AS v
-        |        FROM (SELECT unnest(t) AS w FROM d)),
-        |jj AS (
-        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
-        |  FROM doc_bg b
-        |  JOIN model m ON b.bg = m.bg
-        |  JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc),
-        |score AS (
-        |  SELECT doc_id,
-        |    round(sum(k * ((CAST(c12 AS DOUBLE) + 1.0) / (c1 + v))) / sum(k), 6)
-        |      AS pred_prob
-        |  FROM jj GROUP BY doc_id),
-        |hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
+      (s"WITH $duckTrigramScoreCtes,\n" +
+      """hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
         |tot AS (SELECT count(*) AS n FROM score),
         |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
         |thr AS (
@@ -1416,7 +1481,7 @@ object TextQueries {
         |SELECT doc_id, lang, phase, pos, n_tokens,
         |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
         |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
-        |FROM po ORDER BY doc_id""".stripMargin,
+        |FROM po ORDER BY doc_id""".stripMargin),
     // train on the %5!=0 slice, score the held-out %5==0 slice under the
     // frozen counts — unseen bigrams/contexts coalesce to 0 (add-one
     // smoothing floors them at 1/(c1+v) resp. 1/v)
@@ -1450,6 +1515,81 @@ object TextQueries {
         |    AS pred_prob,
         |  round(avg(CASE WHEN c12 IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the shared corpus-internal trigram chain; oov is structurally 0
+    // (every trigram of the scoring corpus is in the self-trained model)
+    // but computed through the same avg as the heldout form
+    "lm_trigram_quality" ->
+      (s"WITH $duckTrigramScoreCtes,\n" +
+      """ov AS (
+        |  SELECT doc_id,
+        |    round(avg(CASE WHEN c123 IS NULL THEN 1.0 ELSE 0.0 END), 6)
+        |      AS oov_rate
+        |  FROM ps GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_trigrams, s.pred_prob, ov.oov_rate
+        |FROM score s JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // train on %5!=0, score the held-out %5==0 slice under the frozen
+    // counts — the LEFT-JOIN variant of the shared chain: an unseen
+    // trigram discounts to the interpolation mass (c123 -> 0), an unseen
+    // context backs off one level (CASE c12/c2 IS NULL), an unseen word
+    // floors at the add-one unigram — every backoff branch of
+    // TrigramLm.score replayed exactly
+    "lm_trigram_score_heldout" ->
+      """WITH tr AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |ev AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |tri AS (SELECT tg, CAST(count(*) AS BIGINT) AS c123 FROM (
+        |    SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS tg FROM tr)
+        |  GROUP BY tg),
+        |ctx2 AS (
+        |  SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS bg12,
+        |    CAST(sum(c123) AS BIGINT) AS c12, CAST(count(*) AS BIGINT) AS n3
+        |  FROM tri GROUP BY 1),
+        |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c23 FROM (
+        |    SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |    FROM tr)
+        |  GROUP BY bg),
+        |ctx1 AS (
+        |  SELECT split_part(bg, ' ', 1) AS w2c, CAST(sum(c23) AS BIGINT) AS c2,
+        |    CAST(count(*) AS BIGINT) AS n2
+        |  FROM bi GROUP BY 1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1u
+        |        FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntok,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT unnest(t) AS w FROM tr)),
+        |doctg AS (SELECT doc_id, tg, count(*) AS k FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |              for i in range(1, len(t) - 1)]) AS tg
+        |    FROM ev)
+        |  GROUP BY doc_id, tg),
+        |tj AS (
+        |  SELECT b.doc_id, b.k, tri.c123, x2.c12, x2.n3, bi.c23, x1.c2, x1.n2,
+        |    u.c1u, tot.ntok, tot.v
+        |  FROM doctg b
+        |  LEFT JOIN tri ON b.tg = tri.tg
+        |  LEFT JOIN ctx2 x2
+        |    ON split_part(b.tg, ' ', 1) || ' ' || split_part(b.tg, ' ', 2) = x2.bg12
+        |  LEFT JOIN bi ON split_part(b.tg, ' ', 2) || ' ' || split_part(b.tg, ' ', 3) = bi.bg
+        |  LEFT JOIN ctx1 x1 ON split_part(b.tg, ' ', 2) = x1.w2c
+        |  LEFT JOIN uni u ON split_part(b.tg, ' ', 3) = u.w, tot),
+        |p1s AS (SELECT *, (coalesce(c1u, 0) + 1.0) / (ntok + v) AS p1 FROM tj),
+        |p2s AS (SELECT *, CASE WHEN c2 IS NULL THEN p1
+        |    ELSE (greatest(coalesce(c23, 0) - 0.5, 0.0) + 0.5 * n2 * p1) / c2
+        |    END AS p2 FROM p1s),
+        |p3s AS (SELECT *, CASE WHEN c12 IS NULL THEN p2
+        |    ELSE (greatest(coalesce(c123, 0) - 0.5, 0.0) + 0.5 * n3 * p2) / c12
+        |    END AS p3 FROM p2s),
+        |ps AS (SELECT doc_id, k, c123,
+        |    CAST(round(p3 * 1e14) AS BIGINT) AS p14 FROM p3s)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+        |  round(CAST(sum(k * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob,
+        |  round(avg(CASE WHEN c123 IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+        |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // independent re-derivation of train + serve: NB sufficient statistics
     // from the %5==0 labeled slice, prior-weighted expected-probability
     // argmax over the %5!=0 docs — exact integer numerators over

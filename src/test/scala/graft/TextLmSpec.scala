@@ -57,4 +57,101 @@ class TextLmSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L))
   }
+
+  // ---- interpolated trigram LM (absolute discounting, D = 1/2) ----
+
+  /** Train corpus for every trigram hand case below:
+    *   "a b c", "a b c", "a b d"
+    * N = 9 tokens, V = 4; trigram counts: "a b c"=2, "a b d"=1;
+    * bigram counts: "a b"=3, "b c"=2, "b d"=1; unigrams a=3 b=3 c=2 d=1;
+    * trigram context (a,b): c12=3, n3=2; bigram contexts: a: c2=3 n2=1,
+    * b: c2=3 n2=2. */
+  private def trigramTrainDocs = {
+    import spark.implicits._
+    Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+  }
+
+  private def trigramScoreOf(evalText: String): (Long, Double, Double) = {
+    import spark.implicits._
+    val lm = graft.operators.TrigramLm.train(trigramTrainDocs, "text")
+    val r = lm.score(Seq((10L, evalText)).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    (r.getLong(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** The spec-side twin of the engine arithmetic: quantize to p14, one
+    * division chain, scaled HALF_UP round — so expected values are the
+    * exact doubles the query must produce. */
+  private def predOf(ps: Seq[Double]): Double = {
+    val p14 = ps.map(p => math.round(p * 1e14))
+    val x = p14.sum.toDouble / ps.size / 1e14
+    new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+  }
+
+  test("trigram: fully seen trigram uses the discounted top level") {
+    // p1(c)=3/13; p2(c|b)=(1.5+1.0*p1)/3; p3(c|a b)=(1.5+1.0*p2)/3 = 9/13
+    val p1 = (2.0 + 1.0) / 13
+    val p2 = (1.5 + 0.5 * 2 * p1) / 3
+    val p3 = (1.5 + 0.5 * 2 * p2) / 3
+    assert(math.abs(p3 - 9.0 / 13.0) < 1e-15) // closed form check
+    assert(trigramScoreOf("a b c") === ((1L, predOf(Seq(p3)), 0.0)))
+  }
+
+  test("trigram: unseen trigram in a seen context takes only the interpolation mass") {
+    // "a b x": c123=0 -> max(-0.5,0)=0; p2(x|b)=(0+1.0*(1/13))/3=1/39;
+    // p3=(0+1.0*p2)/3=1/117; the doc's one trigram is OOV
+    val p1 = (0.0 + 1.0) / 13
+    val p2 = (0.0 + 0.5 * 2 * p1) / 3
+    val p3 = (0.0 + 0.5 * 2 * p2) / 3
+    assert(math.abs(p3 - 1.0 / 117.0) < 1e-15)
+    assert(trigramScoreOf("a b x") === ((1L, predOf(Seq(p3)), 1.0)))
+  }
+
+  test("trigram: unseen contexts back off level by level to add-one unigram") {
+    // "z q a": context (z,q) unseen -> p3 = p2(a|q); q unseen as a
+    // bigram context -> p2 = p1(a) = 4/13 (the full backoff chain)
+    val p3 = (3.0 + 1.0) / 13
+    assert(trigramScoreOf("z q a") === ((1L, predOf(Seq(p3)), 1.0)))
+  }
+
+  test("trigram: mixed doc averages quantized probabilities; oov is the distinct fraction") {
+    // "a b c x": "a b c" seen (9/13 path), "b c x" unseen with unseen
+    // contexts (b,c) and c -> backs off to p1(x) = 1/13
+    val p1c = (2.0 + 1.0) / 13
+    val p2c = (1.5 + 0.5 * 2 * p1c) / 3
+    val p3seen = (1.5 + 0.5 * 2 * p2c) / 3
+    val p3unseen = (0.0 + 1.0) / 13
+    assert(trigramScoreOf("a b c x") ===
+      ((2L, predOf(Seq(p3seen, p3unseen)), 0.5)))
+  }
+
+  test("trigram: sub-trigram docs are dropped, not scored") {
+    import spark.implicits._
+    val lm = graft.operators.TrigramLm.train(trigramTrainDocs, "text")
+    val ids = lm.score(
+      Seq((1L, "a b c"), (2L, "a b"), (3L, "solo"), (4L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
+  test("trigram: durable write -> manifest-validated reopen runs zero training jobs") {
+    import spark.implicits._
+    val path = "target/test-trigram-lm/" + java.util.UUID.randomUUID().toString
+    val lm = graft.operators.TrigramLm.train(trigramTrainDocs, "text")
+    lm.write(path, source = "spec-fixture")
+    val before = graft.operators.TrigramLm.trainCount
+    val reopened = graft.operators.TrigramLm.loadIfValid(spark, path, "spec-fixture")
+    assert(reopened.isDefined, "a complete, current manifest must reopen")
+    assert(graft.operators.TrigramLm.trainCount === before,
+      "reopen must not re-train")
+    // a different source tag must refuse the hit
+    assert(graft.operators.TrigramLm.loadIfValid(spark, path, "other").isEmpty)
+    // and the reopened model scores identically to the in-memory one
+    val eval = Seq((10L, "a b c"), (11L, "a b x"), (12L, "z q a"))
+      .toDF("doc_id", "text")
+    val mem = lm.score(eval, "doc_id", "text").orderBy("doc_id").collect()
+    val file = reopened.get.score(eval, "doc_id", "text").orderBy("doc_id").collect()
+    assert(mem.toSeq === file.toSeq)
+  }
 }
