@@ -336,6 +336,18 @@ object IvfIndex {
     * appended vectors land exactly where a rebuild with these centroids
     * would put them. Input: (c_id, cv, cn). */
   private def assignCells(base: DataFrame,
+      centroids: Seq[(Int, Array[Float])]): DataFrame =
+    assignWithCentroids(base, centroids)
+      .select("cell", "c_id", "cv", "cn")
+
+  /** The assignment expression with the winning distance exposed —
+    * (cell, cell_dist, c_id, cv, cn) — for callers that need how CENTRAL
+    * each vector is in its cell besides where it lands (the topic-report
+    * exemplar selection). Same spherical geometry, same (distance, cell)
+    * lexicographic tie-break as every IVF path; centroids are caller-
+    * frozen literals, so assignment is deterministic and, when the
+    * centroids are themselves corpus rows, fully oracle-reproducible. */
+  private[graft] def assignWithCentroids(base: DataFrame,
       centroids: Seq[(Int, Array[Float])]): DataFrame = {
     val distStructs = centroids.map { case (i, ctr) =>
       val cd = ctr.map(_.toDouble)
@@ -346,8 +358,10 @@ object IvfIndex {
             / when(col("cn") > 0, col("cn")).otherwise(lit(1.0))).as("d"),
         lit(i).as("cell"))
     }
-    base.withColumn("cell", array_min(array(distStructs: _*)).getField("cell"))
-      .select("cell", "c_id", "cv", "cn")
+    base.withColumn("__a", array_min(array(distStructs: _*)))
+      .select(col("__a").getField("cell").as("cell"),
+        col("__a").getField("d").as("cell_dist"),
+        col("c_id"), col("cv"), col("cn"))
   }
 
   /** Incremental index maintenance: assign `df`'s vectors with the

@@ -184,6 +184,38 @@ object SimilarityQueries {
       path
     })
 
+  /** Topic-cluster assignment under a FROZEN SEEDED quantizer (r12):
+    * the K centroids are the K corpus vectors with the smallest
+    * (md5(vec_id), vec_id) — a deterministic seeded selection, so unlike
+    * the k-means-fitted IVF quantizer the whole assignment is
+    * reproducible by the DuckDB oracle (centroids are corpus ROWS, not
+    * fit artifacts). Assignment reuses the IVF spherical-distance
+    * expression verbatim ([[graft.operators.IvfIndex.assignWithCentroids]]
+    * — same geometry, same (distance, cell) tie-break). One bounded
+    * K-row collect for the seeds; the assignment itself is a single lazy
+    * scan through literal centroid dot products. Cached per (session,
+    * dir): the report and the cluster-balanced sampler share it. */
+  private val topicCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private val TopicK = 8
+
+  private def topicCells(spark: SparkSession, dir: String): DataFrame =
+    topicCache.getOrElseUpdate((spark, dir), {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val seeds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .select("embedding").limit(TopicK).collect()
+      val centroids = seeds.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](0).toArray)
+      }.toSeq
+      val base = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        .withColumn("cn", vec_l2norm(col("cv")))
+      graft.operators.IvfIndex.assignWithCentroids(base, centroids)
+        .select("cell", "cell_dist", "c_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
     * assignment set per (session, dir) key). */
@@ -196,6 +228,8 @@ object SimilarityQueries {
     pqFileCache.clear() // no persist to release — file-backed
     driftCache.clear() // no persist to release — file-backed
     pqDriftCache.clear() // no persist to release — file-backed
+    topicCache.values.foreach(_.unpersist())
+    topicCache.clear()
   }
 
   /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query
@@ -739,6 +773,55 @@ object SimilarityQueries {
         .toDF("frac_appended", "stale_by_fraction")
         .withColumn("frac_appended", round(col("frac_appended"), 6))
     }),
+    // Corpus topic-cluster report (r12) — the data-mixing companion of
+    // the DataComp/DoReMi recipes: every corpus vector assigned to one of
+    // K frozen seeded clusters (see topicCells — centroids are corpus
+    // ROWS picked by md5 order, assignment is the IVF spherical
+    // expression verbatim), reported as cluster -> member count, token
+    // mass (join to the documents table by id), and the most CENTRAL
+    // member as exemplar (min (cell_dist, vec_id) — a per-cell aggregate,
+    // never a per-cell sort). Fully hash-checkable because nothing is
+    // fitted: the oracle replays seed selection, distances, tie-breaks,
+    // and the exemplar rule exactly.
+    "corpus_topic_report" -> ((spark, dir) => {
+      val cells = topicCells(spark, dir)
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id").as("c_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val minDist = cells.groupBy("cell").agg(min("cell_dist").as("__mind"))
+      val exemplar = cells.join(minDist, Seq("cell"))
+        .filter(col("cell_dist") === col("__mind"))
+        .groupBy("cell").agg(min("c_id").as("exemplar_id"))
+      cells.join(toks, Seq("c_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"), sum("n_tokens").as("token_mass"))
+        .join(exemplar, Seq("cell"))
+        .orderBy("cell")
+    }),
+    // Cluster-BALANCED sampling (r12): the topic clusters above become
+    // strata of the existing waterfill allocator — equal weights, one
+    // global token budget, so every cluster contributes the same token
+    // mass unless it is too small to absorb its share (then it saturates
+    // whole and the mass spills to the others, still equally). Budget
+    // 26000 sits between the smallest and largest cell masses at
+    // sf0.001/0.01, so both verdict kinds are exercised; membership is
+    // the deterministic per-row md5 filter — bit-reproducible.
+    "sample_cluster_balanced" -> ((spark, dir) => {
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id").as("c_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val base = topicCells(spark, dir).select("cell", "c_id")
+        .join(toks, Seq("c_id"))
+        .withColumn("cell_s", col("cell").cast("string"))
+      val weights = (0 until TopicK).map(i => i.toString -> 1L).toMap
+      val rates = graft.operators.Sampling.waterfillAllocation(base, "cell_s",
+          "n_tokens", weights, budget = 26000L)
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+      graft.operators.Sampling.stratifiedSample(base, "c_id", "cell_s", rates,
+          defaultRate = 0.0)
+        .select(col("c_id").as("vec_id"), col("cell"), col("n_tokens"))
+        .orderBy("vec_id")
+    }),
     // Brute-force top-5 over the int8-quantized representation — the
     // ranking a serving tier computes after the 4x storage cut. Both
     // engines quantize then rank the SAME deterministic reconstruction,
@@ -914,7 +997,79 @@ object SimilarityQueries {
         |SELECT q_id, c_id, rank, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Shared topic-cluster assignment CTEs (ends in `a(vec_id, cell, d)`)
+    * — replays topicCells exactly: md5-ordered seed selection, the IVF
+    * spherical distance with its precomputed 1 + ||c||^2 term, and the
+    * (distance, cell) tie-break. */
+  private val duckTopicAsgCtes: String =
+    """e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+      |      AS INTEGER) AS cell,
+      |    v AS cv, 1.0 + list_sum(list_transform(v, x -> x * x)) AS c2
+      |  FROM e QUALIFY cell < 8),
+      |dist AS (
+      |  SELECT e.vec_id, s.cell,
+      |    s.c2 - 2.0 * list_sum([e.v[i] * s.cv[i] for i in range(1, len(e.v) + 1)])
+      |      / (CASE WHEN e.nrm > 0 THEN e.nrm ELSE 1.0 END) AS d
+      |  FROM e, seeds s),
+      |a AS (
+      |  SELECT vec_id, cell, d
+      |  FROM dist
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
+    "corpus_topic_report" ->
+      (s"WITH $duckTopicAsgCtes,\n" +
+      """tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          AS n_tokens FROM documents),
+        |md AS (SELECT cell, min(d) AS mind FROM a GROUP BY cell),
+        |ex AS (SELECT a.cell, CAST(min(a.vec_id) AS BIGINT) AS exemplar_id
+        |       FROM a JOIN md ON a.cell = md.cell AND a.d = md.mind
+        |       GROUP BY a.cell),
+        |rep AS (SELECT a.cell, CAST(count(*) AS BIGINT) AS n_members,
+        |          CAST(sum(t.n_tokens) AS BIGINT) AS token_mass
+        |        FROM a LEFT JOIN tok t ON a.vec_id = t.doc_id GROUP BY a.cell)
+        |SELECT r.cell, r.n_members, r.token_mass, e.exemplar_id
+        |FROM rep r JOIN ex e USING (cell) ORDER BY cell""".stripMargin),
+    "sample_cluster_balanced" ->
+      (s"WITH $duckTopicAsgCtes,\n" +
+      """tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          AS n_tokens FROM documents),
+        |b AS (SELECT a.cell, CAST(a.cell AS VARCHAR) AS cell_s, a.vec_id,
+        |        t.n_tokens
+        |      FROM a JOIN tok t ON a.vec_id = t.doc_id),
+        |tokc AS (SELECT cell_s, CAST(sum(n_tokens) AS BIGINT) AS n
+        |         FROM b GROUP BY cell_s),
+        |act AS (SELECT cell_s, n, CAST(1 AS BIGINT) AS w FROM tokc),
+        |tw AS (SELECT sum(w) AS wtot FROM act),
+        |ordw AS (
+        |  SELECT cell_s, n, w, wtot,
+        |    coalesce(sum(n) OVER win, 0) AS cumN,
+        |    coalesce(sum(w) OVER win, 0) AS cumW
+        |  FROM act, tw
+        |  WINDOW win AS (ORDER BY n * 1.0 / w, cell_s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sat AS (
+        |  SELECT *, n * (wtot - cumW) <= (26000 - cumN) * w AS satd FROM ordw),
+        |lam AS (
+        |  SELECT 26000 - coalesce(sum(CASE WHEN satd THEN n END), 0) AS lamN,
+        |         min(wtot) - coalesce(sum(CASE WHEN satd THEN w END), 0) AS lamD
+        |  FROM sat),
+        |rates AS (
+        |  SELECT s.cell_s,
+        |    CASE WHEN s.satd THEN 1.0
+        |         ELSE round(CAST(l.lamN * s.w AS DOUBLE) / (l.lamD * s.n), 6)
+        |         END AS rate
+        |  FROM sat s, lam l)
+        |SELECT b.vec_id, b.cell, b.n_tokens
+        |FROM b JOIN rates r USING (cell_s)
+        |WHERE (('0x' || substring(md5(CAST(b.vec_id AS VARCHAR)), 1, 15))::BIGINT)
+        |      / 1152921504606846976.0 < r.rate
+        |ORDER BY vec_id""".stripMargin),
     "ann_bruteforce_topk" -> bruteForceOracle,
     "ann_matryoshka_topk" -> matryoshkaOracle,
     "decontaminate_semantic" ->
