@@ -604,6 +604,60 @@ object Dedup {
         countDistinct("eval_id").as("eval_docs_hit"))
   }
 
+  /** MULTI-BENCHMARK n-gram decontamination: [[ngramContamination]] with
+    * the eval side carrying a benchmark tag — the form a real pipeline
+    * runs, because it decontaminates against DOZENS of eval sets and must
+    * not pay a corpus scan per benchmark. The union of every benchmark's
+    * n-grams distills into ONE bloom filter (still bounded — eval sets
+    * are tiny next to the corpus), the corpus pays ONE
+    * `might_contain`-prefiltered scan and ONE shingle equi-join, and the
+    * per-benchmark verdicts fall out of the (doc, benchmark) group keys.
+    * Output: (doc_id, `benchCol`, contaminated_ngrams, eval_docs_hit) per
+    * contaminated (corpus doc, benchmark) pair. Exactness argument is
+    * [[ngramContamination]]'s verbatim: the bloom only bounds how much of
+    * the corpus reaches the verify join. */
+  def ngramContaminationBy(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, benchCol: String, n: Int = 13,
+      expectedEvalNgrams: Long = 1L << 20): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalSh = withShingles(evalSet, textCol, n)
+      .select(col(idCol).as("eval_id"), col(benchCol),
+        explode(col("shingles")).as("s"))
+    val spark = corpus.sparkSession
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedEvalNgrams <= maxItems && expectedEvalNgrams * 8L <= maxBits,
+      s"expectedEvalNgrams=$expectedEvalNgrams exceeds the bloom conf caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits)")
+    val bloomAgg = bridge.column(BloomFilterAggregate(
+      new XxHash64(Seq(bridge.expression(col("s")))),
+      Literal(expectedEvalNgrams), Literal(expectedEvalNgrams * 8L), 0, 0)
+      .toAggregateExpression())
+    val bloomBytes = evalSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val corpusSh = withShingles(corpus, textCol, n)
+      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("s"))
+    if (bloomBytes == null)
+      return corpusSh.limit(0) // empty eval union: nothing contaminated
+        .withColumn(benchCol, lit(""))
+        .groupBy("doc_id", benchCol)
+        .agg(countDistinct("s").as("contaminated_ngrams"),
+          countDistinct(lit(0L)).as("eval_docs_hit"))
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      new XxHash64(Seq(bridge.expression(col("s"))))))
+    corpusSh.filter(mightContain)
+      .join(evalSh, Seq("s"))
+      .groupBy("doc_id", benchCol)
+      .agg(countDistinct("s").as("contaminated_ngrams"),
+        countDistinct("eval_id").as("eval_docs_hit"))
+  }
+
   /** Connected components over an undirected pair list: (id, component)
     * where `component` is the minimum vertex id reachable from `id`.
     *

@@ -232,6 +232,49 @@ object PipelineQueries {
     "decontaminate_spans" -> ((spark, dir) => {
       contamIntervals(spark, dir).orderBy("doc_id", "start_pos")
     }),
+    // MULTI-BENCHMARK decontamination sweep (r12) — the form a real
+    // pipeline runs: dozens of eval sets, ONE corpus scan. Two lexical
+    // benchmarks (the %10==0 / %10==5 halves of the eval slice) union
+    // into one tagged 13-gram side -> one bloom + one shingle equi-join
+    // (Dedup.ngramContaminationBy); two embedding benchmarks (the
+    // %20==0 / %20==10 halves of the eval vectors) union into one
+    // broadcast side -> one cosine pass with per-(vector, benchmark)
+    // max. Output: one verdict row per contaminated (doc, benchmark)
+    // with a severity (ngram: distinct contaminated 13-grams; semantic:
+    // x1e6-scaled round-6 max cosine) — four benchmarks, two kinds, one
+    // table, and the corpus was scanned once per kind, not per
+    // benchmark.
+    "decontaminate_multi" -> ((spark, dir) => {
+      import graft.functions.functions.{vec_dot, vec_l2norm}
+      val docs = Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val evals = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("benchmark",
+          when(col("doc_id") % 10 === 0, "evalA").otherwise("evalB"))
+      val lex = Dedup.ngramContaminationBy(corpus, evals, "doc_id", "text",
+          "benchmark", n = 13, expectedEvalNgrams = 1L << 16)
+        .select(col("benchmark"), lit("ngram").as("kind"), col("doc_id"),
+          col("contaminated_ngrams").as("severity"))
+      val base = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", vec_l2norm(col("v")))
+      val ev = base.filter(col("vec_id") % 10 === 0)
+        .withColumn("benchmark",
+          when(col("vec_id") % 20 === 0, "evalV1").otherwise("evalV2"))
+        .select(col("benchmark"), col("v").as("ev"), col("nrm").as("en"))
+      val co = base.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val sem = co.join(broadcast(ev), lit(true), "left")
+        .withColumn("cos", graft.operators.TextAnalysis.round6(
+          vec_dot(col("cv"), col("ev")) / (col("cn") * col("en"))))
+        .groupBy("vec_id", "benchmark").agg(max("cos").as("mx"))
+        .filter(col("mx") >= 0.35)
+        .select(col("benchmark"), lit("semantic").as("kind"),
+          col("vec_id").as("doc_id"),
+          org.apache.spark.sql.functions.round(col("mx") * 1e6, 0)
+            .cast("long").as("severity"))
+      lex.unionByName(sem).orderBy("kind", "benchmark", "doc_id")
+    }),
     // The applied form: the corpus slice with eval-overlapping spans
     // REMOVED — counts + cleaned-stream md5 per doc, the decontaminated
     // corpus a training run actually consumes. Excises by the SAME
@@ -689,6 +732,49 @@ object PipelineQueries {
         |  CAST(count(DISTINCT s) AS BIGINT) AS contaminated_ngrams,
         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS eval_docs_hit
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // four benchmarks, two kinds, one verdict table: the tagged shingle
+    // self-join for the two lexical benchmarks, the tagged broadcast
+    // cosine pass for the two embedding benchmarks
+    "decontaminate_multi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 13),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_reduce(w[i:i+12], (a, b) -> a || ' ' || b)
+        |                   for i in range(1, len(w) - 11)]) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |lex AS (
+        |  SELECT CASE WHEN e.doc_id % 10 = 0 THEN 'evalA' ELSE 'evalB' END
+        |      AS benchmark,
+        |    'ngram' AS kind, c.doc_id,
+        |    CAST(count(DISTINCT c.s) AS BIGINT) AS severity
+        |  FROM ex c JOIN ex e ON c.s = e.s
+        |  WHERE e.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |  GROUP BY 1, c.doc_id),
+        |emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+        |      AS nrm
+        |  FROM embeddings),
+        |evv AS (
+        |  SELECT CASE WHEN vec_id % 20 = 0 THEN 'evalV1' ELSE 'evalV2' END
+        |      AS benchmark,
+        |    v AS ev, nrm AS en
+        |  FROM emb WHERE vec_id % 10 = 0),
+        |cov AS (SELECT vec_id, v AS cv, nrm AS cn FROM emb WHERE vec_id % 10 <> 0),
+        |sem AS (
+        |  SELECT benchmark, 'semantic' AS kind, vec_id AS doc_id,
+        |    CAST(round(max(round(list_sum([cv[i] * ev[i] for i in range(1, len(cv) + 1)])
+        |      / (cn * en), 6)) * 1e6) AS BIGINT) AS severity
+        |  FROM cov JOIN evv ON true
+        |  GROUP BY benchmark, vec_id
+        |  HAVING max(round(list_sum([cv[i] * ev[i] for i in range(1, len(cv) + 1)])
+        |    / (cn * en), 6)) >= 0.35)
+        |SELECT benchmark, kind, doc_id, severity FROM lex
+        |UNION ALL SELECT benchmark, kind, doc_id, severity FROM sem
+        |ORDER BY kind, benchmark, doc_id""".stripMargin,
     "decontaminate_spans" ->
       (PipelineQueries.duckContaminationBody + """
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,

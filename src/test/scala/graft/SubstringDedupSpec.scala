@@ -123,6 +123,41 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(cleaned(3L)._1 === 0)
   }
 
+  test("multi-benchmark sweep: per-benchmark verdicts match the per-set runs") {
+    // two benchmarks with DISTINCT 13-grams, one corpus doc overlapping
+    // each, one overlapping both — the tagged sweep must report exactly
+    // the (doc, benchmark) pairs the two single-set runs report, with
+    // the same severity counts, out of ONE corpus scan
+    val gA = (0 until 13).map(i => s"alpha$i").mkString(" ")
+    val gB = (0 until 13).map(i => s"beta$i").mkString(" ")
+    val evals = Seq((100L, gA + " " + uniq("x", 4), "benchA"),
+      (101L, gB + " " + uniq("y", 4), "benchB"))
+      .toDF("doc_id", "text", "benchmark")
+    val corpus = Seq(
+      (1L, uniq("p", 5) + " " + gA),                   // hits benchA only
+      (2L, gB + " " + uniq("q", 5)),                   // hits benchB only
+      (3L, gA + " " + gB),                             // hits both
+      (4L, uniq("r", 30))                              // clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContaminationBy(corpus, evals, "doc_id", "text",
+        "benchmark", n = 13, expectedEvalNgrams = 1L << 12)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc 3's "gA gB" concatenation also forms bridge 13-grams spanning
+    // the two runs; those appear in neither benchmark, so they can never
+    // create a verdict — only the planted runs count
+    assert(got.keySet === Set((1L, "benchA"), (2L, "benchB"),
+      (3L, "benchA"), (3L, "benchB")))
+    // severity parity with the single-set operator, benchmark by benchmark
+    for ((bench, tag) <- Seq(("benchA", 100L), ("benchB", 101L))) {
+      val single = Dedup.ngramContamination(corpus,
+          evals.filter(col("benchmark") === bench), "doc_id", "text",
+          n = 13, expectedEvalNgrams = 1L << 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val multi = got.collect { case ((d, b), s) if b == bench => d -> s }
+      assert(multi === single, s"benchmark $bench")
+    }
+  }
+
   test("an empty eval set contaminates nothing") {
     val corpus = Seq((1L, uniq("a", 40))).toDF("doc_id", "text")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
