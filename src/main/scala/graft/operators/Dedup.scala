@@ -19,6 +19,13 @@ import graft.functions.functions.{simhash64, vec_dot, vec_l2norm, word_shingles}
   */
 object Dedup {
 
+  /** Distributed label-propagation rounds the LAST connectedComponents
+    * call ran (0 = the bounded driver union-find path) — observability
+    * for the O(log diameter) pointer-jumping contract, which
+    * TenXScaleSmokeSpec pins on chain graphs (a linear-propagation
+    * regression would need O(diameter) rounds). */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   private def toks(c: Column): Column = split(lower(c), " ")
 
   /** Tokens + distinct word k-gram shingles via the native kernel. */
@@ -713,6 +720,7 @@ object Dedup {
     // way (exact connected components, min-id labels).
     val nEdges = edges.count() // also materializes the persist for the loop
     if (nEdges <= smallGraphThreshold) {
+      Dedup.lastCcRounds.set(0) // driver union-find: no distributed rounds
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -773,6 +781,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    Dedup.lastCcRounds.set(iter)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +

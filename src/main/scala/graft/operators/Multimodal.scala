@@ -130,6 +130,83 @@ object Multimodal {
       }
   }
 
+  /** Decode digest of one media row: REAL codec dimensions plus an exact
+    * integer checksum over the decoded pixel values — the row shape that
+    * makes a codec regression data-visible (a decoder that flips a
+    * channel, pads a row, or swaps dimensions changes the checksum even
+    * when width/height survive). checksum = Σ over pixels of
+    * (rgb24 · (1 + (y·w + x) mod 97)) — position-weighted so transposed
+    * or reordered pixels cannot cancel; pure long arithmetic, bounded by
+    * w·h·2^24·97 (exact for any sane image). Rows whose payload does not
+    * decode report (-1, -1, -1, -1). */
+  final case class DecodeDigest(doc_id: Long, width: Int, height: Int,
+      channels: Int, pix_checksum: Long)
+
+  /** Partition-streamed [[DecodeDigest]] over real `ImageIO` decodes. */
+  def decodeDigest(spark: SparkSession, media: DataFrame): Dataset[DecodeDigest] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes) =>
+          val img = if (imageTypes.contains(mt)) tryReadImage(bytes) else null
+          if (img == null) DecodeDigest(id, -1, -1, -1, -1L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = (img.getRGB(x, y) & 0xffffff).toLong
+                sum += rgb * (1L + (y.toLong * w + x) % 97)
+                x += 1
+              }
+              y += 1
+            }
+            DecodeDigest(id, w, h, img.getColorModel.getNumComponents, sum)
+          }
+        }
+      }
+  }
+
+  /** Synthetic PNG fixture table: `n` driver-built images with dimensions
+    * and per-pixel RGB values that are pure integer functions of
+    * (doc_id, x, y) — so after the LOSSLESS PNG round-trip, a decode
+    * digest is re-derivable from the formula alone (the property that
+    * lets a SQL oracle cross-check the real `ImageIO` codec path without
+    * ever seeing the bytes):
+    *   w = 8 + (id mod 4)·4, h = 6 + (id mod 3)·5
+    *   r = (7x + 3y + id) mod 256, g = (5x + 11y + 2id) mod 256,
+    *   b = (13x + y + 3id) mod 256
+    * Images are tiny (≤ 20×16) and built once on the driver — fixture
+    * construction, not a data path. */
+  def syntheticPngTable(spark: SparkSession, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { id =>
+      val w = 8 + (id % 4) * 4
+      val h = 6 + (id % 3) * 5
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (7 * x + 3 * y + id) % 256
+          val g = (5 * x + 11 * y + 2 * id) % 256
+          val b = (13 * x + y + 3 * id) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      (id.toLong, "image/png", baos.toByteArray)
+    }
+    rows.toDF("doc_id", "media_type", "payload")
+  }
+
   /** Deterministic "frame sampling" over a payload: every stride-th byte,
     * as a bounded-size array column — the shape of audio/video frame
     * extraction (array<struct> per row) without the codec. */

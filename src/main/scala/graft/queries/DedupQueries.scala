@@ -261,6 +261,46 @@ object DedupQueries {
       Dedup.incrementalNewWith(newBatch, art.hashes, "text", art.bloom)
         .select("doc_id").orderBy("doc_id")
     }),
+    // Streaming ingest REPLAY (r12) — the streaming tier's first row on
+    // the driver ledger: a real Structured Streaming run (parquet file
+    // source, three micro-batches under maxFilesPerTrigger=1, the third
+    // file a VERBATIM re-delivery of the first that the cross-batch
+    // fingerprint state must swallow) through the SAME
+    // ingestDedupStreamWith plan StreamingSpec pins, Trigger.AvailableNow
+    // into a parquet sink, sink read back as the result. Delivered rows
+    // are the distinct-text representatives (min doc_id per text) of the
+    // %5==0 slice, so the surviving ids are deterministic whatever
+    // arrival order a re-run produces; the oracle is the batch
+    // formulation (new-to-corpus representatives). A streaming
+    // regression now turns a CORRECTNESS row red, not only a unit test.
+    "streaming_ingest_replay" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val slice = docs.filter(col("doc_id") % 5 === 0)
+      val reps = slice.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val delivered = slice.join(reps, Seq("doc_id", "text"), "left_semi")
+        .select("doc_id", "text")
+      val src = QueryArtifacts.path("target/replay-src", dir)
+      val sink = QueryArtifacts.path("target/replay-sink", dir)
+      val ckpt = QueryArtifacts.path("target/replay-ckpt", dir)
+      Seq(src, sink, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val half1 = delivered.filter(col("doc_id") % 2 === 0)
+      val half2 = delivered.filter(col("doc_id") % 2 =!= 0)
+      half1.coalesce(1).write.mode("append").parquet(src)
+      half2.coalesce(1).write.mode("append").parquet(src)
+      half1.coalesce(1).write.mode("append").parquet(src) // re-delivery
+      val art = ingestArtifacts(spark, dir)
+      val stream = spark.readStream.schema(delivered.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val out = graft.streaming.StreamingOps.ingestDedupStreamWith(
+        stream, art.hashes, art.bloom, "text")
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", sink).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).select("doc_id").orderBy("doc_id")
+    }),
     // Incremental NEAR-dup ingest filter, batch form — the same operator
     // the streaming tier runs (StreamingOps.ingestNearDupStream is
     // DataFrame-generic; StreamingSpec pins stream==batch), now under the
@@ -647,6 +687,17 @@ object DedupQueries {
           |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_doc_id
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
           |ORDER BY doc_id""".stripMargin),
+    // the batch formulation of the replayed stream: distinct-text
+    // representatives of the delivered slice whose content is new to the
+    // corpus (the re-delivered third file must contribute nothing)
+    "streaming_ingest_replay" ->
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id % 5 = 0
+        |  AND n.doc_id IN (SELECT min(doc_id) FROM documents
+        |                   WHERE doc_id % 5 = 0 GROUP BY text)
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 5 <> 0 AND c.text = n.text)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """SELECT n.doc_id FROM documents n
         |WHERE n.doc_id % 5 = 0

@@ -78,6 +78,20 @@ object MultimodalQueries {
           hex(col("f.sample")).as("sample_hex"))
         .orderBy("doc_id", "frame_no")
     }),
+    // REAL-codec decode parity gate (r12): multimodal_decode hash-checks
+    // the stub path only; this row drives the actual JDK ImageIO branch
+    // through a synthetic-PNG fixture whose pixel values are pure integer
+    // functions of (doc_id, x, y) — PNG is lossless, so the decoded
+    // pixels must equal the formula and the position-weighted checksum is
+    // re-derivable by the oracle from the formula ALONE. A codec
+    // regression (dimension swap, channel flip, row padding, silent
+    // stub fallback) turns this row red in CORRECTNESS, not just in
+    // MultimodalSpec. Fixture is 8 tiny driver-built images; the decode
+    // itself runs partition-streamed like every media path.
+    "multimodal_decode_digest" -> ((spark, dir) => {
+      Multimodal.decodeDigest(spark, Multimodal.syntheticPngTable(spark))
+        .toDF().orderBy("doc_id")
+    }),
     // Native session_window batch aggregation (twin of the streaming op);
     // oracle reproduces it with the lag/running-sum formulation — a genuine
     // cross-check of Spark's session semantics
@@ -137,6 +151,26 @@ object MultimodalQueries {
         |  hex(substring(text, CAST(i * 64 + 1 AS INTEGER), 1)) AS sample_hex
         |FROM (SELECT doc_id, text, unnest(range(0, least(n // 64, 7) + 1)) AS i FROM m)
         |ORDER BY doc_id, frame_no""".stripMargin,
+    // the formula-side rederivation of the real decode: dims and rgb from
+    // the (doc_id, x, y) integer functions, same position weighting
+    "multimodal_decode_digest" ->
+      """WITH ids AS (SELECT unnest(range(0, 8)) AS doc_id),
+        |dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 4) * 4 AS INTEGER) AS width,
+        |    CAST(6 + (doc_id % 3) * 5 AS INTEGER) AS height
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, x.x, y.y,
+        |    ((7 * x.x + 3 * y.y + d.doc_id) % 256) * 65536
+        |      + ((5 * x.x + 11 * y.y + 2 * d.doc_id) % 256) * 256
+        |      + ((13 * x.x + y.y + 3 * d.doc_id) % 256) AS rgb
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 20)) AS x) x ON x.x < d.width
+        |  JOIN (SELECT unnest(range(0, 16)) AS y) y ON y.y < d.height)
+        |SELECT doc_id, width, height, 3 AS channels,
+        |  CAST(sum(rgb * (1 + (y * width + x) % 97)) AS BIGINT) AS pix_checksum
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
     "session_window_agg" ->
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,

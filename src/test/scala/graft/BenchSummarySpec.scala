@@ -36,6 +36,25 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""value":1.0"""), s)
   }
 
+  test("driver-tail contract survives 300+ queries: headline fields stay in the last 300 chars") {
+    // the driver's BENCH_r{N}.json keeps only the stdout TAIL; the bulky
+    // per-query maps grow with every round, so the contract that the
+    // headline comparables sit at the very END must hold at ANY query
+    // count — pinned here at 320 queries (more than double the current
+    // ledger) with failures and load present, so future growth cannot
+    // silently push "value"/"failed"/"leaked_persists" out of the
+    // driver's capture window
+    val many = (0 until 320).map(i => s"q_$i" -> ((0.1 + i * 0.01, 0.2 + i * 0.01))) ++
+      Seq("q_dead_tail" -> ((-1.0, -1.0)))
+    val s = Bench.summaryJson(many, leaked = 2, sfDir = "/x/sf",
+      loadAvg = Seq(1.0, 2.0, 3.0))
+    val tail = s.takeRight(300)
+    Seq("\"value\":", "\"failed\":", "\"leaked_persists\":").foreach(f =>
+      assert(tail.contains(f), s"$f not in last-300 tail: $tail"))
+    assert(tail.contains("q_dead_tail"),
+      "the failed-query NAME must survive the tail capture too")
+  }
+
   test("host load average rides in the artifact; headline still trails it") {
     val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
       loadAvg = Seq(1.5, 2.25, 3.0))

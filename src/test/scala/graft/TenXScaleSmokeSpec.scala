@@ -367,6 +367,47 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear chunking")
   }
 
+  test("distributed connected components: pointer jumping stays O(log diameter) " +
+      "on chain graphs and wall-time stays ~linear at fixed diameter", SlowTest) {
+    // chain graphs are the worst case for label propagation: a path of
+    // length L has diameter L-1, so plain one-hop propagation needs
+    // O(L) rounds (it would blow the maxIters=25 ceiling outright at
+    // L=256), while pointer jumping must converge in O(log L). Blocks of
+    // L vertices chained (i, i+1) give an exact oracle — every vertex's
+    // component is its block minimum — and block counts above the
+    // union-find threshold force the DISTRIBUTED path (the only
+    // iterative job in the repo). 10x the blocks at the same diameter
+    // must keep the ROUND COUNT flat (rounds track diameter, not size)
+    // and wall-time ~linear.
+    val L = 256L
+    def chainEdges(nBlocks: Long): DataFrame =
+      spark.range(nBlocks * L)
+        .filter(col("id") % L =!= (L - 1))
+        .select(col("id").as("u"), (col("id") + 1L).as("v"))
+    def run(nBlocks: Long): (Long, Int, Double) = {
+      val (bad, t) = timed {
+        val comp = Dedup.connectedComponents(chainEdges(nBlocks), "u", "v")
+        comp.filter(col("comp") =!= col("id") - (col("id") % L)).count()
+      }
+      (bad, Dedup.lastCcRounds.get, t)
+    }
+    run(600) // warmup: JIT + codegen
+    val (bad1, r1, t1) = run(600)       // 153,600 edges > 2^17: distributed
+    val (bad10, r10, t10) = run(6000)   // 1.54M edges, same diameter
+    assert(bad1 === 0L, "1x: a vertex missed its block-min component")
+    assert(bad10 === 0L, "10x: a vertex missed its block-min component")
+    assert(r1 > 0 && r10 > 0, "distributed path did not run (threshold regression)")
+    val bound = 2 * (math.log(L.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(r1 <= bound, s"1x took $r1 rounds > O(log L) bound $bound")
+    assert(r10 <= bound, s"10x took $r10 rounds > O(log L) bound $bound")
+    assert(r10 <= r1 + 2,
+      s"rounds grew with graph SIZE at fixed diameter: $r1 -> $r10")
+    info(f"cc rounds 1x=$r1 10x=$r10 (bound $bound); " +
+      f"1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 10.0,
+      f"10x chain graph took ${t10 / t1}%.1fx the 1x wall-time — superlinear CC")
+  }
+
   test("inverted index scales ~linearly onto a 10x corpus; renamed serving " +
       "equals the per-copy base result", SlowTest) {
     import graft.operators.InvertedIndex
