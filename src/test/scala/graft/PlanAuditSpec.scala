@@ -39,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // the bounded EVAL-set broadcast (benchmarks are thousands of rows
       // however large the corpus); the corpus side streams through one scan
       "decontaminate_semantic",
+      // same bounded eval-vector broadcast, tagged by benchmark — the
+      // multi-benchmark sweep's one cosine pass
+      "decontaminate_multi",
       "term_stats", "lm_bigram_quality", "bm25_rank",
       // |L|-row class-prior table broadcast into the per-doc scorer
       "classifier_train_score", "classifier_persisted", "corpus_filter_classifier",

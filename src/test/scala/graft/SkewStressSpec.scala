@@ -160,6 +160,36 @@ class SkewStressSpec extends AnyFunSuite {
     assert(split == baseline, s"skew split changed the result: $split != $baseline")
   }
 
+  test("trigram-LM served-model joins split the hot-trigram partition and preserve results") {
+    // the boilerplate docs are one trigram each ("free prize now"), so
+    // the served-model score's docTg >< tri join has one key carrying 10%
+    // of its input — the hot-n-gram shape one order above the bigram
+    // test. Durable model (TRAIN/SERVE), so the model side is a storage
+    // scan and the join children match OptimizeSkewedJoin's pattern; the
+    // per-doc aggregate groups by doc_id, leaving AQE free to split.
+    val path = "target/skew-tri-test/model"
+    graft.operators.TrigramLm.train(
+      hotCorpus.filter(col("doc_id") % 2 === 0), "text").write(path, "skew-spec")
+    val lm = graft.operators.TrigramLm.load(spark, path)
+    def mk = lm.score(hotCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    def triDigest(df: DataFrame): ((Long, java.math.BigDecimal), String) = {
+      val g = df.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("doc_id"), col("n_trigrams"),
+          round(col("pred_prob") * 1e6, 0).cast("long"))
+          .cast("decimal(38,0)")).as("chk"))
+      val row = g.collect()(0)
+      ((row.getLong(0), row.getDecimal(1)),
+        g.queryExecution.executedPlan.toString)
+    }
+    val (baseline, _) = withConfs(skewConfs(enabled = false): _*)(triDigest(mk))
+    assert(baseline._1 === 5000L, s"fixture degenerate: ${baseline._1} docs scored")
+    val (split, plan) = withConfs(skewConfs(enabled = true): _*)(triDigest(mk))
+    assert(plan.contains("skew=true"),
+      s"skew join did not engage on the hot trigram:\n$plan")
+    assert(split == baseline, s"skew split changed the result: $split != $baseline")
+  }
+
   test("classifier served-model word join splits the hot-word partition and preserves results") {
     // the boilerplate words ("free"/"prize"/"now") are each held by 1000
     // docs — the docTok >< counts join's hot shuffle keys. The model is
