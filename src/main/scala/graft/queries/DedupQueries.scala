@@ -149,11 +149,43 @@ object DedupQueries {
   private val replaySinkCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** [[replaySinkCache]]'s twin for the NEAR-DUP replay query. */
+  private val neardupReplaySinkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Stage `delivered` as three files (the third a VERBATIM re-delivery of
+    * the first), run `mkStream(fileSource)` to completion under
+    * Trigger.AvailableNow into a parquet sink, and return the sink path —
+    * the shared replay harness of the two streaming driver rows. */
+  private def runReplay(spark: SparkSession, prefix: String, dir: String,
+      delivered: DataFrame)(mkStream: DataFrame => DataFrame): String = {
+    val src = QueryArtifacts.path(s"target/$prefix-src", dir)
+    val out = QueryArtifacts.path(s"target/$prefix-sink", dir)
+    val ckpt = QueryArtifacts.path(s"target/$prefix-ckpt", dir)
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val half1 = delivered.filter(col("doc_id") % 2 === 0)
+    val half2 = delivered.filter(col("doc_id") % 2 =!= 0)
+    half1.coalesce(1).write.mode("append").parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    half1.coalesce(1).write.mode("append").parquet(src) // re-delivery
+    val stream = spark.readStream.schema(delivered.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = mkStream(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    out
+  }
+
   /** Release the shared candidate-pair caches (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted pair set
     * per (session, dir) key). */
   def clearCaches(): Unit = {
     replaySinkCache.clear() // file-backed; nothing persisted to release
+    neardupReplaySinkCache.clear()
     pairsCache.values.foreach(_.unpersist())
     pairsCache.clear()
     minhashCache.values.foreach(_.unpersist())
@@ -293,29 +325,37 @@ object DedupQueries {
           val reps = slice.groupBy("text").agg(min("doc_id").as("doc_id"))
           val delivered = slice.join(reps, Seq("doc_id", "text"), "left_semi")
             .select("doc_id", "text")
-          val src = QueryArtifacts.path("target/replay-src", dir)
-          val out = QueryArtifacts.path("target/replay-sink", dir)
-          val ckpt = QueryArtifacts.path("target/replay-ckpt", dir)
-          Seq(src, out, ckpt).foreach(p =>
-            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-          val half1 = delivered.filter(col("doc_id") % 2 === 0)
-          val half2 = delivered.filter(col("doc_id") % 2 =!= 0)
-          half1.coalesce(1).write.mode("append").parquet(src)
-          half2.coalesce(1).write.mode("append").parquet(src)
-          half1.coalesce(1).write.mode("append").parquet(src) // re-delivery
           val art = ingestArtifacts(spark, dir)
-          val stream = spark.readStream.schema(delivered.schema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-          val q = graft.streaming.StreamingOps.ingestDedupStreamWith(
-              stream, art.hashes, art.bloom, "text")
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .format("parquet").option("path", out).start()
-          q.awaitTermination()
-          out
+          runReplay(spark, "replay", dir, delivered)(stream =>
+            graft.streaming.StreamingOps.ingestDedupStreamWith(
+              stream, art.hashes, art.bloom, "text"))
         })
       spark.read.parquet(sink).select("doc_id").orderBy("doc_id")
+    }),
+    // NEAR-DUP streaming replay (r12) — the second streaming gate on the
+    // driver ledger: the full exact+near-dup ingest chain
+    // (ingestNearDupStreamWith: fingerprint state, bloom-prefiltered
+    // corpus anti join, one banded anti join per hash table with exact
+    // jaccard in the condition) run to completion over the same
+    // three-file delivery (third file a verbatim re-delivery). Output is
+    // CONTENT-keyed like the batch twin (dedup_ingest_neardup — the
+    // within-stream exact stage keeps an arbitrary copy of duplicated
+    // text; the surviving CONTENT is deterministic), and shares its
+    // oracle: survivors = delivered texts new to the corpus with no
+    // verified corpus near-dup.
+    "streaming_neardup_replay" -> ((spark, dir) => {
+      val sink = neardupReplaySinkCache.getOrElseUpdate((spark, dir),
+        neardupReplaySinkCache.synchronized {
+          val delivered = Tables.load(spark, dir, "documents")
+            .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          val art = ingestArtifacts(spark, dir)
+          runReplay(spark, "neardup-replay", dir, delivered)(stream =>
+            graft.streaming.StreamingOps.ingestNearDupStreamWith(
+              stream, art, "text"))
+        })
+      spark.read.parquet(sink)
+        .select(md5(col("text")).as("survivor_fp"))
+        .orderBy("survivor_fp")
     }),
     // Incremental NEAR-dup ingest filter, batch form — the same operator
     // the streaming tier runs (StreamingOps.ingestNearDupStream is
@@ -585,6 +625,36 @@ object DedupQueries {
       |    count(*) OVER (PARTITION BY md5(line)) AS n_occ
       |  FROM seg WHERE len(line) > 0)""".stripMargin
 
+  /** Banding-free exact survivor set of the %5==0 delivery against the
+    * %5!=0 corpus (exact dedup + exact-jaccard near-dup) — shared by the
+    * batch presentation (`dedup_ingest_neardup`) and the completed-stream
+    * replay (`streaming_neardup_replay`): both must emit this content
+    * set, and hash-matching it also re-certifies banding's full recall at
+    * this (family, seed, threshold). */
+  private val neardupSurvivorOracle: String =
+    """WITH s0 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0),
+      |cx AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+      |sx AS (SELECT text FROM s0 WHERE text NOT IN (SELECT text FROM cx)),
+      |ssh AS (
+      |  SELECT text,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT text, string_split(lower(text), ' ') AS w FROM sx
+      |        WHERE len(string_split(lower(text), ' ')) >= 3)),
+      |csh AS (
+      |  SELECT list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                        for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT string_split(lower(text), ' ') AS w FROM cx
+      |        WHERE len(string_split(lower(text), ' ')) >= 3)),
+      |dropped AS (
+      |  SELECT DISTINCT a.text
+      |  FROM ssh a JOIN csh b ON
+      |    len(list_intersect(a.sh, b.sh)) * 1.0
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
+      |SELECT md5(text) AS survivor_fp FROM sx
+      |WHERE text NOT IN (SELECT text FROM dropped)
+      |ORDER BY survivor_fp""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
     "dedup_substring" ->
       ("WITH " + duckSubstringBody + """
@@ -723,29 +793,10 @@ object DedupQueries {
     // banding-free reformulation: exact all-pairs jaccard >= 0.6 between
     // the deduped stream slice and the corpus — hash-matches iff the
     // banded path loses nothing (full recall at this family/seed/threshold)
-    "dedup_ingest_neardup" ->
-      """WITH s0 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0),
-        |cx AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
-        |sx AS (SELECT text FROM s0 WHERE text NOT IN (SELECT text FROM cx)),
-        |ssh AS (
-        |  SELECT text,
-        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                   for i in range(1, len(w) - 1)]) AS sh
-        |  FROM (SELECT text, string_split(lower(text), ' ') AS w FROM sx
-        |        WHERE len(string_split(lower(text), ' ')) >= 3)),
-        |csh AS (
-        |  SELECT list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                        for i in range(1, len(w) - 1)]) AS sh
-        |  FROM (SELECT string_split(lower(text), ' ') AS w FROM cx
-        |        WHERE len(string_split(lower(text), ' ')) >= 3)),
-        |dropped AS (
-        |  SELECT DISTINCT a.text
-        |  FROM ssh a JOIN csh b ON
-        |    len(list_intersect(a.sh, b.sh)) * 1.0
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
-        |SELECT md5(text) AS survivor_fp FROM sx
-        |WHERE text NOT IN (SELECT text FROM dropped)
-        |ORDER BY survivor_fp""".stripMargin,
+    "dedup_ingest_neardup" -> neardupSurvivorOracle,
+    // the replay emits the SAME survivor content set as the batch form —
+    // one oracle, two presentation paths (batch plan vs completed stream)
+    "streaming_neardup_replay" -> neardupSurvivorOracle,
     "dedup_cluster_keep_best" ->
       ("WITH RECURSIVE " + duckShinglesBody +
         """,
