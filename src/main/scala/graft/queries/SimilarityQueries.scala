@@ -822,6 +822,32 @@ object SimilarityQueries {
         .select(col("c_id").as("vec_id"), col("cell"), col("n_tokens"))
         .orderBy("vec_id")
     }),
+    // Topic-mix drift report (r12): cluster-share shift between the
+    // %5==0 "new crawl" vectors and the reference rest, over the SAME
+    // frozen seeded quantizer as the topic report — the embedding-space
+    // twin of corpus_drift_report (a crawl whose topic mix moved shows
+    // up here before it skews a cluster-balanced sample). Same exact
+    // integer cross-multiplied numerators (c_ref*n_new - c_new*n_ref)
+    // summed/maxed exactly, ONE rounded division each — bit-identical in
+    // the oracle. Shape: the shared assignment scan, one |K|-row
+    // aggregate, a 1-row totals broadcast.
+    "topic_drift_report" -> ((spark, dir) => {
+      val perCell = topicCells(spark, dir).select("cell", "c_id")
+        .withColumn("is_new", col("c_id") % 5 === 0)
+        .groupBy("cell").agg(
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"),
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("c_ref"))
+      val totals = perCell.agg(sum("c_ref").as("n_ref"), sum("c_new").as("n_new"))
+      val num = col("c_ref") * col("n_new") - col("c_new") * col("n_ref")
+      perCell.crossJoin(broadcast(totals))
+        .withColumn("anum", abs(num))
+        .agg(count(lit(1)).as("n_cells"),
+          min("n_ref").as("n_ref"), min("n_new").as("n_new"),
+          org.apache.spark.sql.functions.round(sum("anum").cast("double")
+            / (lit(2.0) * min("n_ref") * min("n_new")), 6).as("tv_dist"),
+          org.apache.spark.sql.functions.round(max("anum").cast("double")
+            / (lit(1.0) * min("n_ref") * min("n_new")), 6).as("max_gap"))
+    }),
     // Brute-force top-5 over the int8-quantized representation — the
     // ranking a serving tier computes after the 4x storage cut. Both
     // engines quantize then rank the SAME deterministic reconstruction,
@@ -1070,6 +1096,24 @@ object SimilarityQueries {
         |WHERE (('0x' || substring(md5(CAST(b.vec_id AS VARCHAR)), 1, 15))::BIGINT)
         |      / 1152921504606846976.0 < r.rate
         |ORDER BY vec_id""".stripMargin),
+    "topic_drift_report" ->
+      (s"WITH $duckTopicAsgCtes,\n" +
+      """pc AS (
+        |  SELECT cell,
+        |    CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_new,
+        |    CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_ref
+        |  FROM a GROUP BY cell),
+        |tt AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |         CAST(sum(c_new) AS BIGINT) AS n_new FROM pc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  min(tt.n_ref) AS n_ref, min(tt.n_new) AS n_new,
+        |  round(CAST(sum(abs(c_ref * tt.n_new - c_new * tt.n_ref)) AS DOUBLE)
+        |    / (2.0 * min(tt.n_ref) * min(tt.n_new)), 6) AS tv_dist,
+        |  round(CAST(max(abs(c_ref * tt.n_new - c_new * tt.n_ref)) AS DOUBLE)
+        |    / (1.0 * min(tt.n_ref) * min(tt.n_new)), 6) AS max_gap
+        |FROM pc, tt""".stripMargin),
     "ann_bruteforce_topk" -> bruteForceOracle,
     "ann_matryoshka_topk" -> matryoshkaOracle,
     "decontaminate_semantic" ->

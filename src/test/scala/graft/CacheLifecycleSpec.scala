@@ -33,6 +33,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
     DedupQueries.queries("dedup_substring")(spark, TestSpark.sfDir).count()
     DedupQueries.queries("dedup_ingest_neardup")(spark, TestSpark.sfDir).count()
     SimilarityQueries.queries("ann_ivf_topk")(spark, TestSpark.sfDir).count()
+    SimilarityQueries.queries("corpus_topic_report")(spark, TestSpark.sfDir).count()
     MultimodalQueries.queries("multimodal_ahash_pairs")(spark, TestSpark.sfDir).count()
     PipelineQueries.queries("decontaminate_spans")(spark, TestSpark.sfDir).count()
     TextQueries.queries("perplexity_buckets")(spark, TestSpark.sfDir).count()

@@ -51,6 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row corpus-total scalar crossed into the per-domain rate table
       // (the term_stats N-docs pattern)
       "domain_share_cap",
+      // 1-row ref/new totals crossed into the |K|-cell count table
+      "topic_drift_report",
       // lm_bigram_quality's 1-row vocabulary broadcast, plus the 1-row
       // corpus-count and 1-row tercile-cut broadcasts of quantileBuckets
       // (curriculum_order and the materialize capstone consume the same
