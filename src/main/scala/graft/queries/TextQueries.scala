@@ -124,8 +124,15 @@ object TextQueries {
           "doc_id", "pred_prob", Seq("tail", "middle", "head"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Completed drift-monitor replay results per (session, dir) — the
+    * emissions are feature-count-sized (bounded by the category codomain),
+    * so the cached value is a tiny local array, not a persisted plan. */
+  private val driftReplayCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[graft.streaming.StreamingOps.DriftRow]]
+
   /** Release every persisted intermediate this object holds. */
   def clearCaches(): Unit = {
+    driftReplayCache.clear() // local arrays; nothing persisted
     bigramScoresCache.values.foreach(_.unpersist())
     bigramScoresCache.clear()
     trigramScoresCache.values.foreach(_.unpersist())
@@ -233,6 +240,49 @@ object TextQueries {
             / (lit(2.0) * min("n_ref") * min("n_new")), 6).as("tv_dist"),
           round(max("anum").cast("double")
             / (lit(1.0) * min("n_ref") * min("n_new")), 6).as("max_gap"))
+        .orderBy("feature")
+    }),
+    // Streaming drift-monitor REPLAY (r12) — the flatMapGroupsWithState
+    // custom-state family's row on the driver ledger: the %5==0 slice
+    // streams in three micro-batches through StreamingOps
+    // .driftMonitorStream (state = per-feature category histogram,
+    // bounded by the category codomain) against reference counts frozen
+    // from the %5!=0 slice; after the final batch each feature's LAST
+    // emission (the one with the full n_new — counts only grow) must
+    // equal the batch corpus_drift_report's row, so the oracle is that
+    // report's derivation minus its n_categories column. Update-mode
+    // memory sink (a monitor has no append semantics); the collected
+    // sink is 3 rows per feature — bounded by construction.
+    "streaming_drift_replay" -> ((spark, dir) => {
+      import spark.implicits._
+      val rows = driftReplayCache.getOrElseUpdate((spark, dir),
+        driftReplayCache.synchronized {
+          val docs = Tables.load(spark, dir, "documents")
+          val ref = graft.streaming.StreamingOps.driftReferenceCounts(
+            docs.filter(col("doc_id") % 5 =!= 0))
+          val slice = docs.filter(col("doc_id") % 5 === 0)
+          val src = QueryArtifacts.path("target/drift-replay-src", dir)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+          (0 until 3).foreach(i =>
+            slice.filter(col("doc_id") % 3 === i).coalesce(1)
+              .write.mode("append").parquet(src))
+          val stream = spark.readStream.schema(slice.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+          val name = "drift_replay_" + java.security.MessageDigest
+            .getInstance("SHA-256").digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          val q = graft.streaming.StreamingOps.driftMonitorStream(spark, stream, ref)
+            .writeStream.outputMode("update").format("memory").queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val all = spark.table(name)
+            .as[graft.streaming.StreamingOps.DriftRow].collect()
+          all.groupBy(_.feature).map { case (_, rs) => rs.maxBy(_.n_new) }
+            .toArray
+        })
+      rows.toSeq.toDF()
+        .select("feature", "n_ref", "n_new", "tv_dist", "max_gap")
         .orderBy("feature")
     }),
     // Per-language token-length quantile report (r11): exact discrete
@@ -1073,6 +1123,36 @@ object TextQueries {
         |    abs(p.c_ref * t.n_new - p.c_new * t.n_ref) AS anum
         |  FROM per_cat p JOIN tot t USING (feature))
         |SELECT feature, CAST(count(*) AS BIGINT) AS n_categories,
+        |  CAST(min(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(min(n_new) AS BIGINT) AS n_new,
+        |  round(CAST(sum(anum) AS DOUBLE) / (2.0 * min(n_ref) * min(n_new)), 6)
+        |    AS tv_dist,
+        |  round(CAST(max(anum) AS DOUBLE) / (1.0 * min(n_ref) * min(n_new)), 6)
+        |    AS max_gap
+        |FROM j GROUP BY feature ORDER BY feature""".stripMargin,
+    // the batch drift derivation minus its n_categories column — the
+    // monitor's final per-feature emission must equal the batch report
+    "streaming_drift_replay" ->
+      """WITH cat AS (
+        |  SELECT (doc_id % 5 = 0) AS is_new, 'lang' AS feature,
+        |    lang AS category FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id % 5 = 0), 'source', source FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id % 5 = 0), 'len_bucket',
+        |    CAST(least(n_chars // 200, 20) AS VARCHAR) FROM documents),
+        |per_cat AS (
+        |  SELECT feature, category,
+        |    sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS c_new,
+        |    sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS c_ref
+        |  FROM cat GROUP BY 1, 2),
+        |tot AS (SELECT feature, sum(c_ref) AS n_ref, sum(c_new) AS n_new
+        |        FROM per_cat GROUP BY 1),
+        |j AS (
+        |  SELECT p.feature, t.n_ref, t.n_new,
+        |    abs(p.c_ref * t.n_new - p.c_new * t.n_ref) AS anum
+        |  FROM per_cat p JOIN tot t USING (feature))
+        |SELECT feature,
         |  CAST(min(n_ref) AS BIGINT) AS n_ref,
         |  CAST(min(n_new) AS BIGINT) AS n_new,
         |  round(CAST(sum(anum) AS DOUBLE) / (2.0 * min(n_ref) * min(n_new)), 6)
