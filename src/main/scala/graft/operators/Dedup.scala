@@ -572,44 +572,13 @@ object Dedup {
     * (8 bits/item ≈ 2% fpp). */
   def ngramContamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 13,
-      expectedEvalNgrams: Long = 1L << 20): DataFrame = {
-    require(n >= 2, s"need n >= 2, got $n")
-    import org.apache.spark.sql.graft.bridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
-    val evalSh = withShingles(evalSet, textCol, n)
-      .select(col(idCol).as("eval_id"), explode(col("shingles")).as("s"))
-    val spark = corpus.sparkSession
-    val maxItems = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-    require(expectedEvalNgrams <= maxItems && expectedEvalNgrams * 8L <= maxBits,
-      s"expectedEvalNgrams=$expectedEvalNgrams exceeds the bloom conf caps " +
-        s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise the runtime " +
-        "bloom filter confs or the filter would clamp and lose its fpp bound")
-    val bloomAgg = bridge.column(BloomFilterAggregate(
-      new XxHash64(Seq(bridge.expression(col("s")))),
-      Literal(expectedEvalNgrams), Literal(expectedEvalNgrams * 8L), 0, 0)
-      .toAggregateExpression())
-    val bloomBytes = evalSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    val corpusSh = withShingles(corpus, textCol, n)
-      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("s"))
-    if (bloomBytes == null)
-      return corpusSh.limit(0) // empty eval set: nothing can be contaminated
-        .groupBy("doc_id")
-        .agg(countDistinct("s").as("contaminated_ngrams"),
-          countDistinct(lit(0L)).as("eval_docs_hit"))
-    val mightContain = bridge.column(BloomFilterMightContain(
-      Literal.create(bloomBytes, BinaryType),
-      new XxHash64(Seq(bridge.expression(col("s"))))))
-    corpusSh.filter(mightContain)
-      .join(evalSh, Seq("s"))
-      .groupBy("doc_id")
-      .agg(countDistinct("s").as("contaminated_ngrams"),
-        countDistinct("eval_id").as("eval_docs_hit"))
-  }
+      expectedEvalNgrams: Long = 1L << 20): DataFrame =
+    // the single-set form IS the multi-benchmark sweep with one constant
+    // benchmark — ONE body, so the bloom sizing contract, conf-cap
+    // validation and empty-eval semantics cannot drift between the two
+    ngramContaminationBy(corpus, evalSet.withColumn("__bench", lit("")),
+        idCol, textCol, "__bench", n, expectedEvalNgrams)
+      .drop("__bench")
 
   /** MULTI-BENCHMARK n-gram decontamination: [[ngramContamination]] with
     * the eval side carrying a benchmark tag — the form a real pipeline

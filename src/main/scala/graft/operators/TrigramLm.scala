@@ -154,8 +154,10 @@ object TrigramLm {
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
 
-  /** The repo's one DuckDB-compatible scaled rounding. */
-  private def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
+  /** The ONE shared round-to-6 helper (TextAnalysis.round6) — pred_prob
+    * feeds threshold/tercile verdicts downstream, so a private copy could
+    * drift by the 1-ulp class that helper exists to prevent. */
+  private def round6(c: Column): Column = TextAnalysis.round6(c)
 
   /** Word trigrams of a text column as "w1 w2 w3" strings — two zip_withs
     * over shifted slices (the [[BigramLm]] extraction one order up), with

@@ -318,10 +318,14 @@ object DedupQueries {
       // query startup, not the operator; the sink parquet is the durable
       // artifact later calls read (the build-once/serve-many pattern the
       // index family uses, applied to a finished stream)
-      val sink = replaySinkCache.getOrElseUpdate((spark, dir),
-        replaySinkCache.synchronized {
+      val sink = QueryArtifacts.runOnce(replaySinkCache, (spark, dir)) {
           val docs = Tables.load(spark, dir, "documents")
-          val slice = docs.filter(col("doc_id") % 5 === 0)
+          // null texts are excluded EXPLICITLY: the rep-selection equi
+          // join could never match them (engine side) while the oracle's
+          // GROUP BY text keeps a NULL group — one pinned semantic on
+          // both sides instead of a latent divergence on a null fixture
+          val slice = docs.filter(col("doc_id") % 5 === 0 &&
+            col("text").isNotNull)
           val reps = slice.groupBy("text").agg(min("doc_id").as("doc_id"))
           val delivered = slice.join(reps, Seq("doc_id", "text"), "left_semi")
             .select("doc_id", "text")
@@ -329,7 +333,7 @@ object DedupQueries {
           runReplay(spark, "replay", dir, delivered)(stream =>
             graft.streaming.StreamingOps.ingestDedupStreamWith(
               stream, art.hashes, art.bloom, "text"))
-        })
+        }
       spark.read.parquet(sink).select("doc_id").orderBy("doc_id")
     }),
     // NEAR-DUP streaming replay (r12) — the second streaming gate on the
@@ -344,15 +348,16 @@ object DedupQueries {
     // oracle: survivors = delivered texts new to the corpus with no
     // verified corpus near-dup.
     "streaming_neardup_replay" -> ((spark, dir) => {
-      val sink = neardupReplaySinkCache.getOrElseUpdate((spark, dir),
-        neardupReplaySinkCache.synchronized {
-          val delivered = Tables.load(spark, dir, "documents")
-            .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
-          val art = ingestArtifacts(spark, dir)
-          runReplay(spark, "neardup-replay", dir, delivered)(stream =>
-            graft.streaming.StreamingOps.ingestNearDupStreamWith(
-              stream, art, "text"))
-        })
+      val sink = QueryArtifacts.runOnce(neardupReplaySinkCache, (spark, dir)) {
+        // null texts excluded like the batch twin (see dedup_ingest_neardup)
+        val delivered = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+          .select("doc_id", "text")
+        val art = ingestArtifacts(spark, dir)
+        runReplay(spark, "neardup-replay", dir, delivered)(stream =>
+          graft.streaming.StreamingOps.ingestNearDupStreamWith(
+            stream, art, "text"))
+      }
       spark.read.parquet(sink)
         .select(md5(col("text")).as("survivor_fp"))
         .orderBy("survivor_fp")
@@ -371,7 +376,12 @@ object DedupQueries {
     // is deterministic.
     "dedup_ingest_neardup" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val stream = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      // null texts excluded explicitly: the operator would keep them (a
+      // null payload has no content to near-duplicate) but the oracle's
+      // `text NOT IN (...)` drops a NULL — one pinned semantic on both
+      // sides (the streaming replay twin makes the same choice)
+      val stream = docs.filter(col("doc_id") % 5 === 0 &&
+        col("text").isNotNull).select("doc_id", "text")
       graft.streaming.StreamingOps.ingestNearDupStreamWith(stream,
           ingestArtifacts(spark, dir), "text")
         .select(md5(col("text")).as("survivor_fp"))
@@ -778,9 +788,10 @@ object DedupQueries {
     // corpus (the re-delivered third file must contribute nothing)
     "streaming_ingest_replay" ->
       """SELECT n.doc_id FROM documents n
-        |WHERE n.doc_id % 5 = 0
+        |WHERE n.doc_id % 5 = 0 AND n.text IS NOT NULL
         |  AND n.doc_id IN (SELECT min(doc_id) FROM documents
-        |                   WHERE doc_id % 5 = 0 GROUP BY text)
+        |                   WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |                   GROUP BY text)
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 5 <> 0 AND c.text = n.text)
         |ORDER BY doc_id""".stripMargin,

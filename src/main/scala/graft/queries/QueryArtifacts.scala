@@ -13,4 +13,18 @@ private[queries] object QueryArtifacts {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     prefix + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
   }
+
+  /** AT-MOST-ONCE cache fill: `TrieMap.getOrElseUpdate(k, synchronized {
+    * body })` only SERIALIZES duplicate evaluations — two concurrent
+    * first calls both run `body`, and for a side-effecting body (a
+    * streaming replay that deletes and rewrites its sink) the loser's
+    * re-run deletes files the winner's caller may be mid-read on. Here
+    * the double-checked form runs `body` exactly once per key: writers
+    * race to the lock, and inside it the map is re-consulted before
+    * evaluating. */
+  def runOnce[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
+      key: K)(body: => V): V =
+    cache.getOrElse(key, cache.synchronized {
+      cache.getOrElseUpdate(key, body)
+    })
 }

@@ -255,8 +255,7 @@ object TextQueries {
     // sink is 3 rows per feature — bounded by construction.
     "streaming_drift_replay" -> ((spark, dir) => {
       import spark.implicits._
-      val rows = driftReplayCache.getOrElseUpdate((spark, dir),
-        driftReplayCache.synchronized {
+      val rows = QueryArtifacts.runOnce(driftReplayCache, (spark, dir)) {
           val docs = Tables.load(spark, dir, "documents")
           val ref = graft.streaming.StreamingOps.driftReferenceCounts(
             docs.filter(col("doc_id") % 5 =!= 0))
@@ -280,7 +279,7 @@ object TextQueries {
             .as[graft.streaming.StreamingOps.DriftRow].collect()
           all.groupBy(_.feature).map { case (_, rs) => rs.maxBy(_.n_new) }
             .toArray
-        })
+        }
       rows.toSeq.toDF()
         .select("feature", "n_ref", "n_new", "tv_dist", "max_gap")
         .orderBy("feature")
