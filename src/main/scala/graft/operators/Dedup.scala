@@ -19,12 +19,15 @@ import graft.functions.functions.{simhash64, vec_dot, vec_l2norm, word_shingles}
   */
 object Dedup {
 
-  /** Distributed label-propagation rounds the LAST connectedComponents
-    * call ran (0 = the bounded driver union-find path) — observability
-    * for the O(log diameter) pointer-jumping contract, which
+  /** Distributed label-propagation rounds the last connectedComponents
+    * call ON THIS THREAD ran (0 = the bounded driver union-find path) —
+    * observability for the O(log diameter) pointer-jumping contract, which
     * TenXScaleSmokeSpec pins on chain graphs (a linear-propagation
-    * regression would need O(diameter) rounds). */
-  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    * regression would need O(diameter) rounds). ThreadLocal so concurrent
+    * CC runs (parallel suites, or a query running CC while a spec reads
+    * the counter) can never publish into each other's observation. */
+  private[graft] val lastCcRounds: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => -1)
 
   private def toks(c: Column): Column = split(lower(c), " ")
 

@@ -136,9 +136,15 @@ final class TrigramLm private[operators] (
           + lit(0.5) * col("n3") * col("p2")) / col("c12")))
       // exact integer quantization -> order-independent integer sums
       .withColumn("p14", round(col("p3") * 1e14, 0).cast("long"))
+    // k*p14 as decimal(38,0) (the Dedup.labelSum pattern): p14 <= 1e14,
+    // so a long product wraps at k >= ~92,000 — one ~100k-token
+    // repeated-text document is enough. Exact decimal sum, then ONE
+    // correctly-rounded conversion to double (DuckDB mirrors with
+    // HUGEINT, the same exact-int128 class).
     scored.groupBy(idCol)
       .agg(sum("k").as("n_trigrams"),
-        TrigramLm.round6(sum(col("k") * col("p14")).cast("double")
+        TrigramLm.round6(
+          sum(col("k").cast("decimal(38,0)") * col("p14")).cast("double")
           / sum("k") / 1e14).as("pred_prob"),
         TrigramLm.round6(avg(when(col("c123").isNull, 1.0).otherwise(0.0)))
           .as("oov_rate"))

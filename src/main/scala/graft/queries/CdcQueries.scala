@@ -48,7 +48,7 @@ object CdcQueries {
     .empty[(SparkSession, String), graft.operators.ChunkIndex]
 
   private def chunkPersisted(spark: SparkSession, dir: String): graft.operators.ChunkIndex =
-    chunkFileCache.getOrElseUpdate((spark, dir), chunkFileCache.synchronized {
+    QueryArtifacts.runOnce(chunkFileCache, (spark, dir))({
       val path = QueryArtifacts.path("target/cdc-chunk-index", dir)
       val tag = chunkSourceTag(spark, dir)
       graft.operators.ChunkIndex.loadIfValid(spark, path, tag).getOrElse {

@@ -27,29 +27,17 @@ object DedupQueries {
     org.apache.spark.sql.functions.round(c * p, 0) / p
   }
 
-  /** The >= 0.8 jaccard candidate pairs back FOUR queries below. The
-    * operator deliberately does not persist (see the docstring at
-    * `Dedup.ngramJaccardPairs`) and endorses RESULT-level persistence by
-    * callers that reuse the pairs — this is that caller. The result is
-    * near-dup-sized (KBs at any SF), so one persisted copy per
-    * (session, dir) is the right residency tradeoff: the candidate
-    * pipeline runs once, not once per consuming query (and once per
-    * connected-components iteration inside the cluster queries).
-    * Assumes the driver contract that a `dir`'s parquet is immutable. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+  /** The >= 0.8 jaccard pairs back FOUR queries below — derived by a
+    * plain filter over the persisted >= 0.6 table ([[jaccardPairs06]]):
+    * the exact jaccard value of a pair is threshold-independent (the
+    * prefix-filter bound only gates CANDIDATE generation, and 0.5999's
+    * candidates are a superset of 0.7999's), so one candidate pipeline
+    * serves both operating points instead of two near-identical corpus
+    * scans — the recall gate's 0.6 build was the largest cold-pass cost
+    * in the dedup family. Assumes the driver contract that a `dir`'s
+    * parquet is immutable. */
   private[queries] def jaccardPairs08(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((spark, dir), {
-      // operator prefix-filter threshold strictly below the 0.8 rounding
-      // boundary (rounded >= 0.8 iff unrounded >= 0.7999995, so 0.7999
-      // cannot lose a qualifying pair); exact filter on the rounded value
-      Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
-          "doc_id", "text", minJaccard = Some(0.7999))
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .filter(col("jaccard") >= 0.8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    jaccardPairs06Full(spark, dir).filter(col("jaccard") >= 0.8)
 
   /** Shared minhash candidate pairs at the wider 0.41 distance bound —
     * backs both dedup_minhash_lsh (filtered to <= 0.4) and
@@ -60,30 +48,49 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def minhashPairs041(spark: SparkSession, dir: String): DataFrame =
-    minhashCache.getOrElseUpdate((spark, dir),
-      Dedup.minhashPairs(Tables.load(spark, dir, "documents"), "doc_id", "text",
+    QueryArtifacts.runOnce(minhashCache, (spark, dir))(Dedup.minhashPairs(Tables.load(spark, dir, "documents"), "doc_id", "text",
           maxJaccardDistance = 0.41)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Exact jaccard >= 0.6 pair set — the EXACT side of the minhash recall
-    * gate. Before r11 the gate recomputed the full prefix-filtered
-    * candidate pipeline every evaluation (~2.4 s warm at sf0.1, the
-    * slowest recurring cost in the bench) while both of its siblings
-    * ([[jaccardPairs08]], [[minhashPairs041]]) were cached; same
-    * residency rationale — the pair set is near-dup-sized. */
+  /** Exact jaccard >= 0.6 pair table WITH the rounded jaccard column —
+    * the ONE persisted n-gram candidate pipeline: the minhash recall
+    * gate reads it at 0.6 and the whole 0.8 family filters it (see
+    * [[jaccardPairs08]]). The operator deliberately does not persist
+    * (see `Dedup.ngramJaccardPairs`) and endorses RESULT-level
+    * persistence by callers that reuse the pairs — this is that caller;
+    * the result is near-dup-sized (KBs at any SF). */
   private val jaccard06Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def jaccardPairs06(spark: SparkSession, dir: String): DataFrame =
-    jaccard06Cache.getOrElseUpdate((spark, dir), {
+  private def jaccardPairs06Full(spark: SparkSession, dir: String): DataFrame =
+    QueryArtifacts.runOnce(jaccard06Cache, (spark, dir))({
       // prefix-filter threshold strictly below the 0.6 rounding boundary
-      // (the jaccardPairs08 argument at 0.6): 0.5999 cannot lose a pair
-      // that rounds to >= 0.6
+      // (rounded >= 0.6 iff unrounded >= 0.5999995, so 0.5999 cannot
+      // lose a qualifying pair); exact filter on the rounded value
       Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
           "doc_id", "text", minJaccard = Some(0.5999))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .filter(col("jaccard") >= 0.6)
-        .select("doc_id_1", "doc_id_2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def jaccardPairs06(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs06Full(spark, dir).select("doc_id_1", "doc_id_2")
+
+  /** Cluster-scoped SemDeDup pair set at the documented nAssign=4
+    * operating point, rounded and thresholded — persisted once per
+    * (session, dir) and shared by `dedup_semantic` (the report) and
+    * `dedup_semantic_recall` (the gate), which otherwise both ran the
+    * per-cell quadratic. Near-dup-sized like the other pair caches. */
+  private val semanticPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def semanticPairs05(spark: SparkSession, dir: String): DataFrame =
+    QueryArtifacts.runOnce(semanticPairsCache, (spark, dir))({
+      Dedup.semanticPairs(SimilarityQueries.ivfIndex(spark, dir),
+          minCosine = 0.4999, nAssign = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .filter(col("cosine") >= 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -101,7 +108,7 @@ object DedupQueries {
 
   private def ingestArtifacts(spark: SparkSession,
       dir: String): graft.streaming.StreamingOps.IngestCorpusArtifacts =
-    ingestArtifactsCache.getOrElseUpdate((spark, dir), {
+    QueryArtifacts.runOnce(ingestArtifactsCache, (spark, dir))({
       val corpus = Tables.load(spark, dir, "documents")
         .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
       val hashes = Dedup.corpusContentHashes(corpus, "text")
@@ -124,8 +131,7 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def repeatIntervals(spark: SparkSession, dir: String): DataFrame =
-    repeatIvCache.getOrElseUpdate((spark, dir),
-      Dedup.substringRepeatIntervals(Tables.load(spark, dir, "documents"),
+    QueryArtifacts.runOnce(repeatIvCache, (spark, dir))(Dedup.substringRepeatIntervals(Tables.load(spark, dir, "documents"),
           "doc_id", "text", k = 13, minRun = 50)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -139,19 +145,43 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def simhashSketchTable(spark: SparkSession, dir: String): DataFrame =
-    simhashCacheTbl.getOrElseUpdate((spark, dir),
-      Dedup.simhashSketches(Tables.load(spark, dir, "documents"), "doc_id", "text")
+    QueryArtifacts.runOnce(simhashCacheTbl, (spark, dir))(Dedup.simhashSketches(Tables.load(spark, dir, "documents"), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Completed-replay sink paths per (session, dir): the streaming replay
-    * runs ONCE and later calls read its parquet sink (no persisted
-    * DataFrame — the artifact is the on-disk sink). */
-  private val replaySinkCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** EXACT-ingest replay body (see [[ReplayOrchestrator]] — launched
+    * concurrently with the near-dup and drift replays on first touch;
+    * returns the parquet sink path later calls read). */
+  private def buildIngestReplaySink(spark: SparkSession, dir: String): String = {
+    val docs = Tables.load(spark, dir, "documents")
+    // null texts are excluded EXPLICITLY: the rep-selection equi join
+    // could never match them (engine side) while the oracle's GROUP BY
+    // text keeps a NULL group — one pinned semantic on both sides
+    // instead of a latent divergence on a null fixture
+    val slice = docs.filter(col("doc_id") % 5 === 0 &&
+      col("text").isNotNull)
+    val reps = slice.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val delivered = slice.join(reps, Seq("doc_id", "text"), "left_semi")
+      .select("doc_id", "text")
+    val art = ingestArtifacts(spark, dir)
+    runReplay(spark, "replay", dir, delivered)(stream =>
+      graft.streaming.StreamingOps.ingestDedupStreamWith(
+        stream, art.hashes, art.bloom, "text"))
+  }
 
-  /** [[replaySinkCache]]'s twin for the NEAR-DUP replay query. */
-  private val neardupReplaySinkCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** NEAR-DUP ingest replay body ([[buildIngestReplaySink]]'s twin). */
+  private def buildNeardupReplaySink(spark: SparkSession, dir: String): String = {
+    // null texts excluded like the batch twin (see dedup_ingest_neardup)
+    val delivered = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select("doc_id", "text")
+    val art = ingestArtifacts(spark, dir)
+    runReplay(spark, "neardup-replay", dir, delivered)(stream =>
+      graft.streaming.StreamingOps.ingestNearDupStreamWith(
+        stream, art, "text"))
+  }
+
+  ReplayOrchestrator.register("dedup-ingest")(buildIngestReplaySink)
+  ReplayOrchestrator.register("dedup-neardup")(buildNeardupReplaySink)
 
   /** Stage `delivered` as three files (the third a VERBATIM re-delivery of
     * the first), run `mkStream(fileSource)` to completion under
@@ -159,16 +189,20 @@ object DedupQueries {
     * the shared replay harness of the two streaming driver rows. */
   private def runReplay(spark: SparkSession, prefix: String, dir: String,
       delivered: DataFrame)(mkStream: DataFrame => DataFrame): String = {
-    val src = QueryArtifacts.path(s"target/$prefix-src", dir)
-    val out = QueryArtifacts.path(s"target/$prefix-sink", dir)
-    val ckpt = QueryArtifacts.path(s"target/$prefix-ckpt", dir)
+    // dir is salted with a session tag: paths here are delete-and-rewrite,
+    // and the runOnce caches only dedup WITHIN a session (see sessionTag).
+    val key = dir + "#" + QueryArtifacts.sessionTag(spark)
+    val src = QueryArtifacts.path(s"target/$prefix-src", key)
+    val out = QueryArtifacts.path(s"target/$prefix-sink", key)
+    val ckpt = QueryArtifacts.path(s"target/$prefix-ckpt", key)
     Seq(src, out, ckpt).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     val half1 = delivered.filter(col("doc_id") % 2 === 0)
     val half2 = delivered.filter(col("doc_id") % 2 =!= 0)
-    half1.coalesce(1).write.mode("append").parquet(src)
-    half2.coalesce(1).write.mode("append").parquet(src)
-    half1.coalesce(1).write.mode("append").parquet(src) // re-delivery
+    // sequence-named + strictly-increasing mtimes: delivery order must
+    // never depend on an mtime tie (see StreamingOps.stageOrdered)
+    graft.streaming.StreamingOps.stageOrdered(src,
+      Seq(half1, half2, half1 /* re-delivery */))
     val stream = spark.readStream.schema(delivered.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = mkStream(stream)
@@ -184,14 +218,13 @@ object DedupQueries {
     * long-lived session would otherwise accumulate one persisted pair set
     * per (session, dir) key). */
   def clearCaches(): Unit = {
-    replaySinkCache.clear() // file-backed; nothing persisted to release
-    neardupReplaySinkCache.clear()
-    pairsCache.values.foreach(_.unpersist())
-    pairsCache.clear()
+    ReplayOrchestrator.clear() // file-backed sinks; nothing persisted
     minhashCache.values.foreach(_.unpersist())
     minhashCache.clear()
     jaccard06Cache.values.foreach(_.unpersist())
     jaccard06Cache.clear()
+    semanticPairsCache.values.foreach(_.unpersist())
+    semanticPairsCache.clear()
     ingestArtifactsCache.values.foreach { a =>
       a.hashes.unpersist(); a.sigs.unpersist()
     }
@@ -247,10 +280,7 @@ object DedupQueries {
     // clustering); dedup_semantic_recall below is the hash-checked gate.
     // Same rounding-boundary discipline as dedup_embedding_cosine.
     "dedup_semantic" -> ((spark, dir) => {
-      Dedup.semanticPairs(SimilarityQueries.ivfIndex(spark, dir),
-          minCosine = 0.4999, nAssign = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .filter(col("cosine") >= 0.5)
+      semanticPairs05(spark, dir)
         .select("vec_id_1", "vec_id_2", "cosine", "cell")
         .orderBy("vec_id_1", "vec_id_2")
     }),
@@ -269,10 +299,7 @@ object DedupQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .filter(col("cosine") >= 0.5)
         .select("vec_id_1", "vec_id_2")
-      val sem = Dedup.semanticPairs(SimilarityQueries.ivfIndex(spark, dir),
-          minCosine = 0.4999, nAssign = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .filter(col("cosine") >= 0.5)
+      val sem = semanticPairs05(spark, dir)
         .select(col("vec_id_1"), col("vec_id_2"), lit(1).as("hit"))
       exact.join(sem, Seq("vec_id_1", "vec_id_2"), "left")
         .agg(count(lit(1)).as("n_exact"),
@@ -317,23 +344,10 @@ object DedupQueries {
       // JOB, not a lazy plan — re-running it per bench pass would time
       // query startup, not the operator; the sink parquet is the durable
       // artifact later calls read (the build-once/serve-many pattern the
-      // index family uses, applied to a finished stream)
-      val sink = QueryArtifacts.runOnce(replaySinkCache, (spark, dir)) {
-          val docs = Tables.load(spark, dir, "documents")
-          // null texts are excluded EXPLICITLY: the rep-selection equi
-          // join could never match them (engine side) while the oracle's
-          // GROUP BY text keeps a NULL group — one pinned semantic on
-          // both sides instead of a latent divergence on a null fixture
-          val slice = docs.filter(col("doc_id") % 5 === 0 &&
-            col("text").isNotNull)
-          val reps = slice.groupBy("text").agg(min("doc_id").as("doc_id"))
-          val delivered = slice.join(reps, Seq("doc_id", "text"), "left_semi")
-            .select("doc_id", "text")
-          val art = ingestArtifacts(spark, dir)
-          runReplay(spark, "replay", dir, delivered)(stream =>
-            graft.streaming.StreamingOps.ingestDedupStreamWith(
-              stream, art.hashes, art.bloom, "text"))
-        }
+      // index family uses, applied to a finished stream). First touch
+      // launches the near-dup and drift replays CONCURRENTLY (see
+      // ReplayOrchestrator).
+      val sink = ReplayOrchestrator.await[String](spark, dir, "dedup-ingest")
       spark.read.parquet(sink).select("doc_id").orderBy("doc_id")
     }),
     // NEAR-DUP streaming replay (r12) — the second streaming gate on the
@@ -348,16 +362,7 @@ object DedupQueries {
     // oracle: survivors = delivered texts new to the corpus with no
     // verified corpus near-dup.
     "streaming_neardup_replay" -> ((spark, dir) => {
-      val sink = QueryArtifacts.runOnce(neardupReplaySinkCache, (spark, dir)) {
-        // null texts excluded like the batch twin (see dedup_ingest_neardup)
-        val delivered = Tables.load(spark, dir, "documents")
-          .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
-          .select("doc_id", "text")
-        val art = ingestArtifacts(spark, dir)
-        runReplay(spark, "neardup-replay", dir, delivered)(stream =>
-          graft.streaming.StreamingOps.ingestNearDupStreamWith(
-            stream, art, "text"))
-      }
+      val sink = ReplayOrchestrator.await[String](spark, dir, "dedup-neardup")
       spark.read.parquet(sink)
         .select(md5(col("text")).as("survivor_fp"))
         .orderBy("survivor_fp")

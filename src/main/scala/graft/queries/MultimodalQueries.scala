@@ -27,8 +27,7 @@ object MultimodalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def ahashTable(spark: SparkSession, dir: String): DataFrame =
-    ahashCache.getOrElseUpdate((spark, dir),
-      Multimodal.aHash(spark,
+    QueryArtifacts.runOnce(ahashCache, (spark, dir))(Multimodal.aHash(spark,
           Multimodal.asMediaTable(Tables.load(spark, dir, "documents")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

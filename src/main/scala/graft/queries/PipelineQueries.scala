@@ -345,7 +345,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def contamIntervals(spark: SparkSession, dir: String): DataFrame =
-    contamIvCache.getOrElseUpdate((spark, dir), {
+    QueryArtifacts.runOnce(contamIvCache, (spark, dir))({
       val docs = Tables.load(spark, dir, "documents")
       Dedup.contaminationIntervals(
           docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
@@ -367,7 +367,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def zorderLayout(spark: SparkSession, dir: String): String =
-    zorderCache.getOrElseUpdate((spark, dir), zorderCache.synchronized {
+    QueryArtifacts.runOnce(zorderCache, (spark, dir))({
       val path = QueryArtifacts.path("target/zorder-layout", dir)
       graft.operators.ZOrderLayout.write(Tables.load(spark, dir, "orders"),
         Seq("o_totalprice", "o_custkey"), path, nFiles = 16)
@@ -381,7 +381,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def zorderLifecycleLayout(spark: SparkSession, dir: String): String =
-    zorderLifeCache.getOrElseUpdate((spark, dir), zorderLifeCache.synchronized {
+    QueryArtifacts.runOnce(zorderLifeCache, (spark, dir))({
       val path = QueryArtifacts.path("target/zorder-lifecycle", dir)
       val orders = Tables.load(spark, dir, "orders")
       graft.operators.ZOrderLayout.write(

@@ -14,6 +14,17 @@ private[queries] object QueryArtifacts {
     prefix + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
   }
 
+  /** Session-unique token for artifact paths that are DELETED AND
+    * REWRITTEN on (re)build (streaming replay staging/sink/checkpoint
+    * dirs): the in-memory runOnce caches are keyed by (session, dir), so
+    * a second session over the same dir legally rebuilds — and without a
+    * session component in the PATH it would delete directories the first
+    * session's lazily-evaluated readers may still be scanning. Durable
+    * build-once artifacts (LM/index/layout files) deliberately do NOT use
+    * this: they are never deleted, only validated-and-reused. */
+  def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+    java.lang.Integer.toHexString(System.identityHashCode(spark))
+
   /** AT-MOST-ONCE cache fill: `TrieMap.getOrElseUpdate(k, synchronized {
     * body })` only SERIALIZES duplicate evaluations — two concurrent
     * first calls both run `body`, and for a side-effecting body (a

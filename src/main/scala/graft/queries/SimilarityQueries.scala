@@ -54,8 +54,7 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.IvfIndex]
 
   private[graft] def ivfIndex(spark: SparkSession, dir: String): graft.operators.IvfIndex =
-    ivfCache.getOrElseUpdate((spark, dir),
-      graft.operators.IvfIndex.build(
+    QueryArtifacts.runOnce(ivfCache, (spark, dir))(graft.operators.IvfIndex.build(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 8))
 
   /** Durable twin of [[ivfIndex]]: a cell-partitioned parquet table under
@@ -92,7 +91,7 @@ object SimilarityQueries {
     // the synchronized block (not TrieMap.getOrElseUpdate, whose thunk may
     // run twice under contention) keeps two concurrent first calls from
     // racing overwrite-mode writes to the same path
-    ivfFileCache.getOrElseUpdate((spark, dir), ivfFileCache.synchronized {
+    QueryArtifacts.runOnce(ivfFileCache, (spark, dir))({
       // path keyed by a digest of the RAW dir string besides the readable
       // sanitization: distinct dirs (/a/b vs /a_b) can never collide
       val path = QueryArtifacts.path("target/ivf-file-index", dir)
@@ -109,8 +108,7 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.PqIndex]
 
   private def pqIndex(spark: SparkSession, dir: String): graft.operators.PqIndex =
-    pqCache.getOrElseUpdate((spark, dir),
-      graft.operators.PqIndex.build(
+    QueryArtifacts.runOnce(pqCache, (spark, dir))(graft.operators.PqIndex.build(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
         m = 8, ksub = 256))
 
@@ -122,7 +120,7 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.PqIndex]
 
   private def pqPersisted(spark: SparkSession, dir: String): graft.operators.PqIndex =
-    pqFileCache.getOrElseUpdate((spark, dir), pqFileCache.synchronized {
+    QueryArtifacts.runOnce(pqFileCache, (spark, dir))({
       val path = QueryArtifacts.path("target/pq-file-index", dir)
       val tag = ivfSourceTag(spark, dir)
       graft.operators.PqIndex.loadIfValid(spark, path, tag).getOrElse {
@@ -142,7 +140,7 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def driftIndexPath(spark: SparkSession, dir: String): String =
-    driftCache.getOrElseUpdate((spark, dir), driftCache.synchronized {
+    QueryArtifacts.runOnce(driftCache, (spark, dir))({
       val path = QueryArtifacts.path("target/ivf-drift-index", dir)
       val baseTag = ivfSourceTag(spark, dir) + "#drift-base"
       val appendTag = ivfSourceTag(spark, dir) + "#drift-append"
@@ -165,7 +163,7 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def pqDriftIndexPath(spark: SparkSession, dir: String): String =
-    pqDriftCache.getOrElseUpdate((spark, dir), pqDriftCache.synchronized {
+    QueryArtifacts.runOnce(pqDriftCache, (spark, dir))({
       val path = QueryArtifacts.path("target/pq-drift-index", dir)
       val baseTag = ivfSourceTag(spark, dir) + "#drift-base"
       val appendTag = ivfSourceTag(spark, dir) + "#drift-append"
@@ -200,21 +198,74 @@ object SimilarityQueries {
 
   private val TopicK = 8
 
-  private def topicCells(spark: SparkSession, dir: String): DataFrame =
-    topicCache.getOrElseUpdate((spark, dir), {
-      val emb = Tables.load(spark, dir, "embeddings")
-      val seeds = emb
+  /** The frozen seeded topic quantizer's centroids — md5-ordered first-K
+    * corpus vectors, shared by the batch assignment scan ([[topicCells]])
+    * and the streaming drift monitor (which must assign arrivals under
+    * the IDENTICAL literals to land in the identical cells). Bounded:
+    * K rows collected. */
+  private val topicCentroidCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, Array[Float])]]
+
+  private def topicCentroids(spark: SparkSession,
+      dir: String): Seq[(Int, Array[Float])] =
+    QueryArtifacts.runOnce(topicCentroidCache, (spark, dir))({
+      Tables.load(spark, dir, "embeddings")
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .select("embedding").limit(TopicK).collect()
-      val centroids = seeds.zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Float](0).toArray)
-      }.toSeq
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](0).toArray)
+        }.toSeq
+    })
+
+  private def topicCells(spark: SparkSession, dir: String): DataFrame =
+    QueryArtifacts.runOnce(topicCache, (spark, dir))({
+      val emb = Tables.load(spark, dir, "embeddings")
       val base = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
         .withColumn("cn", vec_l2norm(col("cv")))
-      graft.operators.IvfIndex.assignWithCentroids(base, centroids)
+      graft.operators.IvfIndex.assignWithCentroids(base,
+          topicCentroids(spark, dir))
         .select("cell", "cell_dist", "c_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Topic-drift streaming replay body (see [[ReplayOrchestrator]]): the
+    * %5==0 "new crawl" vectors stream in three pinned-order micro-batches
+    * through the embedding-space drift monitor against the reference
+    * histogram frozen from the %5!=0 slice; the final emission (full
+    * n_new — counts only grow) equals the batch `topic_drift_report`. */
+  private def buildTopicDriftReplay(spark: SparkSession, dir: String)
+      : Array[graft.streaming.StreamingOps.TopicDriftRow] = {
+    import spark.implicits._
+    val cents = topicCentroids(spark, dir)
+    val ref = topicCells(spark, dir)
+      .filter(col("c_id") % 5 =!= 0)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val slice = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
+    // session-salted delete-and-rewrite staging (see sessionTag)
+    val skey = dir + "#" + QueryArtifacts.sessionTag(spark)
+    val src = QueryArtifacts.path("target/topic-drift-replay-src", skey)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    graft.streaming.StreamingOps.stageOrdered(src,
+      (0 until 3).map(i => slice.filter(col("vec_id") % 3 === i)))
+    val stream = spark.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val name = "topic_drift_replay_" + java.security.MessageDigest
+      .getInstance("SHA-256").digest(skey.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val q = graft.streaming.StreamingOps
+      .topicDriftMonitorStream(spark, stream, cents, ref)
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val all = spark.table(name)
+      .as[graft.streaming.StreamingOps.TopicDriftRow].collect()
+    Array(all.maxBy(_.n_new))
+  }
+
+  ReplayOrchestrator.register("topic-drift")(buildTopicDriftReplay)
 
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
@@ -848,6 +899,23 @@ object SimilarityQueries {
           org.apache.spark.sql.functions.round(max("anum").cast("double")
             / (lit(1.0) * min("n_ref") * min("n_new")), 6).as("max_gap"))
     }),
+    // Streaming TOPIC-drift REPLAY (r13) — the embedding-space twin of
+    // streaming_drift_replay on the driver ledger: the %5==0 vectors
+    // stream in three pinned-order micro-batches through
+    // StreamingOps.topicDriftMonitorStream (state = per-cell histogram
+    // under the frozen seeded quantizer, bounded by K cells) against
+    // reference counts frozen from the %5!=0 slice; the final emission
+    // must equal the batch topic_drift_report, so the two rows share one
+    // oracle derivation. Update-mode memory sink (a monitor has no
+    // append semantics); the collected sink is <= 3 rows.
+    "streaming_topic_drift_replay" -> ((spark, dir) => {
+      import spark.implicits._
+      val rows = ReplayOrchestrator
+        .await[Array[graft.streaming.StreamingOps.TopicDriftRow]](
+          spark, dir, "topic-drift")
+      rows.toSeq.toDF()
+        .select("n_cells", "n_ref", "n_new", "tv_dist", "max_gap")
+    }),
     // Brute-force top-5 over the int8-quantized representation — the
     // ranking a serving tier computes after the 4x storage cut. Both
     // engines quantize then rank the SAME deterministic reconstruction,
@@ -1047,6 +1115,28 @@ object SimilarityQueries {
       |  FROM dist
       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)""".stripMargin
 
+  /** The ONE topic-drift derivation both `topic_drift_report` (batch)
+    * and `streaming_topic_drift_replay` (monitor's final emission) hash
+    * against. */
+  private val topicDriftOracle: String =
+    (s"WITH $duckTopicAsgCtes,\n" +
+    """pc AS (
+      |  SELECT cell,
+      |    CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_new,
+      |    CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_ref
+      |  FROM a GROUP BY cell),
+      |tt AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+      |         CAST(sum(c_new) AS BIGINT) AS n_new FROM pc)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |  min(tt.n_ref) AS n_ref, min(tt.n_new) AS n_new,
+      |  round(CAST(sum(abs(c_ref * tt.n_new - c_new * tt.n_ref)) AS DOUBLE)
+      |    / (2.0 * min(tt.n_ref) * min(tt.n_new)), 6) AS tv_dist,
+      |  round(CAST(max(abs(c_ref * tt.n_new - c_new * tt.n_ref)) AS DOUBLE)
+      |    / (1.0 * min(tt.n_ref) * min(tt.n_new)), 6) AS max_gap
+      |FROM pc, tt""".stripMargin)
+
   val oracleSql: ListMap[String, String] = ListMap(
     "corpus_topic_report" ->
       (s"WITH $duckTopicAsgCtes,\n" +
@@ -1096,24 +1186,11 @@ object SimilarityQueries {
         |WHERE (('0x' || substring(md5(CAST(b.vec_id AS VARCHAR)), 1, 15))::BIGINT)
         |      / 1152921504606846976.0 < r.rate
         |ORDER BY vec_id""".stripMargin),
-    "topic_drift_report" ->
-      (s"WITH $duckTopicAsgCtes,\n" +
-      """pc AS (
-        |  SELECT cell,
-        |    CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS c_new,
-        |    CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS c_ref
-        |  FROM a GROUP BY cell),
-        |tt AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
-        |         CAST(sum(c_new) AS BIGINT) AS n_new FROM pc)
-        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
-        |  min(tt.n_ref) AS n_ref, min(tt.n_new) AS n_new,
-        |  round(CAST(sum(abs(c_ref * tt.n_new - c_new * tt.n_ref)) AS DOUBLE)
-        |    / (2.0 * min(tt.n_ref) * min(tt.n_new)), 6) AS tv_dist,
-        |  round(CAST(max(abs(c_ref * tt.n_new - c_new * tt.n_ref)) AS DOUBLE)
-        |    / (1.0 * min(tt.n_ref) * min(tt.n_new)), 6) AS max_gap
-        |FROM pc, tt""".stripMargin),
+    "topic_drift_report" -> topicDriftOracle,
+    // the replay's final emission must equal the batch report — ONE
+    // shared oracle derivation for both rows, so the equality the
+    // streaming monitor promises is exactly what the driver hashes
+    "streaming_topic_drift_replay" -> topicDriftOracle,
     "ann_bruteforce_topk" -> bruteForceOracle,
     "ann_matryoshka_topk" -> matryoshkaOracle,
     "decontaminate_semantic" ->

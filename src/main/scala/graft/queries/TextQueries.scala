@@ -57,7 +57,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[String]]]
 
   private def bpeMerges(spark: SparkSession, dir: String): Array[Array[String]] =
-    bpeCache.getOrElseUpdate((spark, dir), bpeCache.synchronized {
+    QueryArtifacts.runOnce(bpeCache, (spark, dir))({
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val path = "target/bpe-merges/" +
@@ -84,8 +84,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def bigramScores(spark: SparkSession, dir: String): DataFrame =
-    bigramScoresCache.getOrElseUpdate((spark, dir),
-      TextAnalysis.bigramLm(Tables.load(spark, dir, "documents"),
+    QueryArtifacts.runOnce(bigramScoresCache, (spark, dir))(TextAnalysis.bigramLm(Tables.load(spark, dir, "documents"),
           "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -100,7 +99,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def trigramScores(spark: SparkSession, dir: String): DataFrame =
-    trigramScoresCache.getOrElseUpdate((spark, dir), {
+    QueryArtifacts.runOnce(trigramScoresCache, (spark, dir))({
       val docs = Tables.load(spark, dir, "documents")
       graft.operators.TrigramLm.train(docs, "text")
         .score(docs, "doc_id", "text")
@@ -118,21 +117,51 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
-    bucketsCache.getOrElseUpdate((spark, dir),
-      TextAnalysis.quantileBuckets(
+    QueryArtifacts.runOnce(bucketsCache, (spark, dir))(TextAnalysis.quantileBuckets(
           trigramScores(spark, dir).select(col("doc_id"), col("pred_prob")),
           "doc_id", "pred_prob", Seq("tail", "middle", "head"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Completed drift-monitor replay results per (session, dir) — the
-    * emissions are feature-count-sized (bounded by the category codomain),
-    * so the cached value is a tiny local array, not a persisted plan. */
-  private val driftReplayCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Array[graft.streaming.StreamingOps.DriftRow]]
+  /** Drift-monitor replay body (see [[ReplayOrchestrator]] — launched
+    * concurrently with the two dedup replays on first touch; the result
+    * is feature-count-sized, bounded by the category codomain). */
+  private def buildDriftReplay(spark: SparkSession,
+      dir: String): Array[graft.streaming.StreamingOps.DriftRow] = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val ref = graft.streaming.StreamingOps.driftReferenceCounts(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val slice = docs.filter(col("doc_id") % 5 === 0)
+    // session-salted: the staging dir is delete-and-rewrite and the
+    // orchestrator only dedups within a session (see sessionTag)
+    val skey = dir + "#" + QueryArtifacts.sessionTag(spark)
+    val src = QueryArtifacts.path("target/drift-replay-src", skey)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    // pinned delivery order (see StreamingOps.stageOrdered)
+    graft.streaming.StreamingOps.stageOrdered(src,
+      (0 until 3).map(i => slice.filter(col("doc_id") % 3 === i)))
+    val stream = spark.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val name = "drift_replay_" + java.security.MessageDigest
+      .getInstance("SHA-256").digest(skey.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val q = graft.streaming.StreamingOps.driftMonitorStream(spark, stream, ref)
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val all = spark.table(name)
+      .as[graft.streaming.StreamingOps.DriftRow].collect()
+    all.groupBy(_.feature).map { case (_, rs) => rs.maxBy(_.n_new) }
+      .toArray
+  }
+
+  ReplayOrchestrator.register("text-drift")(buildDriftReplay)
 
   /** Release every persisted intermediate this object holds. */
   def clearCaches(): Unit = {
-    driftReplayCache.clear() // local arrays; nothing persisted
+    // drift replay results live in ReplayOrchestrator (cleared by
+    // DedupQueries.clearCaches); local arrays, nothing persisted here
     bigramScoresCache.values.foreach(_.unpersist())
     bigramScoresCache.clear()
     trigramScoresCache.values.foreach(_.unpersist())
@@ -255,31 +284,9 @@ object TextQueries {
     // sink is 3 rows per feature — bounded by construction.
     "streaming_drift_replay" -> ((spark, dir) => {
       import spark.implicits._
-      val rows = QueryArtifacts.runOnce(driftReplayCache, (spark, dir)) {
-          val docs = Tables.load(spark, dir, "documents")
-          val ref = graft.streaming.StreamingOps.driftReferenceCounts(
-            docs.filter(col("doc_id") % 5 =!= 0))
-          val slice = docs.filter(col("doc_id") % 5 === 0)
-          val src = QueryArtifacts.path("target/drift-replay-src", dir)
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
-          (0 until 3).foreach(i =>
-            slice.filter(col("doc_id") % 3 === i).coalesce(1)
-              .write.mode("append").parquet(src))
-          val stream = spark.readStream.schema(slice.schema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-          val name = "drift_replay_" + java.security.MessageDigest
-            .getInstance("SHA-256").digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(12)
-          val q = graft.streaming.StreamingOps.driftMonitorStream(spark, stream, ref)
-            .writeStream.outputMode("update").format("memory").queryName(name)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val all = spark.table(name)
-            .as[graft.streaming.StreamingOps.DriftRow].collect()
-          all.groupBy(_.feature).map { case (_, rs) => rs.maxBy(_.n_new) }
-            .toArray
-        }
+      val rows = ReplayOrchestrator
+        .await[Array[graft.streaming.StreamingOps.DriftRow]](
+          spark, dir, "text-drift")
       rows.toSeq.toDF()
         .select("feature", "n_ref", "n_new", "tv_dist", "max_gap")
         .orderBy("feature")
@@ -854,7 +861,7 @@ object TextQueries {
   }
 
   private def bigramLmPersisted(spark: SparkSession, dir: String): graft.operators.BigramLm =
-    lmFileCache.getOrElseUpdate((spark, dir), lmFileCache.synchronized {
+    QueryArtifacts.runOnce(lmFileCache, (spark, dir))({
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val path = "target/bigram-lm/" +
@@ -876,7 +883,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.TrigramLm]
 
   private def trigramLmPersisted(spark: SparkSession, dir: String): graft.operators.TrigramLm =
-    trigramFileCache.getOrElseUpdate((spark, dir), trigramFileCache.synchronized {
+    QueryArtifacts.runOnce(trigramFileCache, (spark, dir))({
       val path = QueryArtifacts.path("target/trigram-lm", dir)
       val tag = lmSourceTag(spark, dir)
       graft.operators.TrigramLm.loadIfValid(spark, path, tag).getOrElse {
@@ -896,7 +903,7 @@ object TextQueries {
 
   private def invertedIndexPersisted(spark: SparkSession,
       dir: String): graft.operators.InvertedIndex =
-    invFileCache.getOrElseUpdate((spark, dir), invFileCache.synchronized {
+    QueryArtifacts.runOnce(invFileCache, (spark, dir))({
       val path = QueryArtifacts.path("target/inverted-index", dir)
       val tag = lmSourceTag(spark, dir)
       graft.operators.InvertedIndex.loadIfValid(spark, path, tag).getOrElse {
@@ -914,7 +921,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.QualityClassifier]
 
   private def clfPersisted(spark: SparkSession, dir: String): graft.operators.QualityClassifier =
-    clfFileCache.getOrElseUpdate((spark, dir), clfFileCache.synchronized {
+    QueryArtifacts.runOnce(clfFileCache, (spark, dir))({
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val path = "target/quality-clf/" +
@@ -1040,7 +1047,7 @@ object TextQueries {
       |    CAST(round(p3 * 1e14) AS BIGINT) AS p14 FROM p3s),
       |score AS (
       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
-      |    round(CAST(sum(k * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob
+      |    round(CAST(sum(CAST(k AS HUGEINT) * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob
       |  FROM ps GROUP BY doc_id)""".stripMargin
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1666,7 +1673,7 @@ object TextQueries {
         |ps AS (SELECT doc_id, k, c123,
         |    CAST(round(p3 * 1e14) AS BIGINT) AS p14 FROM p3s)
         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
-        |  round(CAST(sum(k * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob,
+        |  round(CAST(sum(CAST(k AS HUGEINT) * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob,
         |  round(avg(CASE WHEN c123 IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
         |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // independent re-derivation of train + serve: NB sufficient statistics

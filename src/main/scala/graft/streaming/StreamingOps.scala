@@ -30,6 +30,36 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       RocksDBProviderClass)
 
+  /** Stage `parts` into `src` as sequence-named single parquet files
+    * (`delivery-00000.parquet`, …) with STRICTLY INCREASING, whole-second
+    * modification times. Delivery-order contract: FileStreamSource picks
+    * unread files oldest-mtime-first (ties fall to unspecified listing
+    * order), so three files written within one mtime-granularity tick —
+    * the normal case for a local replay, and for coarse-granularity
+    * stores generally — would replay in NONDETERMINISTIC order. Stamping
+    * each delivery one full second apart (coarsest common granularity)
+    * pins micro-batch order under `maxFilesPerTrigger=1` regardless of
+    * how fast the files were produced. The base stamp sits in the past
+    * (one second per part behind now) so stamps never lead the clock. */
+  def stageOrdered(src: String, parts: Seq[DataFrame]): Unit = {
+    val base =
+      (System.currentTimeMillis() / 1000L - parts.size) * 1000L
+    val dstDir = new java.io.File(src)
+    dstDir.mkdirs()
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = src + s".stage-$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = tmpDir.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dstDir, f"delivery-$i%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      if (!dst.setLastModified(base + i * 1000L))
+        throw new java.io.IOException(s"could not stamp mtime on $dst")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpDir)
+    }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
@@ -421,6 +451,20 @@ object StreamingOps {
   final case class DriftState(counts: Map[String, Long])
   final case class DriftRow(feature: String, n_ref: Long, n_new: Long,
       tv_dist: Double, max_gap: Double)
+  final case class TopicDriftRow(n_cells: Long, n_ref: Long, n_new: Long,
+      tv_dist: Double, max_gap: Double)
+
+  /** The ONE HALF_UP scaled round both drift monitors share with their
+    * batch twins (Spark's round() on a positive double) — a private copy
+    * could drift by the 1-ulp class this helper exists to prevent.
+    * Serializable holder: the monitors call it from
+    * flatMapGroupsWithState closures, and referencing a method on the
+    * (non-serializable) enclosing module would capture the module. */
+  private object DriftMath extends Serializable {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+  }
 
   /** Reference category counts for [[driftMonitorStream]] — the static
     * side, built ONCE from the admitted corpus (one aggregation job,
@@ -548,9 +592,7 @@ object StreamingOps {
       refCounts.groupBy(_._1._1).map { case (f, m) =>
         f -> m.map { case ((_, c), n) => c -> n }
       }
-    def r6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x * 1e6)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+    def r6(x: Double): Double = DriftMath.round6(x)
     graft.operators.TextAnalysis.docCategoryPairs(stream)
       .as[(String, String)]
       .groupByKey(_._1)
@@ -572,6 +614,56 @@ object StreamingOps {
             else (r6(nums.sum.toDouble / (2.0 * nRef * nNew)),
               r6(nums.max.toDouble / (1.0 * nRef * nNew)))
           Iterator.single(DriftRow(feature, nRef, nNew, tv, mg))
+        })
+  }
+
+  /** EMBEDDING-SPACE twin of [[driftMonitorStream]]: as new vectors
+    * stream in, assign each to its cell under the caller's FROZEN seeded
+    * quantizer (the same literal-centroid expression every IVF path
+    * uses — assignment depends only on the centroids, so streamed
+    * vectors land exactly where the batch scan puts them) and emit after
+    * every micro-batch the running topic-mix drift of everything seen so
+    * far against the frozen reference histogram — the live form of the
+    * batch `topic_drift_report`, same exact integer cross-multiplied TV
+    * arithmetic, same ONE rounded division per emission, so the final
+    * emission EQUALS the batch report (StreamingSpec pins it).
+    *
+    * State = the per-cell histogram under the single monitor key,
+    * bounded by the quantizer's K cells, never by rows seen; the
+    * reference rides as a K-sized driver literal. Single-key funneling
+    * is the same deliberate monitor trade documented on the lexical
+    * twin: TV needs the whole histogram in one place, and the input is
+    * one int per vector. */
+  def topicDriftMonitorStream(spark: SparkSession, stream: DataFrame,
+      centroids: Seq[(Int, Array[Float])],
+      refCounts: Map[Int, Long]): Dataset[TopicDriftRow] = {
+    import spark.implicits._
+    import graft.functions.functions.vec_l2norm
+    val ref = refCounts.map { case (c, n) => c.toString -> n }
+    val nRef = ref.values.sum
+    val base = stream.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .withColumn("cn", vec_l2norm(col("cv")))
+    graft.operators.IvfIndex.assignWithCentroids(base, centroids)
+      .select(col("cell")).as[Int]
+      .groupByKey(_ => "topic")
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: String, batch: Iterator[Int], state: GroupState[DriftState]) => {
+          val cur = scala.collection.mutable.Map.empty[String, Long] ++=
+            state.getOption.map(_.counts).getOrElse(Map.empty)
+          batch.foreach { c =>
+            val k = c.toString
+            cur(k) = cur.getOrElse(k, 0L) + 1L
+          }
+          state.update(DriftState(cur.toMap))
+          val nNew = cur.values.sum
+          val cells = (ref.keySet ++ cur.keySet).toSeq
+          val nums = cells.map(c =>
+            math.abs(ref.getOrElse(c, 0L) * nNew - cur.getOrElse(c, 0L) * nRef))
+          val (tv, mg) =
+            if (nRef == 0 || nNew == 0 || nums.isEmpty) (0.0, 0.0)
+            else (DriftMath.round6(nums.sum.toDouble / (2.0 * nRef * nNew)),
+              DriftMath.round6(nums.max.toDouble / (1.0 * nRef * nNew)))
+          Iterator.single(TopicDriftRow(cells.size.toLong, nRef, nNew, tv, mg))
         })
   }
 

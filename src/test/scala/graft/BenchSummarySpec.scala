@@ -64,4 +64,17 @@ class BenchSummarySpec extends AnyFunSuite {
     val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
     assert(none.contains(""""loadavg":[]"""), none)
   }
+
+  test("previous committed total + its loadavg ride as reference fields") {
+    val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
+      loadAvg = Seq(0.5, 0.4, 0.3),
+      reference = Some((61.9, Seq(0.48, 0.6, 0.7))))
+    assert(s.contains(""""reference_quiet_total":61.9"""), s)
+    assert(s.contains(""""reference_loadavg":[0.48,0.6,0.7]"""), s)
+    // still valid JSON with the headline trailing (driver-tail contract)
+    assert(s.indexOf("\"reference_quiet_total\":") < s.indexOf("\"metric\":"), s)
+    // first run ever: no reference fields at all (not empty/null ones)
+    val first = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
+    assert(!first.contains("reference_quiet_total"), first)
+  }
 }

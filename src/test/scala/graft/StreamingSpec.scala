@@ -416,6 +416,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("streaming topic-drift monitor converges to the batch topic report") {
+    // the embedding-space twin of the lexical convergence pin: the
+    // %5==0 vectors streamed through the monitor under the SAME frozen
+    // seeded quantizer and %5!=0 reference histogram must end at the
+    // batch topic_drift_report row exactly (same integer numerators,
+    // one division, shared rounding) — the replay query's final
+    // emission IS that comparison, so pin the two driver rows equal
+    val batch = graft.queries.SimilarityQueries
+      .queries("topic_drift_report")(spark, dir).collect()
+    val replay = graft.queries.SimilarityQueries
+      .queries("streaming_topic_drift_replay")(spark, dir).collect()
+    assert(batch.length === 1 && replay.length === 1)
+    val (b, s) = (batch(0), replay(0))
+    Seq("n_cells", "n_ref", "n_new").foreach(c =>
+      assert(b.getLong(b.fieldIndex(c)) === s.getLong(s.fieldIndex(c)), c))
+    Seq("tv_dist", "max_gap").foreach(c =>
+      assert(b.getDouble(b.fieldIndex(c)) === s.getDouble(s.fieldIndex(c)), c))
+    // non-degenerate: the fixture's new slice actually moved the mix
+    assert(s.getLong(s.fieldIndex("n_new")) > 0L)
+  }
+
   test("drift monitor carries its histogram state across micro-batches") {
     // two files -> two triggers: the update stream must emit a row per
     // feature per trigger, n_new strictly growing, and the LAST rows must
@@ -694,5 +715,42 @@ class StreamingSpec extends AnyFunSuite {
     val revIds = revisions.select("doc_id").collect().map(_.getLong(0)).toSet
     assert((revIds -- got).size >= 3, s"revisions kept: ${revIds.intersect(got)}")
     assert(got.exists(_ < 100000), "gate dropped every fresh doc")
+  }
+
+  test("stageOrdered pins delivery order even when writes land in one mtime tick") {
+    // Three deliveries of the SAME content under different doc_ids,
+    // written back-to-back (well inside one second — the tie case that
+    // made replay order depend on unspecified listing order). The staged
+    // files must carry strictly increasing mtimes, and a first-wins
+    // keyed dedup over the stream must keep delivery 0's id.
+    import spark.implicits._
+    val src = new java.io.File("target/test-stage-ordered/" +
+      java.util.UUID.randomUUID().toString)
+    val parts = Seq(10L, 20L, 30L).map(id =>
+      Seq((id, "same payload")).toDF("doc_id", "text"))
+    StreamingOps.stageOrdered(src.toString, parts)
+
+    val files = src.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ===
+      Seq("delivery-00000.parquet", "delivery-00001.parquet",
+        "delivery-00002.parquet"))
+    val mtimes = files.map(_.lastModified())
+    assert(mtimes.sliding(2).forall(w => w(0) < w(1)),
+      s"mtimes not strictly increasing: ${mtimes.toSeq}")
+    // and each delivery holds the expected id (naming matches content)
+    assert(files.map(f => spark.read.parquet(f.toString)
+      .select("doc_id").head().getLong(0)).toSeq === Seq(10L, 20L, 30L))
+
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = stream.dropDuplicates("text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stage_ordered_first_wins").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val kept = spark.table("stage_ordered_first_wins")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(10L),
+      s"first-wins dedup must keep delivery 0's id, got $kept")
   }
 }

@@ -281,6 +281,94 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       f"10x vector corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear ANN scaling")
   }
 
+  test("SemDeDup cell-bounded quadratic scales onto a 10x vector corpus with an exact clone oracle",
+      SlowTest) {
+    // Embeddings admit no injective rename (any change moves cosines),
+    // so the per-copy-sum oracle the text families use is unavailable.
+    // IDENTITY copies give an equally exact one: with no two DISTINCT
+    // base vectors at cosine >= 0.9999 (checked below against the exact
+    // all-pairs baseline), the 10x qualifying pair set at that threshold
+    // is EXACTLY the clone pairs — C(copies,2) per base vector, every
+    // one guaranteed findable because identical vectors share every
+    // soft-assigned cell under ANY quantizer. A lost pair is a
+    // quantizer/cell-join bug; a spurious pair is a cosine bug. Timing
+    // holds nCells/n fixed (8 -> 80), so per-cell population — and the
+    // (n/nCells)^2 per-cell quadratic — stays constant and total work
+    // must scale ~linearly.
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    val nVec = base.count()
+    def vecCopy(c: Int) = base.select(
+      (col("vec_id") + lit(c * 10000000L)).as("vec_id"), col("embedding"))
+    val big = (0 until copies).map(vecCopy).reduce(_ unionByName _)
+    val nearOne = Dedup.embeddingCosinePairsExact(base, "vec_id", "embedding",
+      minCosine = 0.9999).count()
+    assert(nearOne === 0L,
+      "fixture has near-identical DISTINCT vectors; clone oracle invalid")
+
+    def pairsAtOne(corpus: DataFrame, nCells: Int): (Long, Double) = {
+      val idx = graft.operators.IvfIndex.build(corpus, "vec_id", "embedding",
+        nCells = nCells)
+      try timed(Dedup.semanticPairs(idx, minCosine = 0.9999, nAssign = 4).count())
+      finally idx.close()
+    }
+    pairsAtOne(base, 8) // warmup: JIT + codegen
+    val (p1, t1) = pairsAtOne(base, 8)
+    assert(p1 === 0L, s"1x found $p1 pairs at cosine >= 0.9999, expected 0")
+    val (p10, t10) = pairsAtOne(big, 80)
+    val expected = nVec * (copies.toLong * (copies - 1) / 2)
+    assert(p10 === expected,
+      s"10x clone pairs $p10 != $expected — lost or spurious semantic pairs")
+    info(f"semantic pairs 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1,
+      f"10x vector corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear SemDeDup")
+  }
+
+  test("IVF and PQ durable build -> reopen -> serve parity holds at 10x", SlowTest) {
+    // The build/serve LIFECYCLE at scale: build on the 10x corpus, write
+    // the durable artifact, reopen through the manifest-validated path,
+    // and serve — the reopened index must return the in-memory index's
+    // rows EXACTLY (same centroids/codebooks, same tie-breaks). Pins the
+    // serialization round-trip at a size where codes/cells span many
+    // partitions, not just the unit fixtures.
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    def vecCopy(c: Int) = base.select(
+      (col("vec_id") + lit(c * 10000000L)).as("vec_id"), col("embedding"))
+    val big = (0 until copies).map(vecCopy).reduce(_ unionByName _)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def rows(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select(col("q_id"), col("c_id"),
+          round(col("cosine") * 1e9, 0).cast("long").as("c9"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+
+    val ivf = graft.operators.IvfIndex.build(big, "vec_id", "embedding",
+      nCells = 80)
+    val ivfPath = "target/test-tenx-ivf/" + java.util.UUID.randomUUID()
+    ivf.write(ivfPath, source = "tenx")
+    val ivfRe = graft.operators.IvfIndex.loadIfValid(spark, ivfPath, "tenx")
+    assert(ivfRe.isDefined, "manifest-validated IVF reopen failed at 10x")
+    try {
+      assert(rows(ivf.topK(q, k = 5, nprobe = 8)) ===
+        rows(ivfRe.get.topK(q, k = 5, nprobe = 8)),
+        "reopened IVF serves different rows than the in-memory build")
+    } finally { ivf.close(); ivfRe.get.close() }
+
+    val pq = graft.operators.PqIndex.build(big, "vec_id", "embedding",
+      m = 8, ksub = 256)
+    val pqPath = "target/test-tenx-pq/" + java.util.UUID.randomUUID()
+    pq.write(pqPath, source = "tenx")
+    val pqRe = graft.operators.PqIndex.loadIfValid(spark, pqPath, "tenx")
+    assert(pqRe.isDefined, "manifest-validated PQ reopen failed at 10x")
+    try {
+      assert(rows(pq.topK(q, k = 5, nCandidates = 256)) ===
+        rows(pqRe.get.topK(q, k = 5, nCandidates = 256)),
+        "reopened PQ serves different rows than the in-memory build")
+    } finally { pq.close(); pqRe.get.close() }
+  }
+
   test("classifier serving scales ~linearly onto a 10x corpus with per-copy identical predictions",
       SlowTest) {
     // IDENTITY copies (ids offset, text unchanged): a frozen model is a
@@ -389,7 +477,7 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
         val comp = Dedup.connectedComponents(chainEdges(nBlocks), "u", "v")
         comp.filter(col("comp") =!= col("id") - (col("id") % L)).count()
       }
-      (bad, Dedup.lastCcRounds.get, t)
+      (bad, Dedup.lastCcRounds.get(), t)
     }
     run(600) // warmup: JIT + codegen
     val (bad1, r1, t1) = run(600)       // 153,600 edges > 2^17: distributed

@@ -135,6 +135,22 @@ class TextLmSpec extends AnyFunSuite {
     assert(ids === Set(1L))
   }
 
+  test("trigram: ~100k-token repeated doc scores exactly (long k*p14 sum would wrap)") {
+    // One doc of 100,002 repeated tokens: the only trigram "a a a" has
+    // k = 100,000 and (self-trained) p3 = 1.0, so p14 = 1e14 and
+    // k*p14 = 1e19 > Long.MaxValue (9.22e18) — a long product/sum wraps
+    // negative; the decimal(38,0) path must return exactly 1.0.
+    import spark.implicits._
+    val doc = Seq((1L, Array.fill(100002)("a").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.operators.TrigramLm.train(doc, "text")
+      .score(doc, "doc_id", "text").collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(r.fieldIndex("n_trigrams")) === 100000L)
+    assert(r.getDouble(r.fieldIndex("pred_prob")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("oov_rate")) === 0.0)
+  }
+
   test("trigram: durable write -> manifest-validated reopen runs zero training jobs") {
     import spark.implicits._
     val path = "target/test-trigram-lm/" + java.util.UUID.randomUUID().toString
