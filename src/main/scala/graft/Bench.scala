@@ -38,6 +38,42 @@ object Bench {
     s"""{"queries":$qs,"passes":$passes,"loadavg":$load$ref,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
   }
 
+  /** BENCH_SUMMARY.json resolved against the repo root — the nearest
+    * ancestor of `from` holding a build.sbt — so benching from a subdir
+    * reads and writes the SAME artifact as the driver's repo-root
+    * invocation (falls back to `from` itself outside any sbt repo). */
+  private[graft] def summaryPath(
+      from: java.nio.file.Path = java.nio.file.Paths.get("").toAbsolutePath)
+      : java.nio.file.Path = {
+    var cur = from.toAbsolutePath
+    var root: java.nio.file.Path = null
+    while (cur != null && root == null) {
+      if (java.nio.file.Files.exists(cur.resolve("build.sbt"))) root = cur
+      cur = cur.getParent
+    }
+    (if (root == null) from.toAbsolutePath else root)
+      .resolve("BENCH_SUMMARY.json")
+  }
+
+  /** Previous committed run's headline (total, loadavg) parsed from a
+    * BENCH_SUMMARY.json body — None when malformed OR when the previous
+    * run's `sf` differs from this run's: a total from another scale
+    * factor (or another table dir) is not a comparable quiet-box
+    * reference point and must be omitted, not presented. */
+  private[graft] def referenceFrom(txt: String,
+      sfDir: String): Option[(Double, Seq[Double])] = try {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val prevSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
+    if (prevSf != sfDir) None
+    else {
+      val v = node.get("value").asDouble()
+      val la = Option(node.get("loadavg")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asDouble())
+      }.getOrElse(Seq.empty)
+      Some((v, la.toSeq))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -140,17 +176,13 @@ object Bench {
     // for the artifact contract (failure names, sentinel handling, field
     // order), which BenchSummarySpec pins against a planted failure
     // previous committed run's headline (read BEFORE overwriting the
-    // artifact below); best-effort — a malformed or absent file yields
-    // no reference fields rather than a failed bench
+    // artifact below; repo-root-resolved, sf-checked — see summaryPath /
+    // referenceFrom); best-effort — a malformed, absent, or
+    // different-scale file yields no reference fields, never a failed
+    // bench
     val reference = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_SUMMARY.json")), "UTF-8")
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      val v = node.get("value").asDouble()
-      val la = Option(node.get("loadavg")).map { arr =>
-        (0 until arr.size()).map(arr.get(_).asDouble())
-      }.getOrElse(Seq.empty)
-      Some((v, la.toSeq))
+      referenceFrom(new String(java.nio.file.Files.readAllBytes(
+        summaryPath()), "UTF-8"), sfDir)
     } catch { case scala.util.control.NonFatal(_) => None }
     val summary = summaryJson(results, leaked, sfDir, loadAvg, reference)
     println(summary)
@@ -162,7 +194,7 @@ object Bench {
     // load-skewed pass is diagnosable from the artifact alone) to a file
     // as well; best-effort, never fails the bench.
     try {
-      val w = new java.io.PrintWriter("BENCH_SUMMARY.json", "UTF-8")
+      val w = new java.io.PrintWriter(summaryPath().toFile, "UTF-8")
       try w.println(summary) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()

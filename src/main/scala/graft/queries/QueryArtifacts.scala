@@ -19,11 +19,47 @@ private[queries] object QueryArtifacts {
     * dirs): the in-memory runOnce caches are keyed by (session, dir), so
     * a second session over the same dir legally rebuilds — and without a
     * session component in the PATH it would delete directories the first
-    * session's lazily-evaluated readers may still be scanning. Durable
-    * build-once artifacts (LM/index/layout files) deliberately do NOT use
-    * this: they are never deleted, only validated-and-reused. */
+    * session's lazily-evaluated readers may still be scanning. A random
+    * UUID, NOT identityHashCode: two JVMs sharing one working dir (or a
+    * GC'd session whose address is reused) could collide on a hash-based
+    * tag, re-enabling exactly the delete-while-scanning race the salt
+    * exists to prevent. Durable build-once artifacts (LM/index/layout
+    * files) deliberately do NOT use this: they are never deleted, only
+    * validated-and-reused. */
   def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
-    java.lang.Integer.toHexString(System.identityHashCode(spark))
+    tags.synchronized {
+      Option(tags.get(spark)).getOrElse {
+        val t = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+        tags.put(spark, t)
+        cleanupStaleSessionDirs()
+        t
+      }
+    }
+
+  // weak keys: a stopped-and-collected session drops its entry; the next
+  // session mints a FRESH random tag, never a reused address
+  private val tags =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
+
+  /** One root directory per session for ALL salted delete-and-rewrite
+    * replay dirs — grouping them makes stale-session cleanup a single
+    * prefix listing instead of a hunt across per-prefix trees. */
+  def sessionRoot(spark: org.apache.spark.sql.SparkSession): String =
+    "target/replay-session-" + sessionTag(spark)
+
+  /** Best-effort removal of replay-session roots left by PREVIOUS runs
+    * (every session mints fresh salted dirs, so without this target/
+    * grows without bound across rounds). Age-gated: a concurrently
+    * running JVM's root — which we cannot distinguish from a stale one
+    * by name — is hours old at most, so only roots untouched for > 12 h
+    * are deleted. Invoked once per session, on first tag mint. */
+  private def cleanupStaleSessionDirs(): Unit = try {
+    val cutoff = System.currentTimeMillis() - 12L * 3600 * 1000
+    Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("replay-session-") &&
+        f.lastModified() < cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   /** AT-MOST-ONCE cache fill: `TrieMap.getOrElseUpdate(k, synchronized {
     * body })` only SERIALIZES duplicate evaluations — two concurrent

@@ -2,20 +2,20 @@ package graft.queries
 
 import scala.collection.concurrent.TrieMap
 import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
+import scala.concurrent.duration._
 
 import org.apache.spark.sql.SparkSession
 
 /** Concurrent launcher for the driver-ledger streaming REPLAYS (ingest,
-  * near-dup, drift). Each replay is an independent run-once Structured
-  * Streaming job (own staging dir, checkpoint, sink) whose cold cost is
-  * dominated by micro-batch orchestration, not CPU — run sequentially
-  * they were the three largest cold-pass costs in the bench (~26 s
+  * near-dup, drift, topic-drift). Each replay is an independent run-once
+  * Structured Streaming job (own staging dir, checkpoint, sink) whose cold
+  * cost is dominated by micro-batch orchestration, not CPU — run
+  * sequentially they were the largest cold-pass costs in the bench (~26 s
   * summed on a quiet box). The first `await` for a (session, dir)
   * launches EVERY registered replay on daemon threads — exactly once
   * per (session, dir, name), the double-checked runOnce discipline —
-  * and blocks only on its own; the other rows then find a completed (or
-  * in-flight) future. Overlapping independent streaming pipelines is
+  * and barriers on the lot (see [[await]]); every later row then finds
+  * a completed future. Overlapping independent streaming pipelines is
   * the production posture too: a real ingest tier runs its exact-dedup,
   * near-dup, and drift monitors as parallel queries over the same
   * arrivals, not as a serial chain.
@@ -23,9 +23,21 @@ import org.apache.spark.sql.SparkSession
   * Failure semantics: a failed body stays failed for the lifetime of
   * the (session, dir) key — every await rethrows the original cause
   * (the bench's per-query catch records it), rather than retrying a
-  * side-effecting replay whose staging dirs are in an unknown state.
+  * side-effecting replay whose staging dirs are in an unknown state. A
+  * replay that never completes is converted by [[awaitBound]] into a
+  * NAMED, equally fail-sticky per-query failure instead of a silent
+  * wall-clock hang.
+  *
+  * Ownership: eager fan-out crosses query-object boundaries — awaiting a
+  * text row launches the dedup and topic replays too, whose bodies fill
+  * persisted caches owned by OTHER query objects. Each registration
+  * therefore carries an idempotent `teardown` releasing exactly what its
+  * body fills, and [[drainAndClear]] (called from EVERY replay-owning
+  * family's clearCaches) runs the teardowns of all launched replays — so
+  * a caller that runs only one family's rows and clears only that family
+  * still releases every persist the fan-out created.
   */
-private[queries] object ReplayOrchestrator {
+private[graft] object ReplayOrchestrator {
 
   private val pool = java.util.concurrent.Executors.newCachedThreadPool(
     (r: Runnable) => {
@@ -36,16 +48,31 @@ private[queries] object ReplayOrchestrator {
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(pool)
 
-  /** Replay bodies by name; populated from the owning query objects'
-    * initializers (all forced by SparkEntry.queries construction). */
-  private val registry =
-    TrieMap.empty[String, (SparkSession, String) => AnyRef]
+  private final case class Entry(body: (SparkSession, String) => AnyRef,
+      teardown: () => Unit)
+
+  /** Replay bodies (+ teardowns) by name; populated from the owning query
+    * objects' initializers (all forced by SparkEntry.queries
+    * construction). */
+  private val registry = TrieMap.empty[String, Entry]
 
   private val started =
     TrieMap.empty[(SparkSession, String, String), Future[AnyRef]]
 
-  def register(name: String)(body: (SparkSession, String) => AnyRef): Unit =
-    registry.putIfAbsent(name, body)
+  /** Upper bound on one replay await: generous (a replay is seconds of
+    * work even at sf0.1 — minutes only under real dysfunction), so hitting
+    * it means a wedged streaming job (e.g. a file-source listing stall),
+    * which must surface as a named per-query failure the bench records,
+    * never as an unbounded hang of the whole run. Mutable so the spec can
+    * shrink it to test the timeout path. */
+  private[graft] var awaitBound: Duration = 10.minutes
+
+  /** Bound on waiting out ONE in-flight replay during [[drainAndClear]]. */
+  private[graft] var drainBound: Duration = 10.minutes
+
+  def register(name: String, teardown: () => Unit = () => ())(
+      body: (SparkSession, String) => AnyRef): Unit =
+    registry.putIfAbsent(name, Entry(body, teardown))
 
   private def launch(spark: SparkSession, dir: String,
       name: String): Future[AnyRef] = {
@@ -54,20 +81,87 @@ private[queries] object ReplayOrchestrator {
     // Future-spawning thunk twice under concurrent first calls, running
     // one replay's delete-and-rewrite staging twice concurrently
     started.getOrElse(key, started.synchronized {
-      started.getOrElseUpdate(key, Future(registry(name)(spark, dir)))
+      started.getOrElseUpdate(key, Future(registry(name).body(spark, dir)))
     })
   }
 
   /** Block until `name`'s replay result for (spark, dir) is available,
-    * launching all registered replays concurrently on first touch. */
+    * launching all registered replays concurrently on first touch — and
+    * BARRIER on the others before returning: first touch pays the whole
+    * concurrent family once, so every later replay row (and the first
+    * row's own min-of-2 second pass) is a pure artifact read instead of
+    * racing still-running background streaming jobs for executor threads
+    * (r13 measured that contention as the drift row's warm pass growing
+    * 0.08 → 0.88 s). Another replay's failure is NOT rethrown here —
+    * each row reports its own — and any timeout is made fail-sticky (the
+    * wedged body keeps running on its daemon thread; its eventual result
+    * is discarded) so later awaits fail FAST instead of re-blocking a
+    * full bound each. */
   def await[T](spark: SparkSession, dir: String, name: String): T = {
     val mine = launch(spark, dir, name)
-    registry.keys.foreach(n => if (n != name) launch(spark, dir, n))
-    Await.result(mine, Duration.Inf).asInstanceOf[T]
+    // launch EVERYTHING before awaiting ANYTHING — awaiting inside the
+    // launch loop would serialize the fan-out this object exists to
+    // overlap (measured: 9 s first touch concurrent vs 37 s serialized)
+    val others = registry.keys.toSeq.filter(_ != name)
+      .map(n => n -> launch(spark, dir, n))
+    others.foreach { case (n, f) =>
+      if (!f.isCompleted) {
+        try Await.ready(f, awaitBound)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            markTimedOut(spark, dir, n)
+        }
+      }
+    }
+    try Await.result(mine, awaitBound).asInstanceOf[T]
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw markTimedOut(spark, dir, name)
+    }
   }
 
-  /** Forget completed/failed replays (bench/verify teardown). Replay
-    * results are sink paths and bounded local arrays — nothing persisted
-    * to release here. */
-  def clear(): Unit = started.clear()
+  private def markTimedOut(spark: SparkSession, dir: String,
+      name: String): java.util.concurrent.TimeoutException = {
+    val failed = new java.util.concurrent.TimeoutException(
+      s"streaming replay '$name' for $dir did not complete within " +
+        s"$awaitBound")
+    started.put((spark, dir, name), Future.failed(failed))
+    failed
+  }
+
+  /** Wait out in-flight replays (bounded), forget all results, then run
+    * every LAUNCHED replay's teardown (bench/verify/family-clearCaches
+    * teardown). Waiting first means an in-flight delete-and-rewrite body
+    * can never overlap a post-clear relaunch over the same session-salted
+    * staging paths; running teardowns of everything that was launched —
+    * not just the calling family's — means eager fan-out can't leak a
+    * persist past a partial teardown. Idempotent; teardowns must be too
+    * (they are unpersist+clear of runOnce caches). */
+  def drainAndClear(): Unit = synchronized {
+    val snapshot = started.readOnlySnapshot().toSeq
+    snapshot.foreach { case ((_, _, n), f) =>
+      if (!f.isCompleted) {
+        try Await.ready(f, drainBound)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            System.err.println(s"[replay] WARNING: in-flight replay '$n' " +
+              s"still running after $drainBound; a relaunch may overlap " +
+              "its staging paths")
+        }
+      }
+    }
+    started.clear()
+    snapshot.map(_._1._3).distinct.foreach(n =>
+      registry.get(n).foreach(e =>
+        try e.teardown()
+        catch { case scala.util.control.NonFatal(_) => () }))
+  }
+
+  /** Test hook: forget a spec-registered replay and its futures WITHOUT
+    * awaiting them (the spec's never-completing body would otherwise
+    * block the next drainAndClear for the full drain bound). */
+  private[graft] def unregisterForTest(name: String): Unit = {
+    registry.remove(name)
+    started.keys.filter(_._3 == name).foreach(started.remove)
+  }
 }

@@ -243,9 +243,11 @@ object SimilarityQueries {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val slice = Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
-    // session-salted delete-and-rewrite staging (see sessionTag)
+    // session-rooted delete-and-rewrite staging (see
+    // QueryArtifacts.sessionTag / sessionRoot)
     val skey = dir + "#" + QueryArtifacts.sessionTag(spark)
-    val src = QueryArtifacts.path("target/topic-drift-replay-src", skey)
+    val src = QueryArtifacts.path(
+      QueryArtifacts.sessionRoot(spark) + "/topic-drift-replay-src", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
     graft.streaming.StreamingOps.stageOrdered(src,
       (0 until 3).map(i => slice.filter(col("vec_id") % 3 === i)))
@@ -265,12 +267,25 @@ object SimilarityQueries {
     Array(all.maxBy(_.n_new))
   }
 
-  ReplayOrchestrator.register("topic-drift")(buildTopicDriftReplay)
+  // teardown = release the topic-assignment persist the body fills via
+  // topicCells (eager fan-out can launch this from another family's
+  // await — see ReplayOrchestrator ownership note)
+  ReplayOrchestrator.register("topic-drift",
+    () => releaseTopicCells())(buildTopicDriftReplay)
+
+  /** Release the persisted topic-cell assignments (idempotent; the
+    * replay teardown and the topic leg of [[clearCaches]]). */
+  private[queries] def releaseTopicCells(): Unit = {
+    topicCache.values.foreach(_.unpersist())
+    topicCache.clear()
+  }
 
   /** Release every cached inverted file (bench/verify teardown — a
     * long-lived session would otherwise accumulate one persisted
     * assignment set per (session, dir) key). */
   def clearCaches(): Unit = {
+    ReplayOrchestrator.drainAndClear() // waits out in-flight replays,
+    // runs launched teardowns (incl. other families')
     ivfCache.values.foreach(_.close())
     ivfCache.clear()
     ivfFileCache.clear() // no persist to release — file-backed
@@ -279,8 +294,7 @@ object SimilarityQueries {
     pqFileCache.clear() // no persist to release — file-backed
     driftCache.clear() // no persist to release — file-backed
     pqDriftCache.clear() // no persist to release — file-backed
-    topicCache.values.foreach(_.unpersist())
-    topicCache.clear()
+    releaseTopicCells()
   }
 
   /** Exact brute-force cosine top-5 neighbor pairs (q_id, c_id) for query

@@ -132,10 +132,12 @@ object TextQueries {
     val ref = graft.streaming.StreamingOps.driftReferenceCounts(
       docs.filter(col("doc_id") % 5 =!= 0))
     val slice = docs.filter(col("doc_id") % 5 === 0)
-    // session-salted: the staging dir is delete-and-rewrite and the
-    // orchestrator only dedups within a session (see sessionTag)
+    // session-rooted: the staging dir is delete-and-rewrite and the
+    // orchestrator only dedups within a session (see
+    // QueryArtifacts.sessionTag / sessionRoot)
     val skey = dir + "#" + QueryArtifacts.sessionTag(spark)
-    val src = QueryArtifacts.path("target/drift-replay-src", skey)
+    val src = QueryArtifacts.path(
+      QueryArtifacts.sessionRoot(spark) + "/drift-replay-src", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
     // pinned delivery order (see StreamingOps.stageOrdered)
     graft.streaming.StreamingOps.stageOrdered(src,
@@ -158,16 +160,39 @@ object TextQueries {
 
   ReplayOrchestrator.register("text-drift")(buildDriftReplay)
 
-  /** Release every persisted intermediate this object holds. */
-  def clearCaches(): Unit = {
-    // drift replay results live in ReplayOrchestrator (cleared by
-    // DedupQueries.clearCaches); local arrays, nothing persisted here
+  // Pseudo-replay WARM-UP: the LM score tables (bigram + interpolated
+  // trigram with its tercile buckets) are the most expensive non-replay
+  // cold builds in the bench (~5.5 s summed) and runOnce persists anyway
+  // — forcing them here overlaps the builds with the replays' micro-batch
+  // orchestration on the family's first touch, instead of charging them
+  // serially to whichever LM row happens to run first. Teardown mirrors
+  // clearCaches' LM legs (idempotent).
+  ReplayOrchestrator.register("warm-text-lm", () => releaseLmCaches()) {
+    (spark, dir) =>
+      perplexityBuckets(spark, dir).count() // forces trigramScores too
+      bigramScores(spark, dir).count()
+      java.lang.Boolean.TRUE
+  }
+
+  /** Release the persisted LM score/bucket tables (idempotent; the
+    * warm-up teardown and the LM legs of [[clearCaches]]). */
+  private[queries] def releaseLmCaches(): Unit = {
     bigramScoresCache.values.foreach(_.unpersist())
     bigramScoresCache.clear()
     trigramScoresCache.values.foreach(_.unpersist())
     trigramScoresCache.clear()
     bucketsCache.values.foreach(_.unpersist())
     bucketsCache.clear()
+  }
+
+  /** Release every persisted intermediate this object holds. */
+  def clearCaches(): Unit = {
+    // drift replay results are bounded local arrays, but awaiting this
+    // family's replay eagerly launched the OTHER families' too — drain
+    // runs their registered teardowns so a text-only caller can't leak
+    // the dedup/topic persists the fan-out created
+    ReplayOrchestrator.drainAndClear()
+    releaseLmCaches()
   }
 
   val queries: ListMap[String, Q] = ListMap(

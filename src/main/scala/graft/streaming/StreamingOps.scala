@@ -50,12 +50,23 @@ object StreamingOps {
       val tmp = src + s".stage-$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val tmpDir = new java.io.File(tmp)
-      val part = tmpDir.listFiles().filter(f =>
-        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dstDir, f"delivery-$i%05d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      if (!dst.setLastModified(base + i * 1000L))
-        throw new java.io.IOException(s"could not stamp mtime on $dst")
+      // a ZERO-partition plan (e.g. an empty LocalRelation slice at a
+      // tiny SF) writes no part file at all — an empty delivery adds
+      // nothing to any replay's state, so skip it (keeping the sequence
+      // number gap: remaining deliveries stay ordered) instead of
+      // throwing a bare NoSuchElementException out of head()
+      Option(tmpDir.listFiles()).getOrElse(Array.empty).find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        match {
+        case Some(part) =>
+          val dst = new java.io.File(dstDir, f"delivery-$i%05d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          if (!dst.setLastModified(base + i * 1000L))
+            throw new java.io.IOException(s"could not stamp mtime on $dst")
+        case None =>
+          System.err.println(s"[stageOrdered] delivery $i for $src wrote " +
+            "no part file (empty zero-partition slice); skipping it")
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(tmpDir)
     }
   }

@@ -77,4 +77,38 @@ class BenchSummarySpec extends AnyFunSuite {
     val first = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
     assert(!first.contains("reference_quiet_total"), first)
   }
+
+  test("summary path resolves to the repo root from a nested CWD") {
+    val root = java.nio.file.Paths.get("").toAbsolutePath // repo root (has build.sbt)
+    assert(java.nio.file.Files.exists(root.resolve("build.sbt")),
+      "spec expects to run from the sbt repo root")
+    val expected = root.resolve("BENCH_SUMMARY.json")
+    // benching from a subdirectory must hit the SAME artifact as the
+    // driver's repo-root invocation — not a silently-fresh file in the
+    // subdir (r13's read was bare-CWD-relative)
+    assert(Bench.summaryPath(root.resolve("src/test/scala")) == expected)
+    assert(Bench.summaryPath(root) == expected)
+    // outside any sbt repo: fall back to the start dir itself
+    val tmp = java.nio.file.Files.createTempDirectory("bench-path")
+    try {
+      val fb = Bench.summaryPath(tmp)
+      assert(fb.getFileName.toString == "BENCH_SUMMARY.json")
+      assert(fb.getParent == tmp.toAbsolutePath
+        || java.nio.file.Files.exists(fb.getParent.resolve("build.sbt")))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("reference fields are omitted when the previous run's sf differs") {
+    val prev = """{"queries":{"a":1.0},"loadavg":[0.5,0.6,0.7],""" +
+      """"metric":"total","value":61.9,"unit":"sec","failed_queries":0,""" +
+      """"failed":[],"leaked_persists":0,"sf":"/root/testdata/sf0.1"}"""
+    // same sf: carried with its loadavg
+    assert(Bench.referenceFrom(prev, "/root/testdata/sf0.1")
+      .contains((61.9, Seq(0.5, 0.6, 0.7))))
+    // different sf dir: NOT a comparable total — omitted entirely
+    assert(Bench.referenceFrom(prev, "/root/testdata/sf0.01").isEmpty)
+    // sf field absent (pre-r13 artifact shape) or malformed JSON: omitted
+    assert(Bench.referenceFrom("""{"value":5.0}""", "/x").isEmpty)
+    assert(Bench.referenceFrom("not json", "/x").isEmpty)
+  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import java.util.concurrent.TimeoutException
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ReplayOrchestrator
+
+/** The replay-launcher contracts that keep a wedged or half-torn-down
+  * streaming replay from silently poisoning a run: a hung body becomes a
+  * NAMED, fail-sticky per-query failure within the await bound (never an
+  * unbounded hang of the whole bench), drainAndClear waits out in-flight
+  * bodies before a relaunch could overlap their staging paths, and
+  * teardowns of everything LAUNCHED run even when only one family clears
+  * its caches (the eager fan-out crosses module ownership). */
+class ReplayOrchestratorSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+
+  test("a never-completing replay fails by name within the bound, fail-sticky") {
+    val name = "spec-wedged"
+    ReplayOrchestrator.register(name) { (_, _) =>
+      Thread.sleep(600000); "never"
+    }
+    val saved = ReplayOrchestrator.awaitBound
+    ReplayOrchestrator.awaitBound = 2.seconds
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[TimeoutException] {
+        ReplayOrchestrator.await[String](spark, "/spec/wedged-dir", name)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 30, s"timeout must fire near the bound, took $secs s")
+      assert(e.getMessage.contains(name),
+        "the failure must NAME the wedged replay for the bench artifact")
+      // fail-sticky: the next await must fail fast, not re-block a
+      // full bound on the still-running body
+      val t1 = System.nanoTime()
+      intercept[TimeoutException] {
+        ReplayOrchestrator.await[String](spark, "/spec/wedged-dir", name)
+      }
+      assert((System.nanoTime() - t1) / 1e9 < 1.0,
+        "second await of a timed-out replay must fail fast (sticky)")
+    } finally {
+      ReplayOrchestrator.awaitBound = saved
+      // forget the sleeper WITHOUT awaiting it (it would otherwise block
+      // the next drainAndClear for the drain bound)
+      ReplayOrchestrator.unregisterForTest(name)
+    }
+  }
+
+  test("drainAndClear waits out an in-flight body and runs launched teardowns") {
+    val bodyDone = new AtomicBoolean(false)
+    val torndown = new AtomicInteger(0)
+    val name = "spec-inflight"
+    ReplayOrchestrator.register(name, () => torndown.incrementAndGet()) {
+      (_, _) => Thread.sleep(1500); bodyDone.set(true); "done"
+    }
+    try {
+      assert(ReplayOrchestrator.await[String](spark, "/spec/dir-a", name)
+        == "done")
+      assert(bodyDone.get())
+      // relaunch under a second dir but DO NOT await it — leave it
+      // in-flight, the CacheLifecycleSpec-mid-JVM scenario
+      bodyDone.set(false)
+      ReplayOrchestrator.await[String](spark, "/spec/dir-a", name) // cached
+      assert(!bodyDone.get(), "cached result must not relaunch the body")
+      val inflight = scala.concurrent.Future {
+        ReplayOrchestrator.await[String](spark, "/spec/dir-b", name)
+      }(scala.concurrent.ExecutionContext.global)
+      Thread.sleep(100) // let the launch land in `started`
+      ReplayOrchestrator.drainAndClear()
+      // the in-flight body must have COMPLETED before clear dropped it —
+      // a post-clear relaunch can never overlap its staging writes
+      assert(bodyDone.get(),
+        "drainAndClear returned while a launched body was still running")
+      // teardown ran for the launched replay (once per drain, not per key)
+      assert(torndown.get() == 1, s"teardown ran ${torndown.get()} times")
+      scala.concurrent.Await.ready(inflight, 10.seconds)
+      // a fresh await AFTER the clear relaunches cleanly
+      bodyDone.set(false)
+      assert(ReplayOrchestrator.await[String](spark, "/spec/dir-a", name)
+        == "done")
+      assert(bodyDone.get(), "post-clear await must relaunch the body")
+      ReplayOrchestrator.drainAndClear()
+      assert(torndown.get() == 2)
+      // idempotent: nothing launched since → no further teardowns
+      ReplayOrchestrator.drainAndClear()
+      assert(torndown.get() == 2)
+    } finally ReplayOrchestrator.unregisterForTest(name)
+  }
+
+  test("first touch barriers on the whole fan-out; siblings' failures stay theirs") {
+    val siblingDone = new AtomicBoolean(false)
+    ReplayOrchestrator.register("spec-bar-a") { (_, _) => "a" }
+    ReplayOrchestrator.register("spec-bar-slow") { (_, _) =>
+      Thread.sleep(800); siblingDone.set(true); "slow"
+    }
+    ReplayOrchestrator.register("spec-bar-broken") { (_, _) =>
+      throw new IllegalStateException("sibling boom")
+    }
+    try {
+      // awaiting one replay must return only after the SLOW sibling also
+      // completed — a later row (or this row's min-of-2 second pass) may
+      // never race a still-running background replay for threads
+      assert(ReplayOrchestrator.await[String](spark, "/spec/bar-dir",
+        "spec-bar-a") == "a")
+      assert(siblingDone.get(),
+        "await returned before a launched sibling replay completed")
+      // ... and a BROKEN sibling must not fail this row; its own row
+      // rethrows its own cause
+      val e = intercept[IllegalStateException] {
+        ReplayOrchestrator.await[String](spark, "/spec/bar-dir",
+          "spec-bar-broken")
+      }
+      assert(e.getMessage == "sibling boom")
+    } finally {
+      Seq("spec-bar-a", "spec-bar-slow", "spec-bar-broken")
+        .foreach(ReplayOrchestrator.unregisterForTest)
+    }
+  }
+}
