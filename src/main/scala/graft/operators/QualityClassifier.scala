@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,9 +87,20 @@ final class QualityClassifier private[operators] (
     * Tokens absent from the model contribute their add-one floor
     * 1/(tot_c+v) — an all-OOV document still classifies (by prior and
     * class smoothing mass), exactly as NB does. */
-  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = split(lower(col(textCol)), " ")
-    val docTok = df.select(col(idCol), explode(t).as("w"))
+  def score(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreFeatures(df, idCol, split(lower(col(textCol)), " "))
+
+  /** [[score]] generalized to ANY array<string> feature extraction (the
+    * same sufficient-statistics machinery classifies on char n-grams for
+    * trained language ID — fastText-lid's feature space — or on tokens
+    * for quality/domain): one row per document with at least one feature
+    * (a feature-less doc has no occurrence rows, mirroring the oracle's
+    * inner group-by; token features never produce one since split("")
+    * yields [""]). The model's `counts` table must have been trained on
+    * the SAME extraction. */
+  def scoreFeatures(df: DataFrame, idCol: String,
+      features: Column): DataFrame = {
+    val docTok = df.select(col(idCol), explode(features).as("w"))
       .groupBy(idCol, "w").agg(count(lit(1)).as("k"))
     val docN = docTok.groupBy(idCol).agg(sum("k").as("n_tokens"))
     // Σ_w k_w·c_{c,w}: inner join — (doc, class) pairs sharing no word
@@ -180,12 +191,19 @@ object QualityClassifier {
     * The count tables stay lazy DataFrames; the single action is the
     * bounded vocabulary count (one scalar — the [[BigramLm.train]]
     * contract). */
-  def train(df: DataFrame, textCol: String, labelCol: String): QualityClassifier = {
+  def train(df: DataFrame, textCol: String, labelCol: String): QualityClassifier =
+    trainFeatures(df, split(lower(col(textCol)), " "), labelCol)
+
+  /** [[train]] generalized to ANY array<string> feature extraction (see
+    * [[QualityClassifier.scoreFeatures]]); scoring must use the same
+    * extraction the model was trained with. */
+  def trainFeatures(df: DataFrame, features: Column,
+      labelCol: String): QualityClassifier = {
     trainsRun.incrementAndGet()
-    val t = split(lower(col(textCol)), " ")
-    val occ = df.select(col(labelCol).as("label"), explode(t).as("w"))
+    val occ = df.select(col(labelCol).as("label"), explode(features).as("w"))
     val counts = occ.groupBy("label", "w").agg(count(lit(1)).as("c"))
-    val classes = df.select(col(labelCol).as("label"), size(t).cast("long").as("n"))
+    val classes = df
+      .select(col(labelCol).as("label"), size(features).cast("long").as("n"))
       .groupBy("label").agg(count(lit(1)).as("n_docs"), sum("n").as("tot"))
     val v = occ.agg(countDistinct("w")).head().getLong(0)
     new QualityClassifier(classes, counts, v)

@@ -193,6 +193,7 @@ object TextQueries {
     // the dedup/topic persists the fan-out created
     ReplayOrchestrator.drainAndClear()
     releaseLmCaches()
+    langClfCache.clear() // lazy tables + one scalar — no persist to release
   }
 
   val queries: ListMap[String, Q] = ListMap(
@@ -760,6 +761,65 @@ object TextQueries {
           col("seq_id"), col("seq_offset"))
         .orderBy("doc_id")
     }),
+    // The FULL-pipeline capstone (r14) — corpus_materialize_curriculum
+    // with the two stages a real training run inserts spliced in: exact
+    // dedup -> C4 BLOCKLIST -> benchmark DECONTAMINATION (13-gram overlap
+    // with the held-out %5==0 eval slice, the decontaminate_ngram
+    // operator verbatim) -> length gate -> budget-waterfilled language
+    // mixture -> corpus-level perplexity phases -> curriculum positions
+    // -> 512-token packing over the curriculum order. Runs over the
+    // TRAINING slice (%5!=0) since decontamination is against the eval
+    // slice. Still ONE lazy DAG plus the two documented bounded driver
+    // folds (waterfill rates, CC-free here) — the blocklist is a
+    // stateless projection and the decontamination verdict one
+    // bloom-prefiltered shingle equi-join, so the two new stages add no
+    // unbounded state. Budget 13000 exercises BOTH waterfill regimes at
+    // sf0.001/0.01 (one stratum saturates, the rest rate-limit) and the
+    // all-rate-limited regime at sf0.1. CurationOpsSpec pins
+    // stage-vs-component agreement against the standalone stage queries.
+    "corpus_materialize_full" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 5 === 0)
+      val keepers = graft.operators.Dedup.exact(corpus, "doc_id", "text")
+        .select(col("keep_doc_id").as("doc_id"))
+      val blocked = TextAnalysis.blocklistSignals(corpus, "doc_id", "text",
+          blockedTokens = Seq("dup"), blockedPhrases = Seq("slow scan"))
+        .filter(!col("keep")).select("doc_id")
+      val contaminated = graft.operators.Dedup.ngramContamination(corpus,
+          evalSet, "doc_id", "text", n = 13, expectedEvalNgrams = 1L << 16)
+        .select("doc_id")
+      val surv = corpus
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(blocked, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+        .select("doc_id", "lang", "n_tokens")
+      val rates = graft.operators.Sampling.waterfillAllocation(surv, "lang",
+          "n_tokens", Map("de" -> 2L, "en" -> 1L, "es" -> 2L, "fr" -> 2L,
+            "zh" -> 2L), budget = 13000L)
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+      val mixed = graft.operators.Sampling.stratifiedSample(surv, "doc_id",
+        "lang", rates, defaultRate = 0.0)
+      val phases = perplexityBuckets(spark, dir)
+        .select(col("doc_id"),
+          when(col("bucket") === "tail", 0)
+            .when(col("bucket") === "middle", 1).otherwise(2).as("phase"))
+      val phased = mixed.join(phases, Seq("doc_id"), "left")
+        .withColumn("phase", coalesce(col("phase"), lit(0)))
+      val positioned = graft.operators.Packing.curriculumOrder(phased,
+          "doc_id", "phase", seed = "matf",
+          carryCols = Seq("lang", "n_tokens"))
+        .withColumnRenamed("doc_id", "orig_doc_id")
+      graft.operators.Packing.packSequences(positioned, "pos", "n_tokens",
+          budget = 512, blockSize = 100,
+          carryCols = Seq("orig_doc_id", "lang", "phase"))
+        .select(col("orig_doc_id").as("doc_id"), col("lang"), col("phase"),
+          col("doc_id").as("pos"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    }),
     // TRAIN/SERVE split of the bigram LM (the CCNet lifecycle): the model
     // is trained ONCE on the %5!=0 slice, written durable with a manifest
     // (build-once/serve-many — a later session reopens it with zero
@@ -836,6 +896,28 @@ object TextQueries {
           col("keep_length"))
         .select("doc_id", "n_tokens", "pred_label", "expected_p6",
           "keep_domain", "keep_confidence", "keep_length", "keep")
+        .orderBy("doc_id")
+    }),
+    // TRAINED language ID (r14) — the fastText-lid shape of the curation
+    // step: the SAME NB sufficient-statistics machinery as
+    // classifier_train_score, but over CHAR-TRIGRAM features
+    // (TextAnalysis.charNgrams) — the feature space that actually
+    // separates real languages, where the marker-argmax `lang_id` is a
+    // fixed four-list heuristic. Trained ONCE on the labeled %5==0 seed
+    // slice (label = lang), every held-out %5!=0 doc scored UNDER the
+    // frozen counts: exact integer numerators over class-constant
+    // denominators, one correctly-rounded division (see QualityClassifier
+    // scaladoc), so the oracle composes train + serve bit-exactly.
+    // LangIdTrainedSpec pins hand-computed scores and trained-vs-marker
+    // agreement on a real multi-language fixture (the synthetic corpus's
+    // text is deliberately lang-uncorrelated, so the driver row gates the
+    // lifecycle + arithmetic, the spec the discrimination).
+    "lang_id_trained" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      langIdClassifier(spark, dir)
+        .scoreFeatures(docs.filter(col("doc_id") % 5 =!= 0), "doc_id",
+          TextAnalysis.charNgrams(col("text"), 3))
+        .withColumnRenamed("n_tokens", "n_grams")
         .orderBy("doc_id")
     }),
     // Durable-classifier PARITY gate (the ann_*_persisted pattern): a
@@ -960,6 +1042,23 @@ object TextQueries {
         graft.operators.QualityClassifier.load(spark, path)
       }
     })
+
+  /** One TRAINED char-trigram language-ID model per (session, dir) —
+    * the same NB sufficient statistics as [[clfPersisted]] but over the
+    * [[TextAnalysis.charNgrams]] feature space (fastText-lid's), fitted
+    * on the labeled %5==0 seed slice. In-session cache only: the model
+    * IS three lazy aggregates plus one vocab scalar (the single training
+    * action), so caching the object avoids re-running the scalar per
+    * bench pass while the tables stay lazy. */
+  private val langClfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.QualityClassifier]
+
+  private def langIdClassifier(spark: SparkSession,
+      dir: String): graft.operators.QualityClassifier =
+    QueryArtifacts.runOnce(langClfCache, (spark, dir))(
+      graft.operators.QualityClassifier.trainFeatures(
+        Tables.load(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+        TextAnalysis.charNgrams(col("text"), 3), "lang"))
 
   /** Shared quality CTEs (per-doc signals + repetition ratio) — the ONE
     * SQL definition behind both corpus_quality_filter's keep verdict and
@@ -1593,6 +1692,94 @@ object TextQueries {
         |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
         |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
         |FROM po ORDER BY doc_id""".stripMargin),
+    // the curriculum capstone's oracle with the blocklist keep condition
+    // and the 13-gram contamination anti-set spliced into the survivor
+    // CTE (both re-derived the same way blocklist_filter's and
+    // decontaminate_ngram's own oracles derive them), the corpus
+    // restricted to the %5!=0 training slice, seed 'matf', budget 13000
+    "corpus_materialize_full" ->
+      (s"WITH $duckTrigramScoreCtes,\n" +
+      """hist AS (SELECT pred_prob AS s, count(*) AS cnt FROM score GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM score),
+        |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum >= (1 * tot.n + 2) // 3 THEN s END) AS t1,
+        |         min(CASE WHEN cum >= (2 * tot.n + 2) // 3 THEN s END) AS t2
+        |  FROM cum, tot),
+        |bk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pred_prob <= t1 THEN 0
+        |         WHEN pred_prob <= t2 THEN 1 ELSE 2 END AS phase
+        |  FROM score, thr),
+        |ftok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 13),
+        |fex AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([list_reduce(w[i:i+12], (a, b) -> a || ' ' || b)
+        |                          for i in range(1, len(w) - 11)])) AS s
+        |  FROM ftok),
+        |contamf AS (
+        |  SELECT DISTINCT c.doc_id FROM fex c JOIN fex e ON c.s = e.s
+        |  WHERE e.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        |surv AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 0
+        |    AND doc_id IN (SELECT min(doc_id) FROM documents
+        |                   WHERE doc_id % 5 <> 0 GROUP BY text)
+        |    AND len(list_filter(string_split(lower(text), ' '),
+        |          t -> t IN ('dup'))) = 0
+        |    AND NOT contains(lower(text), 'slow scan')
+        |    AND doc_id NOT IN (SELECT doc_id FROM contamf)
+        |    AND len(string_split(text, ' ')) >= 20),
+        |tokc AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n
+        |         FROM surv WHERE lang IS NOT NULL GROUP BY 1),
+        |wt AS (
+        |  SELECT lang, n,
+        |    CAST(CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+        |         WHEN 'fr' THEN 2 WHEN 'zh' THEN 2 ELSE 0 END AS BIGINT) AS w
+        |  FROM tokc),
+        |act AS (SELECT * FROM wt WHERE w > 0),
+        |tw AS (SELECT sum(w) AS wtot FROM act),
+        |ordw AS (
+        |  SELECT lang, n, w, wtot,
+        |    coalesce(sum(n) OVER win, 0) AS cumN,
+        |    coalesce(sum(w) OVER win, 0) AS cumW
+        |  FROM act, tw
+        |  WINDOW win AS (ORDER BY n * 1.0 / w, lang
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sat AS (
+        |  SELECT *, n * (wtot - cumW) <= (13000 - cumN) * w AS satd FROM ordw),
+        |lam AS (
+        |  SELECT 13000 - coalesce(sum(CASE WHEN satd THEN n END), 0) AS lamN,
+        |         min(wtot) - coalesce(sum(CASE WHEN satd THEN w END), 0) AS lamD
+        |  FROM sat),
+        |rates AS (
+        |  SELECT s.lang,
+        |    CASE WHEN s.satd THEN 1.0
+        |         ELSE round(CAST(l.lamN * s.w AS DOUBLE) / (l.lamD * s.n), 6)
+        |         END AS rate
+        |  FROM sat s, lam l),
+        |kept AS (
+        |  SELECT v.doc_id, v.lang, v.n_tokens, coalesce(bk.phase, 0) AS phase,
+        |    md5('matf:' || CAST(v.doc_id AS VARCHAR)) AS order_key
+        |  FROM surv v JOIN rates r USING (lang) LEFT JOIN bk USING (doc_id)
+        |  WHERE (('0x' || substring(md5(CAST(v.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0 < r.rate),
+        |po AS (
+        |  SELECT doc_id, lang, n_tokens, phase,
+        |    CAST(row_number() OVER (ORDER BY phase, order_key, doc_id) - 1
+        |      AS BIGINT) AS pos,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY phase, order_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM kept)
+        |SELECT doc_id, lang, phase, pos, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
+        |FROM po ORDER BY doc_id""".stripMargin),
     // train on the %5!=0 slice, score the held-out %5==0 slice under the
     // frozen counts — unseen bigrams/contexts coalesce to 0 (add-one
     // smoothing floors them at 1/(c1+v) resp. 1/v)
@@ -1744,6 +1931,52 @@ object TextQueries {
         |                       ORDER BY dscore DESC, label) AS rk
         |  FROM scored)
         |SELECT doc_id, n_tokens, pred_label, expected_p
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // the char-trigram twin of classifier_train_score's oracle: the same
+    // NB train + serve re-derivation with the feature extraction swapped
+    // to the positional-substring comprehension (mirrors
+    // TextAnalysis.charNgrams; the fixture has no sub-3-char texts, and
+    // both sides drop a feature-less doc via the inner gram group-by)
+    "lang_id_trained" ->
+      """WITH seedg AS (
+        |  SELECT doc_id, lang AS label,
+        |    unnest([substring(lower(text), i, 3)
+        |            for i in range(1, len(text) - 1)]) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |counts AS (SELECT label, w, CAST(count(*) AS BIGINT) AS c
+        |           FROM seedg GROUP BY label, w),
+        |classes AS (SELECT label,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM seedg GROUP BY label),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM seedg),
+        |docg AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest([substring(lower(text), i, 3)
+        |                               for i in range(1, len(text) - 1)]) AS w
+        |        FROM documents WHERE doc_id % 5 <> 0)
+        |  GROUP BY doc_id, w),
+        |docn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams
+        |         FROM docg GROUP BY doc_id),
+        |hits AS (
+        |  SELECT t.doc_id, c.label, CAST(sum(t.k * c.c) AS BIGINT) AS s
+        |  FROM docg t JOIN counts c USING (w) GROUP BY t.doc_id, c.label),
+        |scored AS (
+        |  SELECT d.doc_id, d.n_grams, cl.label,
+        |    coalesce(h.s, 0) + d.n_grams AS num,
+        |    cl.tot + voc.v AS den,
+        |    CAST(cl.n_docs * (coalesce(h.s, 0) + d.n_grams) AS DOUBLE)
+        |      / CAST(cl.tot + voc.v AS DOUBLE) AS dscore
+        |  FROM docn d CROSS JOIN classes cl CROSS JOIN voc
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = cl.label),
+        |best AS (
+        |  SELECT doc_id, n_grams, label AS pred_label,
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+        |      AS expected_p,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY dscore DESC, label) AS rk
+        |  FROM scored)
+        |SELECT doc_id, n_grams, pred_label, expected_p
         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // train + serve + threshold composed: the classifier CTEs over ALL
     // docs, then the same integer-scaled keep rules

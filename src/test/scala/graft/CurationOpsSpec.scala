@@ -268,6 +268,59 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_materialize_full agrees with its component stages on every document") {
+    import graft.queries.{PipelineQueries, TextQueries}
+    val dir = TestSpark.sfDir
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val kept = TextQueries.queries("corpus_materialize_full")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap // doc_id -> phase
+    assert(kept.nonEmpty)
+    // stage verdicts from the STANDALONE stage operators/queries
+    val keepers = graft.operators.Dedup.exact(corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val blockKeep = TextQueries.queries("blocklist_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val contaminated = PipelineQueries.queries("decontaminate_ngram")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val nTok = corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every materialized doc passed EVERY gate its standalone query reports
+    kept.keys.foreach { id =>
+      assert(id % 5 != 0, s"eval-slice doc $id materialized")
+      assert(keepers(id), s"non-keeper duplicate $id materialized")
+      assert(blockKeep(id), s"blocklisted doc $id materialized")
+      assert(!contaminated(id), s"contaminated doc $id materialized")
+      assert(nTok(id) >= 20, s"under-length doc $id materialized")
+    }
+    // docs absent from the output either failed a gate or lost the
+    // md5-rate mixture draw — never a fifth, unreported reason
+    val gatePassers = nTok.keySet.filter(id => keepers(id) && blockKeep(id)
+      && !contaminated(id) && nTok(id) >= 20)
+    assert(kept.keySet.subsetOf(gatePassers))
+    // the fixture must exercise every splice point (r14's two new stages
+    // included), or this test proves nothing about them
+    assert(contaminated.nonEmpty, "fixture has no contaminated corpus doc")
+    assert(nTok.keySet.exists(id => !blockKeep.getOrElse(id, true)),
+      "fixture has no blocklisted corpus doc")
+    // at this spec SF the fixture plants no exact duplicate INSIDE the
+    // %5!=0 training slice, so the dedup gate is vacuous here (every
+    // slice doc is its own keeper) — pin that understanding; the operator
+    // itself is gated by the dedup_exact driver row and DedupScaleSpec
+    assert(nTok.keySet.forall(keepers),
+      "slice dedup unexpectedly active — strengthen the stage assertions")
+    assert(gatePassers.size > kept.size,
+      "mixture stage sampled nothing (budget not binding)")
+    // phases agree with the corpus-level perplexity terciles
+    val buckets = TextQueries.queries("perplexity_buckets")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        Map("tail" -> 0, "middle" -> 1, "head" -> 2)(r.getString(2))).toMap
+    kept.foreach { case (id, phase) =>
+      assert(phase == buckets.getOrElse(id, 0), s"phase mismatch for $id")
+    }
+  }
+
   test("corpus_drift_report: exact stats stay in range over all features") {
     val rows = graft.queries.TextQueries
       .queries("corpus_drift_report")(spark, TestSpark.sfDir).collect()

@@ -45,6 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "term_stats", "lm_bigram_quality", "bm25_rank",
       // |L|-row class-prior table broadcast into the per-doc scorer
       "classifier_train_score", "classifier_persisted", "corpus_filter_classifier",
+      // the same |L|-row class-prior broadcast, char-trigram features
+      "lang_id_trained",
       // exact side of the semantic-recall gate: full-corpus broadcast by
       // design (the verification baseline, not the scale path)
       "dedup_semantic_recall",
@@ -58,7 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // (curriculum_order and the materialize capstone consume the same
       // LM-score subtree)
       "perplexity_buckets", "curriculum_order",
-      "corpus_materialize_curriculum")
+      "corpus_materialize_curriculum",
+      // same LM-score subtree broadcasts as the curriculum capstone
+      "corpus_materialize_full")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -526,4 +526,72 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     assert(t10 <= 15 * t1,
       f"10x corpus took ${t10 / t1}%.1fx the 1x wall-time — superlinear build")
   }
+
+  test("streaming ingest dedup scales onto a 10x delivery with exact per-copy survivor parity",
+      SlowTest) {
+    // The last untested family's scale posture (r13 ask): a REAL
+    // Trigger.AvailableNow replay — three pinned-order deliveries, the
+    // third a verbatim re-delivery of the first — through
+    // ingestDedupStreamWith at 1x and at 10x salted copies. The salting
+    // is the suite's injective shingle rename, and the copy offset
+    // (c * 1e6, a multiple of both 2 and 5) preserves every slice and
+    // half assignment — so copy c's survivor set must be EXACTLY copy
+    // 0's, offset: the fingerprint state and the stream-static anti join
+    // have no cross-copy interaction to exploit (state is one hash per
+    // distinct ingested text, sharded by hash), and wall-time stays
+    // ~linear because every stage is hash-partitioned, never pairwise.
+    import graft.streaming.StreamingOps
+    def run(df: DataFrame, tag: String): (Set[Long], Double) = {
+      val slice = df.filter(col("doc_id") % 5 === 0)
+      val reps = slice.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val delivered = slice.join(reps, Seq("doc_id", "text"), "left_semi")
+        .select("doc_id", "text")
+      val hashes = Dedup
+        .corpusContentHashes(df.filter(col("doc_id") % 5 =!= 0), "text")
+        .persist()
+      val bloom = Dedup.corpusContentBloom(hashes,
+        expectedCorpusItems = 1L << 18)
+      val src = s"target/tenx-ingest-$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+      StreamingOps.stageOrdered(src, Seq(
+        delivered.filter(col("doc_id") % 2 === 0),
+        delivered.filter(col("doc_id") % 2 =!= 0),
+        delivered.filter(col("doc_id") % 2 === 0) /* re-delivery */))
+      val stream = spark.readStream.schema(delivered.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val t0 = System.nanoTime()
+      val q = StreamingOps.ingestDedupStreamWith(stream, hashes, bloom, "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"tenx_ingest_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ids = spark.table(s"tenx_ingest_$tag")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      hashes.unpersist()
+      (ids, secs)
+    }
+    val (ids1, t1) = run(copyDf(0), "x1")
+    val (ids10, t10) = run(saltedCorpus, "x10")
+    assert(ids1.nonEmpty)
+    // the fixture must exercise the corpus-known drop path too (sf0.1
+    // plants one delivered text that already exists in the corpus slice)
+    val delivered1 = copyDf(0).filter(col("doc_id") % 5 === 0)
+      .select("text").distinct().count()
+    assert(ids1.size < delivered1,
+      "no delivered doc was corpus-known — the anti join went unexercised")
+    // survivor counts exactly 10x, and EVERY copy's set is copy 0's
+    assert(ids10.size === copies * ids1.size,
+      s"10x delivery emitted ${ids10.size} survivors, expected ${copies * ids1.size}")
+    (0 until copies).foreach { c =>
+      val got = ids10.filter(_ / 1000000L == c).map(_ - c * 1000000L)
+      assert(got == ids1, s"copy $c survivor set diverged from copy 0")
+    }
+    info(f"streaming ingest 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    // generous linearity bound + a fixed allowance for the per-run
+    // micro-batch orchestration floor (3 triggers cost seconds at ANY SF)
+    assert(t10 <= 15 * t1 + 10.0,
+      f"10x delivery took ${t10 / t1}%.1fx the 1x wall-time — superlinear streaming ingest")
+  }
 }
