@@ -83,4 +83,73 @@ object GramKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** All n-character grams of the LOWERCASED text in position order
+    * (m = numChars - n + 1 entries); empty for texts shorter than n.
+    * Lowercases once, walks the UTF-8 code-point boundaries once, then
+    * slices each gram by byte range — O(len·n) total where the HOF
+    * formulation (an interpreted lambda re-lowercasing the whole text
+    * per position) is O(len²). Boundary walk mirrors
+    * UTF8String.numChars, so the gram count agrees with SQL `length`;
+    * offsets are clamped so a malformed trailing multi-byte sequence
+    * degrades to a short final gram instead of an out-of-range slice. */
+  def charGrams(text: UTF8String, n: Int): ArrayData = {
+    val lt = text.toLowerCase
+    val len = lt.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = lt.getBytes
+    val starts = new Array[Int](len + 1)
+    var off = 0
+    var c = 0
+    while (c < len) {
+      starts(c) = off
+      off = math.min(
+        off + UTF8String.numBytesForFirstByte(bytes(off)), bytes.length)
+      c += 1
+    }
+    starts(len) = off
+    val m = len - n + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native char-n-gram extraction: the fastText-lid feature space
+  * ([[graft.operators.TextAnalysis.charNgrams]] delegates here).
+  * Value-identical to the composable
+  * `transform(sequence(1, length(t)-n+1), i -> substr(lower(t), i, n))`
+  * — lowercase first, then every width-n code-point window — but that
+  * chain evaluates an interpreted lambda OUTSIDE codegen whose body
+  * re-lowercases the entire text once per position (higher-order
+  * lambdas inline their argument expression): O(len²) per document.
+  * This kernel is one codegen'd call per row. Parity with the HOF
+  * formulation and the DuckDB comprehension is pinned in
+  * LangIdTrainedSpec. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram width must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string text, got $other")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    GramKernels.charGrams(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramKernels.charGrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_ngrams"
 }

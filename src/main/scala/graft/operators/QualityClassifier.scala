@@ -40,10 +40,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training is one token-keyed aggregation (map-side
   * combinable), a |L|-row class aggregate, and one bounded vocabulary
-  * count — the [[BigramLm.train]] contract. Scoring joins document token
-  * counts against the count table keyed by word — a co-partitioned shuffle
-  * join, AQE handling hot-token skew — plus a broadcast of the |L|-row
-  * class table; nothing corpus-sized is collected or broadcast. The
+  * count — the [[BigramLm.train]] contract. Scoring broadcasts the
+  * MODEL-sized count table (vocab×|L| rows) into the exploded feature
+  * stream and partial-aggregates to ≤|L| cells per document before the
+  * only shuffle — plus a broadcast of the |L|-row class table; nothing
+  * corpus-sized is collected or broadcast. The
   * durable form (`write`/`loadIfValid`) follows the [[BigramLm]] manifest
   * contract: build-once / serve-many-sessions, reopen validated by
   * metadata only, zero training jobs on a hit (QualityClassifierSpec
@@ -87,8 +88,9 @@ final class QualityClassifier private[operators] (
     * Tokens absent from the model contribute their add-one floor
     * 1/(tot_c+v) — an all-OOV document still classifies (by prior and
     * class smoothing mass), exactly as NB does. */
-  def score(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    scoreFeatures(df, idCol, split(lower(col(textCol)), " "))
+  def score(df: DataFrame, idCol: String, textCol: String,
+      broadcastModel: Boolean = true): DataFrame =
+    scoreFeatures(df, idCol, split(lower(col(textCol)), " "), broadcastModel)
 
   /** [[score]] generalized to ANY array<string> feature extraction (the
     * same sufficient-statistics machinery classifies on char n-grams for
@@ -98,15 +100,38 @@ final class QualityClassifier private[operators] (
     * inner group-by; token features never produce one since split("")
     * yields [""]). The model's `counts` table must have been trained on
     * the SAME extraction. */
-  def scoreFeatures(df: DataFrame, idCol: String,
-      features: Column): DataFrame = {
-    val docTok = df.select(col(idCol), explode(features).as("w"))
-      .groupBy(idCol, "w").agg(count(lit(1)).as("k"))
-    val docN = docTok.groupBy(idCol).agg(sum("k").as("n_tokens"))
-    // Σ_w k_w·c_{c,w}: inner join — (doc, class) pairs sharing no word
-    // contribute 0 and are restored by the left join below
-    val hits = docTok.join(counts, Seq("w"))
-      .groupBy(idCol, "label").agg(sum(col("k") * col("c")).as("s"))
+  def scoreFeatures(df: DataFrame, idCol: String, features: Column,
+      broadcastModel: Boolean = true): DataFrame = {
+    // Default (broadcastModel=true), the fastText serving contract — the
+    // model is trained on a bounded labeled set, so counts is MODEL-sized
+    // (vocab×|L| rows, the centroid/codebook sidecar precedent): the
+    // exploded feature stream joins the BROADCAST counts table and
+    // aggregates straight to (doc, label) partials — map-side combine
+    // reduces it to ≤|L| cells per document before the only shuffle, and
+    // a hot feature can never skew a join that never shuffles.
+    // Σ over occurrence rows of c_{c,w} == Σ_w k_w·c_{c,w}.
+    //
+    // broadcastModel=false is the LARGE-MODEL fallback (corpus-trained
+    // vocab too big to broadcast): per-(doc, feature) pre-aggregation
+    // (map-side combinable) into a co-partitioned shuffle join on w, AQE
+    // splitting hot-word partitions (SkewStressSpec pins the split
+    // engages and preserves results).
+    val base = df.select(col(idCol), features.as("fs"))
+      // a feature-less doc scores no row (the oracle's inner group-by);
+      // token features never hit this — split("") yields [""]
+      .filter(size(col("fs")) >= 1)
+    val docN = base.select(col(idCol), size(col("fs")).cast("long").as("n_tokens"))
+    // (doc, class) pairs sharing no word contribute 0 and are restored by
+    // the left join below
+    val occ = base.select(col(idCol), explode(col("fs")).as("w"))
+    val hits =
+      if (broadcastModel)
+        occ.join(broadcast(counts), Seq("w"))
+          .groupBy(idCol, "label").agg(sum(col("c")).as("s"))
+      else
+        occ.groupBy(idCol, "w").agg(count(lit(1)).as("k"))
+          .join(counts, Seq("w"))
+          .groupBy(idCol, "label").agg(sum(col("k") * col("c")).as("s"))
     def round6(c: org.apache.spark.sql.Column) = round(c * 1e6, 0) / 1e6
     val w = Window.partitionBy(idCol).orderBy(desc("dscore"), col("label"))
     docN.crossJoin(broadcast(classes))
@@ -166,6 +191,20 @@ final class QualityClassifier private[operators] (
     val win = array_max(array(scored: _*))
     struct(nTok.as("n_tokens"), win.getField("label").as("pred_label"),
       win.getField("expected_p").as("expected_p"))
+  }
+
+  /** Persist the bounded model tables (|L| + vocab×|L| rows) — for an
+    * in-session cached model that scores repeatedly; without this every
+    * scoring action re-runs the training aggregates (the tables are lazy
+    * by the train contract). Pair with [[unpersistTables]] in the owning
+    * cache's teardown. */
+  def cacheTables(): this.type = {
+    classes.persist(); counts.persist(); this
+  }
+
+  /** Release the persists taken by [[cacheTables]] (idempotent). */
+  def unpersistTables(): Unit = {
+    classes.unpersist(); counts.unpersist()
   }
 
   /** [[rowScore]] projected to the [[score]] output schema. */

@@ -83,19 +83,16 @@ object TextAnalysis {
     * fastText-lid feature space): positions 1..len-n+1, each a substr of
     * width n — a pure per-row projection (stateless, codegen'd, pushes
     * nothing to a shuffle). Texts shorter than n yield an EMPTY array
-    * explicitly: sequence(1, len-n+1) would otherwise count DOWN for a
-    * negative span (Spark's default step is -1 when start > stop) and
-    * fabricate phantom grams. Mirrors DuckDB's
-    * `[substring(t, i, n) for i in range(1, len(t) - n + 2)]`, whose
-    * empty range handles short texts the same way. */
-  def charNgrams(text: Column, n: Int): Column = {
-    require(n >= 1, s"n-gram width must be positive, got $n")
-    val t = lower(text)
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - lit(n - 1)),
-        i => t.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * (DuckDB's `[substring(t, i, n) for i in range(1, len(t) - n + 2)]`
+    * handles short texts the same way via the empty range). Delegates to
+    * the native [[graft.functions.CharNgrams]] kernel: the composable
+    * `transform(sequence(...), i -> substr(lower(t), i, n))` evaluates
+    * an interpreted lambda that re-lowercases the whole text per
+    * position — O(len²) per document and outside codegen. */
+  def charNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.CharNgrams(
+        org.apache.spark.sql.graft.bridge.expression(text), n))
 
   /** Priority-argmax language ID over the marker scores (en>es>fr>de>und). */
   def langId(text: Column): Column = {

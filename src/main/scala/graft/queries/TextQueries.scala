@@ -193,7 +193,8 @@ object TextQueries {
     // the dedup/topic persists the fan-out created
     ReplayOrchestrator.drainAndClear()
     releaseLmCaches()
-    langClfCache.clear() // lazy tables + one scalar — no persist to release
+    langClfCache.values.foreach(_.unpersistTables())
+    langClfCache.clear()
   }
 
   val queries: ListMap[String, Q] = ListMap(
@@ -536,6 +537,30 @@ object TextQueries {
         .serve(Seq("hash", "join", "vector"))
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(20)
+    }),
+    // HYBRID retrieval (the RAG first-stage ranker): the same 3-term
+    // keyword query served from the term-pruned inverted index, fused by
+    // reciprocal rank (k=60, Cormack et al. 2009) with the exact dense
+    // top-20 for doc 0's embedding from the bounded-heap CosineTopK plan
+    // — doc 0 is the request's source doc, excluded from both lists.
+    // Corpus-sized work happens only in the two upstream operators
+    // (pruned posting scan; one heap scan); the fusion join and both
+    // rank windows touch <= 40 rows by construction (Retrieval.rrfFuse).
+    // A doc surfaced by only one signal keeps a NULL rank for the other.
+    "retrieval_hybrid_rrf" -> ((spark, dir) => {
+      val lex = graft.operators.Retrieval.rankBy(
+        invertedIndexPersisted(spark, dir)
+          .serve(Seq("hash", "join", "vector"))
+          .filter(col("doc_id") =!= 0)
+          .orderBy(desc("bm25"), col("doc_id")).limit(20),
+        "doc_id", "bm25", "lex_rank")
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val dense = graft.plans.CosineTopK
+        .topK(spark, emb, Seq((0L, q0)), 20, "vec_id", "embedding")
+        .select(col("c_id").as("doc_id"), col("rank").as("dense_rank"))
+      graft.operators.Retrieval.rrfFuse(lex, dense, "doc_id")
     }),
     // PII scrubbing: count + redact emails / URLs / long digit runs — the
     // compliance-filtering stage of a training-data pipeline. Patterns are
@@ -1046,10 +1071,9 @@ object TextQueries {
   /** One TRAINED char-trigram language-ID model per (session, dir) —
     * the same NB sufficient statistics as [[clfPersisted]] but over the
     * [[TextAnalysis.charNgrams]] feature space (fastText-lid's), fitted
-    * on the labeled %5==0 seed slice. In-session cache only: the model
-    * IS three lazy aggregates plus one vocab scalar (the single training
-    * action), so caching the object avoids re-running the scalar per
-    * bench pass while the tables stay lazy. */
+    * on the labeled %5==0 seed slice. The bounded model tables (|L| +
+    * vocab×|L| rows) are persisted so repeat scoring doesn't re-run the
+    * training aggregates; [[clearCaches]] releases them. */
   private val langClfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.operators.QualityClassifier]
 
@@ -1058,7 +1082,7 @@ object TextQueries {
     QueryArtifacts.runOnce(langClfCache, (spark, dir))(
       graft.operators.QualityClassifier.trainFeatures(
         Tables.load(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
-        TextAnalysis.charNgrams(col("text"), 3), "lang"))
+        TextAnalysis.charNgrams(col("text"), 3), "lang").cacheTables())
 
   /** Shared quality CTEs (per-doc signals + repetition ratio) — the ONE
     * SQL definition behind both corpus_quality_filter's keep verdict and
@@ -1497,6 +1521,60 @@ object TextQueries {
     // the two rows share ONE oracle — an index/serve divergence turns
     // exactly one of them red
     "bm25_served" -> bm25Oracle,
+    // the bm25 CTEs verbatim (stats over the FULL corpus — the index is
+    // built before the request excludes its source doc), the dense
+    // cosine re-derived with the usual list comprehension, RRF = sum of
+    // 1/(60+rank) in lex-then-dense order, scaled-rounded like every
+    // engine score
+    "retrieval_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(tok.w) AS t(term)
+        |  WHERE t.term IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(sum((n_docs - df + 0.5) / (df + 0.5)
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |  WHERE tf.doc_id <> 0
+        |  GROUP BY tf.doc_id, n_docs, avgdl),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS INTEGER) AS lex_rank
+        |  FROM scored),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |dsc AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+        |dense AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+        |    AS INTEGER) AS dense_rank
+        |  FROM dsc),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    l.lex_rank, d.dense_rank,
+        |    round((coalesce(1.0 / (60 + l.lex_rank), 0)
+        |         + coalesce(1.0 / (60 + d.dense_rank), 0)) * 1e6) / 1e6 AS rrf6
+        |  FROM (SELECT * FROM lex WHERE lex_rank <= 20) l
+        |  FULL OUTER JOIN (SELECT * FROM dense WHERE dense_rank <= 20) d
+        |    ON l.doc_id = d.doc_id),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY rrf6 DESC, doc_id)
+        |    AS INTEGER) AS rank, doc_id, lex_rank, dense_rank, rrf6
+        |  FROM fused)
+        |SELECT rank, doc_id, lex_rank, dense_rank, rrf6
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "text_scrub_pii" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,

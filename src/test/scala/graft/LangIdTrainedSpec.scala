@@ -28,6 +28,31 @@ class LangIdTrainedSpec extends AnyFunSuite {
     assert(rows(4) == Seq("aaa"))
   }
 
+  test("native charNgrams matches the HOF formulation on multi-byte text") {
+    import org.apache.spark.sql.Column
+    // the composable chain the kernel replaces (and the DuckDB oracle
+    // comprehension mirrors): lowercase, then every width-n CODE-POINT
+    // window — so accented/CJK/astral chars must slice identically
+    def hof(text: Column, n: Int): Column = {
+      val t = lower(text)
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - lit(n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val fixtures = Seq(
+      "Árbol pequeño", "über Straße", "日本語のテキスト", "naïve café",
+      "a日b語c", "𝔘nicode astral 𝄞 plane", "MIXED case ASCII text", "日本", "日本語")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val out = fixtures.toDF("t")
+        .select(TextAnalysis.charNgrams(col("t"), n).as("a"), hof(col("t"), n).as("b"))
+        .collect()
+      out.zip(fixtures).foreach { case (r, f) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n text=$f")
+      }
+    }
+  }
+
   test("hand-computed NB scores over char-trigram features, tie to label order") {
     // model: class a trained on "aba" (1 gram), class b on "bcb" (1 gram)
     // -> classes (a: n_docs=1, tot=1), (b: 1, 1); vocab v=2

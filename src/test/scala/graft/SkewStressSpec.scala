@@ -192,13 +192,18 @@ class SkewStressSpec extends AnyFunSuite {
 
   test("classifier served-model word join splits the hot-word partition and preserves results") {
     // the boilerplate words ("free"/"prize"/"now") are each held by 1000
-    // docs — the docTok >< counts join's hot shuffle keys. The model is
-    // the DURABLE one (trained, written, reloaded): with the count table
-    // a storage scan, the join children match OptimizeSkewedJoin's
-    // Sort <- stage pattern (an in-session model would fuse the count
-    // aggregate into the join stage, the bigram fused-form limitation).
-    // The per-doc score aggregate groups by (doc_id, label), not the
-    // word key, so the split is free to engage.
+    // docs — the docTok >< counts join's hot shuffle keys on the
+    // LARGE-MODEL fallback path (broadcastModel=false: corpus-trained
+    // vocab too big to broadcast). The model is the DURABLE one
+    // (trained, written, reloaded): with the count table a storage scan,
+    // the join children match OptimizeSkewedJoin's Sort <- stage pattern
+    // (an in-session model would fuse the count aggregate into the join
+    // stage, the bigram fused-form limitation). The per-doc score
+    // aggregate groups by (doc_id, label), not the word key, so the
+    // split is free to engage. The DEFAULT path broadcasts the
+    // model-sized count table instead — skew-immune by construction
+    // (no shuffled word join exists to split) — pinned below alongside
+    // path-equality.
     val path = "target/skew-clf-test/model"
     graft.operators.QualityClassifier.train(
         hotCorpus.filter(col("doc_id") % 2 === 0)
@@ -206,7 +211,8 @@ class SkewStressSpec extends AnyFunSuite {
         "text", "label")
       .write(path, "skew-spec")
     val clf = graft.operators.QualityClassifier.load(spark, path)
-    def mk = clf.score(hotCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    def mk = clf.score(hotCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      broadcastModel = false)
     def clfDigest(df: DataFrame): ((Long, java.math.BigDecimal), String) = {
       val g = df.agg(
         count(lit(1)).as("n"),
@@ -223,6 +229,17 @@ class SkewStressSpec extends AnyFunSuite {
     assert(plan.contains("skew=true"),
       s"skew join did not engage on the hot word:\n$plan")
     assert(split == baseline, s"skew split changed the result: $split != $baseline")
+    // default path: the model-sized count table BROADCASTS — the word
+    // join never shuffles, so under the same hot-word fixture there is
+    // nothing for AQE to split, and the result is path-identical
+    def mkB = clf.score(hotCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val (bres, bplan) = withConfs(skewConfs(enabled = true): _*)(clfDigest(mkB))
+    assert(!bplan.contains("skew=true"),
+      s"broadcast scoring path unexpectedly shows a skew-split join:\n$bplan")
+    assert(bplan.contains("BroadcastHashJoin"),
+      s"default scoring path no longer broadcasts the model:\n$bplan")
+    assert(bres == baseline,
+      s"broadcast path diverged from the shuffle path: $bres != $baseline")
   }
 
   test("fused one-call bigram-LM is skew-UNsplittable but result-stable (documented limitation)") {
