@@ -53,6 +53,128 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3-lite): BM25
+    * top-`nFeedback` documents for the `seed` query from the served
+    * index, then the top-`nExpand` non-seed terms by TOTAL feedback term
+    * frequency (mass = Σ tf over the feedback docs; ties by term asc — a
+    * total order), optionally df-capped (`maxDfFrac = Some((num, den))`
+    * keeps only terms with df·den <= nDocs·num — the integer-exact stand-
+    * in for an idf floor that keeps boilerplate terms out of the
+    * expansion). Returns seed ++ expansion, for a second serve.
+    *
+    * Scale shape: the feedback doc set is `nFeedback` ids (broadcast into
+    * the corpus scan — at scale a doc-id-keyed point lookup), the term
+    * mass aggregate is bounded by the feedback docs' vocabulary, the df
+    * cap joins that bounded candidate set against the vocab-sized terms
+    * sidecar, and the final collect is `nExpand` strings. The expanded
+    * serve still prunes to the query terms' buckets. */
+  def prfExpandedQuery(index: InvertedIndex, docs: DataFrame,
+      idCol: String, textCol: String, seed: Seq[String],
+      nFeedback: Int = 10, nExpand: Int = 3,
+      maxDfFrac: Option[(Int, Int)] = None): Seq[String] = {
+    require(seed.nonEmpty, "need a non-empty seed query")
+    require(nFeedback >= 1 && nExpand >= 0,
+      s"need nFeedback >= 1 and nExpand >= 0, got $nFeedback/$nExpand")
+    val seedLower = seed.map(_.toLowerCase)
+    val fb = index.serve(seedLower)
+      .orderBy(desc("bm25"), col(idCol)).limit(nFeedback)
+      .select(idCol)
+    val mass = docs.join(broadcast(fb), idCol)
+      .select(explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(!col("term").isin(seedLower: _*))
+      .groupBy("term").agg(count(lit(1)).as("mass"))
+    val capped = maxDfFrac match {
+      case Some((num, den)) =>
+        mass.join(index.terms.select("term", "df"), "term")
+          .filter(col("df") * den <= lit(index.nDocs) * num)
+      case None => mass
+    }
+    val expansion = capped
+      .orderBy(desc("mass"), col("term")).limit(nExpand)
+      .select("term").collect().map(_.getString(0)).toSeq
+    seedLower ++ expansion
+  }
+
+  /** MMR diversified re-rank (Carbonell & Goldstein, SIGIR 1998) of a
+    * BOUNDED retrieval shortlist: greedily pick
+    * argmax_{d not picked} (lambdaRel·rel(d) − lambdaDiv·max_{s picked}
+    * cos(d, s)), ties by id asc — relevance traded against redundancy
+    * with what is already selected, the standard diversity pass after a
+    * dense top-k.
+    *
+    * The shortlist is bounded by contract (a top-k result, tens of
+    * rows), so the greedy runs DRIVER-side over one bounded collect (the
+    * centroid/codebook sidecar precedent; `maxShortlist` guards a
+    * miswired corpus-sized caller) with k·n cosine evaluations, and the
+    * result is a k-row local relation. All cosines go through the SAME
+    * ascending-index double accumulation and scaled HALF_UP rounding as
+    * [[graft.plans.CosineTopK]] ([[graft.functions.VectorKernels]] /
+    * TopKMath.round6), and the two lambda weights are passed separately
+    * — computing 1−λ in doubles would NOT equal the oracle's written
+    * 0.3 literal (1−0.7 is 0.30000000000000004) — so every score is
+    * bit-identical to the unrolled SQL derivation.
+    *
+    * Output: (pick_rank 1..k, `idCol`, rel, mmr6) in pick order, where
+    * mmr6 is the rounded selection score at pick time (pick 1's is
+    * lambdaRel·rel alone — nothing is selected yet). */
+  def mmrRerank(shortlist: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lambdaRel: Double, lambdaDiv: Double,
+      maxShortlist: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val rows = shortlist
+      .select(col(idCol).cast("long"), col(relCol).cast("double"), col(vecCol))
+      .limit(maxShortlist + 1).collect()
+    require(rows.length <= maxShortlist,
+      s"mmrRerank shortlist exceeds $maxShortlist rows — bounded-collect " +
+        "contract violated; truncate the shortlist upstream")
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Float](2).toArray)
+    val norms = vecs.map(graft.functions.VectorKernels.l2normFloats)
+    def sim6(i: Int, j: Int): Double = {
+      val a = vecs(i); val b = vecs(j)
+      var acc = 0.0
+      var d = 0
+      val n = math.min(a.length, b.length)
+      while (d < n) { acc += a(d).toDouble * b(d).toDouble; d += 1 }
+      graft.plans.TopKMath.round6(acc / (norms(i) * norms(j)))
+    }
+    val n = ids.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val used = new Array[Boolean](n)
+    while (picked.length < math.min(k, n)) {
+      var bestIdx = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          var maxSim = Double.NegativeInfinity
+          var pi = 0
+          while (pi < picked.length) {
+            val s = sim6(i, picked(pi)._1)
+            if (s > maxSim) maxSim = s
+            pi += 1
+          }
+          val score = graft.plans.TopKMath.round6(
+            if (picked.isEmpty) lambdaRel * rel(i)
+            else lambdaRel * rel(i) - lambdaDiv * maxSim)
+          if (bestIdx < 0 || score > bestScore ||
+            (score == bestScore && ids(i) < ids(bestIdx))) {
+            bestIdx = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      used(bestIdx) = true
+      picked += ((bestIdx, ids(bestIdx), rel(bestIdx), bestScore))
+    }
+    picked.zipWithIndex
+      .map { case ((_, id, r, s), pos) => (pos + 1, id, r, s) }
+      .toSeq.toDF("pick_rank", idCol, "rel", "mmr6")
+  }
+
   /** 1-based rank column over a bounded, already-truncated candidate
     * list: position by (`scoreCol` desc, `idCol` asc). The caller
     * truncates FIRST (orderBy + limit — a distributed TakeOrdered), so

@@ -965,6 +965,27 @@ object SimilarityQueries {
     // gate over the isotropic driver fixture would certify nothing.)
     "ann_matryoshka_topk" -> ((spark, dir) =>
       matryoshkaTop5(spark, dir).orderBy("q_id", "rank")),
+    // MMR diversity re-rank (Carbonell & Goldstein SIGIR'98) of the
+    // dense shortlist — the standard redundancy-removal pass after a
+    // top-k: CosineTopK's exact top-20 for doc 0's embedding, then 5
+    // greedy picks trading relevance (x0.7) against max similarity to
+    // what is already picked (x0.3). The greedy runs driver-side over
+    // the BOUNDED 20-row shortlist (Retrieval.mmrRerank — the
+    // centroid-collect precedent); deterministic end to end (round-6
+    // cosines, id tie-breaks), so the oracle replays all five picks as
+    // unrolled argmax stages and the row is fully hash-checked.
+    "retrieval_mmr_diverse" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val short = graft.plans.CosineTopK
+        .topK(spark, emb, Seq((0L, q0)), 20, "vec_id", "embedding")
+        .select(col("c_id").as("doc_id"), col("cosine").as("rel"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id")
+      graft.operators.Retrieval.mmrRerank(short, "doc_id", "rel",
+        "embedding", k = 5, lambdaRel = 0.7, lambdaDiv = 0.3)
+    }),
     // Semantic benchmark decontamination (see semanticContaminationOn):
     // the vec_id % 10 == 0 slice plays the bounded eval benchmark; corpus
     // vectors whose max eval cosine reaches 0.35 are flagged — the
@@ -1207,6 +1228,63 @@ object SimilarityQueries {
     "streaming_topic_drift_replay" -> topicDriftOracle,
     "ann_bruteforce_topk" -> bruteForceOracle,
     "ann_matryoshka_topk" -> matryoshkaOracle,
+    // the five greedy picks unrolled as argmax stages over the same
+    // round-6 shortlist/pairwise cosines; 0.7/0.3 are written literals
+    // on both sides (the engine never computes 1-lambda — in doubles
+    // that is NOT 0.3)
+    "retrieval_mmr_diverse" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |sl AS (
+        |  SELECT c.vec_id AS doc_id, c.v, c.nrm,
+        |    round(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.nrm * c.nrm), 6) AS rel
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+        |  ORDER BY rel DESC, doc_id LIMIT 20),
+        |sim AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+        |      / (a.nrm * b.nrm), 6) AS s
+        |  FROM sl a JOIN sl b ON a.doc_id <> b.doc_id),
+        |p1 AS (SELECT doc_id, rel, round(0.7 * rel * 1e6) / 1e6 AS mmr6
+        |       FROM sl ORDER BY rel DESC, doc_id LIMIT 1),
+        |k1 AS (SELECT doc_id FROM p1),
+        |p2 AS (SELECT d.doc_id, d.rel,
+        |         round((0.7 * d.rel - 0.3 * max(s.s)) * 1e6) / 1e6 AS mmr6
+        |       FROM sl d JOIN sim s ON s.a_id = d.doc_id
+        |         AND s.b_id IN (SELECT doc_id FROM k1)
+        |       WHERE d.doc_id NOT IN (SELECT doc_id FROM k1)
+        |       GROUP BY d.doc_id, d.rel ORDER BY mmr6 DESC, d.doc_id LIMIT 1),
+        |k2 AS (SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM p2),
+        |p3 AS (SELECT d.doc_id, d.rel,
+        |         round((0.7 * d.rel - 0.3 * max(s.s)) * 1e6) / 1e6 AS mmr6
+        |       FROM sl d JOIN sim s ON s.a_id = d.doc_id
+        |         AND s.b_id IN (SELECT doc_id FROM k2)
+        |       WHERE d.doc_id NOT IN (SELECT doc_id FROM k2)
+        |       GROUP BY d.doc_id, d.rel ORDER BY mmr6 DESC, d.doc_id LIMIT 1),
+        |k3 AS (SELECT doc_id FROM k2 UNION ALL SELECT doc_id FROM p3),
+        |p4 AS (SELECT d.doc_id, d.rel,
+        |         round((0.7 * d.rel - 0.3 * max(s.s)) * 1e6) / 1e6 AS mmr6
+        |       FROM sl d JOIN sim s ON s.a_id = d.doc_id
+        |         AND s.b_id IN (SELECT doc_id FROM k3)
+        |       WHERE d.doc_id NOT IN (SELECT doc_id FROM k3)
+        |       GROUP BY d.doc_id, d.rel ORDER BY mmr6 DESC, d.doc_id LIMIT 1),
+        |k4 AS (SELECT doc_id FROM k3 UNION ALL SELECT doc_id FROM p4),
+        |p5 AS (SELECT d.doc_id, d.rel,
+        |         round((0.7 * d.rel - 0.3 * max(s.s)) * 1e6) / 1e6 AS mmr6
+        |       FROM sl d JOIN sim s ON s.a_id = d.doc_id
+        |         AND s.b_id IN (SELECT doc_id FROM k4)
+        |       WHERE d.doc_id NOT IN (SELECT doc_id FROM k4)
+        |       GROUP BY d.doc_id, d.rel ORDER BY mmr6 DESC, d.doc_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS pick_rank, doc_id, rel, mmr6 FROM p1
+        |  UNION ALL SELECT CAST(2 AS INTEGER), doc_id, rel, mmr6 FROM p2
+        |  UNION ALL SELECT CAST(3 AS INTEGER), doc_id, rel, mmr6 FROM p3
+        |  UNION ALL SELECT CAST(4 AS INTEGER), doc_id, rel, mmr6 FROM p4
+        |  UNION ALL SELECT CAST(5 AS INTEGER), doc_id, rel, mmr6 FROM p5)
+        |ORDER BY pick_rank""".stripMargin,
     "decontaminate_semantic" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

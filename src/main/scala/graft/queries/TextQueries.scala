@@ -581,6 +581,29 @@ object TextQueries {
         .select(col("c_id").as("doc_id"), col("rank").as("dense_rank"))
       graft.operators.Retrieval.rrfFuse(lex, dense, "doc_id")
     }),
+    // PRF query expansion (Rocchio/RM3-lite, the classic second-pass
+    // retrieval refinement): BM25 top-10 feedback docs for the seed
+    // query, top-3 non-seed terms by total feedback term frequency
+    // (bounded collect — 3 strings, so the expanded serve still prunes
+    // to the query terms' buckets), then the SAME served scoring over
+    // seed + expansion. The synthetic corpus's flat 31-term vocabulary
+    // makes the chosen terms semantically arbitrary, so — the
+    // lang_id_trained pattern — this row gates the two-pass lifecycle
+    // and arithmetic at all three SFs while RetrievalSpec gates the
+    // discrimination (df-capped expansion on a planted fixture where
+    // expansion surfaces a doc the seed query cannot reach).
+    "retrieval_prf_expand" -> ((spark, dir) => {
+      val idx = invertedIndexPersisted(spark, dir)
+      val expanded = graft.operators.Retrieval.prfExpandedQuery(
+        idx, Tables.load(spark, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "vector"))
+      graft.operators.Retrieval.rankBy(
+          idx.serve(expanded)
+            .orderBy(desc("bm25"), col("doc_id")).limit(20),
+          "doc_id", "bm25", "rank")
+        .select("rank", "doc_id", "matched_terms", "bm25")
+        .orderBy("rank")
+    }),
     // PII scrubbing: count + redact emails / URLs / long digit runs — the
     // compliance-filtering stage of a training-data pipeline. Patterns are
     // dialect-portable (same semantics in Java regex and DuckDB's RE2);
@@ -1540,6 +1563,47 @@ object TextQueries {
     // the two rows share ONE oracle — an index/serve divergence turns
     // exactly one of them red
     "bm25_served" -> bm25Oracle,
+    // both passes re-derived from the bm25 CTEs: seed scoring -> top-10
+    // feedback docs -> non-seed term mass -> top-3 expansion (mass desc,
+    // term asc) -> the same scoring over seed UNION expansion
+    "retrieval_prf_expand" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tfall AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(tok.w) AS t(term) GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfall GROUP BY term),
+        |s1 AS (
+        |  SELECT tfall.doc_id,
+        |    round(sum((n_docs - df + 0.5) / (df + 0.5)
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
+        |  FROM tfall JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |  WHERE term IN ('hash', 'join', 'vector')
+        |  GROUP BY tfall.doc_id, n_docs, avgdl),
+        |fb AS (SELECT doc_id FROM s1 ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |mass AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS mass
+        |  FROM tfall JOIN fb USING (doc_id)
+        |  WHERE term NOT IN ('hash', 'join', 'vector')
+        |  GROUP BY term),
+        |exp3 AS (SELECT term FROM mass ORDER BY mass DESC, term LIMIT 3),
+        |qterms AS (SELECT term FROM exp3
+        |           UNION SELECT unnest(['hash', 'join', 'vector']) AS term),
+        |s2 AS (
+        |  SELECT tfall.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+        |    round(sum((n_docs - df + 0.5) / (df + 0.5)
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
+        |  FROM tfall JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |  WHERE term IN (SELECT term FROM qterms)
+        |  GROUP BY tfall.doc_id, n_docs, avgdl),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS INTEGER) AS rank, doc_id, matched_terms, bm25
+        |  FROM s2)
+        |SELECT rank, doc_id, matched_terms, bm25
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // the bm25 CTEs verbatim (stats over the FULL corpus — the index is
     // built before the request excludes its source doc), the dense
     // cosine re-derived with the usual list comprehension, RRF = sum of

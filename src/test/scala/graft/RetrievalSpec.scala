@@ -39,6 +39,64 @@ class RetrievalSpec extends AnyFunSuite {
       Seq((1, 5L), (2, 9L)))
   }
 
+  test("PRF expansion is df-capped and surfaces docs the seed cannot reach") {
+    import org.apache.spark.sql.functions.{col, desc}
+    // docs 1-3: seed term 'alpha' co-occurs with 'omega'; doc 4 has
+    // 'omega' but NO seed term (the PRF win); 'the' is boilerplate in
+    // every doc with the HIGHEST feedback mass (6 > omega's 3) — only
+    // the df cap keeps it out of the expansion
+    val docs = Seq(
+      (1L, "alpha omega the the x"),
+      (2L, "alpha omega the the y"),
+      (3L, "alpha omega the the z"),
+      (4L, "omega the the w"),
+      (5L, "noise the the n"),
+      (6L, "noise the the m")).toDF("doc_id", "text")
+    val idx = graft.operators.InvertedIndex.build(docs, "doc_id", "text")
+    // uncapped: the boilerplate term wins on raw mass
+    val uncapped = Retrieval.prfExpandedQuery(idx, docs, "doc_id", "text",
+      Seq("alpha"), nFeedback = 3, nExpand = 1)
+    assert(uncapped == Seq("alpha", "the"))
+    // df cap 2/3 (df*3 <= nDocs*2): 'the' (df 6 of 6) is excluded,
+    // 'omega' (df 4 of 6) survives and wins on feedback mass
+    val expanded = Retrieval.prfExpandedQuery(idx, docs, "doc_id", "text",
+      Seq("alpha"), nFeedback = 3, nExpand = 1, maxDfFrac = Some((2, 3)))
+    assert(expanded == Seq("alpha", "omega"))
+    def served(terms: Seq[String]): Set[Long] =
+      idx.serve(terms).orderBy(desc("bm25"), col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    // the seed query cannot reach doc 4; the expanded one surfaces it
+    assert(!served(Seq("alpha")).contains(4L))
+    assert(served(expanded).contains(4L))
+    assert(served(expanded) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("MMR trades relevance against redundancy, hand-computed") {
+    // a=(1,0) rel .95, b=(1,0) rel .90 (a clone of a), c=(0,1) rel .50
+    val short = Seq(
+      (1L, 0.95, Array(1.0f, 0.0f)),
+      (2L, 0.90, Array(1.0f, 0.0f)),
+      (3L, 0.50, Array(0.0f, 1.0f))).toDF("doc_id", "rel", "embedding")
+    // pick 1: a (.7*.95 = .665). pick 2: b scores .7*.90 - .3*sim(b,a=1.0)
+    // = .33; c scores .7*.50 - .3*0 = .35 -> the DIVERSE c wins despite
+    // lower relevance
+    val out = Retrieval.mmrRerank(short, "doc_id", "rel", "embedding",
+      k = 2, lambdaRel = 0.7, lambdaDiv = 0.3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((1, 1L, 0.665), (2, 3L, 0.35)))
+    // with the diversity weight off, pure relevance order returns
+    val rel = Retrieval.mmrRerank(short, "doc_id", "rel", "embedding",
+      k = 2, lambdaRel = 0.7, lambdaDiv = 0.0).collect().map(_.getLong(1))
+    assert(rel.toSeq == Seq(1L, 2L))
+    // equal scores break by id; k beyond the shortlist picks everything
+    val tied = Retrieval.mmrRerank(
+      Seq((9L, 0.8, Array(1.0f, 0.0f)), (4L, 0.8, Array(0.0f, 1.0f)))
+        .toDF("doc_id", "rel", "embedding"),
+      "doc_id", "rel", "embedding", k = 5, lambdaRel = 0.7, lambdaDiv = 0.3)
+      .collect().map(_.getLong(1))
+    assert(tied.toSeq == Seq(4L, 9L))
+  }
+
   test("topN truncates after fusion, not per list") {
     val lex = (1L to 8L).map(i => (i, i.toInt)).toDF("doc_id", "lex_rank")
     val dense = (5L to 12L).map(i => (i, (i - 4).toInt)).toDF("doc_id", "dense_rank")
