@@ -95,6 +95,56 @@ object Retrieval {
     seedLower ++ expansion
   }
 
+  /** "Did-you-mean" query-term correction against the index's term
+    * sidecar: each (lowercased, distinct) input term maps to the vocab
+    * term minimizing (levenshtein distance asc, df desc, term asc)
+    * among candidates within `maxDist` edits — an in-vocabulary term is
+    * its own distance-0 argmin, so one uniform rule covers exact hits,
+    * typo corrections, and (via the left join) terms with no candidate,
+    * which pass through unchanged with NULL dist/df and simply match no
+    * postings downstream.
+    *
+    * Scale shape: ONE scan of the vocab-sized term sidecar against a
+    * broadcast of the bounded query-term set (the length pre-filter —
+    * |len(q) − len(t)| ≤ maxDist, a lower bound on edit distance — is a
+    * cheap codegen guard in front of the quadratic-per-pair levenshtein
+    * kernel), then a per-qterm argmin whose window partitions hold at
+    * most the candidate set within `maxDist` of one term. Nothing
+    * corpus-sized moves: the sidecar is |vocab| rows however large the
+    * corpus.
+    *
+    * Output: (qterm, corrected, dist, df) ordered by qterm. */
+  def correctionReport(index: InvertedIndex, terms: Seq[String],
+      maxDist: Int = 2): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val spark = index.terms.sparkSession
+    import spark.implicits._
+    val q = terms.map(_.toLowerCase).distinct.toDF("qterm")
+    val cand = index.terms.select(col("term"), col("df"))
+      .join(broadcast(q),
+        abs(length(col("qterm")) - length(col("term"))) <= maxDist &&
+          levenshtein(col("qterm"), col("term")) <= maxDist)
+      .withColumn("dist", levenshtein(col("qterm"), col("term")))
+    val w = Window.partitionBy("qterm")
+      .orderBy(col("dist"), desc("df"), col("term"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qterm"), col("term"), col("dist"), col("df"))
+    q.join(best, Seq("qterm"), "left")
+      .select(col("qterm"), coalesce(col("term"), col("qterm")).as("corrected"),
+        col("dist"), col("df"))
+      .orderBy("qterm")
+  }
+
+  /** The corrected query itself: [[correctionReport]] collapsed to the
+    * distinct corrected term list (bounded collect — one row per distinct
+    * input term), ready for a second `index.serve`. */
+  def correctTerms(index: InvertedIndex, terms: Seq[String],
+      maxDist: Int = 2): Seq[String] =
+    correctionReport(index, terms, maxDist)
+      .select("corrected").collect().map(_.getString(0)).toSeq.distinct
+
   /** MMR diversified re-rank (Carbonell & Goldstein, SIGIR 1998) of a
     * BOUNDED retrieval shortlist: greedily pick
     * argmax_{d not picked} (lambdaRel·rel(d) − lambdaDiv·max_{s picked}

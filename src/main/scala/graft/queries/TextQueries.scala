@@ -604,6 +604,37 @@ object TextQueries {
         .select("rank", "doc_id", "matched_terms", "bm25")
         .orderBy("rank")
     }),
+    // "Did you mean" query correction against the served index's term
+    // sidecar (Retrieval.correctionReport): each query term maps to the
+    // vocab term minimizing (levenshtein asc, df desc, term asc) within
+    // 2 edits — 'join' is its own distance-0 argmin, 'haash'/'qery'
+    // correct to 'hash'/'query', and 'zzzzzz' has no candidate so it
+    // passes through with NULL dist/df. One scan of the BOUNDED vocab
+    // sidecar against the broadcast query set; levenshtein is the same
+    // unit-cost edit distance in Spark and DuckDB, so the whole report
+    // is hash-checked.
+    "retrieval_fuzzy_correct" -> ((spark, dir) => {
+      val idx = invertedIndexPersisted(spark, dir)
+      graft.operators.Retrieval.correctionReport(
+        idx, Seq("haash", "join", "qery", "zzzzzz"))
+    }),
+    // ...and the corrected query served end to end: the fuzzy-corrected
+    // term list feeds the SAME term-bucket-pruned BM25 serving as
+    // bm25_served, so this row pins the full did-you-mean lifecycle
+    // (correct -> serve) — scores certify exactly the corrected term set
+    // {hash, join, query} (the unmatched passthrough contributes no
+    // postings).
+    "retrieval_fuzzy_serve" -> ((spark, dir) => {
+      val idx = invertedIndexPersisted(spark, dir)
+      val corrected = graft.operators.Retrieval.correctTerms(
+        idx, Seq("haash", "join", "qery", "zzzzzz"))
+      graft.operators.Retrieval.rankBy(
+          idx.serve(corrected)
+            .orderBy(desc("bm25"), col("doc_id")).limit(20),
+          "doc_id", "bm25", "rank")
+        .select("rank", "doc_id", "matched_terms", "bm25")
+        .orderBy("rank")
+    }),
     // PII scrubbing: count + redact emails / URLs / long digit runs — the
     // compliance-filtering stage of a training-data pipeline. Patterns are
     // dialect-portable (same semantics in Java regex and DuckDB's RE2);
@@ -1566,6 +1597,68 @@ object TextQueries {
     // both passes re-derived from the bm25 CTEs: seed scoring -> top-10
     // feedback docs -> non-seed term mass -> top-3 expansion (mass desc,
     // term asc) -> the same scoring over seed UNION expansion
+    // the argmin correction rule re-derived over the df table:
+    // candidates within 2 edits (length gap pre-filter is implied by the
+    // distance filter), best by (dist, df desc, term), passthrough via
+    // the left join
+    "retrieval_fuzzy_correct" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tfall AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(tok.w) AS t(term) GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfall GROUP BY term),
+        |q AS (SELECT unnest(['haash', 'join', 'qery', 'zzzzzz']) AS qterm),
+        |cand AS (
+        |  SELECT q.qterm, d.term, d.df,
+        |    CAST(levenshtein(q.qterm, d.term) AS INTEGER) AS dist
+        |  FROM q, dfreq d
+        |  WHERE abs(length(q.qterm) - length(d.term)) <= 2
+        |    AND levenshtein(q.qterm, d.term) <= 2),
+        |best AS (
+        |  SELECT qterm, term, dist, df FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qterm
+        |      ORDER BY dist, df DESC, term) AS rn FROM cand) WHERE rn = 1)
+        |SELECT q.qterm, coalesce(b.term, q.qterm) AS corrected, b.dist, b.df
+        |FROM q LEFT JOIN best b USING (qterm) ORDER BY qterm""".stripMargin,
+    // the correction CTEs feeding the bm25 scoring verbatim — the
+    // corrected term set {hash, join, query} (zzzzzz matches nothing)
+    "retrieval_fuzzy_serve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tfall AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(tok.w) AS t(term) GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfall GROUP BY term),
+        |q AS (SELECT unnest(['haash', 'join', 'qery', 'zzzzzz']) AS qterm),
+        |cand AS (
+        |  SELECT q.qterm, d.term, d.df,
+        |    CAST(levenshtein(q.qterm, d.term) AS INTEGER) AS dist
+        |  FROM q, dfreq d
+        |  WHERE abs(length(q.qterm) - length(d.term)) <= 2
+        |    AND levenshtein(q.qterm, d.term) <= 2),
+        |best AS (
+        |  SELECT qterm, term FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qterm
+        |      ORDER BY dist, df DESC, term) AS rn FROM cand) WHERE rn = 1),
+        |corrected AS (
+        |  SELECT DISTINCT coalesce(b.term, q.qterm) AS term
+        |  FROM q LEFT JOIN best b USING (qterm)),
+        |scored AS (
+        |  SELECT tfall.doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+        |    round(sum((n_docs - df + 0.5) / (df + 0.5)
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
+        |  FROM tfall JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |  WHERE term IN (SELECT term FROM corrected)
+        |  GROUP BY tfall.doc_id, n_docs, avgdl),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS INTEGER) AS rank, doc_id, matched_terms, bm25
+        |  FROM scored)
+        |SELECT rank, doc_id, matched_terms, bm25
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "retrieval_prf_expand" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

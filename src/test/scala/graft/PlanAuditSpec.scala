@@ -62,7 +62,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "perplexity_buckets", "curriculum_order",
       "corpus_materialize_curriculum",
       // same LM-score subtree broadcasts as the curriculum capstone
-      "corpus_materialize_full")
+      "corpus_materialize_full",
+      // the bounded query-term set broadcast against the vocab-sized df
+      // sidecar (levenshtein is a non-equi condition by nature; the
+      // length pre-filter guards the kernel)
+      "retrieval_fuzzy_correct", "retrieval_fuzzy_serve")
 
   test("no driver query plans a cartesian product; BNLJ only on bounded sides") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

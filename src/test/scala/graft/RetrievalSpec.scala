@@ -71,6 +71,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(served(expanded) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("fuzzy correction: df and term tie-breaks, passthrough, self-hit") {
+    // vocab: cat df 5; car/cap/can df 2 each
+    val docs = Seq(
+      (1L, "cat car cap can"), (2L, "cat car cap can"),
+      (3L, "cat"), (4L, "cat"), (5L, "cat")).toDF("doc_id", "text")
+    val idx = graft.operators.InvertedIndex.build(docs, "doc_id", "text")
+    val rep = Retrieval.correctionReport(
+        idx, Seq("CAT", "caw", "canp", "xyzzy"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(rep.toSeq == Seq(
+      // canp is 1 edit from BOTH can and cap (equal df 2): term asc wins
+      ("canp", "can", Some(1), Some(2L)),
+      // an in-vocab term is its own distance-0 argmin (lowercased input)
+      ("cat", "cat", Some(0), Some(5L)),
+      // caw is 1 edit from all four: df desc picks cat (5 > 2)
+      ("caw", "cat", Some(1), Some(5L)),
+      // nothing within 2 edits: passthrough with NULL dist/df
+      ("xyzzy", "xyzzy", None, None)))
+    // maxDist=0 turns the typo into a passthrough
+    val strict = Retrieval.correctionReport(idx, Seq("caw"), maxDist = 0)
+      .collect().map(r => (r.getString(1), Option(r.get(2))))
+    assert(strict.toSeq == Seq(("caw", None)))
+    // correctTerms dedups collisions: both inputs correct to one 'cat'
+    assert(Retrieval.correctTerms(idx, Seq("caw", "cat")) == Seq("cat"))
+  }
+
   test("MMR trades relevance against redundancy, hand-computed") {
     // a=(1,0) rel .95, b=(1,0) rel .90 (a clone of a), c=(0,1) rel .50
     val short = Seq(
