@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point PageRank — the graph-authority signal web
+  * curation pipelines use as a document-quality prior (Common-Crawl-style
+  * domain ranking): rank flows along edges, damped toward a uniform
+  * teleport.
+  *
+  * The whole computation is INTEGER arithmetic: ranks are scaled longs
+  * (init = `scale` per node, i.e. rank 1.0), each out-contribution is a
+  * truncating `DIV`, and the damping is `(s * dampNum) DIV dampDen`. That
+  * makes every iteration's per-node in-sum a plain BIGINT aggregate —
+  * associative, order-free, map-side combined — so the result is
+  * bit-reproducible in any engine with NO ordered-fold machinery, unlike
+  * a floating-point formulation whose Σ contrib order would have to be
+  * pinned per node (unboundedly large for a popular node). The truncation
+  * deterministically leaks ≤ 1/scale of mass per node per hop — noise
+  * orders of magnitude below any ranking decision at the default scale.
+  */
+object PageRank {
+
+  /** Run `iterations` synchronous PageRank rounds over the directed edge
+    * list. Nodes are the edge-endpoint set; every node in it has
+    * outdeg ≥ 1 here only if it has an out-edge — a dangling node (no
+    * out-edges) simply contributes nothing, the standard simplification
+    * when the caller's graph is symmetric (each undirected edge sent as
+    * two directed ones).
+    *
+    * Scale shape: each iteration is ONE equi-join of the rank table onto
+    * the edge list (shuffle keyed by src) and ONE sum keyed by dst — the
+    * canonical distributed PR round; degrees are computed once. The
+    * iteration count is a small constant, so the lazy plan stays a
+    * bounded chain (a long-running production loop would localCheckpoint
+    * per round, the connected-components discipline, to cut lineage).
+    * Overflow bound: a node's in-sum is < totalMass = |V|·scale, and the
+    * damping multiply needs |V|·scale·dampNum < 2^63 — at the default
+    * scale that allows ~10^8 nodes; drop `scale` (or move the sums to
+    * decimal(38,0), the TrigramLm discipline) beyond that.
+    *
+    * Returns (node, rank_scaled): rank_scaled/scale is the PageRank with
+    * total mass ≈ |V|. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = 1000000000L,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // the teleport term, exact at the default parameters (1.5e8); any
+    // truncation here is shared with the oracle via the same formula
+    val base = scale * (dampDen - dampNum) / dampDen
+    var ranks = nodes.withColumn("rank_scaled", lit(scale))
+    var i = 0
+    while (i < iterations) {
+      val sums = e.join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_scaled DIV outdeg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"), (lit(base) +
+          expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $dampNum) DIV $dampDen"))
+          .as("rank_scaled"))
+      i += 1
+    }
+    ranks
+  }
+}

@@ -225,6 +225,43 @@ object Retrieval {
       .toSeq.toDF("pick_rank", idCol, "rel", "mmr6")
   }
 
+  /** Best-window snippet extraction — the result-page highlighting step
+    * after a serve: for each document, the `windowTokens`-token window
+    * maximizing the count of DISTINCT query terms present (ties broken by
+    * the LEFTMOST start — encoded as max over (hits, −start) structs so
+    * the whole selection is one codegen'd array expression).
+    *
+    * Scale shape: a stateless per-row projection — no shuffle, no UDF;
+    * the caller joins the bounded top-k id list back to the corpus (a
+    * broadcast semi-lookup) first, so the O(n·W·|terms|) window scan runs
+    * on k rows, not the corpus. A document shorter than the window yields
+    * the whole document as its only window.
+    *
+    * Output: `carryCols` ++ (`idCol`, start_idx, n_hits, snippet), one
+    * row per input row. */
+  def bestWindow(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], windowTokens: Int = 8,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(windowTokens >= 1,
+      s"windowTokens must be positive, got $windowTokens")
+    val lowered = terms.map(_.toLowerCase).distinct
+    val toks = split(lower(col(textCol)), " ")
+    def hitsAt(i: org.apache.spark.sql.Column) = lowered
+      .map(t => array_contains(slice(toks, i + 1, lit(windowTokens)), t)
+        .cast("int"))
+      .reduce(_ + _)
+    val starts = sequence(lit(0), greatest(size(toks) - windowTokens, lit(0)))
+    val best = array_max(transform(starts,
+      i => struct(hitsAt(i).as("h"), (-i).as("negi"))))
+    val startIdx = -best.getField("negi")
+    docs.select(carryCols.map(col) ++ Seq(col(idCol),
+      startIdx.cast("int").as("start_idx"),
+      best.getField("h").cast("int").as("n_hits"),
+      concat_ws(" ", slice(toks, startIdx + 1, lit(windowTokens)))
+        .as("snippet")): _*)
+  }
+
   /** 1-based rank column over a bounded, already-truncated candidate
     * list: position by (`scoreCol` desc, `idCol` asc). The caller
     * truncates FIRST (orderBy + limit — a distributed TakeOrdered), so

@@ -205,6 +205,61 @@ object TextAnalysis {
         round6(avg(when(col("df") === 1, 1.0).otherwise(0.0))).as("novel_rate"))
   }
 
+  /** Per-stratum lexical-diversity report — the corpus-composition
+    * dashboard (type/token ratio, Simpson repeat-rate, unigram Shannon
+    * entropy) a curation run reads before setting mixture weights: a
+    * stratum whose entropy collapses between snapshots is being flooded
+    * by templated text.
+    *
+    * Determinism: TTR and the Simpson index are pure integer arithmetic
+    * until one final division (Simpson = Σ c·(c−1) / (N·(N−1)), the
+    * repeat-probability form — exact counts, no floats). Entropy needs
+    * ln, so its Σ c·ln(c) term is an ORDER-PINNED sequential fold over
+    * the per-term counts sorted by term (the rebalance_temperature
+    * discipline — an unordered double `sum` would be non-associative
+    * across partitions and unreproducible in an oracle); the final
+    * H = ln(N) − Σ/N is rounded once.
+    *
+    * Scale shape: one tokenize scan into a (stratum, term) count
+    * aggregation; the integer aggregates are plain map-side-combined
+    * sums. The entropy fold's `collect_list` partition payload is
+    * bounded by the per-stratum VOCABULARY (the df-sidecar boundedness
+    * — sublinear in corpus size), never by rows; at web-scale vocabs,
+    * split the fold per term-hash bucket and sorted-fold the bounded
+    * bucket partials — the two-level prefix-scan discipline.
+    *
+    * Returns (`strataCol`, n_docs, n_tokens, n_types, ttr6, simpson6,
+    * entropy6), one row per non-null stratum. */
+  def diversityReport(df: org.apache.spark.sql.DataFrame, strataCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.filter(col(strataCol).isNotNull)
+    val cnt = base
+      .select(col(strataCol).as("stratum"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("stratum", "term").agg(count(lit(1)).as("c"))
+    val folded = cnt.groupBy("stratum").agg(
+      sum("c").cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_types"),
+      sum(col("c") * (col("c") - lit(1L))).cast("long").as("pairsum"),
+      aggregate(
+        sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c").cast("double")
+          * log(x.getField("c").cast("double"))).as("clnc"))
+    val nDocs = base.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTok = col("n_tokens").cast("double")
+    nDocs.join(folded, "stratum")
+      .select(col("stratum").as(strataCol), col("n_docs"),
+        col("n_tokens"), col("n_types"),
+        round6(col("n_types") / nTok).as("ttr6"),
+        when(col("n_tokens") > 1,
+            round6(col("pairsum") / (nTok * (nTok - 1.0))))
+          .otherwise(lit(0.0)).as("simpson6"),
+        round6(log(nTok) - col("clnc") / nTok).as("entropy6"))
+      .orderBy(strataCol)
+  }
+
   /** BM25 keyword retrieval: score every document against a bag of query
     * terms — the seed-retrieval primitive a curation pipeline uses to pull
     * topic-relevant documents out of a crawl (phi-style seeded quality

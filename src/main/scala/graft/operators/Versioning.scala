@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset snapshot versioning: classify every document across two corpus
+  * snapshots as added / removed / modified / unchanged — the diff a
+  * curation pipeline publishes with each release so downstream training
+  * runs know exactly what changed (and a re-train can be scoped to the
+  * delta instead of the whole corpus).
+  */
+object Versioning {
+
+  /** Diff two snapshots by content hash: one row per document id present
+    * in either snapshot, with its change class.
+    *
+    * Scale shape: each side collapses to (id, md5) BEFORE the full-outer
+    * join, so only ids and 32-char hashes shuffle — never document
+    * payloads (the dedup-family "hashes move, text doesn't" discipline).
+    * One shuffle keyed by id; the CASE chain is a stateless projection.
+    *
+    * Returns (`idCol`, change) with change in
+    * {added, removed, modified, unchanged}. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    def side(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(col(payloadCol).cast("binary")).as(h))
+    side(oldDf, "old_md5")
+      .join(side(newDf, "new_md5"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+          .otherwise(lit("modified")).as("change"))
+  }
+
+  /** The bounded release-note view of [[snapshotDiff]]: per-class counts
+    * (4 rows at most, however large the corpus). */
+  def diffSummary(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    snapshotDiff(oldDf, newDf, idCol, payloadCol)
+      .groupBy("change").agg(count(lit(1)).as("n_docs"))
+      .orderBy("change")
+}

@@ -193,6 +193,30 @@ object AnalyticsQueries {
         .distinct()
         .orderBy("o_custkey", "k1", "k2")
     }),
+    // Fixed-point PageRank (operators/PageRank) over the customer ~
+    // supplier trade graph (an order's lineitems connect its customer to
+    // each supplier; each undirected edge is sent as two directed ones):
+    // the graph-authority quality prior of web-corpus curation, run for 3
+    // synchronous rounds in INTEGER arithmetic — truncating DIV
+    // contributions, integer-damped in-sums — so every round is an
+    // order-free BIGINT aggregate and the oracle unrolls the iterations
+    // exactly. Each round is one equi-join + one keyed sum (the canonical
+    // distributed PR shuffle pair).
+    "graph_pagerank" -> ((spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
     // JSON extraction from the props column (multimodal/dynamic metadata)
     "json_extract_props" -> ((spark, dir) => {
       Tables.load(spark, dir, "events")
@@ -207,6 +231,36 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // the three integer PR rounds unrolled (// == Spark's DIV on
+    // positives; 150000000 == scale*(100-85)/100, the same formula)
+    "graph_pagerank" ->
+      """WITH p AS (
+        |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+        |    'S' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |s1 AS (SELECT e.dst AS node, CAST(sum(r0.r // d.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000000 + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN s1 s USING (node)),
+        |s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // d.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000000 + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN s2 s USING (node)),
+        |s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // d.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000000 + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN s3 s USING (node))
+        |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

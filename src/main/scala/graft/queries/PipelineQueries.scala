@@ -72,6 +72,22 @@ object PipelineQueries {
           "doc_id", seed = "r8", nShards = 8)
         .orderBy("doc_id")
     }),
+    // Dataset snapshot diff (Versioning.snapshotDiff): two derived
+    // corpus versions (v1 = ids not divisible by 7; v2 = ids not
+    // divisible by 5, with the %3==0 slice's text revised) classified
+    // added/removed/modified/unchanged by a full-outer join of
+    // (id, content-md5) pairs — only ids and hashes shuffle, never
+    // payloads. The release-note diff a versioned corpus publishes so a
+    // re-train can be scoped to the delta.
+    "corpus_version_diff" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.operators.Versioning.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Deterministic language-rebalancing sample: downsample dominant
     // strata by md5-fraction so the mix is reproducible across engines,
     // runs, and partitionings
@@ -449,6 +465,22 @@ object PipelineQueries {
         |    ELSE 63.0 / ((('0x' || substring(kth_hash, 1, 15))::BIGINT)
         |                 / 1152921504606846976.0) END, 6) AS est_distinct
         |FROM kept ORDER BY event_type""".stripMargin,
+    // same derived versions, classes by direct text comparison (the
+    // engine compares md5s — identical classification, hashes-only
+    // shuffle is the engine-side scale shape the oracle needn't mimic)
+    "corpus_version_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END
+        |           AS text
+        |       FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.text = v2.text THEN 'unchanged'
+        |       ELSE 'modified' END AS change
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

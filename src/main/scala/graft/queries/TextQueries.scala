@@ -257,6 +257,16 @@ object TextQueries {
           quality4.as("quality"))
         .orderBy("doc_id")
     }),
+    // Per-language lexical-diversity report (TextAnalysis
+    // .diversityReport): type/token ratio + Simpson repeat-rate (both
+    // pure integer arithmetic until one division) and unigram Shannon
+    // entropy, whose Σ c·ln(c) term is an ORDER-PINNED sorted fold over
+    // the per-term counts (matched by the oracle's
+    // list_sum(... ORDER BY term)) — the dashboard that catches a
+    // stratum being flooded by templated text between snapshots.
+    "corpus_diversity_report" -> ((spark, dir) =>
+      graft.operators.TextAnalysis.diversityReport(
+        Tables.load(spark, dir, "documents"), "lang", "text")),
     // Corpus health report (r11): the per-language dashboard a pipeline
     // checks before training — doc/token totals, mean quality, and
     // exact-duplicate counts in ONE aggregate pass. Mean quality sums the
@@ -602,6 +612,26 @@ object TextQueries {
             .orderBy(desc("bm25"), col("doc_id")).limit(20),
           "doc_id", "bm25", "rank")
         .select("rank", "doc_id", "matched_terms", "bm25")
+        .orderBy("rank")
+    }),
+    // Result-page snippet extraction (Retrieval.bestWindow): the served
+    // BM25 top-5 for the standing query, each document highlighted at
+    // its best 8-token window — max DISTINCT query-term hits, leftmost
+    // tie-break, selected by one codegen'd (hits, -start) struct-max so
+    // the whole pass is a stateless projection over the 5 joined-back
+    // rows. Fully hash-checked: the oracle replays the window scan with
+    // list comprehensions and takes the same leftmost max.
+    "retrieval_snippets" -> ((spark, dir) => {
+      val idx = invertedIndexPersisted(spark, dir)
+      val terms = Seq("hash", "join", "vector")
+      val top = graft.operators.Retrieval.rankBy(
+          idx.serve(terms).orderBy(desc("bm25"), col("doc_id")).limit(5),
+          "doc_id", "bm25", "rank")
+        .select("rank", "doc_id")
+      val hits = Tables.load(spark, dir, "documents")
+        .join(broadcast(top), "doc_id")
+      graft.operators.Retrieval.bestWindow(hits, "doc_id", "text", terms,
+          windowTokens = 8, carryCols = Seq("rank"))
         .orderBy("rank")
     }),
     // "Did you mean" query correction against the served index's term
@@ -1309,6 +1339,31 @@ object TextQueries {
         |  round(least(0.3 * stop_ratio + 0.3 * size_sat + 0.4 * len_shape, 1.0), 4) AS quality
         |FROM b ORDER BY doc_id""".stripMargin),
     // integer-scaled quality sums (order-independent), single division
+    // integer TTR/Simpson re-derived exactly; the entropy fold's order is
+    // pinned on both sides (sort_array-by-term == list(... ORDER BY term))
+    "corpus_diversity_report" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS pairsum,
+        |    list_sum(list(c * ln(c) ORDER BY term)) AS clnc
+        |  FROM cnt GROUP BY lang),
+        |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+        |SELECT d.lang, n_docs, n_tokens, n_types,
+        |  round(n_types / CAST(n_tokens AS DOUBLE) * 1e6) / 1e6 AS ttr6,
+        |  CASE WHEN n_tokens > 1 THEN round(pairsum
+        |    / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+        |    * 1e6) / 1e6 ELSE 0.0 END AS simpson6,
+        |  round((ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE))
+        |    * 1e6) / 1e6 AS entropy6
+        |FROM d JOIN agg USING (lang) ORDER BY lang""".stripMargin,
     // for the mean; dup docs = non-min-id members of each text group
     "corpus_stats_report" ->
       (s"""WITH q AS (
@@ -1597,6 +1652,42 @@ object TextQueries {
     // both passes re-derived from the bm25 CTEs: seed scoring -> top-10
     // feedback docs -> non-seed term mass -> top-3 expansion (mass desc,
     // term asc) -> the same scoring over seed UNION expansion
+    // bm25 CTEs -> top-5 -> the window scan replayed with list
+    // comprehensions; list_position takes the FIRST max = the engine's
+    // (hits, -start) struct-max leftmost tie-break
+    "retrieval_snippets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tfall AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM tok, unnest(tok.w) AS t(term) GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfall GROUP BY term),
+        |scored AS (
+        |  SELECT tfall.doc_id,
+        |    round(sum((n_docs - df + 0.5) / (df + 0.5)
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25
+        |  FROM tfall JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |  WHERE term IN ('hash', 'join', 'vector')
+        |  GROUP BY tfall.doc_id, n_docs, avgdl),
+        |top AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS INTEGER) AS rank, doc_id
+        |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT 5),
+        |win AS (
+        |  SELECT top.rank, top.doc_id, tok.w AS toks,
+        |    [CAST(list_contains(tok.w[i+1:i+8], 'hash') AS INTEGER)
+        |     + CAST(list_contains(tok.w[i+1:i+8], 'join') AS INTEGER)
+        |     + CAST(list_contains(tok.w[i+1:i+8], 'vector') AS INTEGER)
+        |     for i in range(0, greatest(len(tok.w) - 8, 0) + 1)] AS hits
+        |  FROM top JOIN tok USING (doc_id))
+        |SELECT rank, doc_id,
+        |  CAST(list_position(hits, list_max(hits)) - 1 AS INTEGER) AS start_idx,
+        |  CAST(list_max(hits) AS INTEGER) AS n_hits,
+        |  array_to_string(toks[list_position(hits, list_max(hits)):
+        |    list_position(hits, list_max(hits)) + 7], ' ') AS snippet
+        |FROM win ORDER BY rank""".stripMargin,
     // the argmin correction rule re-derived over the df table:
     // candidates within 2 edits (length gap pre-filter is implied by the
     // distance filter), best by (dist, df desc, term), passthrough via

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PageRank
+
+/** Fixed-point PageRank: hand-computed star-graph iterations, truncating
+  * division, zero-iteration init, and duplicate-edge collapse. */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("hand-computed star graph: two damped rounds") {
+    // undirected star centered on a (each edge sent both ways):
+    // deg(a) = 2, deg(b) = deg(c) = 1
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    // r0 = 1e9 each. Round 1: S(a) = 1e9 + 1e9; S(b) = S(c) = 1e9 DIV 2.
+    // r1(a) = 1.5e8 + (2e9*85) DIV 100 = 1.85e9; r1(b) = r1(c) =
+    // 1.5e8 + (5e8*85) DIV 100 = 5.75e8.
+    val r1 = ranks(PageRank.run(edges, "src", "dst", iterations = 1))
+    assert(r1 == Map("a" -> 1850000000L, "b" -> 575000000L,
+      "c" -> 575000000L))
+    // Round 2: S(a) = 5.75e8 + 5.75e8; S(b) = S(c) = 1.85e9 DIV 2.
+    // r2(a) = 1.5e8 + (1.15e9*85) DIV 100 = 1.1275e9;
+    // r2(b) = 1.5e8 + (9.25e8*85) DIV 100 = 9.3625e8.
+    val r2 = ranks(PageRank.run(edges, "src", "dst", iterations = 2))
+    assert(r2 == Map("a" -> 1127500000L, "b" -> 936250000L,
+      "c" -> 936250000L))
+  }
+
+  test("contributions truncate (DIV, not rounded division)") {
+    // a fans out to 3 nodes: each gets 1e9 DIV 3 = 333333333, and the
+    // damped sum truncates again: (333333333*85) DIV 100 = 283333333
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"))
+      .toDF("src", "dst")
+    val r1 = ranks(PageRank.run(edges, "src", "dst", iterations = 1))
+    assert(r1("b") == 150000000L + 283333333L)
+    assert(r1("c") == r1("b") && r1("d") == r1("b"))
+  }
+
+  test("zero iterations returns the uniform init; duplicate edges collapse") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r0 = ranks(PageRank.run(edges, "src", "dst", iterations = 0))
+    assert(r0 == Map("a" -> 1000000000L, "b" -> 1000000000L))
+    // the duplicate a->b edge is collapsed: deg(a) = 1, so b receives the
+    // full rank once, not twice
+    val r1 = ranks(PageRank.run(edges, "src", "dst", iterations = 1))
+    assert(r1("b") == 150000000L + 850000000L)
+  }
+}

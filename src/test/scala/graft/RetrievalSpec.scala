@@ -124,6 +124,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq(4L, 9L))
   }
 
+  test("best-window snippet: distinct hits, leftmost tie, short doc") {
+    val docs = Seq(
+      // the window holding both 'cat' and 'dog' (distinct hits 2) beats
+      // the earlier cat-cat window (distinct hits 1)
+      (1L, "cat cat x x x x x x x cat dog x"),
+      // two equal-hit windows: the LEFTMOST start wins
+      (2L, "cat x x x cat x x x"),
+      // shorter than the window: the whole doc is the only window
+      (3L, "dog cat")).toDF("doc_id", "text")
+    val out = Retrieval.bestWindow(docs, "doc_id", "text",
+        Seq("cat", "dog"), windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).sortBy(_._1)
+    // starts 7, 8, 9 all hold {cat, dog}: leftmost (7) wins
+    assert(out(0)._2 == 7 && out(0)._3 == 2 && out(0)._4 == "x x cat dog")
+    assert(out(1)._2 == 0 && out(1)._3 == 1 && out(1)._4 == "cat x x x")
+    assert(out(2)._2 == 0 && out(2)._3 == 2 && out(2)._4 == "dog cat")
+  }
+
   test("topN truncates after fusion, not per list") {
     val lex = (1L to 8L).map(i => (i, i.toInt)).toDF("doc_id", "lex_rank")
     val dense = (5L to 12L).map(i => (i, (i - 4).toInt)).toDF("doc_id", "dense_rank")
