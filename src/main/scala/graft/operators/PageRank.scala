@@ -30,10 +30,12 @@ object PageRank {
     *
     * Scale shape: each iteration is ONE equi-join of the rank table onto
     * the edge list (shuffle keyed by src) and ONE sum keyed by dst — the
-    * canonical distributed PR round; degrees are computed once. The
-    * iteration count is a small constant, so the lazy plan stays a
-    * bounded chain (a long-running production loop would localCheckpoint
-    * per round, the connected-components discipline, to cut lineage).
+    * canonical distributed PR round. The edge list is localCheckpointed
+    * ONCE (eager, lineage truncated — the connected-components
+    * discipline) so degrees, nodes, and every round read the
+    * materialized edges instead of re-evaluating the caller's upstream
+    * join per reference; each round's rank table is checkpointed the
+    * same way, keeping the plan depth constant in `iterations`.
     * Overflow bound: a node's in-sum is < totalMass = |V|·scale, and the
     * damping multiply needs |V|·scale·dampNum < 2^63 — at the default
     * scale that allows ~10^8 nodes; drop `scale` (or move the sums to
@@ -49,9 +51,9 @@ object PageRank {
     require(dampNum > 0 && dampNum < dampDen,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct()
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // the teleport term, exact at the default parameters (1.5e8); any
     // truncation here is shared with the oracle via the same formula
@@ -68,6 +70,7 @@ object PageRank {
         .select(col("node"), (lit(base) +
           expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $dampNum) DIV $dampDen"))
           .as("rank_scaled"))
+        .localCheckpoint()
       i += 1
     }
     ranks

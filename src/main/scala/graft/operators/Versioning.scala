@@ -18,19 +18,24 @@ object Versioning {
     * join, so only ids and 32-char hashes shuffle — never document
     * payloads (the dedup-family "hashes move, text doesn't" discipline).
     * One shuffle keyed by id; the CASE chain is a stateless projection.
+    * Presence is tracked with explicit flags, NOT hash nullity — a
+    * document present with a NULL payload must classify by membership
+    * (and two NULL payloads hash-compare null-safely as unchanged),
+    * never as added/removed.
     *
     * Returns (`idCol`, change) with change in
     * {added, removed, modified, unchanged}. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {
-    def side(df: DataFrame, h: String) =
-      df.select(col(idCol), md5(col(payloadCol).cast("binary")).as(h))
-    side(oldDf, "old_md5")
-      .join(side(newDf, "new_md5"), Seq(idCol), "full_outer")
+    def side(df: DataFrame, h: String, p: String) =
+      df.select(col(idCol), md5(col(payloadCol).cast("binary")).as(h),
+        lit(true).as(p))
+    side(oldDf, "old_md5", "in_old")
+      .join(side(newDf, "new_md5", "in_new"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_md5").isNull, lit("added"))
-          .when(col("new_md5").isNull, lit("removed"))
-          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("old_md5") <=> col("new_md5"), lit("unchanged"))
           .otherwise(lit("modified")).as("change"))
   }
 

@@ -477,7 +477,7 @@ object PipelineQueries {
         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
         |  CASE WHEN v1.doc_id IS NULL THEN 'added'
         |       WHEN v2.doc_id IS NULL THEN 'removed'
-        |       WHEN v1.text = v2.text THEN 'unchanged'
+        |       WHEN v1.text IS NOT DISTINCT FROM v2.text THEN 'unchanged'
         |       ELSE 'modified' END AS change
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,

@@ -861,10 +861,15 @@ object TextQueries {
       val docs = Tables.load(spark, dir, "documents")
       val keepers = graft.operators.Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_doc_id").as("doc_id"))
+      // the survivor manifest is referenced by the waterfill fold AND the
+      // downstream two-level scans (each reads its input twice): one
+      // eager localCheckpoint pins it to a single evaluation of the
+      // dedup/gate subtree — (doc_id, lang, n_tokens) rows only
       val surv = docs.join(keepers, Seq("doc_id"), "left_semi")
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
         .filter(col("n_tokens") >= 20)
         .select("doc_id", "lang", "n_tokens")
+        .localCheckpoint()
       val rates = graft.operators.Sampling.waterfillAllocation(surv, "lang",
           "n_tokens", Map("de" -> 2L, "en" -> 1L, "es" -> 2L, "fr" -> 2L,
             "zh" -> 2L), budget = 8000L)
@@ -881,6 +886,7 @@ object TextQueries {
           "doc_id", "phase", seed = "mat1",
           carryCols = Seq("lang", "n_tokens"))
         .withColumnRenamed("doc_id", "orig_doc_id")
+        .localCheckpoint() // packSequences reads its input twice
       graft.operators.Packing.packSequences(positioned, "pos", "n_tokens",
           budget = 512, blockSize = 100,
           carryCols = Seq("orig_doc_id", "lang", "phase"))
@@ -897,8 +903,9 @@ object TextQueries {
     // mixture -> corpus-level perplexity phases -> curriculum positions
     // -> 512-token packing over the curriculum order. Runs over the
     // TRAINING slice (%5!=0) since decontamination is against the eval
-    // slice. Still ONE lazy DAG plus the two documented bounded driver
-    // folds (waterfill rates, CC-free here) — the blocklist is a
+    // slice. One DAG with two eager localCheckpoint cut points (the
+    // survivor manifest and the positioned order — each is read twice
+    // downstream) plus the documented bounded waterfill driver fold — the blocklist is a
     // stateless projection and the decontamination verdict one
     // bloom-prefiltered shingle equi-join, so the two new stages add no
     // unbounded state. Budget 13000 exercises BOTH waterfill regimes at
@@ -924,6 +931,11 @@ object TextQueries {
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
         .filter(col("n_tokens") >= 20)
         .select("doc_id", "lang", "n_tokens")
+        // one eager localCheckpoint pins the three-stage survivor subtree
+        // (dedup semi + blocklist/decontamination antis) to a single
+        // evaluation across the waterfill fold and the downstream
+        // double-reading two-level scans
+        .localCheckpoint()
       val rates = graft.operators.Sampling.waterfillAllocation(surv, "lang",
           "n_tokens", Map("de" -> 2L, "en" -> 1L, "es" -> 2L, "fr" -> 2L,
             "zh" -> 2L), budget = 13000L)
@@ -940,6 +952,7 @@ object TextQueries {
           "doc_id", "phase", seed = "matf",
           carryCols = Seq("lang", "n_tokens"))
         .withColumnRenamed("doc_id", "orig_doc_id")
+        .localCheckpoint() // packSequences reads its input twice
       graft.operators.Packing.packSequences(positioned, "pos", "n_tokens",
           budget = 512, blockSize = 100,
           carryCols = Seq("orig_doc_id", "lang", "phase"))

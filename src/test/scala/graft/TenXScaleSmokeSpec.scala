@@ -594,4 +594,44 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     assert(t10 <= 15 * t1 + 10.0,
       f"10x delivery took ${t10 / t1}%.1fx the 1x wall-time — superlinear streaming ingest")
   }
+
+  test("fixed-point PageRank scales onto 10 disjoint graph copies with exact rank parity",
+      SlowTest) {
+    // PageRank is component-local: salting node names with a copy tag
+    // yields 10 disjoint isomorphic components, so copy c's rank for
+    // node 'c<i>_v' must EXACTLY equal copy 0's for 'c0_v' — the
+    // fixed-point integer arithmetic leaves no drift to hide behind —
+    // and wall-time stays ~linear because every round is one
+    // hash-partitioned equi-join + one keyed sum over the checkpointed
+    // edge list.
+    import graft.operators.PageRank
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .select(col("o_orderkey"), (col("o_custkey") % 500).as("u"),
+        (col("o_orderkey") % 97).as("v"))
+      .select(concat(lit("C"), col("u")).as("src"),
+        concat(lit("S"), col("v")).as("dst"))
+      .distinct()
+    def copyEdges(c: Int): DataFrame = base.select(
+      concat(lit(s"c${c}_"), col("src")).as("src"),
+      concat(lit(s"c${c}_"), col("dst")).as("dst"))
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    def run(e: DataFrame): (Map[String, Long], Double) = {
+      val t0 = System.nanoTime()
+      val r = PageRank.run(undirected(e), "src", "dst", iterations = 3)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (r1, t1) = run(copyEdges(0))
+    val (r10, t10) = run((0 until copies).map(copyEdges).reduce(_ unionByName _))
+    assert(r10.size == copies * r1.size, "copies must stay disjoint")
+    // exact per-copy parity: rank('c<i>_v') == rank('c0_v') for every node
+    val mismatch = r10.iterator.filter { case (node, rank) =>
+      rank != r1("c0_" + node.substring(node.indexOf('_') + 1))
+    }.take(3).toSeq
+    assert(mismatch.isEmpty, s"copy ranks diverged from copy 0: $mismatch")
+    info(f"pagerank 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 10.0,
+      f"10x graph took ${t10 / t1}%.1fx the 1x wall-time — superlinear pagerank")
+  }
 }

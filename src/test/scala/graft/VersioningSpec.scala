@@ -25,6 +25,18 @@ class VersioningSpec extends AnyFunSuite {
       "removed" -> 1L, "unchanged" -> 1L))
   }
 
+  test("null payloads classify by membership, not hash nullity") {
+    // id 1 exists in BOTH versions with a null payload: unchanged, not
+    // added; id 2's payload goes null: modified
+    val v1 = Seq((1L, null.asInstanceOf[String]), (2L, "text"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Versioning.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "modified"))
+  }
+
   test("identical snapshots diff to all-unchanged") {
     val v = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     val classes = Versioning.snapshotDiff(v, v, "doc_id", "text")
