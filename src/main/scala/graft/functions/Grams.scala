@@ -122,8 +122,10 @@ object GramKernels {
 /** Native char-n-gram extraction: the fastText-lid feature space
   * ([[graft.operators.TextAnalysis.charNgrams]] delegates here).
   * Value-identical to the composable
-  * `transform(sequence(1, length(t)-n+1), i -> substr(lower(t), i, n))`
-  * — lowercase first, then every width-n code-point window — but that
+  * `transform(sequence(1, length(lower(t))-n+1), i -> substr(lower(t), i, n))`
+  * — lowercase first, then every width-n code-point window over the
+  * LOWERCASED text's length (lowercasing can change code-point counts,
+  * e.g. U+0130) — but that
   * chain evaluates an interpreted lambda OUTSIDE codegen whose body
   * re-lowercases the entire text once per position (higher-order
   * lambdas inline their argument expression): O(len²) per document.

@@ -54,7 +54,10 @@ object PageRank {
       col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint()
+    // checkpointed too: a lazy aggregate here would re-scan the edge list
+    // inside EVERY round's join instead of once
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     // the teleport term, exact at the default parameters (1.5e8); any
     // truncation here is shared with the oracle via the same formula
     val base = scale * (dampDen - dampNum) / dampDen

@@ -83,8 +83,10 @@ object TextAnalysis {
     * fastText-lid feature space): positions 1..len-n+1, each a substr of
     * width n — a pure per-row projection (stateless, codegen'd, pushes
     * nothing to a shuffle). Texts shorter than n yield an EMPTY array
-    * (DuckDB's `[substring(t, i, n) for i in range(1, len(t) - n + 2)]`
-    * handles short texts the same way via the empty range). Delegates to
+    * (DuckDB's `[substring(lower(t), i, n) for i in
+    * range(1, len(lower(t)) - n + 2)]` handles short texts the same way
+    * via the empty range; positions run over the LOWERCASED length on
+    * both sides). Delegates to
     * the native [[graft.functions.CharNgrams]] kernel: the composable
     * `transform(sequence(...), i -> substr(lower(t), i, n))` evaluates
     * an interpreted lambda that re-lowercases the whole text per
@@ -214,19 +216,21 @@ object TextAnalysis {
     * Determinism: TTR and the Simpson index are pure integer arithmetic
     * until one final division (Simpson = Σ c·(c−1) / (N·(N−1)), the
     * repeat-probability form — exact counts, no floats). Entropy needs
-    * ln, so its Σ c·ln(c) term is an ORDER-PINNED sequential fold over
-    * the per-term counts sorted by term (the rebalance_temperature
-    * discipline — an unordered double `sum` would be non-associative
-    * across partitions and unreproducible in an oracle); the final
-    * H = ln(N) − Σ/N is rounded once.
+    * ln, the one transcendental, so every ln is QUANTIZED to integer
+    * micro-nats the instant it is computed — q(c) = round(ln(c)·1e6),
+    * the TrigramLm p14 discipline — and H = (q(N)·N − Σ c·q(c)) /
+    * (N·1e6): the Σ is an exact integer aggregate (associative,
+    * order-free, map-side combined — no ordered-fold machinery, no
+    * per-stratum collect), and the only float steps are the per-VALUE
+    * ln-then-round (a 1-ulp libm divergence cannot cross a 0.5
+    * micro-nat boundary except on adversarially tuned inputs — and c is
+    * an integer count, so the boundary set is fixed, not
+    * data-continuous) and the single final division of exact integers.
     *
     * Scale shape: one tokenize scan into a (stratum, term) count
-    * aggregation; the integer aggregates are plain map-side-combined
-    * sums. The entropy fold's `collect_list` partition payload is
-    * bounded by the per-stratum VOCABULARY (the df-sidecar boundedness
-    * — sublinear in corpus size), never by rows; at web-scale vocabs,
-    * split the fold per term-hash bucket and sorted-fold the bounded
-    * bucket partials — the two-level prefix-scan discipline.
+    * aggregation, then ONE plain aggregate per stratum — every sum
+    * (integer pair counts, decimal micro-nat mass) combines map-side;
+    * nothing is collected, folded in order, or bounded by vocabulary.
     *
     * Returns (`strataCol`, n_docs, n_tokens, n_types, ttr6, simpson6,
     * entropy6), one row per non-null stratum. */
@@ -237,18 +241,19 @@ object TextAnalysis {
       .select(col(strataCol).as("stratum"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy("stratum", "term").agg(count(lit(1)).as("c"))
+    // micro-nats per term occurrence class: q(c) = round(ln(c)·1e6); the
+    // c·q(c) product and its sum are exact decimal(38,0) integers (long
+    // would overflow near 2^63/3e7 ≈ 3e11 tokens — the TrigramLm escape)
+    val q = round(log(col("c").cast("double")) * 1e6, 0).cast("decimal(38,0)")
     val folded = cnt.groupBy("stratum").agg(
       sum("c").cast("long").as("n_tokens"),
       count(lit(1)).cast("long").as("n_types"),
       sum(col("c") * (col("c") - lit(1L))).cast("long").as("pairsum"),
-      aggregate(
-        sort_array(collect_list(struct(col("term"), col("c")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("c").cast("double")
-          * log(x.getField("c").cast("double"))).as("clnc"))
+      sum(col("c").cast("decimal(38,0)") * q).as("s_micro"))
     val nDocs = base.groupBy(col(strataCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"))
     val nTok = col("n_tokens").cast("double")
+    val qN = round(log(nTok) * 1e6, 0).cast("decimal(38,0)")
     nDocs.join(folded, "stratum")
       .select(col("stratum").as(strataCol), col("n_docs"),
         col("n_tokens"), col("n_types"),
@@ -256,7 +261,8 @@ object TextAnalysis {
         when(col("n_tokens") > 1,
             round6(col("pairsum") / (nTok * (nTok - 1.0))))
           .otherwise(lit(0.0)).as("simpson6"),
-        round6(log(nTok) - col("clnc") / nTok).as("entropy6"))
+        round6((qN * col("n_tokens").cast("decimal(38,0)") - col("s_micro"))
+          .cast("double") / (nTok * 1e6)).as("entropy6"))
       .orderBy(strataCol)
   }
 

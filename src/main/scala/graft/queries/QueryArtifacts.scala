@@ -31,6 +31,15 @@ private[queries] object QueryArtifacts {
       Option(tags.get(spark)).getOrElse {
         val t = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
         tags.put(spark, t)
+        // claim the root with a pid marker BEFORE cleanup can run in any
+        // other JVM, so liveness is checkable (see cleanupStaleSessionDirs)
+        try {
+          val root = new java.io.File("target/replay-session-" + t)
+          root.mkdirs()
+          java.nio.file.Files.writeString(
+            new java.io.File(root, "_pid").toPath,
+            java.lang.ProcessHandle.current().pid().toString)
+        } catch { case scala.util.control.NonFatal(_) => () }
         cleanupStaleSessionDirs()
         t
       }
@@ -49,15 +58,25 @@ private[queries] object QueryArtifacts {
 
   /** Best-effort removal of replay-session roots left by PREVIOUS runs
     * (every session mints fresh salted dirs, so without this target/
-    * grows without bound across rounds). Age-gated: a concurrently
-    * running JVM's root — which we cannot distinguish from a stale one
-    * by name — is hours old at most, so only roots untouched for > 12 h
-    * are deleted. Invoked once per session, on first tag mint. */
+    * grows without bound across rounds). Two independent guards, both
+    * required before deletion: the root must be untouched for > 12 h
+    * (dir mtime is set at replay build time, not refreshed by reads — so
+    * age alone would delete a LIVE long-running session's sinks) AND its
+    * `_pid` marker must name a process that is no longer alive (pid
+    * reuse is why the age gate stays). A root with no readable marker is
+    * treated as dead — pre-marker layouts from old rounds. Invoked once
+    * per session, on first tag mint. */
   private def cleanupStaleSessionDirs(): Unit = try {
     val cutoff = System.currentTimeMillis() - 12L * 3600 * 1000
+    def ownerAlive(root: java.io.File): Boolean = try {
+      val pid = java.nio.file.Files
+        .readString(new java.io.File(root, "_pid").toPath).trim.toLong
+      val h = java.lang.ProcessHandle.of(pid)
+      h.isPresent && h.get().isAlive
+    } catch { case scala.util.control.NonFatal(_) => false }
     Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("replay-session-") &&
-        f.lastModified() < cutoff)
+        f.lastModified() < cutoff && !ownerAlive(f))
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   } catch { case scala.util.control.NonFatal(_) => () }
 

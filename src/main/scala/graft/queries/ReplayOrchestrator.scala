@@ -120,12 +120,23 @@ private[graft] object ReplayOrchestrator {
     }
   }
 
+  /** Bodies whose `started` future was force-replaced by [[markTimedOut]]
+    * but that are still RUNNING on their daemon thread — drainAndClear
+    * must keep waiting on these originals, or a teardown could run
+    * concurrently with a wedged body's late cache fill (a persist the
+    * just-cleared cache can never release). */
+  private val timedOutBodies =
+    TrieMap.empty[(SparkSession, String, String), Future[AnyRef]]
+
   private def markTimedOut(spark: SparkSession, dir: String,
       name: String): java.util.concurrent.TimeoutException = {
     val failed = new java.util.concurrent.TimeoutException(
       s"streaming replay '$name' for $dir did not complete within " +
         s"$awaitBound")
-    started.put((spark, dir, name), Future.failed(failed))
+    val key = (spark, dir, name)
+    started.get(key).filter(!_.isCompleted)
+      .foreach(timedOutBodies.put(key, _))
+    started.put(key, Future.failed(failed))
     failed
   }
 
@@ -138,7 +149,11 @@ private[graft] object ReplayOrchestrator {
     * persist past a partial teardown. Idempotent; teardowns must be too
     * (they are unpersist+clear of runOnce caches). */
   def drainAndClear(): Unit = synchronized {
-    val snapshot = started.readOnlySnapshot().toSeq
+    // include bodies whose started entry was force-failed by a timeout —
+    // the ORIGINAL future may still be running and must be waited out
+    // before its teardown runs (see timedOutBodies)
+    val snapshot = started.readOnlySnapshot().toSeq ++
+      timedOutBodies.readOnlySnapshot().toSeq
     snapshot.foreach { case ((_, _, n), f) =>
       if (!f.isCompleted) {
         try Await.ready(f, drainBound)
@@ -151,6 +166,7 @@ private[graft] object ReplayOrchestrator {
       }
     }
     started.clear()
+    timedOutBodies.clear()
     snapshot.map(_._1._3).distinct.foreach(n =>
       registry.get(n).foreach(e =>
         try e.teardown()
@@ -163,5 +179,6 @@ private[graft] object ReplayOrchestrator {
   private[graft] def unregisterForTest(name: String): Unit = {
     registry.remove(name)
     started.keys.filter(_._3 == name).foreach(started.remove)
+    timedOutBodies.keys.filter(_._3 == name).foreach(timedOutBodies.remove)
   }
 }

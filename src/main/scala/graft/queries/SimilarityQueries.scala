@@ -1249,7 +1249,7 @@ object SimilarityQueries {
         |      / (a.nrm * b.nrm), 6) AS s
         |  FROM sl a JOIN sl b ON a.doc_id <> b.doc_id),
         |p1 AS (SELECT doc_id, rel, round(0.7 * rel * 1e6) / 1e6 AS mmr6
-        |       FROM sl ORDER BY rel DESC, doc_id LIMIT 1),
+        |       FROM sl ORDER BY mmr6 DESC, doc_id LIMIT 1),
         |k1 AS (SELECT doc_id FROM p1),
         |p2 AS (SELECT d.doc_id, d.rel,
         |         round((0.7 * d.rel - 0.3 * max(s.s)) * 1e6) / 1e6 AS mmr6

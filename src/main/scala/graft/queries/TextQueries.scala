@@ -260,10 +260,11 @@ object TextQueries {
     // Per-language lexical-diversity report (TextAnalysis
     // .diversityReport): type/token ratio + Simpson repeat-rate (both
     // pure integer arithmetic until one division) and unigram Shannon
-    // entropy, whose Σ c·ln(c) term is an ORDER-PINNED sorted fold over
-    // the per-term counts (matched by the oracle's
-    // list_sum(... ORDER BY term)) — the dashboard that catches a
-    // stratum being flooded by templated text between snapshots.
+    // entropy in QUANTIZED micro-nats — every ln rounds to an integer
+    // the instant it is computed (the TrigramLm p14 discipline), so the
+    // entropy mass is an exact order-free integer sum on both sides —
+    // the dashboard that catches a stratum being flooded by templated
+    // text between snapshots.
     "corpus_diversity_report" -> ((spark, dir) =>
       graft.operators.TextAnalysis.diversityReport(
         Tables.load(spark, dir, "documents"), "lang", "text")),
@@ -1352,8 +1353,9 @@ object TextQueries {
         |  round(least(0.3 * stop_ratio + 0.3 * size_sat + 0.4 * len_shape, 1.0), 4) AS quality
         |FROM b ORDER BY doc_id""".stripMargin),
     // integer-scaled quality sums (order-independent), single division
-    // integer TTR/Simpson re-derived exactly; the entropy fold's order is
-    // pinned on both sides (sort_array-by-term == list(... ORDER BY term))
+    // integer TTR/Simpson re-derived exactly; entropy through the SAME
+    // micro-nat quantization — q(c) = round(ln(c)*1e6) per count class,
+    // exact HUGEINT mass sum, one final division of exact integers
     "corpus_diversity_report" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS term
@@ -1365,7 +1367,8 @@ object TextQueries {
         |    CAST(sum(c) AS BIGINT) AS n_tokens,
         |    CAST(count(*) AS BIGINT) AS n_types,
         |    CAST(sum(c * (c - 1)) AS BIGINT) AS pairsum,
-        |    list_sum(list(c * ln(c) ORDER BY term)) AS clnc
+        |    sum(CAST(c AS HUGEINT)
+        |        * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS HUGEINT)) AS s_micro
         |  FROM cnt GROUP BY lang),
         |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |      FROM documents WHERE lang IS NOT NULL GROUP BY lang)
@@ -1374,8 +1377,9 @@ object TextQueries {
         |  CASE WHEN n_tokens > 1 THEN round(pairsum
         |    / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
         |    * 1e6) / 1e6 ELSE 0.0 END AS simpson6,
-        |  round((ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE))
-        |    * 1e6) / 1e6 AS entropy6
+        |  round(CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS HUGEINT)
+        |      * n_tokens - s_micro AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * 1e6) * 1e6) / 1e6 AS entropy6
         |FROM d JOIN agg USING (lang) ORDER BY lang""".stripMargin,
     // for the mean; dup docs = non-min-id members of each text group
     "corpus_stats_report" ->
@@ -2293,25 +2297,31 @@ object TextQueries {
     // the char-trigram twin of classifier_train_score's oracle: the same
     // NB train + serve re-derivation with the feature extraction swapped
     // to the positional-substring comprehension (mirrors
-    // TextAnalysis.charNgrams; the fixture has no sub-3-char texts, and
-    // both sides drop a feature-less doc via the inner gram group-by)
+    // TextAnalysis.charNgrams — positions over the LOWERCASED text's
+    // length, since lowercasing can change code-point counts outside
+    // ASCII); class priors count seed ROWS, not gram-bearing docs,
+    // matching trainFeatures (a sub-3-char seed doc contributes its
+    // prior row but no grams); a feature-less SCORED doc still drops on
+    // both sides via the inner gram group-by
     "lang_id_trained" ->
       """WITH seedg AS (
         |  SELECT doc_id, lang AS label,
         |    unnest([substring(lower(text), i, 3)
-        |            for i in range(1, len(text) - 1)]) AS w
+        |            for i in range(1, len(lower(text)) - 1)]) AS w
         |  FROM documents WHERE doc_id % 5 = 0),
         |counts AS (SELECT label, w, CAST(count(*) AS BIGINT) AS c
         |           FROM seedg GROUP BY label, w),
-        |classes AS (SELECT label,
-        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |    CAST(count(*) AS BIGINT) AS tot
-        |  FROM seedg GROUP BY label),
+        |classes AS (
+        |  SELECT d.label, d.n_docs, coalesce(g.tot, 0) AS tot
+        |  FROM (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM documents WHERE doc_id % 5 = 0 GROUP BY lang) d
+        |  LEFT JOIN (SELECT label, CAST(count(*) AS BIGINT) AS tot
+        |             FROM seedg GROUP BY label) g USING (label)),
         |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM seedg),
         |docg AS (
         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
         |  FROM (SELECT doc_id, unnest([substring(lower(text), i, 3)
-        |                               for i in range(1, len(text) - 1)]) AS w
+        |                               for i in range(1, len(lower(text)) - 1)]) AS w
         |        FROM documents WHERE doc_id % 5 <> 0)
         |  GROUP BY doc_id, w),
         |docn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams

@@ -29,9 +29,12 @@ class DiversitySpec extends AnyFunSuite {
     assert(r.getLong(3) == 3L)  // n_types
     assert(r.getDouble(4) == 0.6)  // 3/5
     assert(r.getDouble(5) == 0.2)  // (2+2+0)/(5*4)
-    // the exact left fold in term order: a(2), b(2), c(1)
-    val clnc = ((0.0 + 2 * math.log(2)) + 2 * math.log(2)) + 1 * math.log(1)
-    assert(r.getDouble(6) == round6(math.log(5) - clnc / 5))
+    // quantized micro-nat entropy: q(c) = round(ln(c)*1e6) per count
+    // class, exact integer mass sum — H = (q(5)*5 - (2q(2)+2q(2)+1q(1)))
+    // / (5*1e6)
+    def q(c: Long): Long = math.round(math.log(c.toDouble) * 1e6)
+    val sMicro = 2 * q(2) + 2 * q(2) + 1 * q(1)
+    assert(r.getDouble(6) == round6((q(5) * 5 - sMicro) / 5e6))
   }
 
   test("a single-token stratum reports zero Simpson, zero entropy") {
