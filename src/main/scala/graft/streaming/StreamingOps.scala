@@ -250,6 +250,37 @@ object StreamingOps {
     stream.join(broadcast(ev), cos >= minCosine, "left_anti")
   }
 
+  /** Continuous-ingest SNAPSHOT-DIFF classification: the streaming twin
+    * of [[graft.operators.Versioning.snapshotDiff]] — every arriving
+    * (id, payload) row classified against a FROZEN reference snapshot as
+    * added (id unseen), unchanged (content md5 null-safe-equal), or
+    * modified. The CDC-style ingest view of a corpus release: what a
+    * delivery changes is known the moment it arrives.
+    *
+    * `removed` is structurally UNOBSERVABLE here — a document that never
+    * arrives never produces a row — so the stream emits the batch diff's
+    * arrival classes exactly, and removals remain the batch report's
+    * complement (StreamingSpec pins that equivalence).
+    *
+    * Append-legal by construction: one stream-static equi join on the id
+    * key against the (id, md5) collapse of the reference — no stream
+    * aggregation, no watermark, no state; at scale the reference side is
+    * a plain shuffle-join table (corpus-sized but hash-only, the batch
+    * operator's "ids and hashes move, payloads don't" discipline). */
+  def snapshotDiffStream(stream: DataFrame, reference: DataFrame,
+      idCol: String, payloadCol: String): DataFrame = {
+    val ref = reference.select(col(idCol),
+      md5(col(payloadCol).cast("binary")).as("__ref_md5"),
+      lit(true).as("__in_ref"))
+    stream
+      .select(col(idCol), md5(col(payloadCol).cast("binary")).as("__new_md5"))
+      .join(ref, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__in_ref").isNull, lit("added"))
+          .when(col("__new_md5") <=> col("__ref_md5"), lit("unchanged"))
+          .otherwise(lit("modified")).as("change"))
+  }
+
   /** Continuous-ingest TRAINED-CLASSIFIER gate: the streaming twin of the
     * batch `corpus_filter_classifier` keep rule — every arriving document
     * scored under a FROZEN [[graft.operators.QualityClassifier]] model

@@ -42,7 +42,11 @@ class LangIdTrainedSpec extends AnyFunSuite {
     }
     val fixtures = Seq(
       "Árbol pequeño", "über Straße", "日本語のテキスト", "naïve café",
-      "a日b語c", "𝔘nicode astral 𝄞 plane", "MIXED case ASCII text", "日本", "日本語")
+      "a日b語c", "𝔘nicode astral 𝄞 plane", "MIXED case ASCII text", "日本", "日本語",
+      // lowercasing CHANGES the code-point count here (U+0130 'İ' maps
+      // to 'i' + combining dot): positions must follow the LOWERCASED
+      // length on both sides, the documented kernel contract
+      "İstanbul İZMİR", "ẞharp")
     for (n <- Seq(1, 2, 3, 5)) {
       val out = fixtures.toDF("t")
         .select(TextAnalysis.charNgrams(col("t"), n).as("a"), hof(col("t"), n).as("b"))

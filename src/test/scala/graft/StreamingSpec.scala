@@ -608,6 +608,34 @@ class StreamingSpec extends AnyFunSuite {
       s"fixture degenerate: ${got.size} of $corpus kept")
   }
 
+  test("streaming snapshot-diff classifies arrivals exactly like the batch diff") {
+    import graft.streaming.StreamingOps
+    // the driver row's derived versions: v1 = %7!=0 reference; v2 =
+    // %5!=0 arrivals with the %3==0 slice revised — streamed against the
+    // frozen v1, the arrival classes must equal the batch diff minus its
+    // 'removed' rows (unobservable at ingest by construction)
+    val docs = Tables.load(spark, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+    def revise(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val stream = revise(StreamingOps.readTableStream(spark, dir, "documents"))
+    val classified = StreamingOps.snapshotDiffStream(stream, v1, "doc_id", "text")
+    val q = classified.writeStream.outputMode("append")
+      .format("memory").queryName("snapdiff_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("snapdiff_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.operators.Versioning
+      .snapshotDiff(v1, revise(docs), "doc_id", "text")
+      .filter(col("change") =!= "removed")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === batch, "stream arrival classes diverged from the batch diff")
+    assert(Set("added", "modified", "unchanged").subsetOf(got.values.toSet),
+      s"fixture degenerate: classes seen = ${got.values.toSet}")
+  }
+
   test("streaming space_saving heavy hitters keep their guarantees across micro-batches") {
     import graft.functions.SpaceSaving.space_saving
     import spark.implicits._
