@@ -49,7 +49,29 @@ object PageRank {
     * total mass ≈ |V|. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long = 1000000000L,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame =
+    core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen, None)
+
+  /** PERSONALIZED PageRank: teleport mass concentrated on `seeds` instead
+    * of uniform — rank becomes proximity to the seed set, the standard
+    * seed-based corpus-mining signal (WebText-style "quality = linked
+    * from curated seeds", phi-style seeded expansion). Identical
+    * fixed-point integer machinery: init = `scale` on seeds / 0
+    * elsewhere, teleport term `base` on seeds / 0 elsewhere; the seed
+    * set is a bounded literal `isin` (a query set, never corpus-sized).
+    * A node unreachable from every seed within `iterations` hops stays
+    * exactly 0 — integer arithmetic has no epsilon mass to leak. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], iterations: Int, scale: Long = 1000000000L,
       dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed node")
+    core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen,
+      Some(seeds))
+  }
+
+  private def core(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long, dampNum: Int, dampDen: Int,
+      seeds: Option[Seq[String]]): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(scale > 0, s"scale must be positive, got $scale")
     require(dampNum > 0 && dampNum < dampDen,
@@ -64,7 +86,14 @@ object PageRank {
     // the teleport term, exact at the default parameters (1.5e8); any
     // truncation here is shared with the oracle via the same formula
     val base = scale * (dampDen - dampNum) / dampDen
-    var ranks = nodes.withColumn("rank_scaled", lit(scale))
+    // uniform PR: every node starts at `scale` and receives `base`;
+    // personalized: only seeds do
+    def onSeeds(v: Long) = seeds match {
+      case None => lit(v)
+      case Some(s) =>
+        when(col("node").isin(s: _*), lit(v)).otherwise(lit(0L))
+    }
+    var ranks = nodes.withColumn("rank_scaled", onSeeds(scale))
     var i = 0
     while (i < iterations) {
       val sums = e.join(ranks, col("src") === col("node"))
@@ -73,7 +102,7 @@ object PageRank {
           expr("rank_scaled DIV outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("s"))
       ranks = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"), (lit(base) +
+        .select(col("node"), (onSeeds(base) +
           expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $dampNum) DIV $dampDen"))
           .as("rank_scaled"))
       i += 1

@@ -217,6 +217,27 @@ object AnalyticsQueries {
       graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     }),
+    // Personalized PageRank from a 5-customer seed set over the same
+    // trade graph: teleport mass lands only on seeds, so rank becomes
+    // PROXIMITY to the curated set — the seed-based corpus-mining signal
+    // (quality = closeness to known-good). Same order-free integer
+    // rounds; nodes beyond 3 hops stay exactly 0 (no epsilon to leak).
+    "graph_ppr_seeds" -> ((spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.personalized(edges, "src", "dst",
+          seeds = Seq("C1", "C2", "C3", "C4", "C5"), iterations = 3)
+        .orderBy("node")
+    }),
     // JSON extraction from the props column (multimodal/dynamic metadata)
     "json_extract_props" -> ((spark, dir) => {
       Tables.load(spark, dir, "events")
@@ -259,6 +280,43 @@ object AnalyticsQueries {
         |       GROUP BY e.dst),
         |r3 AS (SELECT n.node,
         |         CAST(150000000 + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN s3 s USING (node))
+        |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+    // the personalized variant: init and teleport are CASEd onto the
+    // seed set, everything else identical to graph_pagerank's unroll
+    "graph_ppr_seeds" ->
+      """WITH p AS (
+        |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+        |    'S' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(CASE WHEN node IN ('C1','C2','C3','C4','C5')
+        |         THEN 1000000000 ELSE 0 END AS BIGINT) AS r FROM nodes),
+        |s1 AS (SELECT e.dst AS node, CAST(sum(r0.r // d.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(CASE WHEN n.node IN ('C1','C2','C3','C4','C5')
+        |           THEN 150000000 ELSE 0 END
+        |           + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN s1 s USING (node)),
+        |s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // d.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(CASE WHEN n.node IN ('C1','C2','C3','C4','C5')
+        |           THEN 150000000 ELSE 0 END
+        |           + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN s2 s USING (node)),
+        |s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // d.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(CASE WHEN n.node IN ('C1','C2','C3','C4','C5')
+        |           THEN 150000000 ELSE 0 END
+        |           + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN s3 s USING (node))
         |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
     "q1_pricing_summary" ->

@@ -42,6 +42,25 @@ class PageRankSpec extends AnyFunSuite {
     assert(r1("c") == r1("b") && r1("d") == r1("b"))
   }
 
+  test("personalized: teleport only on seeds, unreachable stays exactly 0") {
+    // star a-b, a-c plus a disconnected pair d-e; seed = {a}
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"),
+      ("d", "e"), ("e", "d")).toDF("src", "dst")
+    // r0: a=1e9, rest 0. Round 1: S(b)=S(c)=1e9 DIV 2; S(a)=0.
+    // r1(a)=1.5e8 (teleport only); r1(b)=r1(c)=(5e8*85) DIV 100=4.25e8;
+    // d,e untouched = 0.
+    val r1 = ranks(PageRank.personalized(edges, "src", "dst",
+      seeds = Seq("a"), iterations = 1))
+    assert(r1 == Map("a" -> 150000000L, "b" -> 425000000L,
+      "c" -> 425000000L, "d" -> 0L, "e" -> 0L))
+    // Round 2: S(a)=4.25e8+4.25e8=8.5e8; S(b)=S(c)=1.5e8 DIV 2=7.5e7.
+    // r2(a)=1.5e8+(8.5e8*85) DIV 100=8.725e8; r2(b)=(7.5e7*85) DIV 100.
+    val r2 = ranks(PageRank.personalized(edges, "src", "dst",
+      seeds = Seq("a"), iterations = 2))
+    assert(r2 == Map("a" -> 872500000L, "b" -> 63750000L,
+      "c" -> 63750000L, "d" -> 0L, "e" -> 0L))
+  }
+
   test("zero iterations returns the uniform init; duplicate edges collapse") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
     val r0 = ranks(PageRank.run(edges, "src", "dst", iterations = 0))
