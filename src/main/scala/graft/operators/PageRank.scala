@@ -38,8 +38,10 @@ object PageRank {
     * cached edges: at a bounded iteration count the composed plan beats
     * per-round checkpointing, whose forced materialization jobs cost
     * more than the cheap cached-edge re-scans they save (measured 2×
-    * slower checkpointed at sf0.1); a long-running loop (tens of
-    * rounds) should checkpoint every few rounds instead.
+    * slower checkpointed at sf0.1). Plan depth is still bounded for ANY
+    * iteration count: every 4th round checkpoints (a no-op below 5
+    * rounds), so a 40-round run pays ~9 materializations instead of a
+    * 40-deep nested-self-join plan that would stall Catalyst analysis.
     * Overflow bound: a node's in-sum is < totalMass = |V|·scale, and the
     * damping multiply needs |V|·scale·dampNum < 2^63 — at the default
     * scale that allows ~10^8 nodes; drop `scale` (or move the sums to
@@ -106,6 +108,9 @@ object PageRank {
           expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $dampNum) DIV $dampDen"))
           .as("rank_scaled"))
       i += 1
+      // bound plan depth for long loops without paying the per-round
+      // materialization tax at the common small iteration counts
+      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

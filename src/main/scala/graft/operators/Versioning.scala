@@ -26,18 +26,34 @@ object Versioning {
     * Returns (`idCol`, change) with change in
     * {added, removed, modified, unchanged}. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
-      payloadCol: String): DataFrame = {
-    def side(df: DataFrame, h: String, p: String) =
-      df.select(col(idCol), md5(col(payloadCol).cast("binary")).as(h),
-        lit(true).as(p))
-    side(oldDf, "old_md5", "in_old")
-      .join(side(newDf, "new_md5", "in_new"), Seq(idCol), "full_outer")
+      payloadCol: String): DataFrame =
+    collapse(oldDf, idCol, payloadCol, "old_md5", "in_old")
+      .join(collapse(newDf, idCol, payloadCol, "new_md5", "in_new"),
+        Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("in_old").isNull, lit("added"))
           .when(col("in_new").isNull, lit("removed"))
-          .when(col("old_md5") <=> col("new_md5"), lit("unchanged"))
-          .otherwise(lit("modified")).as("change"))
-  }
+          .otherwise(arrivalClass("old_md5", "in_old")).as("change"))
+
+  /** The (id, content-md5, presence-flag) collapse of one snapshot side —
+    * ONE definition shared by the batch diff and the streaming twin
+    * ([[graft.streaming.StreamingOps.snapshotDiffStream]]), so the hash
+    * discipline and null-payload rule cannot drift between them. */
+  private[graft] def collapse(df: DataFrame, idCol: String,
+      payloadCol: String, hashCol: String, presenceCol: String): DataFrame =
+    df.select(col(idCol), md5(col(payloadCol).cast("binary")).as(hashCol),
+      lit(true).as(presenceCol))
+
+  /** Classification of an ARRIVING row (whose own hash is `new_md5`)
+    * against a reference side collapsed with [[collapse]]: added when the
+    * id was absent, unchanged on a null-safe hash match, else modified.
+    * The batch diff's non-removed branch and the streaming twin share
+    * this expression verbatim. */
+  private[graft] def arrivalClass(refHashCol: String,
+      refPresenceCol: String): org.apache.spark.sql.Column =
+    when(col(refPresenceCol).isNull, lit("added"))
+      .when(col(refHashCol) <=> col("new_md5"), lit("unchanged"))
+      .otherwise(lit("modified"))
 
   /** The bounded release-note view of [[snapshotDiff]]: per-class counts
     * (4 rows at most, however large the corpus). */

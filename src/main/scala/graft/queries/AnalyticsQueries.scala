@@ -31,6 +31,26 @@ object AnalyticsQueries {
     org.apache.spark.sql.functions.round(c * p, 0) / p
   }
 
+  /** The customer~supplier trade graph both PageRank rows rank over: an
+    * order's lineitems connect its customer to each supplier, each
+    * undirected edge sent as two directed ones ('C'/'S'-prefixed node
+    * names keep the two key spaces disjoint). ONE definition — the
+    * uniform and personalized rows must rank the SAME graph or their
+    * oracles silently diverge. */
+  private def tradeGraphEdges(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = orders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("C"), col("o_custkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark
     "q1_pricing_summary" -> ((spark, dir) => {
@@ -203,17 +223,7 @@ object AnalyticsQueries {
     // exactly. Each round is one equi-join + one keyed sum (the canonical
     // distributed PR shuffle pair).
     "graph_pagerank" -> ((spark, dir) => {
-      val orders = Tables.load(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val li = Tables.load(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = orders
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("C"), col("o_custkey")).as("src"),
-          concat(lit("S"), col("l_suppkey")).as("dst"))
-        .distinct()
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = tradeGraphEdges(spark, dir)
       graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     }),
@@ -223,17 +233,7 @@ object AnalyticsQueries {
     // (quality = closeness to known-good). Same order-free integer
     // rounds; nodes beyond 3 hops stay exactly 0 (no epsilon to leak).
     "graph_ppr_seeds" -> ((spark, dir) => {
-      val orders = Tables.load(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val li = Tables.load(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = orders
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("C"), col("o_custkey")).as("src"),
-          concat(lit("S"), col("l_suppkey")).as("dst"))
-        .distinct()
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = tradeGraphEdges(spark, dir)
       graft.operators.PageRank.personalized(edges, "src", "dst",
           seeds = Seq("C1", "C2", "C3", "C4", "C5"), iterations = 3)
         .orderBy("node")

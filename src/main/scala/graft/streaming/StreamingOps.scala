@@ -266,19 +266,24 @@ object StreamingOps {
     * key against the (id, md5) collapse of the reference — no stream
     * aggregation, no watermark, no state; at scale the reference side is
     * a plain shuffle-join table (corpus-sized but hash-only, the batch
-    * operator's "ids and hashes move, payloads don't" discipline). */
+    * operator's "ids and hashes move, payloads don't" discipline). The
+    * collapse and the classification expression are
+    * [[graft.operators.Versioning]]'s own (shared, not re-derived), and
+    * the collapsed reference is localCheckpointed ONCE — the static side
+    * of a stream-static join re-evaluates per micro-batch, which would
+    * otherwise re-scan and re-hash the whole frozen snapshot every
+    * trigger. */
   def snapshotDiffStream(stream: DataFrame, reference: DataFrame,
       idCol: String, payloadCol: String): DataFrame = {
-    val ref = reference.select(col(idCol),
-      md5(col(payloadCol).cast("binary")).as("__ref_md5"),
-      lit(true).as("__in_ref"))
-    stream
-      .select(col(idCol), md5(col(payloadCol).cast("binary")).as("__new_md5"))
+    val ref = graft.operators.Versioning
+      .collapse(reference, idCol, payloadCol, "ref_md5", "in_ref")
+      .localCheckpoint()
+    graft.operators.Versioning
+      .collapse(stream, idCol, payloadCol, "new_md5", "in_new")
+      .drop("in_new")
       .join(ref, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__in_ref").isNull, lit("added"))
-          .when(col("__new_md5") <=> col("__ref_md5"), lit("unchanged"))
-          .otherwise(lit("modified")).as("change"))
+      .select(col(idCol), graft.operators.Versioning
+        .arrivalClass("ref_md5", "in_ref").as("change"))
   }
 
   /** Continuous-ingest TRAINED-CLASSIFIER gate: the streaming twin of the
