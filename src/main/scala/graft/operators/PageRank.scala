@@ -21,12 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Run `iterations` synchronous PageRank rounds over the directed edge
-    * list. Nodes are the edge-endpoint set; every node in it has
-    * outdeg ≥ 1 here only if it has an out-edge — a dangling node (no
-    * out-edges) simply contributes nothing, the standard simplification
-    * when the caller's graph is symmetric (each undirected edge sent as
-    * two directed ones).
+  /** Run synchronous PageRank rounds over the directed edge list: at most
+    * `iterations` rounds, stopping early when `tolScaled` is set and no
+    * node's rank moved by ≥ tolScaled between consecutive rounds (the
+    * standard maxΔ < ε fixed-point stop, exact in the integer domain).
+    * Nodes are the edge-endpoint set.
+    *
+    * DANGLING NODES (no out-edges) get the standard redistribution: each
+    * round their summed rank is split evenly over ALL nodes and damped
+    * like any other in-flow — `(insum + danglingSum DIV |V|) * dampNum
+    * DIV dampDen` — so total mass stays ≈ |V|·scale on any directed
+    * graph, not just the symmetric-caller convention. The dangling set is
+    * detected ONCE (one bounded job over the cached edges); on a graph
+    * with NO dangling nodes — e.g. a symmetric graph where every
+    * undirected edge is sent as two directed ones — the term is skipped
+    * entirely and the plan (and every emitted rank) is byte-identical to
+    * the redistribution-free formulation. With dangling nodes present,
+    * each round pays one extra 1-row aggregate (the dangling sum, embedded
+    * as a literal) — never a corpus-sized collect.
     *
     * Scale shape: each iteration is ONE equi-join of the rank table onto
     * the edge list (shuffle keyed by src) and ONE sum keyed by dst — the
@@ -42,17 +54,26 @@ object PageRank {
     * iteration count: every 4th round checkpoints (a no-op below 5
     * rounds), so a 40-round run pays ~9 materializations instead of a
     * 40-deep nested-self-join plan that would stall Catalyst analysis.
+    * (With a dangling set or a tolerance stop, rounds checkpoint EAGERLY
+    * each iteration anyway — both need the round's table materialized for
+    * their 1-row aggregate, and re-deriving an i-deep lazy plan once per
+    * round for it would be quadratic.)
+    *
     * Overflow bound: a node's in-sum is < totalMass = |V|·scale, and the
     * damping multiply needs |V|·scale·dampNum < 2^63 — at the default
     * scale that allows ~10^8 nodes; drop `scale` (or move the sums to
-    * decimal(38,0), the TrigramLm discipline) beyond that.
+    * decimal(38,0), the TrigramLm discipline) beyond that. The bound is
+    * ENFORCED on every call: |V| is already in hand from the one bounded
+    * dangling-detection job, so the check is free.
     *
     * Returns (node, rank_scaled): rank_scaled/scale is the PageRank with
     * total mass ≈ |V|. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long = 1000000000L,
-      dampNum: Int = 85, dampDen: Int = 100): DataFrame =
-    core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen, None)
+      dampNum: Int = 85, dampDen: Int = 100,
+      tolScaled: Option[Long] = None): DataFrame =
+    core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen, None,
+      tolScaled)
 
   /** PERSONALIZED PageRank: teleport mass concentrated on `seeds` instead
     * of uniform — rank becomes proximity to the seed set, the standard
@@ -61,23 +82,29 @@ object PageRank {
     * fixed-point integer machinery: init = `scale` on seeds / 0
     * elsewhere, teleport term `base` on seeds / 0 elsewhere; the seed
     * set is a bounded literal `isin` (a query set, never corpus-sized).
-    * A node unreachable from every seed within `iterations` hops stays
-    * exactly 0 — integer arithmetic has no epsilon mass to leak. */
+    * Dangling-node mass redistributes exactly as in [[run]] (uniformly —
+    * the common PPR convention; a seed-directed redistribution is a
+    * caller-side variant). A node unreachable from every seed within
+    * the executed rounds stays exactly 0 — integer arithmetic has no
+    * epsilon mass to leak. */
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[String], iterations: Int, scale: Long = 1000000000L,
-      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+      dampNum: Int = 85, dampDen: Int = 100,
+      tolScaled: Option[Long] = None): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed node")
     core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen,
-      Some(seeds))
+      Some(seeds), tolScaled)
   }
 
   private def core(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long, dampNum: Int, dampDen: Int,
-      seeds: Option[Seq[String]]): DataFrame = {
+      seeds: Option[Seq[String]], tolScaled: Option[Long]): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(scale > 0, s"scale must be positive, got $scale")
     require(dampNum > 0 && dampNum < dampDen,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(tolScaled.forall(_ > 0),
+      s"tolScaled must be positive when set, got $tolScaled")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
     // nodes/degrees stay lazy: every re-evaluation is a scan of the
@@ -85,6 +112,31 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // dangling detection: ONE bounded job over the cached edges. |V| and
+    // the dangling count ride in one 2-column aggregate, so the
+    // dangling-free common case (symmetric trade graph) pays a single
+    // small job, and the overflow bound is enforced for free.
+    val (nV, nDangling) = {
+      val r = nodes.join(outdeg, col("node") === col("src"), "left")
+        .agg(count(lit(1)), sum(when(col("outdeg").isNull, 1L).otherwise(0L)))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    if (nV > 0) {
+      // |V|·scale·dampNum < 2^63, checked multiplication-free
+      require(nV <= Long.MaxValue / scale / dampNum,
+        s"|V|=$nV at scale=$scale, dampNum=$dampNum overflows the BIGINT " +
+          "in-sum bound |V|*scale*dampNum < 2^63 — lower `scale` (or port " +
+          "the sums to decimal(38,0))")
+    }
+    val hasDangling = nDangling > 0
+    // dangling node set, materialized once (it is fixed across rounds);
+    // |dangling| ≤ |V| rows of one string column
+    val dangling =
+      if (hasDangling)
+        nodes.join(e.select(col("src").as("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+      else null
     // the teleport term, exact at the default parameters (1.5e8); any
     // truncation here is shared with the oracle via the same formula
     val base = scale * (dampDen - dampNum) / dampDen
@@ -95,22 +147,50 @@ object PageRank {
       case Some(s) =>
         when(col("node").isin(s: _*), lit(v)).otherwise(lit(0L))
     }
+    // eager rounds (dangling or tolerance): each round's table feeds a
+    // 1-row aggregate, so it is materialized via localCheckpoint — the
+    // lazy composed-plan optimization only applies to the plain path
+    val eagerRounds = hasDangling || tolScaled.isDefined
     var ranks = nodes.withColumn("rank_scaled", onSeeds(scale))
+    if (eagerRounds) ranks = ranks.localCheckpoint()
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
+      // per-round dangling in-flow share, embedded as a literal: the
+      // 1-row sum over the (materialized) previous round's ranks
+      val dShare =
+        if (hasDangling) {
+          val s = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(sum("rank_scaled")).head()
+          (if (s.isNullAt(0)) 0L else s.getLong(0)) / nV
+        } else 0L
       val sums = e.join(ranks, col("src") === col("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"),
           expr("rank_scaled DIV outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("s"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+      val next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"), (onSeeds(base) +
-          expr(s"(coalesce(s, CAST(0 AS BIGINT)) * $dampNum) DIV $dampDen"))
+          expr(s"((coalesce(s, CAST(0 AS BIGINT)) + CAST($dShare AS BIGINT))" +
+            s" * $dampNum) DIV $dampDen"))
           .as("rank_scaled"))
       i += 1
-      // bound plan depth for long loops without paying the per-round
-      // materialization tax at the common small iteration counts
-      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (eagerRounds) {
+        val mat = next.localCheckpoint()
+        converged = tolScaled.exists { tol =>
+          val d = mat.withColumnRenamed("rank_scaled", "r_new")
+            .join(ranks.withColumnRenamed("rank_scaled", "r_old"),
+              Seq("node"))
+            .agg(max(abs(col("r_new") - col("r_old")))).head()
+          (if (d.isNullAt(0)) 0L else d.getLong(0)) < tol
+        }
+        ranks = mat
+      } else {
+        ranks = next
+        // bound plan depth for long loops without paying the per-round
+        // materialization tax at the common small iteration counts
+        if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      }
     }
     ranks
   }

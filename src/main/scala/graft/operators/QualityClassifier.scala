@@ -40,11 +40,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training is one token-keyed aggregation (map-side
   * combinable), a |L|-row class aggregate, and one bounded vocabulary
-  * count — the [[BigramLm.train]] contract. Scoring broadcasts the
+  * count — the [[BigramLm.train]] contract. Scoring broadcasts a
   * MODEL-sized count table (vocab×|L| rows) into the exploded feature
   * stream and partial-aggregates to ≤|L| cells per document before the
   * only shuffle — plus a broadcast of the |L|-row class table; nothing
-  * corpus-sized is collected or broadcast. The
+  * corpus-sized is collected or broadcast, because the broadcast is
+  * gated on the model's own vocab count (a corpus-trained vocabulary
+  * past [[QualityClassifier.BroadcastVocabBound]] falls back to the
+  * co-partitioned shuffle join — see [[defaultBroadcastModel]]). The
   * durable form (`write`/`loadIfValid`) follows the [[BigramLm]] manifest
   * contract: build-once / serve-many-sessions, reopen validated by
   * metadata only, zero training jobs on a hit (QualityClassifierSpec
@@ -89,8 +92,22 @@ final class QualityClassifier private[operators] (
     * 1/(tot_c+v) — an all-OOV document still classifies (by prior and
     * class smoothing mass), exactly as NB does. */
   def score(df: DataFrame, idCol: String, textCol: String,
-      broadcastModel: Boolean = true): DataFrame =
+      broadcastModel: Boolean = this.defaultBroadcastModel): DataFrame =
     scoreFeatures(df, idCol, split(lower(col(textCol)), " "), broadcastModel)
+
+  /** Whether [[scoreFeatures]] broadcasts the count table by default:
+    * decided from the MODEL'S OWN vocabulary size `v` (a scalar already
+    * materialized at train time — no extra job), not from a blanket
+    * assumption that every model is seed-set-sized. A bounded feature
+    * space (char-trigrams, a curated seed set) broadcasts; a
+    * corpus-trained token vocabulary that grows with the corpus — at
+    * 100 TB far past any driver/executor broadcast budget — falls back
+    * to the AQE-skew-handled co-partitioned shuffle join automatically.
+    * The bound is vocab terms, not bytes: vocab×|L| count rows at ~tens
+    * of bytes each keeps the broadcast comfortably inside Spark's
+    * default 10 MB autoBroadcastJoinThreshold ballpark. Callers can
+    * still force either path explicitly. */
+  def defaultBroadcastModel: Boolean = v <= QualityClassifier.BroadcastVocabBound
 
   /** [[score]] generalized to ANY array<string> feature extraction (the
     * same sufficient-statistics machinery classifies on char n-grams for
@@ -101,8 +118,10 @@ final class QualityClassifier private[operators] (
     * yields [""]). The model's `counts` table must have been trained on
     * the SAME extraction. */
   def scoreFeatures(df: DataFrame, idCol: String, features: Column,
-      broadcastModel: Boolean = true): DataFrame = {
-    // Default (broadcastModel=true), the fastText serving contract — the
+      broadcastModel: Boolean = this.defaultBroadcastModel): DataFrame = {
+    // Default: decided by the model's own vocab count v (see
+    // [[defaultBroadcastModel]]). broadcastModel=true is the fastText
+    // serving contract — the
     // model is trained on a bounded labeled set, so counts is MODEL-sized
     // (vocab×|L| rows, the centroid/codebook sidecar precedent): the
     // exploded feature stream joins the BROADCAST counts table and
@@ -219,6 +238,11 @@ final class QualityClassifier private[operators] (
 object QualityClassifier {
   private val trainsRun = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def trainCount: Int = trainsRun.get
+
+  /** Largest training vocabulary [[QualityClassifier.scoreFeatures]]
+    * still broadcasts by default — see
+    * [[QualityClassifier.defaultBroadcastModel]]. */
+  val BroadcastVocabBound: Long = 1000000L
 
   private val ManifestVersion = "1"
 

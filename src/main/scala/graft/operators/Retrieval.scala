@@ -182,12 +182,19 @@ object Retrieval {
     val ids = rows.map(_.getLong(0))
     val rel = rows.map(_.getDouble(1))
     val vecs = rows.map(_.getSeq[Float](2).toArray)
+    // validated ONCE over the collected shortlist: a mismatched embedding
+    // dimension must fail fast, not silently truncate the dot product and
+    // skew every MMR pick (the oracle and VectorKernels assume equal dims)
+    val dims = vecs.iterator.map(_.length).toSet
+    require(dims.size <= 1,
+      s"mmrRerank shortlist mixes embedding dimensions $dims — every " +
+        s"'$vecCol' must have the same length")
     val norms = vecs.map(graft.functions.VectorKernels.l2normFloats)
     def sim6(i: Int, j: Int): Double = {
       val a = vecs(i); val b = vecs(j)
       var acc = 0.0
       var d = 0
-      val n = math.min(a.length, b.length)
+      val n = a.length
       while (d < n) { acc += a(d).toDouble * b(d).toDouble; d += 1 }
       graft.plans.TopKMath.round6(acc / (norms(i) * norms(j)))
     }

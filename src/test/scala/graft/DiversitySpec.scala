@@ -5,8 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
 
 /** Lexical diversity report: hand-computed TTR / Simpson / entropy on a
-  * planted stratum, the order-pinned entropy fold, and null-stratum
-  * exclusion. */
+  * planted stratum, the quantized micro-nat order-free integer entropy
+  * sum, and null-stratum exclusion. */
 class DiversitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

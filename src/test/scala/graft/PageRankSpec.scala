@@ -33,12 +33,14 @@ class PageRankSpec extends AnyFunSuite {
   }
 
   test("contributions truncate (DIV, not rounded division)") {
-    // a fans out to 3 nodes: each gets 1e9 DIV 3 = 333333333, and the
-    // damped sum truncates again: (333333333*85) DIV 100 = 283333333
+    // a fans out to 3 nodes: each gets 1e9 DIV 3 = 333333333 (truncating
+    // DIV). c and d are dangling, so their r0 mass (2e9) redistributes:
+    // share = 2e9 DIV 4 = 5e8 per node, and the damped sum truncates
+    // again: ((333333333 + 5e8)*85) DIV 100 = 708333333.
     val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"))
       .toDF("src", "dst")
     val r1 = ranks(PageRank.run(edges, "src", "dst", iterations = 1))
-    assert(r1("b") == 150000000L + 283333333L)
+    assert(r1("b") == 150000000L + 708333333L)
     assert(r1("c") == r1("b") && r1("d") == r1("b"))
   }
 
@@ -59,6 +61,56 @@ class PageRankSpec extends AnyFunSuite {
       seeds = Seq("a"), iterations = 2))
     assert(r2 == Map("a" -> 872500000L, "b" -> 63750000L,
       "c" -> 63750000L, "d" -> 0L, "e" -> 0L))
+  }
+
+  test("hand-computed dangling node: mass redistributes uniformly") {
+    // a -> b, b -> c, c dangling: |V| = 3.
+    // r0 = 1e9 each; dangling sum = r0(c) = 1e9, share = 1e9 DIV 3 =
+    // 333333333.
+    // S(a) = 0, S(b) = 1e9, S(c) = 1e9.
+    // r1(a) = 1.5e8 + (333333333*85) DIV 100 = 1.5e8 + 283333333
+    // r1(b) = r1(c) = 1.5e8 + ((1e9 + 333333333)*85) DIV 100
+    //       = 1.5e8 + 1133333333
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r1 = ranks(PageRank.run(edges, "src", "dst", iterations = 1))
+    assert(r1 == Map("a" -> (150000000L + 283333333L),
+      "b" -> (150000000L + 1133333333L),
+      "c" -> (150000000L + 1133333333L)))
+    // total mass stays ~|V|*scale (vs. the deflationary drop-the-mass
+    // formulation, which would lose the whole damped dangling share)
+    val total = r1.values.sum
+    assert(total > 2900000000L && total <= 3000000000L,
+      s"mass must be conserved up to truncation, got $total")
+    // Round 2: dangling sum = r1(c) = 1283333333, share DIV 3 = 427777777.
+    // S(a) = 0, S(b) = r1(a) = 433333333, S(c) = r1(b) = 1283333333.
+    // r2(a) = 1.5e8 + (427777777*85) DIV 100
+    // r2(b) = 1.5e8 + ((433333333+427777777)*85) DIV 100
+    // r2(c) = 1.5e8 + ((1283333333+427777777)*85) DIV 100
+    val r2 = ranks(PageRank.run(edges, "src", "dst", iterations = 2))
+    assert(r2 == Map(
+      "a" -> (150000000L + (427777777L * 85L) / 100L),
+      "b" -> (150000000L + ((433333333L + 427777777L) * 85L) / 100L),
+      "c" -> (150000000L + ((1283333333L + 427777777L) * 85L) / 100L)))
+  }
+
+  test("tolScaled convergence stop halts before the round cap") {
+    // symmetric pair a<->b is ALREADY at its fixed point (every round
+    // maps 1e9 -> 1.5e8 + 8.5e8 = 1e9), so maxDelta = 0 < tol after one
+    // round — the loop must stop there, and a generous cap changes nothing
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = ranks(PageRank.run(edges, "src", "dst", iterations = 50,
+      tolScaled = Some(1000L)))
+    assert(r == Map("a" -> 1000000000L, "b" -> 1000000000L))
+  }
+
+  test("overflow bound is enforced") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    // scale chosen so |V|=2 already violates 2 <= MaxValue/scale/dampNum
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(edges, "src", "dst", iterations = 1,
+        scale = Long.MaxValue / 100)
+    }
+    assert(e.getMessage.contains("overflows"))
   }
 
   test("zero iterations returns the uniform init; duplicate edges collapse") {

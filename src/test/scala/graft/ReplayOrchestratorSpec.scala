@@ -93,6 +93,38 @@ class ReplayOrchestratorSpec extends AnyFunSuite {
     } finally ReplayOrchestrator.unregisterForTest(name)
   }
 
+  test("sibling barrier shares ONE deadline across multiple wedged replays") {
+    // two wedged siblings must cost one bound total, not a fresh bound
+    // each (k wedged replays blocking a single row for k x bound)
+    val name = "spec-shared-fast"
+    ReplayOrchestrator.register(name) { (_, _) => "fast" }
+    ReplayOrchestrator.register("spec-shared-wedge1") { (_, _) =>
+      Thread.sleep(600000); "never"
+    }
+    ReplayOrchestrator.register("spec-shared-wedge2") { (_, _) =>
+      Thread.sleep(600000); "never"
+    }
+    val saved = ReplayOrchestrator.awaitBound
+    ReplayOrchestrator.awaitBound = 2.seconds
+    try {
+      val t0 = System.nanoTime()
+      assert(ReplayOrchestrator.await[String](spark, "/spec/shared-dir", name)
+        == "fast")
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 3.5,
+        s"two wedged siblings must share one 2 s barrier deadline, took $secs s")
+      // both wedged siblings are now fail-sticky for their own rows
+      intercept[TimeoutException] {
+        ReplayOrchestrator.await[String](spark, "/spec/shared-dir",
+          "spec-shared-wedge1")
+      }
+    } finally {
+      ReplayOrchestrator.awaitBound = saved
+      Seq(name, "spec-shared-wedge1", "spec-shared-wedge2")
+        .foreach(ReplayOrchestrator.unregisterForTest)
+    }
+  }
+
   test("first touch barriers on the whole fan-out; siblings' failures stay theirs") {
     val siblingDone = new AtomicBoolean(false)
     ReplayOrchestrator.register("spec-bar-a") { (_, _) => "a" }
