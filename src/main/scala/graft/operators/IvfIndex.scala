@@ -330,6 +330,24 @@ object IvfIndex {
     new IvfIndex(cells, centroids, nCells, fileBacked = false)
   }
 
+  /** In-session index under CALLER-FROZEN centroids — no quantizer fit,
+    * no sample job, no persist: one lazy assignment scan through literal
+    * centroid dot products. The staging/parity tool for the incremental
+    * lifecycle: an index built this way over (base ∪ arrivals) holds
+    * EXACTLY the rows a [[build]]-then-[[appendTo]] sequence with these
+    * centroids commits to disk (the assignment expression and tie-breaks
+    * are shared), so serving parity between the two gates the whole
+    * append path. The cells stay lazy — callers that probe repeatedly
+    * should `.persist` them (or use the durable form). */
+  def withCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): IvfIndex = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vec_l2norm(col("cv")))
+    new IvfIndex(assignCells(base, centroids), centroids, centroids.size,
+      fileBacked = false)
+  }
+
   /** Cell assignment under a FIXED set of centroids: one lazy scan through
     * literal centroid dot products. Shared by [[build]] and the
     * incremental [[appendTo]] path — same expression, same tie-breaks, so

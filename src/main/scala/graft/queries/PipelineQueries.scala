@@ -348,7 +348,57 @@ object PipelineQueries {
             "o_custkey" -> ((40.0, 120.0))))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+    // Streaming snapshot-diff REPLAY — corpus_version_diff's streaming
+    // twin on the driver ledger (the last implemented monitor that was
+    // spec-only): the v2 snapshot arrives in three micro-batches through
+    // StreamingOps.snapshotDiffStream against the frozen v1 reference,
+    // and every arrival classifies added/modified/unchanged under the
+    // SAME Versioning.collapse/arrivalClass helpers as the batch diff —
+    // so the oracle is the batch row's derivation restricted to the
+    // arriving side (a stream never sees v1-only ids; 'removed' is the
+    // batch diff's full-outer privilege). Stateless stream-static left
+    // join: append-legal, no watermark, no state store.
+    "streaming_version_diff" -> ((spark, dir) => {
+      val sink = ReplayOrchestrator.await[String](spark, dir, "version-diff")
+      spark.read.parquet(sink).orderBy("doc_id")
     }))
+
+  /** Snapshot-diff replay body (see [[ReplayOrchestrator]] — launched
+    * concurrently with the other replays on first touch; returns the
+    * parquet sink path later calls read). The v1/v2 derivations are
+    * EXACTLY corpus_version_diff's, so the two rows gate the same
+    * semantics batch-vs-stream. */
+  private def buildVersionDiffSink(spark: SparkSession, dir: String): String = {
+    val docs = Tables.load(spark, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .select("doc_id", "text")
+    val root = QueryArtifacts.sessionRoot(spark)
+    val src = QueryArtifacts.path(s"$root/version-diff-src", dir)
+    val out = QueryArtifacts.path(s"$root/version-diff-sink", dir)
+    val ckpt = QueryArtifacts.path(s"$root/version-diff-ckpt", dir)
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // three pinned-order micro-batches covering v2 exactly once (the
+    // append sink accumulates one classification per arrival)
+    graft.streaming.StreamingOps.stageOrdered(src,
+      (0 until 3).map(i => v2.filter(col("doc_id") % 3 === i)))
+    val stream = spark.readStream.schema(v2.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.streaming.StreamingOps
+      .snapshotDiffStream(stream, v1, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    out
+  }
+
+  ReplayOrchestrator.register("version-diff")(buildVersionDiffSink)
 
   /** Contamination-excision interval table (corpus positions whose
     * 13-gram occurs in the eval slice), persisted once per (session, dir):
@@ -371,6 +421,10 @@ object PipelineQueries {
 
   /** Release the persisted interval cache (bench/verify teardown). */
   def clearCaches(): Unit = {
+    // this family now owns a replay (version-diff): drain first, so an
+    // in-flight body can't race the clear, and launched teardowns run
+    // even when only this family clears (see ReplayOrchestrator note)
+    ReplayOrchestrator.drainAndClear()
     contamIvCache.values.foreach(_.unpersist())
     contamIvCache.clear()
   }
@@ -480,6 +534,21 @@ object PipelineQueries {
         |       WHEN v1.text IS NOT DISTINCT FROM v2.text THEN 'unchanged'
         |       ELSE 'modified' END AS change
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the batch diff's derivation restricted to the ARRIVING (v2) side —
+    // a stream never sees v1-only ids, so 'removed' cannot occur; the
+    // other three classes must match the batch row exactly
+    "streaming_version_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END
+        |           AS text
+        |       FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT v2.doc_id AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v1.text IS NOT DISTINCT FROM v2.text THEN 'unchanged'
+        |       ELSE 'modified' END AS change
+        |FROM v2 LEFT JOIN v1 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,

@@ -182,6 +182,29 @@ object SimilarityQueries {
       path
     })
 
+  /** Serving handle on [[driftIndexPath]]'s appended index (build at
+    * %2==1, append %2==0 — the full incremental lifecycle), with the
+    * REPLAYED-LEDGER no-op pinned: before first serve, the even batch's
+    * appendTo is re-issued under its original tag and must REFUSE
+    * (return false) — the crashed-job-retry protection a daily-append
+    * corpus actually leans on. One load per (session, dir); the serve
+    * plan is the usual statically-pruned partitioned scan. */
+  private val appendServeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.IvfIndex]
+
+  private def appendedServeIndex(spark: SparkSession,
+      dir: String): graft.operators.IvfIndex =
+    QueryArtifacts.runOnce(appendServeCache, (spark, dir))({
+      val path = driftIndexPath(spark, dir)
+      val appendTag = ivfSourceTag(spark, dir) + "#drift-append"
+      val emb = Tables.load(spark, dir, "embeddings")
+      val replayed = graft.operators.IvfIndex.appendTo(spark, path,
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+      require(!replayed,
+        "replaying an already-applied append batch must be a ledger no-op")
+      graft.operators.IvfIndex.load(spark, path)
+    })
+
   /** Topic-cluster assignment under a FROZEN SEEDED quantizer (r12):
     * the K centroids are the K corpus vectors with the smallest
     * (md5(vec_id), vec_id) — a deterministic seeded selection, so unlike
@@ -294,6 +317,7 @@ object SimilarityQueries {
     pqFileCache.clear() // no persist to release — file-backed
     driftCache.clear() // no persist to release — file-backed
     pqDriftCache.clear() // no persist to release — file-backed
+    appendServeCache.clear() // no persist to release — file-backed
     releaseTopicCells()
   }
 
@@ -629,6 +653,37 @@ object SimilarityQueries {
       val file = ivfPersisted(spark, dir).topK(q, k = 5, nprobe = 6)
         .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
       mem.join(file, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
+    // Incremental-APPEND parity gate (r15): the serve path of the
+    // build-at-%2==1 / append-%2==0 lifecycle ([[appendedServeIndex]] —
+    // crash-window refusal + batch-ledger idempotence, with the replayed
+    // no-op pinned before first serve). The appended FILE index must
+    // reproduce, at ann_ivf_topk's operating point, an in-session index
+    // holding the FULL corpus assigned under the SAME frozen centroids
+    // (IvfIndex.withCentroids — shared assignment expression and
+    // tie-breaks), because append-then-serve and assign-everything are
+    // definitionally the same rows. Any divergence — a lost appended
+    // vector, a partition the pruner skips, ledger drift — breaks the
+    // symmetric difference and turns the row red.
+    "ann_ivf_appended" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val file = appendedServeIndex(spark, dir)
+      val mem = graft.operators.IvfIndex
+        .withCentroids(emb, "vec_id", "embedding", file.centroids)
+        .topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val served = file.topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(served, Seq("q_id", "c_id", "rank"), "full_outer")
         .agg(
           coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
             .as("missing_from_file"),
@@ -1312,6 +1367,11 @@ object SimilarityQueries {
     // parity literals: the durable index must equal the in-session index
     // exactly (both engine-private), so the oracle is the pinned row
     "ann_ivf_persisted" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    // append-then-serve must equal assign-everything under the frozen
+    // centroids — the same pinned parity row
+    "ann_ivf_appended" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     "ann_topk_native" -> bruteForceOracle,

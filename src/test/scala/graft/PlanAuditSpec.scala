@@ -33,6 +33,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_lsh_filtered_recall", "ann_hard_negatives",
       "ann_pq_topk", "ann_pq_recall", "ann_pq_persisted",
       "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_persisted",
+      // the same 8-row centroid broadcast as ann_ivf_persisted, on both
+      // the appended-file and the frozen-centroid in-session probe side
+      "ann_ivf_appended",
       // the same <=5-row query-set broadcast as ann_bruteforce_topk, over
       // the 16-dim prefix columns (the coarse pass of the MRL re-ranker)
       "ann_matryoshka_topk",
