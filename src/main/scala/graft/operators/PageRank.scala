@@ -36,7 +36,9 @@ object PageRank {
     * with NO dangling nodes — e.g. a symmetric graph where every
     * undirected edge is sent as two directed ones — the term is skipped
     * entirely and the plan (and every emitted rank) is byte-identical to
-    * the redistribution-free formulation. With dangling nodes present,
+    * the redistribution-free formulation; a caller that GUARANTEES that
+    * property by construction can assert `danglingFree = true` to skip
+    * even the detection job. With dangling nodes present,
     * each round pays one extra 1-row aggregate (the dangling sum, embedded
     * as a literal) — never a corpus-sized collect.
     *
@@ -63,17 +65,19 @@ object PageRank {
     * damping multiply needs |V|·scale·dampNum < 2^63 — at the default
     * scale that allows ~10^8 nodes; drop `scale` (or move the sums to
     * decimal(38,0), the TrigramLm discipline) beyond that. The bound is
-    * ENFORCED on every call: |V| is already in hand from the one bounded
-    * dangling-detection job, so the check is free.
+    * ENFORCED whenever |V| is in hand from the dangling-detection job —
+    * every call except `danglingFree = true`, where staying inside it is
+    * part of the caller's assertion.
     *
     * Returns (node, rank_scaled): rank_scaled/scale is the PageRank with
     * total mass ≈ |V|. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long = 1000000000L,
       dampNum: Int = 85, dampDen: Int = 100,
-      tolScaled: Option[Long] = None): DataFrame =
+      tolScaled: Option[Long] = None,
+      danglingFree: Boolean = false): DataFrame =
     core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen, None,
-      tolScaled)
+      tolScaled, danglingFree)
 
   /** PERSONALIZED PageRank: teleport mass concentrated on `seeds` instead
     * of uniform — rank becomes proximity to the seed set, the standard
@@ -90,15 +94,17 @@ object PageRank {
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[String], iterations: Int, scale: Long = 1000000000L,
       dampNum: Int = 85, dampDen: Int = 100,
-      tolScaled: Option[Long] = None): DataFrame = {
+      tolScaled: Option[Long] = None,
+      danglingFree: Boolean = false): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed node")
     core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen,
-      Some(seeds), tolScaled)
+      Some(seeds), tolScaled, danglingFree)
   }
 
   private def core(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, scale: Long, dampNum: Int, dampDen: Int,
-      seeds: Option[Seq[String]], tolScaled: Option[Long]): DataFrame = {
+      seeds: Option[Seq[String]], tolScaled: Option[Long],
+      danglingFree: Boolean): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(scale > 0, s"scale must be positive, got $scale")
     require(dampNum > 0 && dampNum < dampDen,
@@ -112,16 +118,22 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // dangling detection: ONE bounded job over the cached edges. |V| and
-    // the dangling count ride in one 2-column aggregate, so the
-    // dangling-free common case (symmetric trade graph) pays a single
-    // small job, and the overflow bound is enforced for free.
-    val (nV, nDangling) = {
-      val r = nodes.join(outdeg, col("node") === col("src"), "left")
-        .agg(count(lit(1)), sum(when(col("outdeg").isNull, 1L).otherwise(0L)))
-        .head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // dangling detection: ONE bounded job over the cached edges — |V| and
+    // the dangling count in one 2-column aggregate, with the overflow
+    // bound enforced for free while |V| is in hand. A caller that
+    // GUARANTEES every node has an out-edge (e.g. a symmetric graph,
+    // each undirected edge sent as two directed ones) can assert
+    // `danglingFree = true` and skip the job entirely — the plan is then
+    // byte-identical to the redistribution-free formulation, and the
+    // overflow bound is the caller's documented responsibility.
+    val (nV, nDangling) =
+      if (danglingFree) (0L, 0L)
+      else {
+        val r = nodes.join(outdeg, col("node") === col("src"), "left")
+          .agg(count(lit(1)), sum(when(col("outdeg").isNull, 1L).otherwise(0L)))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
     if (nV > 0) {
       // |V|·scale·dampNum < 2^63, checked multiplication-free
       require(nV <= Long.MaxValue / scale / dampNum,

@@ -224,7 +224,11 @@ object AnalyticsQueries {
     // distributed PR shuffle pair).
     "graph_pagerank" -> ((spark, dir) => {
       val edges = tradeGraphEdges(spark, dir)
-      graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
+      // danglingFree asserted: tradeGraphEdges sends every undirected
+      // edge both ways, so outdeg >= 1 by construction (the detection
+      // job would be a per-pass no-op purchase)
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 3,
+          danglingFree = true)
         .orderBy("node")
     }),
     // Personalized PageRank from a 5-customer seed set over the same
@@ -234,8 +238,11 @@ object AnalyticsQueries {
     // rounds; nodes beyond 3 hops stay exactly 0 (no epsilon to leak).
     "graph_ppr_seeds" -> ((spark, dir) => {
       val edges = tradeGraphEdges(spark, dir)
+      // danglingFree: same symmetric-construction assertion as
+      // graph_pagerank
       graft.operators.PageRank.personalized(edges, "src", "dst",
-          seeds = Seq("C1", "C2", "C3", "C4", "C5"), iterations = 3)
+          seeds = Seq("C1", "C2", "C3", "C4", "C5"), iterations = 3,
+          danglingFree = true)
         .orderBy("node")
     }),
     // JSON extraction from the props column (multimodal/dynamic metadata)

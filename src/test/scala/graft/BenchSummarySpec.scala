@@ -98,6 +98,29 @@ class BenchSummarySpec extends AnyFunSuite {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  test("a load-contaminated previous total never rotates in as the reference") {
+    // previous run at loadavg 3.73 (the observed driver refresh): its own
+    // total must be REFUSED, and the quiet total IT carried — quiet by
+    // induction — carried forward instead
+    val noisy = """{"queries":{"a":1.0},"loadavg":[3.73,2.9,1.8],""" +
+      """"reference_quiet_total":65.4,"reference_loadavg":[1.2,1.0,0.9],""" +
+      """"metric":"total","value":94.92,"unit":"sec","failed_queries":0,""" +
+      """"failed":[],"leaked_persists":0,"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.referenceFrom(noisy, "/root/testdata/sf0.1")
+      .contains((65.4, Seq(1.2, 1.0, 0.9))))
+    // noisy previous run with NO carried quiet value: omit, never adopt
+    val noisyFirst = """{"queries":{"a":1.0},"loadavg":[2.5,2.0,1.5],""" +
+      """"metric":"total","value":94.92,"unit":"sec","failed_queries":0,""" +
+      """"failed":[],"leaked_persists":0,"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.referenceFrom(noisyFirst, "/root/testdata/sf0.1").isEmpty)
+    // at the bound (or loadavg absent): adopted as before
+    val atBound = """{"queries":{"a":1.0},"loadavg":[2.0,1.0,0.5],""" +
+      """"metric":"total","value":60.0,"unit":"sec","sf":"/x"}"""
+    assert(Bench.referenceFrom(atBound, "/x").contains((60.0, Seq(2.0, 1.0, 0.5))))
+    val noLoad = """{"queries":{"a":1.0},"value":60.0,"sf":"/x"}"""
+    assert(Bench.referenceFrom(noLoad, "/x").contains((60.0, Seq())))
+  }
+
   test("reference fields are omitted when the previous run's sf differs") {
     val prev = """{"queries":{"a":1.0},"loadavg":[0.5,0.6,0.7],""" +
       """"metric":"total","value":61.9,"unit":"sec","failed_queries":0,""" +
