@@ -634,4 +634,74 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     assert(t10 <= 15 * t1 + 10.0,
       f"10x graph took ${t10 / t1}%.1fx the 1x wall-time — superlinear pagerank")
   }
+
+  test("retrieval serve chain (fuzzy-correct -> serve -> RRF -> PRF) holds " +
+      "on a 10x vocab with bucket-pruned posting reads", SlowTest) {
+    // The serve-side contracts the per-query specs can't see at scale:
+    //  - fuzzy correction is ONE scan of the vocab sidecar (10x vocab by
+    //    the injective rename) — typo'd copy-3 terms must come back as
+    //    copy-3 vocab entries, never a sibling copy's (each sibling term
+    //    differs in the copy digit too, so it is strictly farther);
+    //  - the corrected serve reads ONLY the query terms' posting buckets
+    //    (records-read budget, the partition-pruning contract);
+    //  - RRF fusion runs over the two bounded ranked lists — never the
+    //    corpus — and returns copy-3 documents only;
+    //  - PRF expansion's feedback terms come from copy-3 documents, so
+    //    every expansion term carries the c3_ prefix.
+    import graft.operators.{InvertedIndex, Retrieval}
+    val path = "target/test-retrieval-10x-index"
+    InvertedIndex.build(saltedCorpus, "doc_id", "text").write(path, "10x")
+    val idx = InvertedIndex.load(spark, path)
+    // fuzzy correct over the 10x sidecar: one vocab-sized scan
+    val (corrected, tCorrect) = timed(Retrieval.correctTerms(idx,
+      Seq("c3_hashh", "c3_joinn", "c3_vector"), maxDist = 1))
+    assert(corrected.toSet == Set("c3_hash", "c3_join", "c3_vector"),
+      s"fuzzy correction diverged on the 10x vocab: $corrected")
+    // records-read budget on the corrected serve: only the query buckets
+    val buckets = corrected.map(InvertedIndex.bucketOf(_, idx.nBuckets)).distinct
+    val totalPostings = idx.postings.count()
+    val inBuckets = idx.postings.filter(col("bucket").isin(buckets: _*)).count()
+    assert(inBuckets < totalPostings / 2,
+      "fixture degenerate: query buckets cover most of the 10x index")
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val nVocab = idx.terms.count()
+    spark.sparkContext.addSparkListener(listener)
+    val (fused, tServe) = try {
+      val r = timed {
+        val lex = Retrieval.rankBy(
+          idx.serve(corrected).orderBy(desc("bm25"), col("doc_id")).limit(10),
+          "doc_id", "bm25", "lex_rank")
+        val dense = Retrieval.rankBy(
+          idx.serve(Seq("c3_hash")).orderBy(desc("bm25"), col("doc_id")).limit(10),
+          "doc_id", "bm25", "dense_rank")
+        Retrieval.rrfFuse(lex, dense, "doc_id", topN = 10).collect()
+      }
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // two serves, each bounded by its query buckets + the (bucket-pruned)
+    // terms sidecar; generous 4x slack for sidecar/limit re-reads — the
+    // failure mode guarded is reading ~totalPostings
+    assert(read.get() <= 4 * (inBuckets + nVocab) + 64,
+      s"serve chain read ${read.get()} records; bucket budget was " +
+        s"$inBuckets of $totalPostings postings (+$nVocab sidecar)")
+    assert(fused.nonEmpty && fused.length <= 10)
+    val ids = fused.map(_.getAs[Long]("doc_id"))
+    assert(ids.forall(id => id >= 3000000L && id < 4000000L),
+      s"RRF surfaced non-copy-3 documents: ${ids.mkString(",")}")
+    // PRF expansion: feedback docs are copy-3, so every expansion term
+    // must carry the c3_ prefix (a cross-copy term would mean the
+    // feedback join leaked other copies' documents)
+    val (expanded, tPrf) = timed(Retrieval.prfExpandedQuery(idx,
+      saltedCorpus, "doc_id", "text", Seq("c3_hash", "c3_join"),
+      nFeedback = 5, nExpand = 3))
+    assert(expanded.length == 5 && expanded.forall(_.startsWith("c3_")),
+      s"PRF expansion leaked across copies: $expanded")
+    info(f"10x retrieval: correct $tCorrect%.1fs, serve+fuse $tServe%.1fs, " +
+      f"prf $tPrf%.1fs; read ${read.get()} of $totalPostings postings")
+  }
 }
