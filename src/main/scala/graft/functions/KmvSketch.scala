@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Buffer for KmvSketch: the k lexicographically-smallest DISTINCT hash
@@ -63,7 +64,14 @@ case class KmvSketch(
   override def dataType: DataType = StructType(Seq(
     StructField("kth_hash", StringType),
     StructField("n_kept", IntegerType, nullable = false),
-    StructField("est_distinct", DoubleType, nullable = false)))
+    StructField("est_distinct", DoubleType, nullable = false),
+    // the kept hashes themselves, ascending — the sketch STATE, so two
+    // sketches can be MERGED downstream with plain array expressions
+    // (union/intersection/jaccard estimates; see kmv_user_overlap) and
+    // the oracle can replay the state as "the k smallest distinct
+    // hashes" in SQL. O(k) strings — sketch-sized, never corpus-sized.
+    StructField("hashes", ArrayType(StringType, containsNull = false),
+      nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (k < 2)
@@ -109,7 +117,11 @@ case class KmvSketch(
         // kept count is then the only defensible answer
         if (frac <= 0) n.toDouble else (k - 1).toDouble / frac
       }
-    InternalRow(UTF8String.fromString(kth), n, est)
+    val hashes = new Array[Any](n)
+    val it = buffer.set.iterator()
+    var i = 0
+    while (it.hasNext) { hashes(i) = UTF8String.fromString(it.next()); i += 1 }
+    InternalRow(UTF8String.fromString(kth), n, est, new GenericArrayData(hashes))
   }
 
   override def serialize(buffer: KmvBuffer): Array[Byte] = {

@@ -39,17 +39,67 @@ object AnalyticsQueries {
     * oracles silently diverge. */
   private def tradeGraphEdges(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
+    val pairs = tradeGraphDirected(spark, dir)
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The DIRECTED customer -> supplier half of [[tradeGraphEdges]] — the
+    * bipartite form HITS runs on (hubs = customers, authorities =
+    * suppliers); symmetrizing would collapse the two roles. */
+  private def tradeGraphDirected(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = orders
+    orders
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("C"), col("o_custkey")).as("src"),
         concat(lit("S"), col("l_suppkey")).as("dst"))
       .distinct()
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  /** Transition-monitor replay body (see [[ReplayOrchestrator]]): the
+    * events table streamed in three TS-RANGE micro-batches — the delivery
+    * shape [[graft.streaming.StreamingOps.transitionMonitorStream]]'s
+    * ordering contract names (any time-ordered ingest satisfies it) —
+    * through the per-user sequence state into a parquet sink; returns the
+    * sink path. The range cuts come from ONE 1-row min/max aggregate; the
+    * cut VALUES never affect the result (the monitor is split-invariant
+    * under any ts-range delivery), only the staging. */
+  private def buildTransitionsReplaySink(spark: SparkSession,
+      dir: String): String = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val root = QueryArtifacts.sessionRoot(spark)
+    val src = QueryArtifacts.path(s"$root/transitions-src", dir)
+    val out = QueryArtifacts.path(s"$root/transitions-sink", dir)
+    val ckpt = QueryArtifacts.path(s"$root/transitions-ckpt", dir)
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val r = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val third = (hi - lo) / 3
+    val (c1, c2) = (lo + third, lo + 2 * third)
+    val us = unix_micros(col("ts"))
+    // equal-ts rows can never straddle a batch: membership is a pure
+    // function of ts, so the monitor's cross-batch per-user order holds
+    graft.streaming.StreamingOps.stageOrdered(src, Seq(
+      ev.filter(us < c1), ev.filter(us >= c1 && us < c2),
+      ev.filter(us >= c2)))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.streaming.StreamingOps
+      .transitionMonitorStream(spark, stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    out
+  }
+  ReplayOrchestrator.register("event-transitions")(buildTransitionsReplaySink)
 
   val queries: ListMap[String, Q] = ListMap(
     // TPC-H Q1-style pricing summary: the canonical partial-agg benchmark
@@ -245,6 +295,67 @@ object AnalyticsQueries {
           danglingFree = true)
         .orderBy("node")
     }),
+    // HITS hubs & authorities (operators/Hits) over the DIRECTED
+    // customer -> supplier trade graph — the PageRank tier's second
+    // authority signal, natural on the bipartite form (hubs = customers,
+    // authorities = suppliers): 2 rounds of the fixed-point integer
+    // machinery, each half-round one equi-join + one keyed BIGINT sum,
+    // MAX-normalized through an exact decimal DIV so the oracle unrolls
+    // every round (including the per-round 1-row max) bit-for-bit.
+    "graph_hits" -> ((spark, dir) => {
+      graft.operators.Hits.run(tradeGraphDirected(spark, dir), "src", "dst",
+          iterations = 2)
+        .orderBy("node")
+    }),
+    // Event-transition matrix (first-order Markov chain over each user's
+    // event stream): per (from, to) event-type pair, the transition
+    // count and probability — the behavior-modeling signal (what follows
+    // a view? where do sessions die?) and the generator of synthetic
+    // user traces. Scale shape: ONE window partitioned by user (state
+    // bounded per user, never corpus-wide), one keyed count to the
+    // |types|^2 matrix, and the per-from totals join is matrix-sized.
+    // The (ts, event_id) ordering is a total order, so lead() is
+    // deterministic and the oracle replays it exactly.
+    "event_transitions" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = pairs
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      counts.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("prob"))
+        .orderBy("from_type", "to_type")
+    }),
+    // Streaming TRANSITION-matrix replay: the per-user SEQUENCE state
+    // family on the driver ledger — events delivered in three ts-range
+    // micro-batches through StreamingOps.transitionMonitorStream (state =
+    // each user's last event; a user's consecutive events straddling a
+    // batch boundary must still pair), transitions appended to a parquet
+    // sink as facts, and the count/probability aggregation runs
+    // DISTRIBUTED over the sink — the one replay whose emissions are
+    // event-sized, which is exactly why it is the one replay that must
+    // NOT collect its sink. Oracle = the batch event_transitions
+    // derivation verbatim: a monitor/batch divergence (lost carry state,
+    // intra-batch disorder, double emission) turns this row red.
+    "streaming_transitions_replay" -> ((spark, dir) => {
+      val sink = ReplayOrchestrator.await[String](spark, dir,
+        "event-transitions")
+      val counts = spark.read.parquet(sink)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      counts.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("prob"))
+        .orderBy("from_type", "to_type")
+    }),
     // JSON extraction from the props column (multimodal/dynamic metadata)
     "json_extract_props" -> ((spark, dir) => {
       Tables.load(spark, dir, "events")
@@ -261,6 +372,75 @@ object AnalyticsQueries {
   val oracleSql: ListMap[String, String] = ListMap(
     // the three integer PR rounds unrolled (// == Spark's DIV on
     // positives; 150000000 == scale*(100-85)/100, the same formula)
+    // HITS unroll: 2 rounds, each half-round an in/out-neighbor sum plus
+    // the exact max-normalization (HUGEINT widen mirrors the engine's
+    // decimal(38,0); // mirrors DIV on positive values)
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+        |    'S' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS raw
+        |        FROM nodes n LEFT JOIN (SELECT dst AS node,
+        |            CAST(count(*) AS BIGINT) * 1000000000 AS s
+        |          FROM e GROUP BY dst) x USING (node)),
+        |a1 AS (SELECT node, CAST((CAST(raw AS HUGEINT) * 1000000000)
+        |         // (SELECT max(raw) FROM a1r) AS BIGINT) AS sc FROM a1r),
+        |h1r AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS raw
+        |        FROM nodes n LEFT JOIN (SELECT e.src AS node,
+        |            CAST(sum(a1.sc) AS BIGINT) AS s
+        |          FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src) x USING (node)),
+        |h1 AS (SELECT node, CAST((CAST(raw AS HUGEINT) * 1000000000)
+        |         // (SELECT max(raw) FROM h1r) AS BIGINT) AS sc FROM h1r),
+        |a2r AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS raw
+        |        FROM nodes n LEFT JOIN (SELECT e.dst AS node,
+        |            CAST(sum(h1.sc) AS BIGINT) AS s
+        |          FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst) x USING (node)),
+        |a2 AS (SELECT node, CAST((CAST(raw AS HUGEINT) * 1000000000)
+        |         // (SELECT max(raw) FROM a2r) AS BIGINT) AS sc FROM a2r),
+        |h2r AS (SELECT n.node, CAST(coalesce(x.s, 0) AS BIGINT) AS raw
+        |        FROM nodes n LEFT JOIN (SELECT e.src AS node,
+        |            CAST(sum(a2.sc) AS BIGINT) AS s
+        |          FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src) x USING (node)),
+        |h2 AS (SELECT node, CAST((CAST(raw AS HUGEINT) * 1000000000)
+        |         // (SELECT max(raw) FROM h2r) AS BIGINT) AS sc FROM h2r)
+        |SELECT n.node, h2.sc AS hub_scaled, a2.sc AS auth_scaled
+        |FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+        |ORDER BY node""".stripMargin,
+    // the same total (ts, event_id) order, lead per user, matrix-sized
+    // probability join
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  round(p.n * 1.0 / t.n_from, 6) AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // the streaming replay must land on the batch matrix exactly — the
+    // oracle IS the batch derivation (shared text would hide nothing:
+    // both rows' results hash against this same SQL)
+    "streaming_transitions_replay" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  round(p.n * 1.0 / t.n_from, 6) AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "graph_pagerank" ->
       """WITH p AS (
         |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,

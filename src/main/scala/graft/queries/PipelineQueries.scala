@@ -41,6 +41,45 @@ object PipelineQueries {
           round(col("s.est_distinct"), 6).as("est_distinct"))
         .orderBy("event_type")
     }),
+    // KMV sketch SET ALGEBRA (r15): distinct-user overlap between the
+    // click and purchase streams WITHOUT an exact distinct — the two
+    // bottom-k sketches MERGE with plain array expressions because the
+    // sketch state is literally "the k smallest distinct hashes": the
+    // union sketch is the k smallest of the concatenation, the jaccard
+    // estimate is the fraction of the union sketch present in BOTH
+    // sides (the standard KMV estimator), and est_intersection =
+    // jaccard * est_union. Only two O(k) sketch rows ever meet (the
+    // 1-row-aggregate cross the topic_drift_report pattern allows);
+    // at 100 TB each side's sketch is one bounded-state aggregate over
+    // its stream, and the merge is free — the reason sketch overlap
+    // beats exact distinct-intersection (a corpus-sized shuffle) for
+    // segment-overlap dashboards.
+    "kmv_user_overlap" -> ((spark, dir) => {
+      val k = 64
+      val ev = Tables.load(spark, dir, "events")
+      def sketch(t: String, pre: String) = ev
+        .filter(col("event_type") === t)
+        .select(md5(col("user_id").cast("string")).as("h"))
+        .agg(kmv_sketch(col("h"), k).as("s"))
+        .select(col("s.hashes").as(pre + "_hashes"),
+          col("s.est_distinct").as(pre + "_est"))
+      sketch("click", "a").crossJoin(sketch("purchase", "b"))
+        .withColumn("m", slice(array_sort(array_distinct(
+          concat(col("a_hashes"), col("b_hashes")))), 1, k))
+        .withColumn("u",
+          when(size(col("m")) < k, size(col("m")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (expr("CAST(conv(substring(element_at(m, 64), 1, 15), 16, 10) AS DOUBLE)")
+                / lit(graft.functions.KmvSketch.Space60))))
+        .withColumn("j",
+          size(array_intersect(array_intersect(col("m"), col("a_hashes")),
+            col("b_hashes"))).cast("double") / k)
+        .select(round(col("a_est"), 6).as("est_click"),
+          round(col("b_est"), 6).as("est_purchase"),
+          round(col("u"), 6).as("est_union"),
+          round(col("j"), 6).as("jaccard"),
+          round(col("j") * col("u"), 6).as("est_intersection"))
+    }),
     // Concat-and-chunk sequence packing into 256-token context windows
     // (two-level distributed prefix scan; see operators.Packing)
     "pack_sequences" -> ((spark, dir) => {
@@ -519,6 +558,38 @@ object PipelineQueries {
         |    ELSE 63.0 / ((('0x' || substring(kth_hash, 1, 15))::BIGINT)
         |                 / 1152921504606846976.0) END, 6) AS est_distinct
         |FROM kept ORDER BY event_type""".stripMargin,
+    // the sketch states replayed as "the k smallest distinct hashes" in
+    // plain SQL, then the identical merge/estimate arithmetic: union =
+    // k smallest of the concatenation, jaccard = |union-sketch ∩ A ∩ B|/k
+    "kmv_user_overlap" ->
+      """WITH ah AS (SELECT list_sort(list(DISTINCT md5(CAST(user_id AS VARCHAR)))) AS l
+        |            FROM events WHERE event_type = 'click'),
+        |a AS (SELECT l[1:64] AS hs,
+        |        CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
+        |             ELSE 63.0 / ((('0x' || substring(l[64], 1, 15))::BIGINT)
+        |                          / 1152921504606846976.0) END AS est
+        |      FROM ah),
+        |bh AS (SELECT list_sort(list(DISTINCT md5(CAST(user_id AS VARCHAR)))) AS l
+        |            FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT l[1:64] AS hs,
+        |        CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
+        |             ELSE 63.0 / ((('0x' || substring(l[64], 1, 15))::BIGINT)
+        |                          / 1152921504606846976.0) END AS est
+        |      FROM bh),
+        |m AS (SELECT a.hs AS ahs, a.est AS aest, b.hs AS bhs, b.est AS best,
+        |        list_sort(list_distinct(a.hs || b.hs))[1:64] AS mg
+        |      FROM a, b),
+        |u AS (SELECT *,
+        |        CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE)
+        |             ELSE 63.0 / ((('0x' || substring(mg[64], 1, 15))::BIGINT)
+        |                          / 1152921504606846976.0) END AS uraw,
+        |        CAST(len(list_intersect(list_intersect(mg, ahs), bhs)) AS DOUBLE)
+        |          / 64 AS j
+        |      FROM m)
+        |SELECT round(aest, 6) AS est_click, round(best, 6) AS est_purchase,
+        |  round(uraw, 6) AS est_union, round(j, 6) AS jaccard,
+        |  round(j * uraw, 6) AS est_intersection
+        |FROM u""".stripMargin,
     // same derived versions, classes by direct text comparison (the
     // engine compares md5s — identical classification, hashes-only
     // shuffle is the engine-side scale shape the oracle needn't mimic)

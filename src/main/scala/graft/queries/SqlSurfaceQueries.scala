@@ -24,6 +24,44 @@ object SqlSurfaceQueries {
   }
 
   val queries: ListMap[String, Q] = ListMap(
+    // Table PROFILING (r15): per-column null count, exact distinct
+    // count, and numeric min/max over orders — the ingest-hygiene pass a
+    // pipeline runs before admitting a new table (nulls where a key
+    // should be, cardinality collapse, out-of-range values). ONE scan:
+    // all six columns' aggregates ride one agg (Spark plans the multi-
+    // distinct via Expand — scan once, expand per distinct), then the
+    // 1-row wide result unpivots to a row per column with a stack
+    // projection. At 100 TB the same shape holds with the exact
+    // distincts swapped for approx_count_distinct (the sketch family);
+    // exact here keeps the row oracle-checkable.
+    "table_profile" -> ((spark, dir) => {
+      val o = Tables.load(spark, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct")) ++
+          (if (numeric(c))
+            Seq(min(col(c)).cast("double").as(s"${c}__min"),
+              max(col(c)).cast("double").as(s"${c}__max"))
+          else Nil)
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          (if (numeric(c)) col(s"${c}__min")
+           else lit(null).cast("double")).as("min_num"),
+          (if (numeric(c)) col(s"${c}__max")
+           else lit(null).cast("double")).as("max_num"))
+      }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select("r.column_name", "r.n_rows", "r.n_nulls", "r.n_distinct",
+          "r.min_num", "r.max_num")
+        .orderBy("column_name")
+    }),
     // Exact distinct aggregation (expand + two-phase agg in Spark)
     "distinct_agg" -> ((spark, dir) => {
       Tables.load(spark, dir, "lineitem")
@@ -330,6 +368,23 @@ object SqlSurfaceQueries {
     }))
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // one branch per profiled column; non-numeric columns carry NULL
+    // min/max like the engine's typed-null projection
+    "table_profile" -> {
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map { c =>
+        val mm =
+          if (numeric(c))
+            s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num"
+          else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $mm
+           |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
+    },
     "pivot_returnflag" ->
       """SELECT l_linestatus,
         |  coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2), 0.0) AS qty_a,

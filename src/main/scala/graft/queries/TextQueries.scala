@@ -761,6 +761,30 @@ object TextQueries {
         .select("rank", "doc_id", "matched_terms", "bm25")
         .orderBy("rank")
     }),
+    // Term-PROXIMITY scoring (r15): for every document containing BOTH
+    // query terms, the minimum token distance between an occurrence of
+    // each — the phrase/nearness signal a ranker layers over BM25 (bag-
+    // of-words can't tell "hash join" from "hash ... 500 tokens ... join").
+    // Stateless per-row projection: positions via an indexed transform +
+    // filter, the min over the |p1|x|p2| pair distances as one codegen'd
+    // nested-array expression — bounded by the document's own occurrence
+    // counts, no shuffle, no UDF; at scale the caller runs it on the
+    // bounded top-k join-back (the bestWindow snippet contract), the
+    // full-corpus form here is the oracle-checkable stress shape.
+    "retrieval_proximity" -> ((spark, dir) => {
+      val t = toks(col("text"))
+      def positions(term: String) = filter(
+        transform(t, (w, i) => when(w === term, i).otherwise(lit(-1))),
+        x => x >= 0)
+      val p1 = positions("hash")
+      val p2 = positions("join")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), size(p1).as("n_a"), size(p2).as("n_b"),
+          array_min(flatten(transform(p1,
+            a => transform(p2, b => abs(a - b))))).as("min_dist"))
+        .filter(col("n_a") >= 1 && col("n_b") >= 1)
+        .orderBy("doc_id")
+    }),
     // PII scrubbing: count + redact emails / URLs / long digit runs — the
     // compliance-filtering stage of a training-data pipeline. Patterns are
     // dialect-portable (same semantics in Java regex and DuckDB's RE2);
@@ -1804,6 +1828,21 @@ object TextQueries {
         |FROM q LEFT JOIN best b USING (qterm) ORDER BY qterm""".stripMargin,
     // the correction CTEs feeding the bm25 scoring verbatim — the
     // corrected term set {hash, join, query} (zzzzzz matches nothing)
+    // 1-based comprehension indices vs the engine's 0-based transform
+    // indices: pairwise DIFFERENCES are shift-invariant
+    "retrieval_proximity" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        [i for i in range(1, len(tk) + 1) if tk[i] = 'hash'] AS p1,
+        |        [i for i in range(1, len(tk) + 1) if tk[i] = 'join'] AS p2
+        |      FROM t)
+        |SELECT doc_id, CAST(len(p1) AS INTEGER) AS n_a,
+        |  CAST(len(p2) AS INTEGER) AS n_b,
+        |  CAST(list_min(flatten([[abs(a - b) for a in p1] for b in p2]))
+        |    AS INTEGER) AS min_dist
+        |FROM p WHERE len(p1) >= 1 AND len(p2) >= 1
+        |ORDER BY doc_id""".stripMargin,
     "retrieval_fuzzy_serve" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -714,6 +714,63 @@ object StreamingOps {
         })
   }
 
+  /** One arrival of [[transitionMonitorStream]] (ts pre-converted to epoch
+    * micros so ordering inside the state function is a plain long pair). */
+  final case class TransEvent(user_id: Long, event_type: String,
+      ts_us: Long, event_id: Long)
+  /** Per-user sequence state: the LAST event seen, O(1) per user. */
+  final case class TransState(ts_us: Long, event_id: Long, tpe: String)
+  final case class TransitionRow(user_id: Long, from_type: String,
+      to_type: String)
+
+  /** Clickstream TRANSITION monitor: the streaming twin of the batch
+    * `event_transitions` first-order Markov matrix. State = each user's
+    * LAST event (ts, event_id, type) — the SEQUENCE-state family
+    * (sessionization's cousin where ORDER, not presence, is the signal),
+    * O(1) per user however long the stream. Keyed by user_id — the
+    * module's high-cardinality key shape, no single-task funneling.
+    *
+    * Ordering contract: per-user arrivals must be delivered in
+    * nondecreasing (ts, event_id) order ACROSS micro-batches — satisfied
+    * by any time-ordered ingest (log-append-time Kafka, crawl-window file
+    * drops; the driver replay stages batches as disjoint ts ranges, so
+    * equal-ts rows never straddle a batch). WITHIN a batch the group's
+    * arrivals are sorted before pairing, so intra-batch disorder repairs
+    * itself.
+    *
+    * Append-mode emissions: a transition is a FACT emitted exactly once
+    * (never an evolving aggregate), so the sink can be a parquet FILE
+    * sink and the downstream count/probability aggregation stays fully
+    * distributed — nothing event-sized is ever collected to the driver,
+    * unlike the update-mode dashboard monitors above whose emissions are
+    * codomain-bounded. */
+  def transitionMonitorStream(spark: SparkSession,
+      stream: DataFrame): Dataset[TransitionRow] = {
+    import spark.implicits._
+    stream.select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, batch: Iterator[TransEvent],
+            state: GroupState[TransState]) => {
+          val evs = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val carried = state.getOption.map(s =>
+              TransitionRow(user, s.tpe, evs.head.event_type)).toSeq
+            val within = evs.iterator.zip(evs.iterator.drop(1)).map {
+              case (a, b) => TransitionRow(user, a.event_type, b.event_type)
+            }.toSeq
+            val last = evs.last
+            state.update(
+              TransState(last.ts_us, last.event_id, last.event_type))
+            (carried ++ within).iterator
+          }
+        })
+  }
+
   /** Custom state: running per-user totals emitted on every update. State
     * expires on an event-time timeout one hour past the user's last event
     * (watermark-driven, so expiry is deterministic and replayable — at scale

@@ -45,6 +45,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("kmv hashes field is the ascending kept list; array-merge equals " +
+      "the sketch of the unioned stream (bottom-k identity)") {
+    val a = hashed(3000).filter(col("h") < "8")
+    val b = hashed(3000).filter(col("h") >= "4") // overlapping ranges
+    def hs(df: org.apache.spark.sql.DataFrame, k: Int): Seq[String] =
+      df.agg(kmv_sketch(col("h"), k).as("s")).select("s.hashes")
+        .head().getSeq[String](0)
+    val ha = hs(a, 64)
+    assert(ha == ha.sorted && ha.distinct == ha, "hashes must be ascending distinct")
+    // the k smallest of (k smallest of A) ∪ (k smallest of B) ARE the k
+    // smallest of A ∪ B — the identity kmv_user_overlap's merge relies
+    // on, saturated or not
+    val merged = (ha ++ hs(b, 64)).distinct.sorted.take(64)
+    assert(merged == hs(a.union(b), 64),
+      "array merge of two sketches diverged from the unioned-stream sketch")
+  }
+
   test("two-level packing equals the single-window formulation") {
     val docs = spark.range(0, 500)
       .select(col("id").as("doc_id"), (col("id") % 37 + 1).as("n_tokens"))

@@ -58,6 +58,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "domain_share_cap",
       // 1-row ref/new totals crossed into the |K|-cell count table
       "topic_drift_report",
+      // two 1-row sketch aggregates crossed for the array-expression
+      // merge (the sketch rows are O(k) however large the corpus)
+      "kmv_user_overlap",
       // lm_bigram_quality's 1-row vocabulary broadcast, plus the 1-row
       // corpus-count and 1-row tercile-cut broadcasts of quantileBuckets
       // (curriculum_order and the materialize capstone consume the same

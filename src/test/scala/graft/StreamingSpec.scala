@@ -781,4 +781,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Seq(10L),
       s"first-wins dedup must keep delivery 0's id, got $kept")
   }
+
+  test("streaming transition monitor pairs across batch boundaries, " +
+      "repairs intra-batch disorder, and orders equal-ts ties by event_id") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: a->b inside batch 1, b->c carried ACROSS the boundary
+    // (state), c->d inside batch 2 delivered OUT OF ORDER; user 2 appears
+    // only in batch 2 with an equal-ts pair ordered by event_id and
+    // delivered reversed
+    val b1 = Seq((1L, "a", ts(10), 1L), (1L, "b", ts(20), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val b2 = Seq((1L, "d", ts(40), 4L), (1L, "c", ts(30), 3L),
+        (2L, "y", ts(35), 6L), (2L, "x", ts(35), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val src = "target/stream-src-trans"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    StreamingOps.stageOrdered(src, Seq(b1, b2))
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingOps.transitionMonitorStream(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("trans_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(got === Seq((1L, "a", "b"), (1L, "b", "c"), (1L, "c", "d"),
+      (2L, "x", "y")))
+  }
+
+  test("streaming transition matrix over the events table equals the batch lead derivation") {
+    // the driver row's shape end to end at spec scale: ts-range batches,
+    // per-user carry, distributed count — must equal the batch window
+    val got = graft.queries.AnalyticsQueries
+      .queries("streaming_transitions_replay")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batch = graft.queries.AnalyticsQueries
+      .queries("event_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === batch,
+      "streaming transition matrix diverged from the batch derivation")
+    assert(got.size > 1, s"fixture degenerate: ${got.size} transition cells")
+  }
 }

@@ -635,6 +635,44 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       f"10x graph took ${t10 / t1}%.1fx the 1x wall-time — superlinear pagerank")
   }
 
+  test("HITS scales onto 10 disjoint bipartite copies with exact score parity",
+      SlowTest) {
+    // HITS' ONLY cross-component coupling is the per-round MAX
+    // normalization (PageRank has none at all) — identical disjoint
+    // copies share the max, so copy c's (hub, auth) must EXACTLY equal
+    // copy 0's: the integer DIV arithmetic leaves no drift to hide
+    // behind, and a normalization accidentally computed per-partition
+    // instead of globally would break parity immediately. Wall-time
+    // stays ~linear: each half-round is one hash-partitioned equi-join
+    // + one keyed BIGINT sum over the checkpointed edges.
+    import graft.operators.Hits
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .select((col("o_custkey") % 500).as("u"), (col("o_orderkey") % 97).as("v"))
+      .select(concat(lit("C"), col("u")).as("src"),
+        concat(lit("S"), col("v")).as("dst"))
+      .distinct()
+    def copyEdges(c: Int): DataFrame = base.select(
+      concat(lit(s"c${c}_"), col("src")).as("src"),
+      concat(lit(s"c${c}_"), col("dst")).as("dst"))
+    def run(e: DataFrame): (Map[String, (Long, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val r = Hits.run(e, "src", "dst", iterations = 2)
+        .collect()
+        .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (r1, t1) = run(copyEdges(0))
+    val (r10, t10) = run((0 until copies).map(copyEdges).reduce(_ unionByName _))
+    assert(r10.size == copies * r1.size, "copies must stay disjoint")
+    val mismatch = r10.iterator.filter { case (node, scores) =>
+      scores != r1("c0_" + node.substring(node.indexOf('_') + 1))
+    }.take(3).toSeq
+    assert(mismatch.isEmpty, s"copy scores diverged from copy 0: $mismatch")
+    info(f"hits 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 10.0,
+      f"10x graph took ${t10 / t1}%.1fx the 1x wall-time — superlinear HITS")
+  }
+
   test("retrieval serve chain (fuzzy-correct -> serve -> RRF -> PRF) holds " +
       "on a 10x vocab with bucket-pruned posting reads", SlowTest) {
     // The serve-side contracts the per-query specs can't see at scale:
