@@ -43,11 +43,13 @@ object PageRank {
     * as a literal) — never a corpus-sized collect.
     *
     * Scale shape: each iteration is ONE equi-join of the rank table onto
-    * the edge list (shuffle keyed by src) and ONE sum keyed by dst — the
-    * canonical distributed PR round. The edge list is localCheckpointed
-    * ONCE (eager, lineage truncated — the connected-components
-    * discipline) so degrees, nodes, and every round read the
-    * materialized edges instead of re-evaluating the caller's upstream
+    * the edge list (only the rank side shuffles — the edges are
+    * src-partitioned once) and ONE sum keyed by dst — the canonical
+    * distributed PR round. The edge list is localCheckpointed
+    * src-PARTITIONED (eager, lineage truncated — the connected-components
+    * discipline, plus preserved outputPartitioning), the node set and the
+    * degree-joined edge table each once more, so every round reads
+    * materialized tables instead of re-evaluating the caller's upstream
     * join per reference. The rank rounds themselves stay LAZY over the
     * cached edges: at a bounded iteration count the composed plan beats
     * per-round checkpointing, whose forced materialization jobs cost
@@ -111,13 +113,23 @@ object PageRank {
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     require(tolScaled.forall(_ > 0),
       s"tolScaled must be positive when set, got $tolScaled")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
-    // nodes/degrees stay lazy: every re-evaluation is a scan of the
-    // CACHED edge list, not of the caller's upstream join
+    val eDist = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    // src-partitioned + checkpointed: localCheckpoint preserves
+    // outputPartitioning, so every round's contribution join reuses the
+    // edge partitioning and shuffles ONLY the |V|-row rank table — the
+    // |E|-row edges never move again (the Hits discipline; the r15 bench
+    // measured the unpartitioned form re-shuffling e every round)
+    val e = eDist.repartition(col("src")).localCheckpoint()
+    // node set materialized once: a multi-round run would otherwise
+    // re-run the union-distinct (two shuffles) every round
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edges pre-joined with their out-degree — both sides already
+    // src-partitioned, so no exchange — materialized ONCE instead of
+    // re-joining outdeg inside every round
+    val eDeg = e.join(outdeg, "src").localCheckpoint()
     // dangling detection: ONE bounded job over the cached edges — |V| and
     // the dangling count in one 2-column aggregate, with the overflow
     // bound enforced for free while |V| is in hand. A caller that
@@ -176,8 +188,7 @@ object PageRank {
             .agg(sum("rank_scaled")).head()
           (if (s.isNullAt(0)) 0L else s.getLong(0)) / nV
         } else 0L
-      val sums = e.join(ranks, col("src") === col("node"))
-        .join(outdeg, "src")
+      val sums = eDeg.join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"),
           expr("rank_scaled DIV outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("s"))

@@ -785,6 +785,37 @@ object TextQueries {
         .filter(col("n_a") >= 1 && col("n_b") >= 1)
         .orderBy("doc_id")
     }),
+    // Collocation mining (r15): top-20 bigram collocations by DICE
+    // coefficient 2·n_ab/(n_a+n_b) — the phrase-mining signal feeding
+    // tokenizer vocabularies (multi-word entries), stop-phrase lists, and
+    // boilerplate dashboards; Dice keeps the estimator EXACT under the
+    // oracle discipline (two integer counts, one rounded division — no
+    // corpus total, no log, unlike PMI). Shape: adjacent pairs from one
+    // indexed transform (docs under 2 tokens guarded out — sequence()
+    // would count DOWN and fabricate phantom pairs, the charNgrams
+    // lesson), counts shuffle at bigram-vocab size with map-side combine,
+    // unigram counts join at vocab size, and the top-20 runs as
+    // TakeOrderedAndProject — never a global sort materialization.
+    "collocation_dice" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(toks(col("text")).as("tk"))
+      val bigrams = docs.filter(size(col("tk")) >= 2)
+        .select(explode(expr("transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
+        .select("b.w1", "b.w2")
+      val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val uc = docs.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      bc.join(uc.select(col("w").as("w1"), col("n").as("n1")), "w1")
+        .join(uc.select(col("w").as("w2"), col("n").as("n2")), "w2")
+        .select(col("w1"), col("w2"), col("n_ab"),
+          round(lit(2.0) * col("n_ab") / (col("n1") + col("n2")), 6)
+            .as("dice"))
+        .orderBy(col("dice").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
     // PII scrubbing: count + redact emails / URLs / long digit runs — the
     // compliance-filtering stage of a training-data pipeline. Patterns are
     // dialect-portable (same semantics in Java regex and DuckDB's RE2);
@@ -1843,6 +1874,24 @@ object TextQueries {
         |    AS INTEGER) AS min_dist
         |FROM p WHERE len(p1) >= 1 AND len(p2) >= 1
         |ORDER BY doc_id""".stripMargin,
+    // same adjacent-pair comprehension, counts, Dice, (dice desc, w1, w2)
+    // top-20 — the ORDER BY reads the ROUNDED alias on both sides, so the
+    // cut point can never disagree on sub-round-6 noise
+    "collocation_dice" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+        |                      for i in range(1, len(tk))],
+        |         recursive := true)
+        |       FROM t WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ug AS (SELECT unnest(tk) AS w FROM t),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ug GROUP BY 1)
+        |SELECT b.w1, b.w2, b.n_ab,
+        |  round(2.0 * b.n_ab / (a.n + c.n), 6) AS dice
+        |FROM bc b JOIN uc a ON b.w1 = a.w JOIN uc c ON b.w2 = c.w
+        |ORDER BY dice DESC, w1, w2 LIMIT 20""".stripMargin,
     "retrieval_fuzzy_serve" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
