@@ -207,6 +207,7 @@ object Bench {
     graft.queries.MultimodalQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.TextQueries.clearCaches()
+    graft.queries.AnalyticsQueries.clearCaches()
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")

@@ -52,6 +52,7 @@ object Verify {
     graft.queries.MultimodalQueries.clearCaches()
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.TextQueries.clearCaches()
+    graft.queries.AnalyticsQueries.clearCaches()
     spark.stop()
   }
 }

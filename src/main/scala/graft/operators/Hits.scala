@@ -39,22 +39,56 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, scale: Long = 1000000000L): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(scale > 0, s"scale must be positive, got $scale")
+  /** Materialized graph artifacts shared by multiple HITS calls over the
+    * SAME edge list (the PageRank.Graph discipline): src- and
+    * dst-partitioned edge copies (one per half-round key) plus the node
+    * set. Build via [[prepare]]; pass to [[runOn]]. */
+  final case class Graph private[Hits] (
+      eBySrc: DataFrame, eByDst: DataFrame, nodes: DataFrame) {
+    /** Release persisted artifacts (no-op for checkpoint-backed graphs). */
+    def unpersist(): Unit =
+      Seq(eBySrc, eByDst, nodes).foreach(_.unpersist())
+  }
+
+  /** Materialize the shared artifacts — TWO pre-partitioned edge copies,
+    * one per half-round key (preserved outputPartitioning: every
+    * half-round's equi-join reuses the edge partitioning and shuffles
+    * ONLY the \|V\|-row score table — the \|E\|-row edges never move
+    * again; the r15 bench measured the naive re-shuffle-every-half-round
+    * form at 4.7 s warm at sf0.1) — plus the node set. `persist = true`
+    * uses eager MEMORY_AND_DISK persists (caller owns the release — the
+    * session-cache shape); the default localCheckpoint is GC-released
+    * with the Graph. */
+  def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      persist: Boolean = false): Graph = {
     val eRaw = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-    // TWO pre-partitioned checkpointed edge copies, one per half-round
-    // key: localCheckpoint preserves outputPartitioning, so every
-    // half-round's equi-join reuses the edge partitioning and shuffles
-    // ONLY the |V|-row score table — the |E|-row edges never move again
-    // (the r15 bench measured the naive re-shuffle-e-every-half-round
-    // form at 4.7 s warm vs ~2.6 s for this one at sf0.1).
-    val eBySrc = eRaw.repartition(col("src")).localCheckpoint()
-    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint()
-    val nodes = eBySrc.select(col("src").as("node"))
-      .union(eBySrc.select(col("dst"))).distinct().localCheckpoint()
+    def mat(df: DataFrame): DataFrame =
+      if (persist) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      } else df.localCheckpoint()
+    val eBySrc = mat(eRaw.repartition(col("src")))
+    val eByDst = mat(eBySrc.repartition(col("dst")))
+    val nodes = mat(eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst"))).distinct())
+    Graph(eBySrc, eByDst, nodes)
+  }
+
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = 1000000000L): DataFrame =
+    runOn(prepare(edges, srcCol, dstCol), iterations, scale)
+
+  /** [[run]] over a [[prepare]]d graph — amortizes the edge
+    * materializations across calls/passes. */
+  def runOn(g: Graph, iterations: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val eBySrc = g.eBySrc
+    val eByDst = g.eByDst
+    val nodes = g.nodes
     // neighbor-sum half-round: for each node, the sum of `scores`'
     // score_scaled over its `key`-side neighbors (key = "src" pulls
     // IN-flows onto dst; key = "dst" pulls OUT-flows onto src), zeros

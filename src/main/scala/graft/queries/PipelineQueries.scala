@@ -503,6 +503,18 @@ object PipelineQueries {
       path
     })
 
+  // Pseudo-replay WARM-UP: the two z-order layout writes (bin + sort +
+  // 16/12-file write, then the append + compact lifecycle) are pure disk
+  // artifacts runOnce-shared by the two zorder rows — force them under
+  // the warm-up fan-out (see ReplayOrchestrator) so the rows pay only
+  // their statically-pruned reads. No teardown: the layouts are
+  // target/-resident files, not session persists.
+  ReplayOrchestrator.register("warm-zorder") { (spark, dir) =>
+    zorderLayout(spark, dir)
+    zorderLifecycleLayout(spark, dir)
+    java.lang.Boolean.TRUE
+  }
+
   /** Shared oracle for both z-order reads: the plain predicate over the
     * full table (identical box bounds on both query paths — file skipping
     * is a superset selection, and the write->append->compact lifecycle
