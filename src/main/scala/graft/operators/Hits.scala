@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   * collect). Truncation leaks ≤ 1/scale per node per half-round — noise
   * far below any ranking decision at the default scale.
   *
-  * Scale shape: edges are localCheckpointed ONCE PER HALF-ROUND KEY
+  * Scale shape: edges are materialized ONCE PER HALF-ROUND KEY
   * (src-partitioned and dst-partitioned copies — the preserved
   * outputPartitioning means each half-round shuffles only the \|V\|-row
   * score table, never the \|E\|-row edges); every round is two
   * (join + keyed sum) pairs over the cached edges plus two 1-row max
-  * aggregates; raw half-rounds are materialized once each (feeding the
-  * max aggregate — the PageRank eager-rounds rationale). Overflow bound:
+  * aggregates riding as broadcast branches of the SAME lazy DAG
+  * (ReuseExchange shares each raw table's shuffle with its max branch),
+  * so a bounded-iteration run executes as ONE job; every 3rd iteration
+  * checkpoints to bound the doubled-per-half-round plan tree on long
+  * runs. Overflow bound:
   * after normalization every score is ≤ scale, so a node's in-sum is ≤
   * maxDeg·scale; the default scale keeps ~10^9-degree nodes inside
   * 2^63.
@@ -102,8 +105,8 @@ object Hits {
         Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("raw"))
     }
-    // h0 = scale on every node (a lazy projection of the checkpointed
-    // node set — nothing to materialize)
+    // h0 = scale on every node (a lazy projection of the materialized
+    // node set — nothing new to materialize)
     var hubs = nodes.withColumn("score_scaled", lit(scale))
     var auths: DataFrame = null
     var i = 0
@@ -113,34 +116,39 @@ object Hits {
       // hub half-round: h(u) = sum of out-neighbors' normalized auths
       hubs = normalize(halfRound(auths, "dst", "src"), scale)
       i += 1
+      // the rounds stay LAZY (the PageRank composed-plan rationale: one
+      // job at the end instead of a materialization per half-round —
+      // measured 3.8 s -> well under 1 s warm at sf0.1); every 3rd
+      // iteration checkpoints to bound plan depth for long runs, since
+      // each half-round's plan embeds the previous one TWICE (main +
+      // max branch — ReuseExchange collapses the runtime cost, but the
+      // tree itself doubles per half-round)
+      if (i % 3 == 0 && i < iterations) {
+        auths = auths.localCheckpoint()
+        hubs = hubs.localCheckpoint()
+      }
     }
     hubs.withColumnRenamed("score_scaled", "hub_scaled")
       .join(auths.withColumnRenamed("score_scaled", "auth_scaled"),
         Seq("node"))
   }
 
-  /** Max-normalize a materialized (node, raw) score table to `scale`:
+  /** Max-normalize a (node, raw) score table to `scale`:
     * s' = raw·scale DIV max(raw), the multiply widened to decimal(38,0)
     * (raw·scale reaches maxDeg·scale² ≈ deg·10^18 — past 2^63 at degree
     * 10; the TrigramLm decimal discipline, and the oracle widens to
-    * HUGEINT identically). The max is ONE 1-row aggregate over the
-    * (checkpointed) table, embedded as a literal; an all-zero round
-    * (possible only on a degenerate edgeless input) passes through
-    * unscaled rather than dividing by zero. */
-  private def normalize(scored: DataFrame, scale: Long): DataFrame = {
-    // ONE checkpoint per half-round: the raw table feeds the 1-row max
-    // aggregate AND the scaled projection its consumers read — the
-    // projection is a free recompute from the checkpoint, so
-    // checkpointing it too (as the first cut did) only doubled the
-    // materialization count
-    val mat = scored.localCheckpoint()
-    val mx = mat.agg(max("raw")).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    if (mx <= 0L) mat.select(col("node"), col("raw").as("score_scaled"))
-    else mat.select(col("node"),
-      expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) DIV $mx AS BIGINT)")
-        .as("score_scaled"))
-  }
+    * HUGEINT identically). The max rides as a BROADCAST 1-row aggregate
+    * of the same subplan (never a collected literal — keeping the round
+    * lazy is what lets a multi-round run execute as ONE job, with
+    * ReuseExchange sharing the raw table's shuffle between the max
+    * branch and the main branch); an all-zero round (possible only on a
+    * degenerate edgeless input) passes through unscaled rather than
+    * dividing by zero. */
+  private def normalize(scored: DataFrame, scale: Long): DataFrame =
+    scored.crossJoin(broadcast(scored.agg(max("raw").as("mx"))))
+      .select(col("node"),
+        when(col("mx").isNull || col("mx") <= 0L, col("raw"))
+          .otherwise(expr(
+            s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) DIV mx AS BIGINT)"))
+          .as("score_scaled"))
 }
