@@ -390,6 +390,43 @@ object AnalyticsQueries {
           round(col("n").cast("double") / col("n_from"), 6).as("prob"))
         .orderBy("from_type", "to_type")
     }),
+    // Per-user SESSION ANOMALY score (r15): average transition SURPRISE
+    // in quantized micro-nats under the corpus's own first-order Markov
+    // model — the behavioral bot/fraud filter of a training pipeline
+    // built on event logs (a scripted session walking improbable
+    // transitions scores high; a templated one replaying the modal path
+    // scores low). Arithmetic is the diversity report's rule-9
+    // discipline: every ln rounds to integer micro-nats the instant it
+    // is computed — q = round(ln(n/n_from)·1e6) per transition CLASS
+    // (|types|² rows, broadcast) — so each user's surprise mass is an
+    // exact order-free decimal(38,0) sum and ONE truncating DIV.
+    // The transition pairs feed both the model counts and the score join
+    // (two window passes here; a real pipeline trains the matrix
+    // offline and the serve side is one broadcast-join scan).
+    "session_anomaly_score" -> ((spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev.withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          col("to_type"))
+      val counts = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      val probs = counts.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"),
+          org.apache.spark.sql.functions.round(
+            log(col("n").cast("double") / col("n_from")) * 1e6, 0)
+            .cast("decimal(38,0)").as("q_micro"))
+      pairs.join(broadcast(probs), Seq("from_type", "to_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_transitions"), sum("q_micro").as("s"))
+        .select(col("user_id"), col("n_transitions"),
+          expr("CAST((-s) DIV n_transitions AS BIGINT)")
+            .as("surprise_micro_avg"))
+        .orderBy("user_id")
+    }),
     // Streaming TRANSITION-matrix replay: the per-user SEQUENCE state
     // family on the driver ledger — events delivered in three ts-range
     // micro-batches through StreamingOps.transitionMonitorStream (state =
@@ -481,6 +518,27 @@ object AnalyticsQueries {
         |  round(p.n * 1.0 / t.n_from, 6) AS prob
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // micro-nat surprise per transition class, exact integer sum per
+    // user, one truncating division — the diversity-report ln parity
+    "session_anomaly_score" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |p AS (SELECT user_id, from_type, to_type FROM s
+        |      WHERE to_type IS NOT NULL),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1),
+        |q AS (SELECT c.from_type, c.to_type,
+        |        CAST(round(ln(c.n * 1.0 / t.n_from) * 1e6) AS HUGEINT)
+        |          AS q_micro
+        |      FROM c JOIN t USING (from_type))
+        |SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST((-sum(q.q_micro)) // count(*) AS BIGINT) AS surprise_micro_avg
+        |FROM p JOIN q USING (from_type, to_type)
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     // the streaming replay must land on the batch matrix exactly — the
     // oracle IS the batch derivation (shared text would hide nothing:
     // both rows' results hash against this same SQL)

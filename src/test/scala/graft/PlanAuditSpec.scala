@@ -61,6 +61,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // two 1-row sketch aggregates crossed for the array-expression
       // merge (the sketch rows are O(k) however large the corpus)
       "kmv_user_overlap",
+      // four 1-row per-half-round max aggregates crossed in as broadcast
+      // normalization divisors (Hits.normalize — keeping the rounds lazy
+      // is what lets the whole run execute as one job)
+      "graph_hits",
       // lm_bigram_quality's 1-row vocabulary broadcast, plus the 1-row
       // corpus-count and 1-row tercile-cut broadcasts of quantileBuckets
       // (curriculum_order and the materialize capstone consume the same
