@@ -390,6 +390,38 @@ object AnalyticsQueries {
           round(col("n").cast("double") / col("n_from"), 6).as("prob"))
         .orderBy("from_type", "to_type")
     }),
+    // Supplier CO-OCCURRENCE similarity (r15): top-20 supplier pairs by
+    // exact Jaccard over their customer sets — the related-source mining
+    // of corpus curation (domains co-cited by the same pages, sources
+    // co-consumed by the same users) and the item-item core of
+    // collaborative filtering. Scale shape: the pair generation is a
+    // self-join on the CUSTOMER key, quadratic per key but bounded by a
+    // DEGREE CAP (d <= 55; customers above it are dropped BEFORE pairing
+    // — the standard stop-key/power-user drop of co-occurrence mining,
+    // exercised at sf0.01/0.1 where 13 / 1747 hubs exceed it); counts
+    // shuffle at pair-vocabulary size, the Jaccard is one rounded
+    // division of exact integers, and the top-20 is TakeOrderedAndProject
+    // on the rounded score. Reuses the persisted trade-graph pairs.
+    "supplier_cooccurrence" -> ((spark, dir) => {
+      val e = tradeGraphDirected(spark, dir)
+        .select(substring(col("src"), 2, 100).cast("long").as("c"),
+          substring(col("dst"), 2, 100).cast("long").as("s"))
+      val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
+      val kept = e.join(deg.filter(col("d") <= 55), Seq("c"), "left_semi")
+      val n = kept.groupBy("s").agg(count(lit(1)).as("n"))
+      val co = kept.as("a").join(kept.as("b"),
+          col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 5)
+      co.join(n.select(col("s").as("s1"), col("n").as("n1")), "s1")
+        .join(n.select(col("s").as("s2"), col("n").as("n2")), "s2")
+        .select(col("s1"), col("s2"), col("co"),
+          round(col("co").cast("double")
+            / (col("n1") + col("n2") - col("co")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+        .limit(20)
+    }),
     // Per-user SESSION ANOMALY score (r15): average transition SURPRISE
     // in quantized micro-nats under the corpus's own first-order Markov
     // model — the behavioral bot/fraud filter of a training pipeline
@@ -518,6 +550,22 @@ object AnalyticsQueries {
         |  round(p.n * 1.0 / t.n_from, 6) AS prob
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // same degree-capped pair generation, counts, Jaccard, rounded-score
+    // cut — (jaccard desc, s1, s2) is a total order
+    "supplier_cooccurrence" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY c),
+        |kept AS (SELECT e.c, e.s FROM e JOIN deg USING (c) WHERE d <= 55),
+        |n AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY s),
+        |co AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS co
+        |       FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+        |       GROUP BY 1, 2)
+        |SELECT co.s1, co.s2, co.co,
+        |  round(co.co * 1.0 / (n1.n + n2.n - co.co), 6) AS jaccard
+        |FROM co JOIN n n1 ON co.s1 = n1.s JOIN n n2 ON co.s2 = n2.s
+        |WHERE co.co >= 5
+        |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
     // micro-nat surprise per transition class, exact integer sum per
     // user, one truncating division — the diversity-report ln parity
     "session_anomaly_score" ->
