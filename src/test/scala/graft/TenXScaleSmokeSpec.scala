@@ -673,6 +673,95 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       f"10x graph took ${t10 / t1}%.1fx the 1x wall-time — superlinear HITS")
   }
 
+  test("degree-capped co-occurrence pairing scales onto 10 disjoint copies " +
+      "with exact per-copy Jaccard parity", SlowTest) {
+    // The pair-generating self-join is quadratic PER CUSTOMER KEY — the
+    // shape that dies first at scale if the degree cap or the key-local
+    // bound breaks. Disjoint key-space copies of the same bipartite graph
+    // must produce (a) EXACTLY 10x the capped pair table (co-occurrence
+    // is customer-local, copies can never pair up) with per-copy Jaccard
+    // parity, and (b) ~linear wall-time (a key-crossing bug would be
+    // ~100x pairs).
+    // s-space of 37 keeps typical degrees under the 55 cap while the
+    // heaviest customers still exceed it (both cap branches exercised)
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .select((col("o_custkey") % 500).as("c"),
+        (col("o_orderkey") % 37 + when(col("o_custkey") % 11 === 0,
+          col("o_orderkey") % 61).otherwise(lit(0))).as("s"))
+      .distinct()
+    def copyOf(k: Int): DataFrame = base.select(
+      (col("c") + lit(k * 1000000L)).as("c"), (col("s") + lit(k * 1000000L)).as("s"))
+    def pairs(e: DataFrame): Map[(Long, Long), (Long, Double)] = {
+      val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
+      val kept = e.join(deg.filter(col("d") <= 55), Seq("c"), "left_semi")
+      val n = kept.groupBy("s").agg(count(lit(1)).as("n"))
+      val co = kept.as("a").join(kept.as("b"),
+          col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+        .agg(count(lit(1)).as("co")).filter(col("co") >= 5)
+      co.join(n.select(col("s").as("s1"), col("n").as("n1")), "s1")
+        .join(n.select(col("s").as("s2"), col("n").as("n2")), "s2")
+        .select(col("s1"), col("s2"), col("co"),
+          round(col("co").cast("double")
+            / (col("n1") + col("n2") - col("co")), 6).as("j"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (p1, t1) = timed(pairs(copyOf(0)))
+    val (p10, t10) = timed(pairs((0 until copies).map(copyOf).reduce(_ unionByName _)))
+    assert(p1.nonEmpty)
+    assert(p10.size === copies * p1.size,
+      s"10x graph produced ${p10.size} capped pairs, expected ${copies * p1.size}")
+    val mismatch = p10.iterator.filter { case ((s1, s2), v) =>
+      v != p1((s1 % 1000000L, s2 % 1000000L))
+    }.take(3).toSeq
+    assert(mismatch.isEmpty, s"copy pair stats diverged from copy 0: $mismatch")
+    info(f"cooccurrence 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 10.0,
+      f"10x graph took ${t10 / t1}%.1fx the 1x wall-time — superlinear pairing")
+  }
+
+  test("transition matrix scales onto 10 disjoint user copies with exactly-10x " +
+      "counts and identical probabilities", SlowTest) {
+    // The per-user window is the state bound: disjoint user-space copies
+    // of the same event log must multiply every (from, to) count by
+    // exactly 10 and leave the probabilities bit-identical (each user's
+    // stream is copied verbatim — a window leaking across users would
+    // break both).
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select("user_id", "event_type", "ts", "event_id")
+    def copyOf(k: Int): DataFrame = ev.select(
+      (col("user_id") + lit(k * 10000000L)).as("user_id"),
+      col("event_type"), col("ts"),
+      (col("event_id") + lit(k * 100000000L)).as("event_id"))
+    def matrix(e: DataFrame): Map[(String, String), (Long, Double)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val counts = e.withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      counts.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    }
+    val m1 = matrix(copyOf(0))
+    val m10 = matrix((0 until copies).map(copyOf).reduce(_ unionByName _))
+    assert(m1.nonEmpty && m10.keySet === m1.keySet)
+    m1.foreach { case (k, (n, p)) =>
+      assert(m10(k) === ((copies * n, p)),
+        s"cell $k: expected (${copies * n}, $p), got ${m10(k)}")
+    }
+  }
+
   test("retrieval serve chain (fuzzy-correct -> serve -> RRF -> PRF) holds " +
       "on a 10x vocab with bucket-pruned posting reads", SlowTest) {
     // The serve-side contracts the per-query specs can't see at scale:
