@@ -80,15 +80,24 @@ object Hits {
   }
 
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, scale: Long = 1000000000L): DataFrame =
-    runOn(prepare(edges, srcCol, dstCol), iterations, scale)
+      iterations: Int, scale: Long = 1000000000L,
+      tolScaled: Option[Long] = None): DataFrame =
+    runOn(prepare(edges, srcCol, dstCol), iterations, scale, tolScaled)
 
   /** [[run]] over a [[prepare]]d graph — amortizes the edge
-    * materializations across calls/passes. */
+    * materializations across calls/passes. With `tolScaled` set, rounds
+    * run EAGERLY (each materialized for its two 1-row maxΔ aggregates —
+    * the PageRank tolerance-path rationale) and the loop stops once
+    * neither the hub nor the authority table moved by ≥ tolScaled between
+    * consecutive rounds (the standard maxΔ < ε fixed-point stop, exact in
+    * the integer domain), under the `iterations` round cap. */
   def runOn(g: Graph, iterations: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      tolScaled: Option[Long] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale > 0, s"scale must be positive, got $scale")
+    require(tolScaled.forall(_ > 0),
+      s"tolScaled must be positive when set, got $tolScaled")
     val eBySrc = g.eBySrc
     val eByDst = g.eByDst
     val nodes = g.nodes
@@ -107,31 +116,60 @@ object Hits {
     }
     // h0 = scale on every node (a lazy projection of the materialized
     // node set — nothing new to materialize)
+    val eager = tolScaled.isDefined
     var hubs = nodes.withColumn("score_scaled", lit(scale))
+    if (eager) hubs = hubs.localCheckpoint()
     var auths: DataFrame = null
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
       // authority half-round: a(v) = sum of in-neighbors' hub scores
-      auths = normalize(halfRound(hubs, "src", "dst"), scale)
+      val a = normalize(halfRound(hubs, "src", "dst"), scale)
       // hub half-round: h(u) = sum of out-neighbors' normalized auths
-      hubs = normalize(halfRound(auths, "dst", "src"), scale)
+      val h = normalize(halfRound(a, "dst", "src"), scale)
       i += 1
-      // the rounds stay LAZY (the PageRank composed-plan rationale: one
-      // job at the end instead of a materialization per half-round —
-      // measured 3.8 s -> well under 1 s warm at sf0.1); every 3rd
-      // iteration checkpoints to bound plan depth for long runs, since
-      // each half-round's plan embeds the previous one TWICE (main +
-      // max branch — ReuseExchange collapses the runtime cost, but the
-      // tree itself doubles per half-round)
-      if (i % 3 == 0 && i < iterations) {
-        auths = auths.localCheckpoint()
-        hubs = hubs.localCheckpoint()
+      if (eager) {
+        // tolerance path: each round materialized for its two 1-row
+        // maxΔ aggregates; both tables must settle to stop
+        val aMat = a.localCheckpoint()
+        val hMat = h.localCheckpoint()
+        converged = tolScaled.exists { tol =>
+          maxDelta(aMat, auths) < tol && maxDelta(hMat, hubs) < tol
+        }
+        auths = aMat
+        hubs = hMat
+      } else {
+        auths = a
+        hubs = h
+        // the rounds stay LAZY (the PageRank composed-plan rationale:
+        // one job at the end instead of a materialization per
+        // half-round — measured 3.8 s -> well under 1 s warm at sf0.1);
+        // every 3rd iteration checkpoints to bound plan depth for long
+        // runs, since each half-round's plan embeds the previous one
+        // TWICE (main + max branch — ReuseExchange collapses the
+        // runtime cost, but the tree itself doubles per half-round)
+        if (i % 3 == 0 && i < iterations) {
+          auths = auths.localCheckpoint()
+          hubs = hubs.localCheckpoint()
+        }
       }
     }
     hubs.withColumnRenamed("score_scaled", "hub_scaled")
       .join(auths.withColumnRenamed("score_scaled", "auth_scaled"),
         Seq("node"))
   }
+
+  /** max |cur − prev| over the node-aligned score tables (Long.MaxValue
+    * when there is no previous round yet). */
+  private def maxDelta(cur: DataFrame, prev: DataFrame): Long =
+    if (prev == null) Long.MaxValue
+    else {
+      val d = cur.select(col("node"), col("score_scaled").as("x"))
+        .join(prev.select(col("node"), col("score_scaled").as("y")),
+          Seq("node"))
+        .agg(max(abs(col("x") - col("y")))).head()
+      if (d.isNullAt(0)) 0L else d.getLong(0)
+    }
 
   /** Max-normalize a (node, raw) score table to `scale`:
     * s' = raw·scale DIV max(raw), the multiply widened to decimal(38,0)

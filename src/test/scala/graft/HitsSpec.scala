@@ -38,6 +38,19 @@ class HitsSpec extends AnyFunSuite {
       "x" -> ((0L, 1000000000L)), "y" -> ((0L, 600000000L))))
   }
 
+  test("tolScaled convergence stop halts before the round cap") {
+    // a perfect matching a->x, b->y is at its fixed point after round 1
+    // (both raws equal the max, so every score normalizes to scale);
+    // round 2's maxDelta is 0 < tol on both tables — the loop must stop
+    // there, and a generous cap changes nothing
+    val matching = Seq(("a", "x"), ("b", "y")).toDF("src", "dst")
+    val r = scores(Hits.run(matching, "src", "dst", iterations = 50,
+      tolScaled = Some(1000L)))
+    assert(r == Map(
+      "a" -> ((1000000000L, 0L)), "b" -> ((1000000000L, 0L)),
+      "x" -> ((0L, 1000000000L)), "y" -> ((0L, 1000000000L))))
+  }
+
   test("duplicate edges collapse; a pure authority keeps hub 0") {
     val dup = Seq(("a", "x"), ("a", "x"), ("b", "x")).toDF("src", "dst")
     // after collapse x's in-sum is h(a)+h(b), never 2h(a)+h(b)
