@@ -398,8 +398,7 @@ object AnalyticsQueries {
     // PER CUSTOMER KEY but bounded by a DEGREE CAP (d <= 55; customers
     // above it are dropped BEFORE pairing — the standard
     // stop-key/power-user drop of co-occurrence mining, exercised at
-    // sf0.01/0.1 where 13 / 1747 hubs exceed it), so each customer's
-    // supplier set collects bounded and pairs explode statelessly; counts
+    // sf0.01/0.1 where 13 / 1747 hubs exceed it); counts
     // shuffle at pair-vocabulary size, the Jaccard is one rounded
     // division of exact integers, and the top-20 is TakeOrderedAndProject
     // on the rounded score. Reuses the persisted trade-graph pairs.
@@ -414,19 +413,15 @@ object AnalyticsQueries {
       val kept = e.join(deg.filter(col("d") <= 55), Seq("c"), "left_semi")
         .localCheckpoint()
       val n = kept.groupBy("s").agg(count(lit(1)).as("n"))
-      // pair generation WITHOUT a self-join: the cap bounds each
-      // customer's supplier set, so one groupBy collects the (sorted,
-      // distinct, <= 55-element) set and a stateless nested transform
-      // explodes the i<j pairs — one shuffle keyed by customer instead
-      // of a sort-merge self-join (measured 2.5 -> ~1 s warm at sf0.1),
-      // and the per-key state is cap-bounded by construction
-      val co = kept.groupBy("c")
-        .agg(sort_array(collect_set(col("s"))).as("ss"))
-        .select(explode(expr(
-          "flatten(transform(ss, (x, i) -> transform(" +
-            "slice(ss, i + 2, size(ss)), y -> struct(x AS s1, y AS s2))))"))
-          .as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      // pair generation as an equi self-join on the customer key with
+      // the s1 < s2 cut in the join condition — quadratic per key but
+      // cap-bounded. (An r15 experiment replaced this with a per-key
+      // collect_set + nested-transform pair explode; the higher-order
+      // lambdas run INTERPRETED per element and measured ~1.7x SLOWER
+      // than this codegen'd sort-merge join at sf0.1 — the join stays.)
+      val co = kept.as("a").join(kept.as("b"),
+          col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
         .agg(count(lit(1)).as("co"))
         .filter(col("co") >= 5)
       co.join(n.select(col("s").as("s1"), col("n").as("n1")), "s1")

@@ -696,14 +696,10 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
       val kept = e.join(deg.filter(col("d") <= 55), Seq("c"), "left_semi")
         .localCheckpoint()
       val n = kept.groupBy("s").agg(count(lit(1)).as("n"))
-      // the driver query's cap-bounded collect + stateless pair explode
-      val co = kept.groupBy("c")
-        .agg(sort_array(collect_set(col("s"))).as("ss"))
-        .select(explode(expr(
-          "flatten(transform(ss, (x, i) -> transform(" +
-            "slice(ss, i + 2, size(ss)), y -> struct(x AS s1, y AS s2))))"))
-          .as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      // the driver query's cap-bounded equi self-join pair generation
+      val co = kept.as("a").join(kept.as("b"),
+          col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
         .agg(count(lit(1)).as("co")).filter(col("co") >= 5)
       co.join(n.select(col("s").as("s1"), col("n").as("n1")), "s1")
         .join(n.select(col("s").as("s2"), col("n").as("n2")), "s2")
