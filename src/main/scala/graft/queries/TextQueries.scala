@@ -237,6 +237,9 @@ object TextQueries {
       val mem = memClf(spark, dir)
       mem.counts.count()
       mem.classes.count()
+      // the shared held-out score table (score-once / consume-many):
+      // three classifier rows read it
+      clfHeldScores(spark, dir).count()
       java.lang.Boolean.TRUE
   }
 
@@ -277,13 +280,33 @@ object TextQueries {
     langClfCache.clear()
   }
 
-  /** Release every classifier-family persist: both trained models' tables
-    * and the shared seed slice (idempotent; the warm-up teardown and the
-    * classifier leg of [[clearCaches]]). */
+  /** The durable classifier's scored HELD-OUT table (%5!=0 under the
+    * frozen %5==0-trained model), persisted once per (session, dir) —
+    * score-once / consume-many, the trigramScores discipline:
+    * classifier_train_score IS this table, classifier_persisted's file
+    * side compares against it, and corpus_filter_classifier reuses it for
+    * the held-out 80% of its corpus-wide scoring, so the word-feature
+    * serve scan runs ONCE instead of three times. */
+  private val clfHeldScoresCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def clfHeldScores(spark: SparkSession, dir: String): DataFrame =
+    QueryArtifacts.runOnce(clfHeldScoresCache, (spark, dir))(
+      clfPersisted(spark, dir).score(
+          Tables.load(spark, dir, "documents")
+            .filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Release every classifier-family persist: both trained models' tables,
+    * the shared seed slice, and the shared held-out score table
+    * (idempotent; the warm-up teardown and the classifier leg of
+    * [[clearCaches]]). */
   private[queries] def releaseClassifierFamily(): Unit = {
     releaseLangClf()
     memClfCache.values.foreach(_.unpersistTables())
     memClfCache.clear()
+    clfHeldScoresCache.values.foreach(_.unpersist())
+    clfHeldScoresCache.clear()
     seedSliceCache.values.foreach(_.unpersist())
     seedSliceCache.clear()
   }
@@ -1141,12 +1164,8 @@ object TextQueries {
     // denominators, one correctly-rounded division (see QualityClassifier
     // scaladoc) — so the oracle composes train + serve bit-exactly with
     // no transcendentals.
-    "classifier_train_score" -> ((spark, dir) => {
-      val docs = Tables.load(spark, dir, "documents")
-      clfPersisted(spark, dir)
-        .score(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
+    "classifier_train_score" -> ((spark, dir) =>
+      clfHeldScores(spark, dir).orderBy("doc_id")),
     // Classifier as a FILTER — the step a curation pipeline actually runs
     // with a trained quality/domain model (DCLM keeps docs the classifier
     // scores as reference-like): EVERY doc scored under the frozen
@@ -1157,7 +1176,13 @@ object TextQueries {
     // never a double-rounding coin flip at the boundary.
     "corpus_filter_classifier" -> ((spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      clfPersisted(spark, dir).score(docs, "doc_id", "text")
+      // corpus-wide scoring = the shared held-out score table UNION the
+      // seed slice scored under the same frozen model (scoring is
+      // per-row, so the split is exact) — only the 20% seed slice pays a
+      // fresh serve scan
+      clfHeldScores(spark, dir).unionByName(
+          clfPersisted(spark, dir).score(
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text"))
         .withColumn("expected_p6",
           org.apache.spark.sql.functions.round(col("expected_p") * 1e6, 0)
             .cast("long"))
@@ -1204,8 +1229,9 @@ object TextQueries {
       val held = docs.filter(col("doc_id") % 5 =!= 0)
       val mem = memClf(spark, dir)
         .score(held, "doc_id", "text").withColumn("in_mem", lit(1))
-      val file = clfPersisted(spark, dir)
-        .score(held, "doc_id", "text").withColumn("in_file", lit(1))
+      // the file side IS the shared held-out score table — comparing the
+      // in-session model against the same rows every consumer reads
+      val file = clfHeldScores(spark, dir).withColumn("in_file", lit(1))
       mem.join(file, Seq("doc_id", "n_tokens", "pred_label", "expected_p"),
           "full_outer")
         .agg(
