@@ -26,6 +26,72 @@ object PipelineQueries {
     org.apache.spark.sql.functions.round(c * p, 0) / p
   }
 
+  /** The KMV set-algebra report over a 1-row (a_hashes, a_est, b_hashes,
+    * b_est) sketch-pair frame — union sketch = the k smallest of the
+    * concatenation, jaccard = \|union-sketch ∩ A ∩ B\| / k, intersection
+    * = j·union (Beyer et al. SIGMOD'07). ONE definition shared by the
+    * batch row and the streaming replay, so the two cannot drift. */
+  private def kmvOverlapReport(pair: DataFrame, k: Int): DataFrame =
+    pair
+      .withColumn("m", slice(array_sort(array_distinct(
+        concat(col("a_hashes"), col("b_hashes")))), 1, k))
+      .withColumn("u",
+        when(size(col("m")) < k, size(col("m")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (expr(s"CAST(conv(substring(element_at(m, $k), 1, 15), 16, 10) AS DOUBLE)")
+              / lit(graft.functions.KmvSketch.Space60))))
+      .withColumn("j",
+        size(array_intersect(array_intersect(col("m"), col("a_hashes")),
+          col("b_hashes"))).cast("double") / k)
+      .select(round(col("a_est"), 6).as("est_click"),
+        round(col("b_est"), 6).as("est_purchase"),
+        round(col("u"), 6).as("est_union"),
+        round(col("j"), 6).as("jaccard"),
+        round(col("j") * col("u"), 6).as("est_intersection"))
+
+  /** The two final sketch states of [[buildKmvReplay]] — 2·k hashes plus
+    * the estimates, bounded by construction. */
+  final case class KmvPairStates(aHashes: Seq[String], aEst: Double,
+      bHashes: Seq[String], bEst: Double)
+
+  /** Streaming-KMV replay body (see [[ReplayOrchestrator]]): the events
+    * table delivered in three user-sharded micro-batches through ONE
+    * complete-mode aggregation computing BOTH bottom-k sketches — the
+    * TypedImperativeAggregate buffer-merge path under incremental
+    * execution. Any disjoint split works: a bottom-k sketch over a set is
+    * delivery-invariant, so the final emission must equal the batch
+    * sketches exactly. */
+  private def buildKmvReplay(spark: SparkSession, dir: String): KmvPairStates = {
+    val k = 64
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+    val src = QueryArtifacts.path(
+      QueryArtifacts.sessionRoot(spark) + "/kmv-replay-src", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    graft.streaming.StreamingOps.stageOrdered(src,
+      (0 until 3).map(i => ev.filter(col("user_id") % 3 === i)))
+    val skey = dir + "#" + QueryArtifacts.sessionTag(spark)
+    val name = "kmv_replay_" + java.security.MessageDigest
+      .getInstance("SHA-256").digest(skey.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    def side(t: String) = kmv_sketch(
+      when(col("event_type") === t, md5(col("user_id").cast("string"))), k)
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .agg(side("click").as("a"), side("purchase").as("b"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // complete mode rewrites the memory table per trigger — the table IS
+    // the final emission (one row, two sketch structs)
+    val r = spark.table(name).head()
+    val (a, b) = (r.getStruct(0), r.getStruct(1))
+    KmvPairStates(a.getSeq[String](3), a.getDouble(2),
+      b.getSeq[String](3), b.getDouble(2))
+  }
+  ReplayOrchestrator.register("kmv-overlap")(buildKmvReplay)
+
   val queries: ListMap[String, Q] = ListMap(
     // KMV bottom-k distinct sketch per event type: sketch state (k-th
     // minimum hash + kept count) and the standard (k-1)/kth estimator.
@@ -63,22 +129,28 @@ object PipelineQueries {
         .agg(kmv_sketch(col("h"), k).as("s"))
         .select(col("s.hashes").as(pre + "_hashes"),
           col("s.est_distinct").as(pre + "_est"))
-      sketch("click", "a").crossJoin(sketch("purchase", "b"))
-        .withColumn("m", slice(array_sort(array_distinct(
-          concat(col("a_hashes"), col("b_hashes")))), 1, k))
-        .withColumn("u",
-          when(size(col("m")) < k, size(col("m")).cast("double"))
-            .otherwise(lit((k - 1).toDouble) /
-              (expr("CAST(conv(substring(element_at(m, 64), 1, 15), 16, 10) AS DOUBLE)")
-                / lit(graft.functions.KmvSketch.Space60))))
-        .withColumn("j",
-          size(array_intersect(array_intersect(col("m"), col("a_hashes")),
-            col("b_hashes"))).cast("double") / k)
-        .select(round(col("a_est"), 6).as("est_click"),
-          round(col("b_est"), 6).as("est_purchase"),
-          round(col("u"), 6).as("est_union"),
-          round(col("j"), 6).as("jaccard"),
-          round(col("j") * col("u"), 6).as("est_intersection"))
+      kmvOverlapReport(
+        sketch("click", "a").crossJoin(sketch("purchase", "b")), k)
+    }),
+    // STREAMING twin of kmv_user_overlap on the driver ledger — the
+    // sketch tier's replay (a TypedImperativeAggregate merging across
+    // micro-batches under incremental complete-mode execution, previously
+    // spec-only via the space_saving test): events delivered in three
+    // user-sharded micro-batches through ONE aggregation computing BOTH
+    // bottom-k sketches, final emission collected (2·k hashes — bounded).
+    // A bottom-k sketch over a SET is delivery-invariant, so the final
+    // states must equal the batch sketches EXACTLY whatever the split —
+    // the oracle is kmv_user_overlap's verbatim, and the merge arithmetic
+    // is the SAME kmvOverlapReport helper, so buffer-merge bugs (lost
+    // partials, double-inserted re-deliveries within a batch, serde
+    // drift) turn this row red.
+    "streaming_kmv_replay" -> ((spark, dir) => {
+      import spark.implicits._
+      val s = ReplayOrchestrator.await[KmvPairStates](spark, dir,
+        "kmv-overlap")
+      kmvOverlapReport(
+        Seq((s.aHashes, s.aEst, s.bHashes, s.bEst))
+          .toDF("a_hashes", "a_est", "b_hashes", "b_est"), 64)
     }),
     // Concat-and-chunk sequence packing into 256-token context windows
     // (two-level distributed prefix scan; see operators.Packing)
@@ -555,6 +627,41 @@ object PipelineQueries {
       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
       |  FROM mk)""".stripMargin
 
+  /** The KMV overlap derivation BOTH kmv rows hash against (the batch
+    * crossJoin form and the streaming replay share it verbatim —
+    * delivery-invariant bottom-k makes the two engine results identical
+    * by construction). Declared before `oracleSql` so object-init order
+    * resolves it. */
+  private val kmvOverlapOracle =
+    """WITH ah AS (SELECT list_sort(list(DISTINCT md5(CAST(user_id AS VARCHAR)))) AS l
+      |            FROM events WHERE event_type = 'click'),
+      |a AS (SELECT l[1:64] AS hs,
+      |        CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
+      |             ELSE 63.0 / ((('0x' || substring(l[64], 1, 15))::BIGINT)
+      |                          / 1152921504606846976.0) END AS est
+      |      FROM ah),
+      |bh AS (SELECT list_sort(list(DISTINCT md5(CAST(user_id AS VARCHAR)))) AS l
+      |            FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT l[1:64] AS hs,
+      |        CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
+      |             ELSE 63.0 / ((('0x' || substring(l[64], 1, 15))::BIGINT)
+      |                          / 1152921504606846976.0) END AS est
+      |      FROM bh),
+      |m AS (SELECT a.hs AS ahs, a.est AS aest, b.hs AS bhs, b.est AS best,
+      |        list_sort(list_distinct(a.hs || b.hs))[1:64] AS mg
+      |      FROM a, b),
+      |u AS (SELECT *,
+      |        CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE)
+      |             ELSE 63.0 / ((('0x' || substring(mg[64], 1, 15))::BIGINT)
+      |                          / 1152921504606846976.0) END AS uraw,
+      |        CAST(len(list_intersect(list_intersect(mg, ahs), bhs)) AS DOUBLE)
+      |          / 64 AS j
+      |      FROM m)
+      |SELECT round(aest, 6) AS est_click, round(best, 6) AS est_purchase,
+      |  round(uraw, 6) AS est_union, round(j, 6) AS jaccard,
+      |  round(j * uraw, 6) AS est_intersection
+      |FROM u""".stripMargin
+
   val oracleSql: ListMap[String, String] = ListMap(
     "kmv_distinct_users" ->
       """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
@@ -573,35 +680,11 @@ object PipelineQueries {
     // the sketch states replayed as "the k smallest distinct hashes" in
     // plain SQL, then the identical merge/estimate arithmetic: union =
     // k smallest of the concatenation, jaccard = |union-sketch ∩ A ∩ B|/k
-    "kmv_user_overlap" ->
-      """WITH ah AS (SELECT list_sort(list(DISTINCT md5(CAST(user_id AS VARCHAR)))) AS l
-        |            FROM events WHERE event_type = 'click'),
-        |a AS (SELECT l[1:64] AS hs,
-        |        CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
-        |             ELSE 63.0 / ((('0x' || substring(l[64], 1, 15))::BIGINT)
-        |                          / 1152921504606846976.0) END AS est
-        |      FROM ah),
-        |bh AS (SELECT list_sort(list(DISTINCT md5(CAST(user_id AS VARCHAR)))) AS l
-        |            FROM events WHERE event_type = 'purchase'),
-        |b AS (SELECT l[1:64] AS hs,
-        |        CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
-        |             ELSE 63.0 / ((('0x' || substring(l[64], 1, 15))::BIGINT)
-        |                          / 1152921504606846976.0) END AS est
-        |      FROM bh),
-        |m AS (SELECT a.hs AS ahs, a.est AS aest, b.hs AS bhs, b.est AS best,
-        |        list_sort(list_distinct(a.hs || b.hs))[1:64] AS mg
-        |      FROM a, b),
-        |u AS (SELECT *,
-        |        CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE)
-        |             ELSE 63.0 / ((('0x' || substring(mg[64], 1, 15))::BIGINT)
-        |                          / 1152921504606846976.0) END AS uraw,
-        |        CAST(len(list_intersect(list_intersect(mg, ahs), bhs)) AS DOUBLE)
-        |          / 64 AS j
-        |      FROM m)
-        |SELECT round(aest, 6) AS est_click, round(best, 6) AS est_purchase,
-        |  round(uraw, 6) AS est_union, round(j, 6) AS jaccard,
-        |  round(j * uraw, 6) AS est_intersection
-        |FROM u""".stripMargin,
+    "kmv_user_overlap" -> kmvOverlapOracle,
+    // the streaming replay's final sketches are delivery-invariant (a
+    // bottom-k over a set), so the SAME oracle gates both rows — a
+    // buffer-merge bug turns only the streaming one red
+    "streaming_kmv_replay" -> kmvOverlapOracle,
     // same derived versions, classes by direct text comparison (the
     // engine compares md5s — identical classification, hashes-only
     // shuffle is the engine-side scale shape the oracle needn't mimic)
