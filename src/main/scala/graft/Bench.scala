@@ -85,7 +85,9 @@ object Bench {
           (0 until a.size()).map(a.get(_).asDouble()).toSeq
         }
       val la = arr("loadavg").getOrElse(Seq.empty)
-      if (la.headOption.forall(_ <= QuietLoadBound)) {
+      // absent loadavg = UNKNOWN load, not quiet: adopting it would let a
+      // run recorded without /proc/loadavg rotate a contaminated total in
+      if (la.headOption.exists(_ <= QuietLoadBound)) {
         Some((node.get("value").asDouble(), la))
       } else {
         // noisy previous run: carry the last QUIET total it recorded

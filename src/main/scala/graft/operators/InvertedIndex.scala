@@ -290,6 +290,78 @@ object InvertedIndex {
     true
   }
 
+  /** OPTIMIZE: rewrite the fragmented postings table of a written index
+    * into one file per bucket — the [[ZOrderLayout.compact]] step for
+    * this family. Every [[appendTo]] batch appends one parquet file per
+    * touched bucket, so after many daily batches a query bucket's scan
+    * opens one small file per append; compaction repartitions the
+    * postings by bucket into a STAGED directory (exactly one task — one
+    * file — per bucket) and swaps it in by rename.
+    *
+    * Only the postings fragment: [[appendTo]] rebuilds the terms sidecar
+    * wholesale each merge, so it is always one write's worth of files.
+    *
+    * Crash safety (the appendTo discipline, inverted): the committed
+    * manifest needs NO change — row counts, scalars, and ledger are all
+    * layout-invariant — so there is no commit step to order. The staged
+    * table is RECOUNTED against the manifest before the swap (a torn
+    * staging write never swaps in); a crash between the two renames
+    * leaves no postings directory, which every later recount
+    * ([[loadIfValid]], the [[appendTo]] pre-check, this method's own
+    * pre-check) refuses as torn instead of serving half an index.
+    * Writer contract as for append: one maintainer at a time, no live
+    * readers across the swap. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    require(Option(prior.getProperty("version")).contains(ManifestVersion),
+      s"inverted index at $path has manifest version " +
+        s"${prior.getProperty("version")}; this compactor understands " +
+        s"only $ManifestVersion — rebuild instead of compacting")
+    val postRows = prior.getProperty("postRows").toLong
+    require(spark.read.parquet(s"$path/postings").count() == postRows,
+      s"inverted index at $path does not match its committed manifest — " +
+        "a previous append or compact crashed mid-write; rebuild instead " +
+        "of compacting")
+    val staging = s"$path/postings-next"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.delete(stagingPath, true) // leftover from a crashed prior compact
+    // one shuffle task per bucket value -> exactly one file per bucket
+    spark.read.parquet(s"$path/postings")
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(staging)
+    require(spark.read.parquet(staging).count() == postRows,
+      s"staged compaction at $staging lost rows — refusing the swap")
+    val livePath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/postings-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath),
+      s"could not move $livePath aside for the compaction swap")
+    require(fs.rename(stagingPath, livePath),
+      s"could not rename $stagingPath into place")
+    fs.delete(oldPath, true)
+  }
+
+  /** Data-file count of a written index's postings table — the
+    * observable [[compact]] shrinks (one file per appended batch per
+    * bucket before, one per bucket after). */
+  def postingsFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Reopen a written index ONLY if its manifest proves it complete,
     * current, and built from the caller's `source` — metadata-sized
     * validation, zero build jobs on a hit. */

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** First-order Markov transition model over per-entity event sequences,
+  * with the TRAIN / SERVE lifecycle split — the behavioral twin of
+  * [[BigramLm]] (the bigram LM models word→word transitions inside a
+  * document; this models event→event transitions inside a user's
+  * stream). A real pipeline trains the matrix offline on a reference
+  * window and then serves it to every consumer: the transition report,
+  * the per-session anomaly scorer, and the streaming monitor's
+  * aggregation all read ONE frozen model instead of re-deriving it.
+  *
+  * A trained model is two aggregates over the transition-pairs table:
+  *
+  *   counts: (from_type, to_type, n)  corpus count per transition class
+  *   totals: (from_type, n_from)      corpus count per source state
+  *
+  * Both are MATRIX-sized (≤ |types|² rows), never corpus-sized — the
+  * one corpus-scale pass is the pairs derivation ([[pairs]]: a single
+  * `lead()` window partitioned by entity, state bounded per entity).
+  *
+  * Serving is exact integer/rational arithmetic throughout so every
+  * score is engine-reproducible: probabilities are one rounded division
+  * of exact counts; surprise is ln(n/n_from) quantized to integer
+  * micro-nats PER CLASS the instant it is computed, so a session's
+  * surprise mass is an exact order-free decimal(38,0) sum and one
+  * truncating division (the diversity-report rule-9 discipline).
+  *
+  * The durable form (`write`/`loadIfValid`) follows the [[BigramLm]]
+  * manifest contract: build-once / serve-many-sessions, reopen validated
+  * by metadata only (version, source tag, row counts), zero training
+  * jobs on a hit — MarkovModelSpec asserts the skip, and the
+  * `markov_model_persisted` driver row pins reopen == in-session.
+  */
+final class MarkovModel private[operators] (
+    /** (from_type, to_type, n) transition-class counts. */
+    val counts: DataFrame,
+    /** (from_type, n_from) source-state totals. */
+    val totals: DataFrame) {
+
+  /** DuckDB-compatible rounding (round the scaled double
+    * half-away-from-zero; see AnalyticsQueries.round). */
+  private def round6(c: Column): Column = round(c * 1e6, 0) / 1e6
+
+  /** The served transition matrix: (from_type, to_type, n, prob) with
+    * prob = n / n_from rounded to 6 places — matrix-sized output, one
+    * matrix-sized join. */
+  def transitions(): DataFrame =
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round6(col("n").cast("double") / col("n_from")).as("prob"))
+
+  /** Per-class surprise in quantized micro-nats:
+    * q_micro = round(ln(n / n_from) · 1e6) as decimal(38,0) — the exact
+    * integer each transition contributes to a session's surprise sum. */
+  def surprise(): DataFrame =
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"),
+        round(log(col("n").cast("double") / col("n_from")) * 1e6, 0)
+          .cast("decimal(38,0)").as("q_micro"))
+
+  /** Score per-entity sessions UNDER this frozen model: for each entity,
+    * the transition count and the average surprise in micro-nats
+    * (exact decimal sum of per-class integers, one truncating DIV).
+    * `pairs` is (idCol, from_type, to_type); the model side broadcasts
+    * (matrix-sized by construction), so the serve plan is one
+    * broadcast-join scan over the pairs — the offline-train /
+    * stream-serve shape a 100 TB event log needs. Transitions whose
+    * class is absent from the model (possible only when scoring a
+    * corpus the model was not trained on) are dropped by the inner
+    * join, mirroring the oracle. */
+  def scoreSessions(pairs: DataFrame, idCol: String): DataFrame =
+    pairs.join(broadcast(surprise()), Seq("from_type", "to_type"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_transitions"), sum("q_micro").as("s"))
+      .select(col(idCol), col("n_transitions"),
+        expr("CAST((-s) DIV n_transitions AS BIGINT)")
+          .as("surprise_micro_avg"))
+
+  /** Durable form: counts + totals tables and a validation manifest
+    * (the [[BigramLm.write]] contract). Matrix-sized tables coalesce to
+    * one file each — the model is small by construction even when the
+    * training corpus is not. */
+  def write(path: String, source: String = ""): Unit = {
+    val spark = counts.sparkSession
+    counts.coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+    // footer-stats counts of what was just written — metadata, not a scan
+    val countRows = spark.read.parquet(s"$path/counts").count()
+    val totalRows = spark.read.parquet(s"$path/totals").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", MarkovModel.ManifestVersion)
+    props.setProperty("source", source)
+    props.setProperty("countRows", countRows.toString)
+    props.setProperty("totalRows", totalRows.toString)
+    val mPath = MarkovModel.manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft markov-model manifest")
+    finally out.close()
+  }
+}
+
+object MarkovModel {
+  private val trainsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Number of [[train]] calls this JVM — specs and the
+    * `markov_model_persisted` row assert a manifest reopen leaves it
+    * unchanged. */
+  private[graft] def trainCount: Int = trainsRun.get
+
+  private val ManifestVersion = "1"
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+
+  /** The ONE corpus-scale pass of the family: per-entity transition
+    * pairs (idCol, from_type, to_type) via a single `lead()` window
+    * partitioned by the entity key and ordered by `orderCols` (which
+    * must be a TOTAL order within each entity for the derivation to be
+    * deterministic). Every consumer — training, session scoring, the
+    * transition report — reads THIS table instead of re-running the
+    * window. */
+  def pairs(events: DataFrame, idCol: String, typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(orderCols.map(col): _*)
+    events
+      .withColumn("to_type", lead(typeCol, 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col(idCol), col(typeCol).as("from_type"), col("to_type"))
+  }
+
+  /** TRAIN: the two matrix-sized aggregates over a [[pairs]] table.
+    * Both stay lazy DataFrames — nothing is collected; the totals are
+    * derived from the counts (one matrix-sized re-aggregation) so the
+    * two tables can never disagree. */
+  def train(pairs: DataFrame): MarkovModel = {
+    trainsRun.incrementAndGet()
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+    new MarkovModel(counts, totals)
+  }
+
+  /** Reopen a written model ONLY if its manifest proves it complete,
+    * current, and trained from the caller's `source` — metadata-sized
+    * validation (the row counts it checks are matrix-sized footer
+    * stats), zero training jobs on a hit. */
+  def loadIfValid(spark: SparkSession, path: String,
+      source: String): Option[MarkovModel] = {
+    val mPath = manifestPath(path)
+    try {
+      val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mPath)) return None
+      val props = new java.util.Properties()
+      val in = fs.open(mPath)
+      try props.load(in) finally in.close()
+      def field(k: String) = Option(props.getProperty(k))
+      if (!field("version").contains(ManifestVersion) ||
+        !field("source").contains(source)) return None
+      val m = load(spark, path)
+      val valid = field("countRows").exists(_.toLong == m.counts.count()) &&
+        field("totalRows").exists(_.toLong == m.totals.count())
+      if (valid) Some(m) else None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Reopen a written model: two lazy matrix-sized parquet scans. */
+  def load(spark: SparkSession, path: String): MarkovModel =
+    new MarkovModel(
+      spark.read.parquet(s"$path/counts"),
+      spark.read.parquet(s"$path/totals"))
+}

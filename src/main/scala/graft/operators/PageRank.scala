@@ -115,7 +115,7 @@ object PageRank {
       tolScaled: Option[Long] = None,
       danglingFree: Boolean = false): DataFrame =
     core(prepare(edges, srcCol, dstCol), iterations, scale, dampNum,
-      dampDen, None, tolScaled, danglingFree)
+      dampDen, None, tolScaled, danglingFree)._1
 
   /** [[run]] over a [[prepare]]d graph — amortizes the edge
     * materializations across several ranking calls. */
@@ -123,6 +123,21 @@ object PageRank {
       dampNum: Int = 85, dampDen: Int = 100,
       tolScaled: Option[Long] = None,
       danglingFree: Boolean = false): DataFrame =
+    core(g, iterations, scale, dampNum, dampDen, None, tolScaled,
+      danglingFree)._1
+
+  /** [[runOn]] variant that ALSO returns the number of rounds actually
+    * executed — the observable of the `tolScaled` fixed-point stop
+    * (rounds == iterations when the cap bit first, or no tolerance was
+    * set). With tolerance T, the count is deterministic: every round is
+    * exact integer arithmetic, so the first round whose max |Δ| drops
+    * below T is a pure function of the graph — which is what lets the
+    * `graph_pagerank_converged` driver row emit the count as a column
+    * and the oracle unroll exactly that many rounds. */
+  def runOnCounted(g: Graph, iterations: Int, scale: Long = 1000000000L,
+      dampNum: Int = 85, dampDen: Int = 100,
+      tolScaled: Option[Long] = None,
+      danglingFree: Boolean = false): (DataFrame, Int) =
     core(g, iterations, scale, dampNum, dampDen, None, tolScaled,
       danglingFree)
 
@@ -135,9 +150,13 @@ object PageRank {
     * set is a bounded literal `isin` (a query set, never corpus-sized).
     * Dangling-node mass redistributes exactly as in [[run]] (uniformly —
     * the common PPR convention; a seed-directed redistribution is a
-    * caller-side variant). A node unreachable from every seed within
-    * the executed rounds stays exactly 0 — integer arithmetic has no
-    * epsilon mass to leak. */
+    * caller-side variant). When the graph is dangling-free (or no
+    * dangling node is seed-reachable), a node unreachable from every
+    * seed within the executed rounds stays exactly 0 — integer
+    * arithmetic has no epsilon mass to leak. With seed-reachable
+    * dangling nodes the uniform redistribution spreads mass to ALL
+    * nodes, unreachable ones included, so the zero-mass guarantee does
+    * not hold there. */
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[String], iterations: Int, scale: Long = 1000000000L,
       dampNum: Int = 85, dampDen: Int = 100,
@@ -145,7 +164,7 @@ object PageRank {
       danglingFree: Boolean = false): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed node")
     core(prepare(edges, srcCol, dstCol), iterations, scale, dampNum,
-      dampDen, Some(seeds), tolScaled, danglingFree)
+      dampDen, Some(seeds), tolScaled, danglingFree)._1
   }
 
   /** [[personalized]] over a [[prepare]]d graph. */
@@ -155,13 +174,13 @@ object PageRank {
       danglingFree: Boolean = false): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed node")
     core(g, iterations, scale, dampNum, dampDen, Some(seeds), tolScaled,
-      danglingFree)
+      danglingFree)._1
   }
 
   private def core(g: Graph,
       iterations: Int, scale: Long, dampNum: Int, dampDen: Int,
       seeds: Option[Seq[String]], tolScaled: Option[Long],
-      danglingFree: Boolean): DataFrame = {
+      danglingFree: Boolean): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(scale > 0, s"scale must be positive, got $scale")
     require(dampNum > 0 && dampNum < dampDen,
@@ -263,6 +282,6 @@ object PageRank {
         if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
       }
     }
-    ranks
+    (ranks, i)
   }
 }

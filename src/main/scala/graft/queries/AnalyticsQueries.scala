@@ -95,7 +95,101 @@ object AnalyticsQueries {
       graft.operators.Hits.prepare(tradeGraphDirected(spark, dir),
         "src", "dst", persist = true))
 
-  /** Release the persisted trade-graph artifacts (bench/verify teardown). */
+  /** The per-user transition-PAIRS table (user_id, from_type, to_type)
+    * every behavioral row reads — ONE `lead()` window pass persisted per
+    * (session, dir) instead of one window per consumer (before r16 the
+    * transition report and the anomaly scorer each re-ran it). Released
+    * by [[clearCaches]]. */
+  private val transitionPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def transitionPairs(spark: SparkSession, dir: String): DataFrame =
+    QueryArtifacts.runOnce(transitionPairsCache, (spark, dir))(
+      graft.operators.MarkovModel.pairs(
+          Tables.load(spark, dir, "events")
+            .select(col("user_id"), col("event_type"), col("ts"),
+              col("event_id")),
+          "user_id", "event_type", Seq("ts", "event_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Source tag for the durable Markov model: the events table's file
+    * metadata (names, lengths, mtimes — the lmSourceTag discipline), so
+    * a regenerated fixture invalidates the manifest without a scan. */
+  private def eventsSourceTag(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(p))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    statuses.foreach { s =>
+      md.update(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime};"
+        .getBytes("UTF-8"))
+    }
+    dir + "#" + md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def markovModelPath(dir: String): String =
+    QueryArtifacts.path("target/markov-model", dir)
+
+  /** One durable first-order Markov transition model per (session, dir),
+    * trained on the shared [[transitionPairs]] table — the BigramLm
+    * build-once / serve-many lifecycle (manifest-validated reopen, zero
+    * training jobs on a hit). The transition report, the anomaly
+    * scorer, and the streaming replay's probability join all serve from
+    * THIS frozen model. */
+  private val markovCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.MarkovModel]
+
+  private def markovPersisted(spark: SparkSession,
+      dir: String): graft.operators.MarkovModel =
+    QueryArtifacts.runOnce(markovCache, (spark, dir))({
+      val path = markovModelPath(dir)
+      val tag = eventsSourceTag(spark, dir)
+      graft.operators.MarkovModel.loadIfValid(spark, path, tag).getOrElse {
+        graft.operators.MarkovModel.train(transitionPairs(spark, dir))
+          .write(path, tag)
+        graft.operators.MarkovModel.load(spark, path)
+      }
+    })
+
+  /** The degree-capped (customer, supplier) interaction table the
+    * co-occurrence row pairs over, PERSISTED once per (session, dir)
+    * (r16 — was a per-call localCheckpoint, rebuilt every bench pass of
+    * the bench's single most expensive row): it feeds two consumers in
+    * one plan (the supplier counts and the quadratic-per-key pair
+    * self-join reads it TWICE), so the eager cut point is required for
+    * correctness of cost, and session-scoping it makes warm passes
+    * reuse it. Released by [[clearCaches]]. */
+  private val cooccurKeptCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cooccurKept(spark: SparkSession, dir: String): DataFrame =
+    QueryArtifacts.runOnce(cooccurKeptCache, (spark, dir))({
+      val e = tradeGraphDirected(spark, dir)
+        .select(substring(col("src"), 2, 100).cast("long").as("c"),
+          substring(col("dst"), 2, 100).cast("long").as("s"))
+      val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
+      val kept = e.join(deg.filter(col("d") <= 55), Seq("c"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.count() // materialize NOW: the pair self-join must read the
+      // persisted table, not race two scans into an unfilled cache
+      kept
+    })
+
+  /** Cold-reopen hook for the serve-everything capstone (see
+    * [[ServeAllQueries]]): fresh manifest reopen of the durable Markov
+    * model past the session cache + the matrix-sized transitions serve. */
+  private[queries] def coldServeHooks(spark: SparkSession, dir: String)
+      : Seq[(String, () => Unit, () => Option[Long])] = Seq(
+    ("markov",
+      () => { markovPersisted(spark, dir); () },
+      () => graft.operators.MarkovModel.loadIfValid(spark,
+          markovModelPath(dir), eventsSourceTag(spark, dir))
+        .map(_.transitions().count())))
+
+  /** Release the persisted trade-graph + transition-pairs + co-occurrence
+    * artifacts (bench/verify teardown). */
   def clearCaches(): Unit = {
     preparedGraphCache.values.foreach(_.unpersist())
     preparedGraphCache.clear()
@@ -103,6 +197,11 @@ object AnalyticsQueries {
     preparedHitsCache.clear()
     tradeEdgesCache.values.foreach(_.unpersist())
     tradeEdgesCache.clear()
+    transitionPairsCache.values.foreach(_.unpersist())
+    transitionPairsCache.clear()
+    markovCache.clear()
+    cooccurKeptCache.values.foreach(_.unpersist())
+    cooccurKeptCache.clear()
   }
 
   // Pseudo-replay WARM-UP: the trade-graph edge list (orders x lineitem
@@ -115,6 +214,27 @@ object AnalyticsQueries {
       tradeGraphDirected(spark, dir).count()
       preparedTradeGraph(spark, dir)
       preparedHitsGraph(spark, dir)
+      java.lang.Boolean.TRUE
+  }
+
+  // Pseudo-replay WARM-UP: the shared transition-pairs persist (the one
+  // lead() window pass) and the durable Markov model feed four
+  // behavioral rows — force the window + train/reopen under the warm-up
+  // fan-out; teardown = this family's clearCaches (idempotent).
+  ReplayOrchestrator.register("warm-markov", () => clearCaches()) {
+    (spark, dir) =>
+      transitionPairs(spark, dir).count()
+      markovPersisted(spark, dir)
+      java.lang.Boolean.TRUE
+  }
+
+  // Pseudo-replay WARM-UP: the co-occurrence row's degree-capped
+  // interaction persist (one of the two dominant cold first-touch costs
+  // the r15 cold pass carried) — building it here overlaps the
+  // fact-fact join with the streaming replays' orchestration stalls.
+  ReplayOrchestrator.register("warm-cooccur", () => clearCaches()) {
+    (spark, dir) =>
+      cooccurKept(spark, dir)
       java.lang.Boolean.TRUE
   }
 
@@ -138,15 +258,22 @@ object AnalyticsQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     val r = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val third = (hi - lo) / 3
-    val (c1, c2) = (lo + third, lo + 2 * third)
-    val us = unix_micros(col("ts"))
-    // equal-ts rows can never straddle a batch: membership is a pure
-    // function of ts, so the monitor's cross-batch per-user order holds
-    graft.streaming.StreamingOps.stageOrdered(src, Seq(
-      ev.filter(us < c1), ev.filter(us >= c1 && us < c2),
-      ev.filter(us >= c2)))
+    if (r.isNullAt(0)) {
+      // empty events table: min/max are NULL — stage one empty delivery
+      // instead of NPEing (which would wedge the replay future until the
+      // await bound converts it to a timeout)
+      graft.streaming.StreamingOps.stageOrdered(src, Seq(ev))
+    } else {
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val third = (hi - lo) / 3
+      val (c1, c2) = (lo + third, lo + 2 * third)
+      val us = unix_micros(col("ts"))
+      // equal-ts rows can never straddle a batch: membership is a pure
+      // function of ts, so the monitor's cross-batch per-user order holds
+      graft.streaming.StreamingOps.stageOrdered(src, Seq(
+        ev.filter(us < c1), ev.filter(us >= c1 && us < c2),
+        ev.filter(us >= c2)))
+    }
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = graft.streaming.StreamingOps
@@ -352,6 +479,24 @@ object AnalyticsQueries {
           danglingFree = true)
         .orderBy("node")
     }),
+    // Convergence-STOP PageRank (r16): the tolScaled fixed-point path on
+    // the driver gate — run to maxΔ < 4.49e9 under a 30-round cap over
+    // the SAME prepared trade graph, the EXECUTED round count emitted as
+    // a column. The count is deterministic (every round is exact integer
+    // arithmetic), and the tolerance sits inside the cross-SF window
+    // (max_sf Δ_8, min_sf Δ_7] — measured Δ_7 ≥ 4.568e9 and
+    // Δ_8 ≤ 4.414e9 at ALL THREE SFs — so the fixture converges at round
+    // 8 everywhere and the oracle unrolls exactly 8 rounds, stating the
+    // count as a literal: a stop one round early or late turns the
+    // rounds column red, a drifted fixed point the ranks.
+    "graph_pagerank_converged" -> ((spark, dir) => {
+      // danglingFree: same symmetric-construction assertion as
+      // graph_pagerank
+      val (ranks, rounds) = graft.operators.PageRank.runOnCounted(
+        preparedTradeGraph(spark, dir), iterations = 30,
+        tolScaled = Some(4490000000L), danglingFree = true)
+      ranks.withColumn("rounds", lit(rounds.toLong)).orderBy("node")
+    }),
     // HITS hubs & authorities (operators/Hits) over the DIRECTED
     // customer -> supplier trade graph — the PageRank tier's second
     // authority signal, natural on the bipartite form (hubs = customers,
@@ -368,27 +513,37 @@ object AnalyticsQueries {
     // event stream): per (from, to) event-type pair, the transition
     // count and probability — the behavior-modeling signal (what follows
     // a view? where do sessions die?) and the generator of synthetic
-    // user traces. Scale shape: ONE window partitioned by user (state
-    // bounded per user, never corpus-wide), one keyed count to the
-    // |types|^2 matrix, and the per-from totals join is matrix-sized.
-    // The (ts, event_id) ordering is a total order, so lead() is
-    // deterministic and the oracle replays it exactly.
-    "event_transitions" -> ((spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.load(spark, dir, "events")
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val pairs = ev
-        .withColumn("to_type", lead("event_type", 1).over(w))
-        .filter(col("to_type").isNotNull)
-      val counts = pairs
-        .groupBy(col("event_type").as("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
-      counts.join(totals, "from_type")
-        .select(col("from_type"), col("to_type"), col("n"),
-          round(col("n").cast("double") / col("n_from"), 6).as("prob"))
-        .orderBy("from_type", "to_type")
+    // user traces. Served from the DURABLE Markov model (r16 —
+    // operators/MarkovModel, the BigramLm TRAIN/SERVE lifecycle):
+    // training reads the shared persisted transition-pairs table (ONE
+    // window partitioned by user, state bounded per user, never
+    // corpus-wide; the anomaly scorer reads the same persist), the model
+    // tables are |types|^2 matrix-sized, and the serve is one
+    // matrix-sized join. The (ts, event_id) ordering is a total order,
+    // so the pairs pass is deterministic and the oracle replays it.
+    "event_transitions" -> ((spark, dir) =>
+      markovPersisted(spark, dir).transitions()
+        .orderBy("from_type", "to_type")),
+    // Durable-Markov PARITY + zero-train gate (r16, the
+    // classifier_persisted pattern): a FRESH manifest reopen of the
+    // written model — bypassing the session cache — must run ZERO
+    // training jobs (the trainCount require; a manifest that failed
+    // validation would fall into a retrain) and must serve the exact
+    // matrix the in-session model serves: this row and
+    // event_transitions hash against the SAME oracle through different
+    // code paths (cache-hit serve vs cold reopen), so count drift,
+    // truncated model tables, or a manifest accepting a stale model
+    // turns exactly one of them red.
+    "markov_model_persisted" -> ((spark, dir) => {
+      markovPersisted(spark, dir) // ensure the durable artifact exists
+      val before = graft.operators.MarkovModel.trainCount
+      val reopened = graft.operators.MarkovModel
+        .loadIfValid(spark, markovModelPath(dir), eventsSourceTag(spark, dir))
+        .getOrElse(sys.error(
+          "manifest reopen of the written Markov model must validate"))
+      require(graft.operators.MarkovModel.trainCount == before,
+        "a manifest reopen must run zero training jobs")
+      reopened.transitions().orderBy("from_type", "to_type")
     }),
     // Supplier CO-OCCURRENCE similarity (r15): top-20 supplier pairs by
     // exact Jaccard over their customer sets — the related-source mining
@@ -403,15 +558,7 @@ object AnalyticsQueries {
     // division of exact integers, and the top-20 is TakeOrderedAndProject
     // on the rounded score. Reuses the persisted trade-graph pairs.
     "supplier_cooccurrence" -> ((spark, dir) => {
-      val e = tradeGraphDirected(spark, dir)
-        .select(substring(col("src"), 2, 100).cast("long").as("c"),
-          substring(col("dst"), 2, 100).cast("long").as("s"))
-      val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
-      // eager cut point (the corpus_materialize_full discipline): the
-      // capped interaction table feeds two consumers (the supplier
-      // degree table and the pair generation)
-      val kept = e.join(deg.filter(col("d") <= 55), Seq("c"), "left_semi")
-        .localCheckpoint()
+      val kept = cooccurKept(spark, dir)
       val n = kept.groupBy("s").agg(count(lit(1)).as("n"))
       // pair generation as an equi self-join on the customer key with
       // the s1 < s2 cut in the join condition — quadratic per key but
@@ -442,33 +589,15 @@ object AnalyticsQueries {
     // is computed — q = round(ln(n/n_from)·1e6) per transition CLASS
     // (|types|² rows, broadcast) — so each user's surprise mass is an
     // exact order-free decimal(38,0) sum and ONE truncating DIV.
-    // The transition pairs feed both the model counts and the score join
-    // (two window passes here; a real pipeline trains the matrix
-    // offline and the serve side is one broadcast-join scan).
-    "session_anomaly_score" -> ((spark, dir) => {
-      val ev = Tables.load(spark, dir, "events")
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val pairs = ev.withColumn("to_type", lead("event_type", 1).over(w))
-        .filter(col("to_type").isNotNull)
-        .select(col("user_id"), col("event_type").as("from_type"),
-          col("to_type"))
-      val counts = pairs.groupBy("from_type", "to_type")
-        .agg(count(lit(1)).as("n"))
-      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
-      val probs = counts.join(totals, "from_type")
-        .select(col("from_type"), col("to_type"),
-          org.apache.spark.sql.functions.round(
-            log(col("n").cast("double") / col("n_from")) * 1e6, 0)
-            .cast("decimal(38,0)").as("q_micro"))
-      pairs.join(broadcast(probs), Seq("from_type", "to_type"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_transitions"), sum("q_micro").as("s"))
-        .select(col("user_id"), col("n_transitions"),
-          expr("CAST((-s) DIV n_transitions AS BIGINT)")
-            .as("surprise_micro_avg"))
-        .orderBy("user_id")
-    }),
+    // Serve shape (r16): the shared persisted pairs table joined against
+    // the DURABLE model's broadcast surprise matrix — the
+    // offline-train / broadcast-serve plan a real pipeline runs (no
+    // window pass here at all; both the pairs persist and the frozen
+    // model are shared with event_transitions).
+    "session_anomaly_score" -> ((spark, dir) =>
+      markovPersisted(spark, dir)
+        .scoreSessions(transitionPairs(spark, dir), "user_id")
+        .orderBy("user_id")),
     // Streaming TRANSITION-matrix replay: the per-user SEQUENCE state
     // family on the driver ledger — events delivered in three ts-range
     // micro-batches through StreamingOps.transitionMonitorStream (state =
@@ -483,11 +612,16 @@ object AnalyticsQueries {
     "streaming_transitions_replay" -> ((spark, dir) => {
       val sink = ReplayOrchestrator.await[String](spark, dir,
         "event-transitions")
+      // counts come from the MONITOR'S OWN emissions (the integrity
+      // payload — any lost carry state / double emission shows up in n
+      // directly); the per-from totals come from the shared DURABLE
+      // model (r16). Gate strength is unchanged: the row is green iff
+      // every sink n equals the batch n, and exactly then the model
+      // totals equal the sink totals by construction.
       val counts = spark.read.parquet(sink)
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
-      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
-      counts.join(totals, "from_type")
+      counts.join(markovPersisted(spark, dir).totals, "from_type")
         .select(col("from_type"), col("to_type"), col("n"),
           round(col("n").cast("double") / col("n_from"), 6).as("prob"))
         .orderBy("from_type", "to_type")
@@ -504,6 +638,36 @@ object AnalyticsQueries {
           round(avg("k"), 4).as("avg_k"))
         .orderBy("event_type")
     }))
+
+  /** graph_pagerank_converged's oracle, GENERATED: graph_pagerank's
+    * round CTE pair replicated out to the deterministic executed-round
+    * count (8 at all three SFs for tol = 4.49e9 — see the row comment),
+    * with the count stated as a literal column. Declared before
+    * `oracleSql` so object-init order resolves it. */
+  private val prConvergedRounds = 8
+
+  private val prConvergedOracle: String = {
+    val rounds = (1 to prConvergedRounds).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, CAST(sum(r${i - 1}.r // d.outdeg) AS BIGINT) AS s
+         |       FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg d ON e.src = d.src
+         |       GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |         CAST(150000000 + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
+         |       FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+       |    'S' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, r AS rank_scaled,
+       |  CAST($prConvergedRounds AS BIGINT) AS rounds
+       |FROM r$prConvergedRounds ORDER BY node""".stripMargin
+  }
 
   val oracleSql: ListMap[String, String] = ListMap(
     // the three integer PR rounds unrolled (// == Spark's DIV on
@@ -547,6 +711,23 @@ object AnalyticsQueries {
     // the same total (ts, event_id) order, lead per user, matrix-sized
     // probability join
     "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  round(p.n * 1.0 / t.n_from, 6) AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // the durable model's reopened matrix must equal the in-session one
+    // — the oracle IS event_transitions' derivation verbatim (both rows
+    // hash against the same SQL through different serve paths)
+    "markov_model_persisted" ->
       """WITH s AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS to_type
@@ -642,6 +823,9 @@ object AnalyticsQueries {
         |         CAST(150000000 + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN s3 s USING (node))
         |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+    // the generated fixed-round unroll with the literal executed count
+    // (see prConvergedOracle)
+    "graph_pagerank_converged" -> prConvergedOracle,
     // the personalized variant: init and teleport are CASEd onto the
     // seed set, everything else identical to graph_pagerank's unroll
     "graph_ppr_seeds" ->

@@ -57,6 +57,18 @@ object CdcQueries {
       }
     })
 
+  /** Cold-reopen hook for the serve-everything capstone (see
+    * [[ServeAllQueries]]): fresh manifest reopen of the durable chunk
+    * index past the session cache + one bounded chunk lookup. */
+  private[queries] def coldServeHooks(spark: SparkSession, dir: String)
+      : Seq[(String, () => Unit, () => Option[Long])] = Seq(
+    ("chunk_index",
+      () => { chunkPersisted(spark, dir); () },
+      () => graft.operators.ChunkIndex.loadIfValid(spark,
+          QueryArtifacts.path("target/cdc-chunk-index", dir),
+          chunkSourceTag(spark, dir))
+        .map(_.chunks.limit(5).count())))
+
   val queries: ListMap[String, Q] = ListMap(
     // Per-doc CDC chunk table: offsets + md5 per chunk. Cut positions are
     // the codegen'd Gear scan; the oracle recomputes each cut as a

@@ -28,9 +28,12 @@ object PipelineQueries {
 
   /** The KMV set-algebra report over a 1-row (a_hashes, a_est, b_hashes,
     * b_est) sketch-pair frame — union sketch = the k smallest of the
-    * concatenation, jaccard = \|union-sketch ∩ A ∩ B\| / k, intersection
-    * = j·union (Beyer et al. SIGMOD'07). ONE definition shared by the
-    * batch row and the streaming replay, so the two cannot drift. */
+    * concatenation, jaccard = \|union-sketch ∩ A ∩ B\| / \|union sketch\|
+    * (= k when saturated; on an unsaturated union the sketch IS the exact
+    * distinct union, so dividing by its true size keeps jaccard exact
+    * instead of biased low), intersection = j·union (Beyer et al.
+    * SIGMOD'07). ONE definition shared by the batch row and the streaming
+    * replay, so the two cannot drift. */
   private def kmvOverlapReport(pair: DataFrame, k: Int): DataFrame =
     pair
       .withColumn("m", slice(array_sort(array_distinct(
@@ -42,7 +45,8 @@ object PipelineQueries {
               / lit(graft.functions.KmvSketch.Space60))))
       .withColumn("j",
         size(array_intersect(array_intersect(col("m"), col("a_hashes")),
-          col("b_hashes"))).cast("double") / k)
+          col("b_hashes"))).cast("double") /
+          greatest(size(col("m")), lit(1)).cast("double"))
       .select(round(col("a_est"), 6).as("est_click"),
         round(col("b_est"), 6).as("est_purchase"),
         round(col("u"), 6).as("est_union"),
@@ -655,7 +659,7 @@ object PipelineQueries {
       |             ELSE 63.0 / ((('0x' || substring(mg[64], 1, 15))::BIGINT)
       |                          / 1152921504606846976.0) END AS uraw,
       |        CAST(len(list_intersect(list_intersect(mg, ahs), bhs)) AS DOUBLE)
-      |          / 64 AS j
+      |          / greatest(len(mg), 1) AS j
       |      FROM m)
       |SELECT round(aest, 6) AS est_click, round(best, 6) AS est_purchase,
       |  round(uraw, 6) AS est_union, round(j, 6) AS jaccard,
@@ -679,7 +683,8 @@ object PipelineQueries {
         |FROM kept ORDER BY event_type""".stripMargin,
     // the sketch states replayed as "the k smallest distinct hashes" in
     // plain SQL, then the identical merge/estimate arithmetic: union =
-    // k smallest of the concatenation, jaccard = |union-sketch ∩ A ∩ B|/k
+    // k smallest of the concatenation, jaccard = |union-sketch ∩ A ∩ B|
+    // / |union sketch| (k when saturated, exact size when not)
     "kmv_user_overlap" -> kmvOverlapOracle,
     // the streaming replay's final sketches are delivery-invariant (a
     // bottom-k over a set), so the SAME oracle gates both rows — a

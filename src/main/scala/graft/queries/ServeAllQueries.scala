@@ -1,0 +1,91 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ZERO-BUILD serve-everything capstone — the cross-session
+  * cold-start story a 100 TB deployment actually lives by: a fresh
+  * session (or here, a fresh reopen past every session cache) opens
+  * EVERY durable artifact the engine maintains through its validation
+  * manifest, runs ZERO build/fit/train jobs doing so, and serves one
+  * bounded request from each. One row per artifact:
+  *
+  *   zero_build — the reopen+serve left every operator build/train
+  *                counter untouched (a manifest that failed validation
+  *                would be visible here as a retrain in the family's own
+  *                row; HERE a failed validation yields false directly)
+  *   served     — the bounded request returned at least one row (token)
+  *
+  * The artifact inventory and the per-family reopen lambdas live with
+  * their owners ([[SimilarityQueries.coldServeHooks]],
+  * [[TextQueries.coldServeHooks]], [[CdcQueries.coldServeHooks]],
+  * [[AnalyticsQueries.coldServeHooks]]); this object only sequences the
+  * three phases — ensure (the durable forms exist; builds are legal
+  * here), quiesce (the background replay fan-out calls the same build
+  * paths and must not bump counters mid-measurement), reopen+serve
+  * (counter-fenced per artifact). ServeAllSpec additionally pins the
+  * whole reopen phase's cost with a Spark JOB budget: manifest
+  * validation + one bounded serve is a handful of jobs per artifact,
+  * where any accidental retrain (BPE's merge loop, the k-means fit)
+  * fires hundreds.
+  */
+object ServeAllQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Every operator build/train counter in the durable-artifact family —
+    * the fence the reopen phase must not move. */
+  private def buildCounters(): Seq[Long] = Seq(
+    graft.operators.IvfIndex.buildsRun.get(),
+    graft.operators.PqIndex.buildCount.toLong,
+    graft.operators.InvertedIndex.buildCount.toLong,
+    graft.operators.ChunkIndex.buildCount.toLong,
+    graft.operators.BigramLm.trainCount.toLong,
+    graft.operators.TrigramLm.trainCount.toLong,
+    graft.operators.QualityClassifier.trainCount.toLong,
+    graft.operators.BpeTokenizer.trainCount.toLong,
+    graft.operators.MarkovModel.trainCount.toLong)
+
+  private[graft] def hooks(spark: SparkSession, dir: String)
+      : Seq[(String, () => Unit, () => Option[Long])] =
+    SimilarityQueries.coldServeHooks(spark, dir) ++
+      TextQueries.coldServeHooks(spark, dir) ++
+      CdcQueries.coldServeHooks(spark, dir) ++
+      AnalyticsQueries.coldServeHooks(spark, dir)
+
+  val queries: ListMap[String, Q] = ListMap(
+    "serve_everything_cold" -> ((spark, dir) => {
+      val hs = hooks(spark, dir)
+      hs.foreach(_._2()) // ensure phase: durable forms exist
+      // the replay fan-out's bodies fill the same persisted caches —
+      // barrier it so a concurrent warm-up build can't read as a
+      // reopen-phase counter bump
+      ReplayOrchestrator.awaitQuiesce(spark, dir, 10.minutes)
+      val rows = hs.map { case (name, _, reopen) =>
+        val before = buildCounters()
+        val served = reopen()
+        val zeroBuild = buildCounters() == before && served.isDefined
+        (name, zeroBuild, served.exists(_ > 0))
+      }.sortBy(_._1)
+      import spark.implicits._
+      rows.toDF("artifact", "zero_build", "served").orderBy("artifact")
+    }))
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    // lifecycle literals (the classifier_persisted pattern): every
+    // artifact's VALUES are already hash-gated by its own family rows;
+    // this row's payload is the cold-start lifecycle itself — reopen
+    // validated, zero builds, request served — which the engine computes
+    // genuinely and the oracle states as the required fixed point
+    "serve_everything_cold" ->
+      """SELECT * FROM (VALUES
+        |  ('bigram_lm', TRUE, TRUE), ('bpe', TRUE, TRUE),
+        |  ('chunk_index', TRUE, TRUE), ('classifier', TRUE, TRUE),
+        |  ('inverted_index', TRUE, TRUE), ('ivf', TRUE, TRUE),
+        |  ('ivfpq', TRUE, TRUE), ('markov', TRUE, TRUE),
+        |  ('pq', TRUE, TRUE), ('trigram_lm', TRUE, TRUE))
+        |  AS t(artifact, zero_build, served)
+        |ORDER BY artifact""".stripMargin)
+}

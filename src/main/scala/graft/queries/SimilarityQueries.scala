@@ -102,6 +102,39 @@ object SimilarityQueries {
       }
     })
 
+  /** Cold-reopen hooks for the serve-everything capstone (see
+    * [[ServeAllQueries]]): (artifact, ensure-the-durable-form-exists,
+    * FRESH manifest reopen bypassing every session cache + one bounded
+    * serve returning the served row count). The reopen lambdas call
+    * `loadIfValid` directly so a build can only happen in the ensure
+    * phase — the capstone pins the reopen phase train/build-free via the
+    * operator counters. */
+  private[queries] def coldServeHooks(spark: SparkSession, dir: String)
+      : Seq[(String, () => Unit, () => Option[Long])] = {
+    def q5 = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val ivfPath = QueryArtifacts.path("target/ivf-file-index", dir)
+    val pqPath = QueryArtifacts.path("target/pq-file-index", dir)
+    def tag = ivfSourceTag(spark, dir)
+    Seq(
+      ("ivf",
+        () => { ivfPersisted(spark, dir); () },
+        () => graft.operators.IvfIndex.loadIfValid(spark, ivfPath, tag)
+          .map(_.topK(q5, k = 5, nprobe = 6).count())),
+      ("pq",
+        () => { pqPersisted(spark, dir); () },
+        () => graft.operators.PqIndex.loadIfValid(spark, pqPath, tag)
+          .map(_.topK(q5, k = 5, nCandidates = 64).count())),
+      ("ivfpq",
+        () => { ivfPersisted(spark, dir); pqPersisted(spark, dir); () },
+        () => for {
+          i <- graft.operators.IvfIndex.loadIfValid(spark, ivfPath, tag)
+          p <- graft.operators.PqIndex.loadIfValid(spark, pqPath, tag)
+        } yield new graft.operators.IvfPq(i, p)
+          .topK(q5, k = 5, nprobe = 6, nCandidates = 64).count()))
+  }
+
   /** One PQ index per (session, dir) — build/encode once, every query and
     * bench pass reuses the persisted code table (see operators.PqIndex). */
   private val pqCache =

@@ -203,6 +203,52 @@ object TextQueries {
 
   ReplayOrchestrator.register("text-drift")(buildDriftReplay)
 
+  /** Stateless GATE-CHAIN replay body (see [[ReplayOrchestrator]]): the
+    * whole documents table delivered in three doc_id-sharded
+    * micro-batches through the composed quality -> blocklist ->
+    * trained-classifier ingest chain
+    * ([[graft.streaming.StreamingOps.qualityGateStream]] ->
+    * `blocklistGateStream` -> `classifierGateStream` under the
+    * manifest-reopened durable model — serve-on-the-stream), survivors
+    * appended to a parquet sink; returns the sink path. Every gate is a
+    * stateless per-row projection, so the survivor SET is
+    * delivery-invariant under any sharding — the batch keep-set
+    * derivation the three batch rows share is the oracle, and any
+    * stream/batch verdict drift (a score expression forked, a threshold
+    * compared off-scale, a gate reordered into a stateful shape) turns
+    * the row red. */
+  private def buildGateChainReplaySink(spark: SparkSession,
+      dir: String): String = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val root = QueryArtifacts.sessionRoot(spark)
+    val src = QueryArtifacts.path(s"$root/gate-chain-src", dir)
+    val out = QueryArtifacts.path(s"$root/gate-chain-sink", dir)
+    val ckpt = QueryArtifacts.path(s"$root/gate-chain-ckpt", dir)
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    graft.streaming.StreamingOps.stageOrdered(src,
+      (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val gated = graft.streaming.StreamingOps.classifierGateStream(
+      graft.streaming.StreamingOps.blocklistGateStream(
+        graft.streaming.StreamingOps.qualityGateStream(stream, "text"),
+        "text", blockedTokens = Seq("dup"), blockedPhrases = Seq("slow scan")),
+      clfPersisted(spark, dir), "text")
+    val q = gated.select("doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination()
+    out
+  }
+
+  // teardown = the classifier family's release: the body reopens (or on
+  // a cold dir, trains) the durable classifier through clfPersisted
+  ReplayOrchestrator.register("gate-chain",
+    () => releaseClassifierFamily())(buildGateChainReplaySink)
+
   // Pseudo-replay WARM-UP: the LM score tables (bigram + interpolated
   // trigram with its tercile buckets) are the most expensive non-replay
   // cold builds in the bench (~5.5 s summed) and runOnce persists anyway
@@ -1195,6 +1241,20 @@ object TextQueries {
           "keep_domain", "keep_confidence", "keep_length", "keep")
         .orderBy("doc_id")
     }),
+    // Streaming GATE-CHAIN replay (r16): the stateless ingest-filter
+    // family on the driver ledger — the documents table delivered in
+    // three micro-batches through the composed quality -> blocklist ->
+    // trained-classifier chain (every gate a per-row projection; the
+    // classifier serves the manifest-reopened durable model on the
+    // stream), survivors appended to a parquet sink; the row is the
+    // surviving doc_id set. The oracle is the three batch keep rules
+    // composed (quality CTEs, blocklist verdict, classifier train+serve
+    // +threshold — each SHARED with its batch row's oracle derivation),
+    // so stream/batch keep-set divergence on ANY gate turns the row red.
+    "streaming_gate_replay" -> ((spark, dir) => {
+      val sink = ReplayOrchestrator.await[String](spark, dir, "gate-chain")
+      spark.read.parquet(sink).select("doc_id").orderBy("doc_id")
+    }),
     // TRAINED language ID (r14) — the fastText-lid shape of the curation
     // step: the SAME NB sufficient-statistics machinery as
     // classifier_train_score, but over CHAR-TRIGRAM features
@@ -1262,6 +1322,49 @@ object TextQueries {
         .getBytes("UTF-8"))
     }
     dir + "#" + md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Cold-reopen hooks for the serve-everything capstone (see
+    * [[ServeAllQueries]] and [[SimilarityQueries.coldServeHooks]]'s
+    * contract): fresh `loadIfValid` reopens past the session caches, one
+    * bounded serve each — three scored docs for the LMs and the
+    * classifier, the three-term bucket-pruned BM25 probe for the index,
+    * one literal encode for the BPE merges. */
+  private[queries] def coldServeHooks(spark: SparkSession, dir: String)
+      : Seq[(String, () => Unit, () => Option[Long])] = {
+    def tag = lmSourceTag(spark, dir)
+    def docs3 = Tables.load(spark, dir, "documents").filter(col("doc_id") < 3)
+    Seq(
+      ("bigram_lm",
+        () => { bigramLmPersisted(spark, dir); () },
+        () => graft.operators.BigramLm.loadIfValid(spark,
+            QueryArtifacts.path("target/bigram-lm", dir), tag)
+          .map(_.score(docs3, "doc_id", "text").count())),
+      ("trigram_lm",
+        () => { trigramLmPersisted(spark, dir); () },
+        () => graft.operators.TrigramLm.loadIfValid(spark,
+            QueryArtifacts.path("target/trigram-lm", dir), tag)
+          .map(_.score(docs3, "doc_id", "text").count())),
+      ("inverted_index",
+        () => { invertedIndexPersisted(spark, dir); () },
+        () => graft.operators.InvertedIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/inverted-index", dir), tag)
+          .map(_.serve(Seq("hash", "join", "vector")).count())),
+      ("classifier",
+        () => { clfPersisted(spark, dir); () },
+        () => graft.operators.QualityClassifier.loadIfValid(spark,
+            QueryArtifacts.path("target/quality-clf", dir), tag)
+          .map(_.score(docs3, "doc_id", "text").count())),
+      ("bpe",
+        () => { bpeMerges(spark, dir); () },
+        () => graft.operators.BpeTokenizer.loadIfValid(spark,
+            QueryArtifacts.path("target/bpe-merges", dir), tag)
+          .map { m =>
+            spark.range(1).select(
+              size(graft.operators.BpeTokenizer.encode(
+                lit("the quick brown fox"), m)).cast("long").as("n"))
+              .head().getLong(0)
+          }))
   }
 
   private def bigramLmPersisted(spark: SparkSession, dir: String): graft.operators.BigramLm =
@@ -2578,6 +2681,61 @@ object TextQueries {
         |  n_tokens >= 20 AS keep_length,
         |  pred_label = 'en' AND expected_p6 >= 15000 AND n_tokens >= 20 AS keep
         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // the streamed survivor set must equal the composed batch keep-set:
+    // quality CTEs (shared with corpus_quality_filter's oracle),
+    // blocklist verdict (shared with blocklist_filter's), classifier
+    // train+serve+threshold (shared with corpus_filter_classifier's)
+    "streaming_gate_replay" ->
+      (s"""WITH $qualityCtes,
+        |q AS (SELECT b.doc_id FROM b JOIN r ON b.doc_id = r.doc_id
+        |      WHERE n_tokens >= 20 AND quality4 >= 4000
+        |        AND distinct_ratio6 >= 300000 AND lang_pred = 'en'),
+        |bl AS (SELECT doc_id FROM documents
+        |       WHERE len(list_filter(string_split(lower(text), ' '),
+        |           t -> t IN ('dup'))) = 0
+        |         AND NOT contains(lower(text), 'slow scan')),
+        |seedtok AS (
+        |  SELECT doc_id, lang AS label,
+        |    unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |counts AS (SELECT label, w, CAST(count(*) AS BIGINT) AS c
+        |           FROM seedtok GROUP BY label, w),
+        |classes AS (SELECT label,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM seedtok GROUP BY label),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM seedtok),
+        |doctok AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |docn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens
+        |         FROM doctok GROUP BY doc_id),
+        |hits AS (
+        |  SELECT t.doc_id, c.label, CAST(sum(t.k * c.c) AS BIGINT) AS s
+        |  FROM doctok t JOIN counts c USING (w) GROUP BY t.doc_id, c.label),
+        |scored AS (
+        |  SELECT d.doc_id, d.n_tokens, cl.label,
+        |    coalesce(h.s, 0) + d.n_tokens AS num,
+        |    cl.tot + voc.v AS den,
+        |    CAST(cl.n_docs * (coalesce(h.s, 0) + d.n_tokens) AS DOUBLE)
+        |      / CAST(cl.tot + voc.v AS DOUBLE) AS dscore
+        |  FROM docn d CROSS JOIN classes cl CROSS JOIN voc
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = cl.label),
+        |best AS (
+        |  SELECT doc_id, n_tokens, label AS pred_label,
+        |    CAST(round(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)
+        |      / 1e6 * 1e6) AS BIGINT) AS expected_p6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY dscore DESC, label) AS rk
+        |  FROM scored),
+        |ck AS (SELECT doc_id FROM best
+        |       WHERE rk = 1 AND pred_label = 'en'
+        |         AND expected_p6 >= 15000 AND n_tokens >= 20)
+        |SELECT q.doc_id FROM q
+        |JOIN bl USING (doc_id) JOIN ck USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // parity literals: the durable model must equal the in-session model
     // exactly — counts are recomputed genuinely on the Spark side
     "classifier_persisted" ->

@@ -113,12 +113,20 @@ class BenchSummarySpec extends AnyFunSuite {
       """"metric":"total","value":94.92,"unit":"sec","failed_queries":0,""" +
       """"failed":[],"leaked_persists":0,"sf":"/root/testdata/sf0.1"}"""
     assert(Bench.referenceFrom(noisyFirst, "/root/testdata/sf0.1").isEmpty)
-    // at the bound (or loadavg absent): adopted as before
+    // at the bound: adopted as before
     val atBound = """{"queries":{"a":1.0},"loadavg":[2.0,1.0,0.5],""" +
       """"metric":"total","value":60.0,"unit":"sec","sf":"/x"}"""
     assert(Bench.referenceFrom(atBound, "/x").contains((60.0, Seq(2.0, 1.0, 0.5))))
+    // loadavg ABSENT = unknown load, not quiet (r16): never adopt the
+    // total itself — fall back to the carried quiet reference if one
+    // rode along, else omit
     val noLoad = """{"queries":{"a":1.0},"value":60.0,"sf":"/x"}"""
-    assert(Bench.referenceFrom(noLoad, "/x").contains((60.0, Seq())))
+    assert(Bench.referenceFrom(noLoad, "/x").isEmpty)
+    val noLoadCarried = """{"queries":{"a":1.0},"value":60.0,""" +
+      """"reference_quiet_total":58.2,"reference_loadavg":[0.4,0.5,0.6],""" +
+      """"sf":"/x"}"""
+    assert(Bench.referenceFrom(noLoadCarried, "/x")
+      .contains((58.2, Seq(0.4, 0.5, 0.6))))
   }
 
   test("reference fields are omitted when the previous run's sf differs") {

@@ -144,4 +144,47 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("manifest"))
   }
+
+  test("compact: file count drops to <= one per bucket, served == fused " +
+      "bit-for-bit, ledger carried, torn table refused") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 3 === 1)
+    val path = "target/test-inverted-index-compact"
+    InvertedIndex.build(base, "doc_id", "text").write(path, source = "base")
+    // two appended batches fragment the postings (one file per touched
+    // bucket per append)
+    assert(InvertedIndex.appendTo(spark, path,
+      docs.filter(col("doc_id") % 3 === 2), "text", "day-1"))
+    assert(InvertedIndex.appendTo(spark, path,
+      docs.filter(col("doc_id") % 3 === 0), "text", "day-2"))
+    val before = InvertedIndex.postingsFileCount(spark, path)
+    val idxBefore = InvertedIndex.load(spark, path)
+    assert(before > idxBefore.nBuckets,
+      s"fixture degenerate: $before files is not fragmented past one per bucket")
+    InvertedIndex.compact(spark, path)
+    val after = InvertedIndex.postingsFileCount(spark, path)
+    assert(after < before, s"compaction did not shrink the file set ($before -> $after)")
+    assert(after <= idxBefore.nBuckets, "compaction must leave <= one file per bucket")
+    // served ranking unchanged bit-for-bit (same rows, same scalars)
+    val idx = InvertedIndex.load(spark, path)
+    val served = ranked(idx.serve(queryTerms))
+    val fused = ranked(TextAnalysis.bm25Rank(docs, "doc_id", "text", queryTerms))
+    assert(served === fused, "compacted index diverged from the union corpus")
+    // the ledger survived the rewrite: a replayed batch is still a no-op,
+    // and the latest source still reopens with zero builds
+    assert(!InvertedIndex.appendTo(spark, path,
+      docs.filter(col("doc_id") % 3 === 0), "text", "day-2"))
+    val builds = InvertedIndex.buildCount
+    assert(InvertedIndex.loadIfValid(spark, path, "day-2").isDefined)
+    assert(InvertedIndex.buildCount === builds)
+    // a torn table (rows landed, manifest didn't) refuses compaction
+    // BEFORE any swap
+    Seq((999999L, "zzz", 1L, 1L, 0))
+      .toDF("doc_id", "term", "tf", "dl", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.compact(spark, path)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
 }

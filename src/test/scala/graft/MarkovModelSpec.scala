@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MarkovModel
+
+/** Durable first-order Markov-model lifecycle (the BigramLm TRAIN/SERVE
+  * split over event transitions): pairs-derivation determinism, write ->
+  * manifest-validated reload with zero training jobs, exact matrix/score
+  * parity between the in-session and reloaded model, hand-computed
+  * scoring semantics, and source-tag invalidation. */
+class MarkovModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val path = "target/markov-model-test/model"
+
+  // user 1: a->b->a (pairs a->b, b->a); user 2: a->a (pair a->a)
+  private def fixture = Seq(
+    (1L, "a", 10L, 100L), (1L, "b", 20L, 101L), (1L, "a", 30L, 102L),
+    (2L, "a", 10L, 103L), (2L, "a", 40L, 104L))
+    .toDF("user_id", "event_type", "ts", "event_id")
+
+  private def fixturePairs =
+    MarkovModel.pairs(fixture, "user_id", "event_type", Seq("ts", "event_id"))
+
+  test("pairs derivation: one lead() per user over the total order") {
+    val got = fixturePairs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got === Seq((1L, "a", "b"), (1L, "b", "a"), (2L, "a", "a")))
+  }
+
+  test("transitions matrix and hand-computed probabilities") {
+    val m = MarkovModel.train(fixturePairs)
+    val t = m.transitions().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    // from a: a->a (1), a->b (1) of 2; from b: b->a (1) of 1
+    assert(t === Seq(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("session scoring: exact micro-nat surprise, truncating division") {
+    val m = MarkovModel.train(fixturePairs)
+    val s = m.scoreSessions(fixturePairs, "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // q(a->a) = q(a->b) = round(ln(0.5)*1e6) = -693147; q(b->a) = 0
+    // user 1: -(q(a->b)+q(b->a)) DIV 2 = 693147 DIV 2 = 346573
+    // user 2: -q(a->a) DIV 1 = 693147
+    assert(s === Seq((1L, 2L, 346573L), (2L, 1L, 693147L)))
+  }
+
+  test("written + reloaded model serves the in-session matrix and scores exactly") {
+    val trained = MarkovModel.train(fixturePairs)
+    trained.write(path, source = "spec-v1")
+    val loaded = MarkovModel.load(spark, path)
+    assert(loaded.transitions().collect().map(_.toSeq).toSet ===
+      trained.transitions().collect().map(_.toSeq).toSet)
+    assert(loaded.scoreSessions(fixturePairs, "user_id")
+      .collect().map(_.toSeq).toSet ===
+      trained.scoreSessions(fixturePairs, "user_id")
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("manifest-validated reload runs zero training jobs; wrong source refuses") {
+    MarkovModel.train(fixturePairs).write(path, source = "spec-v1")
+    val before = MarkovModel.trainCount
+    val hit = MarkovModel.loadIfValid(spark, path, "spec-v1")
+    assert(hit.isDefined, "valid manifest refused")
+    assert(MarkovModel.trainCount === before, "reload ran a training aggregate")
+    assert(hit.get.transitions().count() === 3)
+    assert(MarkovModel.loadIfValid(spark, path, "spec-v2").isEmpty)
+    // corrupted manifest invalidates, not crashes
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mPath, true)
+    out.write("version=999\n".getBytes("UTF-8")); out.close()
+    assert(MarkovModel.loadIfValid(spark, path, "spec-v1").isEmpty)
+  }
+
+  test("truncated model table fails row-count validation") {
+    val trained = MarkovModel.train(fixturePairs)
+    trained.write(path, source = "spec-v1")
+    // overwrite counts with a truncated table, leaving the manifest
+    trained.counts.limit(1).write.mode("overwrite")
+      .parquet(s"$path/counts-tmp")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/counts"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/counts-tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/counts"))
+    assert(MarkovModel.loadIfValid(spark, path, "spec-v1").isEmpty)
+  }
+
+  test("serve plans stay bounded: broadcast model join, no corpus window") {
+    val m = MarkovModel.train(fixturePairs)
+    val plan = m.scoreSessions(fixturePairs, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the matrix-sized surprise table must broadcast")
+  }
+}
