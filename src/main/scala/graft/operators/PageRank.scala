@@ -57,6 +57,38 @@ object PageRank {
     Graph(e, nodes, eDeg)
   }
 
+  /** INCREMENTALLY extend a [[prepare]]d graph with a new edge batch —
+    * the daily-growth lifecycle for a session-held Graph (the index
+    * family's `appendTo`, for the in-memory artifact): novel edges are
+    * found with one anti-join against the MATERIALIZED edge table (the
+    * full re-distinct of prepare() never recurs), the node set extends
+    * by the batch's endpoints only, and the degree-joined edge table is
+    * re-derived over the union — degrees of existing sources change when
+    * new edges attach to them, so eDeg is the one artifact that cannot
+    * extend by pure append. Ranks over the appended graph are exactly
+    * the ranks over a fresh build of the union (integer arithmetic, no
+    * accumulated state — PageRankSpec pins the equality); the caller
+    * owns releasing the PREVIOUS graph's persists after the swap. */
+  def append(g: Graph, edges: DataFrame, srcCol: String, dstCol: String,
+      persist: Boolean = false): Graph = {
+    val fresh = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    def mat(df: DataFrame): DataFrame =
+      if (persist) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      } else df.localCheckpoint()
+    val novel = fresh.join(g.e, Seq("src", "dst"), "left_anti")
+    val e = mat(g.e.unionByName(novel).repartition(col("src")))
+    val nodes = mat(g.nodes.unionByName(
+        novel.select(col("src").as("node"))
+          .union(novel.select(col("dst")))).distinct())
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = mat(e.join(outdeg, "src"))
+    Graph(e, nodes, eDeg)
+  }
+
   /** Run synchronous PageRank rounds over the directed edge list: at most
     * `iterations` rounds, stopping early when `tolScaled` is set and no
     * node's rank moved by ≥ tolScaled between consecutive rounds (the

@@ -122,4 +122,36 @@ class PageRankSpec extends AnyFunSuite {
     val r1 = ranks(PageRank.run(edges, "src", "dst", iterations = 1))
     assert(r1("b") == 150000000L + 850000000L)
   }
+
+  test("incremental append: ranks over the appended graph equal a fresh " +
+      "build of the union (artifact reuse under growth)") {
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    // a real fixture graph: user -> event_type edges, "day 1" = the first
+    // half of users, the appended batch = the rest (degrees of EXISTING
+    // event_type sources change too once symmetrized)
+    import org.apache.spark.sql.functions._
+    val all = events.select(concat(lit("U"), col("user_id")).as("s"),
+      col("event_type").as("d"))
+    def sym(df: org.apache.spark.sql.DataFrame) =
+      df.union(df.select(col("d").as("s"), col("s").as("d")))
+    val day1 = sym(all.filter(col("s") < "U5"))
+    val day2 = sym(all.filter(col("s") >= "U5"))
+    val g1 = PageRank.prepare(day1, "s", "d")
+    val appended = PageRank.append(g1, day2, "s", "d")
+    val fresh = PageRank.prepare(day1.unionByName(day2), "s", "d")
+    // integer fixed point, no accumulated state: the appended artifacts
+    // must rank EXACTLY like a fresh build of the union — and the
+    // overlapping re-delivery inside day2's symmetrized half must not
+    // double any edge (the anti-join dedup)
+    val ra = ranks(PageRank.runOn(appended, iterations = 3, danglingFree = true))
+    val rf = ranks(PageRank.runOn(fresh, iterations = 3, danglingFree = true))
+    assert(ra === rf)
+    assert(appended.e.count() === fresh.e.count(),
+      "append must not duplicate or drop edges vs the union distinct")
+    // a verbatim re-append of the same batch is a structural no-op
+    val again = PageRank.append(appended, day2, "s", "d")
+    assert(again.e.count() === appended.e.count())
+    assert(ranks(PageRank.runOn(again, iterations = 3,
+      danglingFree = true)) === ra)
+  }
 }
