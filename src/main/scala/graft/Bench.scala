@@ -210,6 +210,7 @@ object Bench {
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.TextQueries.clearCaches()
     graft.queries.AnalyticsQueries.clearCaches()
+    graft.queries.ServeAllQueries.clearCaches()
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)
       System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")

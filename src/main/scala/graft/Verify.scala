@@ -28,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +54,7 @@ object Verify {
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.TextQueries.clearCaches()
     graft.queries.AnalyticsQueries.clearCaches()
+    graft.queries.ServeAllQueries.clearCaches()
     spark.stop()
   }
 }

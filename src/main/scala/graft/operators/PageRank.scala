@@ -271,8 +271,18 @@ object PageRank {
         when(col("node").isin(s: _*), lit(v)).otherwise(lit(0L))
     }
     // eager rounds (dangling or tolerance): each round's table feeds a
-    // 1-row aggregate, so it is materialized via localCheckpoint — the
-    // lazy composed-plan optimization only applies to the plain path
+    // 1-row aggregate, so it is materialized per round — as a LAZY
+    // localCheckpoint primed by that very aggregate, so the
+    // materialization and the convergence/dangling scalar share ONE job
+    // per round. (The r16 bench measured the eager
+    // localCheckpoint-then-join form at ~0.85 s/round of job-scheduling
+    // overhead — checkpoint job + Δ-join job per round; and a plain
+    // persist() cannot replace it: each round's plan references the
+    // previous round's TWICE (contribution join + Δ carry), so without
+    // the checkpoint's lineage truncation the plan tree doubles per
+    // round — the 2^rounds explain string OOMed the driver before any
+    // task ran.) Checkpoint blocks are GC-released with the DataFrames;
+    // nothing to unpersist. */
     val eagerRounds = hasDangling || tolScaled.isDefined
     var ranks = nodes.withColumn("rank_scaled", onSeeds(scale))
     if (eagerRounds) ranks = ranks.localCheckpoint()
@@ -298,15 +308,25 @@ object PageRank {
           .as("rank_scaled"))
       i += 1
       if (eagerRounds) {
-        val mat = next.localCheckpoint()
-        converged = tolScaled.exists { tol =>
-          val d = mat.withColumnRenamed("rank_scaled", "r_new")
-            .join(ranks.withColumnRenamed("rank_scaled", "r_old"),
-              Seq("node"))
-            .agg(max(abs(col("r_new") - col("r_old")))).head()
-          (if (d.isNullAt(0)) 0L else d.getLong(0)) < tol
+        tolScaled match {
+          case Some(tol) =>
+            // carry the previous rank on the row so the maxΔ aggregate
+            // needs no second join — the one action both materializes
+            // the lazily-checkpointed round and decides convergence
+            val withPrev = next.join(
+                ranks.select(col("node"),
+                  col("rank_scaled").as("prev_scaled")), Seq("node"))
+              .localCheckpoint(false)
+            val d = withPrev
+              .agg(max(abs(col("rank_scaled") - col("prev_scaled")))).head()
+            converged = (if (d.isNullAt(0)) 0L else d.getLong(0)) < tol
+            ranks = withPrev.select("node", "rank_scaled")
+          case None =>
+            // dangling-only: the NEXT round's dShare aggregate is the
+            // first action and materializes this round's checkpoint; the
+            // last round materializes under the caller's action
+            ranks = next.localCheckpoint(false)
         }
-        ranks = mat
       } else {
         ranks = next
         // bound plan depth for long loops without paying the per-round

@@ -29,4 +29,16 @@ object bridge {
     * task metrics are complete before a test asserts on them. */
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Unpersist every checkpoint/scan RDD a DataFrame's plan holds
+    * (LogicalRDD leaves — the backing blocks of `localCheckpoint`ed
+    * tables). A session cache that holds a checkpoint-backed DataFrame
+    * releases its blocks DETERMINISTICALLY through this instead of
+    * waiting for the ContextCleaner's GC-driven sweep, which can run
+    * after a leak check has already counted the blocks. */
+  def unpersistCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
+    logicalPlan(df).collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+    }
 }
