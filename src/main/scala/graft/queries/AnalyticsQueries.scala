@@ -669,6 +669,23 @@ object AnalyticsQueries {
           round(col("n").cast("double") / col("n_from"), 6).as("prob"))
         .orderBy("from_type", "to_type")
     }),
+    // Streaming ANOMALY-SCORE replay (r16): the monitor's PER-USER
+    // attribution on the driver gate — the transitions sink scored under
+    // the frozen durable Markov model (offline-train / stream-serve, the
+    // serve half of session_anomaly_score run over streamed facts). The
+    // matrix replay above aggregates user_id away, so a cross-user
+    // misattribution that preserves class counts (carry state delivered
+    // to the wrong user's sequence) would pass it — THIS row hashes each
+    // user's transition count and exact surprise sum against the batch
+    // derivation, so it cannot.
+    "streaming_anomaly_replay" -> ((spark, dir) => {
+      val sink = ReplayOrchestrator.await[String](spark, dir,
+        "event-transitions")
+      markovPersisted(spark, dir)
+        .scoreSessions(spark.read.parquet(sink)
+          .select("user_id", "from_type", "to_type"), "user_id")
+        .orderBy("user_id")
+    }),
     // JSON extraction from the props column (multimodal/dynamic metadata)
     "json_extract_props" -> ((spark, dir) => {
       Tables.load(spark, dir, "events")
@@ -838,6 +855,27 @@ object AnalyticsQueries {
         |  round(p.n * 1.0 / t.n_from, 6) AS prob
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // the streamed per-user scores must equal the batch anomaly scores —
+    // the oracle IS session_anomaly_score's derivation verbatim
+    "streaming_anomaly_replay" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |p AS (SELECT user_id, from_type, to_type FROM s
+        |      WHERE to_type IS NOT NULL),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1),
+        |q AS (SELECT c.from_type, c.to_type,
+        |        CAST(round(ln(c.n * 1.0 / t.n_from) * 1e6) AS HUGEINT)
+        |          AS q_micro
+        |      FROM c JOIN t USING (from_type))
+        |SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST((-sum(q.q_micro)) // count(*) AS BIGINT) AS surprise_micro_avg
+        |FROM p JOIN q USING (from_type, to_type)
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     "graph_pagerank" ->
       """WITH p AS (
         |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
