@@ -153,10 +153,14 @@ private[graft] object ReplayOrchestrator {
     * sits in unmeasured warm-up wall time — the production shape, where
     * monitors run continuously rather than inside a query. */
   def awaitQuiesce(spark: SparkSession, dir: String,
-      bound: Duration): Unit = {
+      bound: Duration, exclude: Option[String] = None): Unit = {
+    // `exclude` lets a registered body quiesce its SIBLINGS: awaiting the
+    // caller's own future from inside that future would deadlock until
+    // the bound (the serve-everything warm-up is the one such caller)
     val deadline = System.nanoTime() + bound.toNanos
     started.readOnlySnapshot().toSeq
-      .collect { case ((s, d, _), f) if s == spark && d == dir => f }
+      .collect { case ((s, d, n), f)
+        if s == spark && d == dir && !exclude.contains(n) => f }
       .foreach { f =>
         if (!f.isCompleted) {
           val remaining = math.max(0L, deadline - System.nanoTime())
