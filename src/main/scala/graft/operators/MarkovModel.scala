@@ -146,6 +146,82 @@ object MarkovModel {
     new MarkovModel(counts, totals)
   }
 
+  /** Ledger separator - same escape-sequence convention as IvfIndex. */
+  private val SourceSep = ""
+
+  /** Incrementally fold a new batch of transition PAIRS into a written
+    * model — the daily-events lifecycle ([[InvertedIndex.appendTo]]
+    * semantics): transition-class counts are ADDITIVE over any
+    * entity-disjoint split of the pairs table, so merged counts equal a
+    * fresh train over the union exactly (the `markov_model_appended`
+    * driver row hashes that equality); totals re-derive from the merged
+    * counts so the two tables can never disagree. Both matrix-sized
+    * tables rebuild into staged dirs and swap by renames; the manifest
+    * (with the batch ledger) commits LAST, so a crash at any earlier
+    * point leaves a table the recount refuses as torn. Returns false
+    * (no-op) when `newSource` is already in the ledger — a crashed job's
+    * retry can never double-count a batch. Writer contract as for the
+    * index family: one appender at a time, no live readers across the
+    * swap. */
+  def appendTo(spark: SparkSession, path: String, pairs: DataFrame,
+      newSource: String): Boolean = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    def field(k: String) = Option(prior.getProperty(k))
+    require(field("version").contains(ManifestVersion),
+      s"markov model at $path has manifest version " +
+        s"${field("version").getOrElse("<none>")}; this appender " +
+        s"understands only $ManifestVersion — rebuild instead of appending")
+    val ledger = field("appliedSources")
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    require(
+      spark.read.parquet(s"$path/counts").count() ==
+        field("countRows").map(_.toLong).getOrElse(-1L) &&
+        spark.read.parquet(s"$path/totals").count() ==
+          field("totalRows").map(_.toLong).getOrElse(-1L),
+      s"markov model at $path does not match its committed manifest — " +
+        "a previous append crashed mid-write; rebuild instead of appending")
+    val delta = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val merged = spark.read.parquet(s"$path/counts")
+      .unionByName(delta)
+      .groupBy("from_type", "to_type").agg(sum("n").cast("long").as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/counts-next")
+    // totals from the STAGED merged counts — one consistent derivation
+    spark.read.parquet(s"$path/counts-next")
+      .groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/totals-next")
+    def swap(table: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val next = new org.apache.hadoop.fs.Path(s"$path/$table-next")
+      val old = new org.apache.hadoop.fs.Path(s"$path/$table-old")
+      fs.delete(old, true) // leftover from a crashed prior swap
+      require(fs.rename(live, old), s"could not move $live aside")
+      require(fs.rename(next, live), s"could not rename $next into place")
+      fs.delete(old, true)
+    }
+    swap("counts")
+    swap("totals")
+    val countRows = spark.read.parquet(s"$path/counts").count()
+    val totalRows = spark.read.parquet(s"$path/totals").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    props.setProperty("countRows", countRows.toString)
+    props.setProperty("totalRows", totalRows.toString)
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft markov-model manifest")
+    finally out.close()
+    true
+  }
+
   /** Reopen a written model ONLY if its manifest proves it complete,
     * current, and trained from the caller's `source` — metadata-sized
     * validation (the row counts it checks are matrix-sized footer

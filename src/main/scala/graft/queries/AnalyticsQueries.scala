@@ -177,6 +177,37 @@ object AnalyticsQueries {
       kept
     })
 
+  /** Appended-model twin of [[markovPersisted]] — the Markov family's
+    * daily-growth lifecycle on ONE durable artifact: trained on the
+    * even-user half of the shared pairs table, the odd-user half folded
+    * in by [[graft.operators.MarkovModel.appendTo]] (counts are additive
+    * over any user-disjoint split, so the appended model must equal a
+    * full train exactly), with the replayed-ledger no-op pinned before
+    * first serve (the ann_ivf_appended discipline). Build-once via the
+    * manifest+ledger: a manifest whose source is the APPEND tag proves
+    * the whole chain completed; anything else rebuilds it. */
+  private val markovAppendCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.MarkovModel]
+
+  private def markovAppended(spark: SparkSession,
+      dir: String): graft.operators.MarkovModel =
+    QueryArtifacts.runOnce(markovAppendCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/markov-model-appended", dir)
+      val baseTag = eventsSourceTag(spark, dir) + "#append-base"
+      val appendTag = eventsSourceTag(spark, dir) + "#append-batch"
+      if (graft.operators.MarkovModel.loadIfValid(spark, path, appendTag).isEmpty) {
+        val pairs = transitionPairs(spark, dir)
+        graft.operators.MarkovModel
+          .train(pairs.filter(col("user_id") % 2 === 0))
+          .write(path, baseTag)
+        val odd = pairs.filter(col("user_id") % 2 === 1)
+        graft.operators.MarkovModel.appendTo(spark, path, odd, appendTag)
+        require(!graft.operators.MarkovModel.appendTo(spark, path, odd, appendTag),
+          "replaying an already-applied pairs batch must be a ledger no-op")
+      }
+      graft.operators.MarkovModel.load(spark, path)
+    })
+
   /** The co-occurrence COUNT table (s1, s2, co >= 5) over the capped
     * interactions, persisted once per (session, dir) — the item-item
     * count model of collaborative filtering is an ARTIFACT (built
@@ -245,6 +276,7 @@ object AnalyticsQueries {
     transitionPairsCache.values.foreach(_.unpersist())
     transitionPairsCache.clear()
     markovCache.clear()
+    markovAppendCache.clear()
     cooccurKeptCache.values.foreach(_.unpersist())
     cooccurKeptCache.clear()
     cooccurPairsCache.values.foreach(_.unpersist())
@@ -598,6 +630,17 @@ object AnalyticsQueries {
         "a manifest reopen must run zero training jobs")
       reopened.transitions().orderBy("from_type", "to_type")
     }),
+    // APPEND lifecycle for the Markov model (r16): the matrix served
+    // from a model built on the even users and extended by the odd
+    // users' pairs batch (appendTo — staged swap, batch ledger, torn
+    // refusal, replayed no-op pinned) must equal a full train EXACTLY —
+    // transition counts are additive over the user-disjoint split, so
+    // this row hashes against event_transitions' oracle verbatim: a
+    // double-counted batch, a lost class, or a totals/counts divergence
+    // turns exactly this row red while the build-once rows stay green.
+    "markov_model_appended" -> ((spark, dir) =>
+      markovAppended(spark, dir).transitions()
+        .orderBy("from_type", "to_type")),
     // Supplier CO-OCCURRENCE similarity (r15): top-20 supplier pairs by
     // exact Jaccard over their customer sets — the related-source mining
     // of corpus curation (domains co-cited by the same pages, sources
@@ -788,6 +831,22 @@ object AnalyticsQueries {
     // — the oracle IS event_transitions' derivation verbatim (both rows
     // hash against the same SQL through different serve paths)
     "markov_model_persisted" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  round(p.n * 1.0 / t.n_from, 6) AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // append == full-train by count additivity: the oracle is the full
+    // derivation verbatim
+    "markov_model_appended" ->
       """WITH s AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS to_type

@@ -93,6 +93,37 @@ class MarkovModelSpec extends AnyFunSuite {
     assert(MarkovModel.loadIfValid(spark, path, "spec-v1").isEmpty)
   }
 
+  test("appendTo merges counts exactly, keeps a ledger, refuses torn tables") {
+    val even = fixturePairs.filter(org.apache.spark.sql.functions
+      .col("user_id") % 2 === 0)
+    val odd = fixturePairs.filter(org.apache.spark.sql.functions
+      .col("user_id") % 2 === 1)
+    val path = "target/markov-model-test/appended"
+    MarkovModel.train(even).write(path, source = "base")
+    assert(MarkovModel.appendTo(spark, path, odd, "day-1"))
+    // additive counts: appended == full train, bit for bit
+    val appended = MarkovModel.load(spark, path)
+    val full = MarkovModel.train(fixturePairs)
+    assert(appended.transitions().collect().map(_.toSeq).toSet ===
+      full.transitions().collect().map(_.toSeq).toSet)
+    // replayed batch is a ledger no-op; nothing double-counts
+    assert(!MarkovModel.appendTo(spark, path, odd, "day-1"))
+    assert(MarkovModel.load(spark, path).transitions()
+      .collect().map(_.toSeq).toSet ===
+      full.transitions().collect().map(_.toSeq).toSet)
+    // latest source reopens zero-train; the stale base tag refuses
+    val before = MarkovModel.trainCount
+    assert(MarkovModel.loadIfValid(spark, path, "day-1").isDefined)
+    assert(MarkovModel.trainCount === before)
+    assert(MarkovModel.loadIfValid(spark, path, "base").isEmpty)
+    // a torn table (rows landed, manifest didn't) refuses further appends
+    appended.counts.limit(1).write.mode("append").parquet(s"$path/counts")
+    val e = intercept[IllegalArgumentException] {
+      MarkovModel.appendTo(spark, path, odd, "day-2")
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("serve plans stay bounded: broadcast model join, no corpus window") {
     val m = MarkovModel.train(fixturePairs)
     val plan = m.scoreSessions(fixturePairs, "user_id")
