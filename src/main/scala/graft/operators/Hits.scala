@@ -93,7 +93,20 @@ object Hits {
     * the integer domain), under the `iterations` round cap. */
   def runOn(g: Graph, iterations: Int,
       scale: Long = 1000000000L,
-      tolScaled: Option[Long] = None): DataFrame = {
+      tolScaled: Option[Long] = None): DataFrame =
+    runOnCounted(g, iterations, scale, tolScaled)._1
+
+  /** [[runOn]] variant that ALSO returns the number of rounds actually
+    * executed — the observable of the `tolScaled` fixed-point stop
+    * (rounds == iterations at the cap, or when no tolerance was set).
+    * Deterministic like [[PageRank.runOnCounted]]: every round is exact
+    * integer arithmetic, so the first round where NEITHER score table
+    * moved by ≥ tolScaled is a pure function of the graph — the
+    * `graph_hits_converged` driver row emits the count as a column and
+    * its oracle unrolls exactly that many rounds. */
+  def runOnCounted(g: Graph, iterations: Int,
+      scale: Long = 1000000000L,
+      tolScaled: Option[Long] = None): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale > 0, s"scale must be positive, got $scale")
     require(tolScaled.forall(_ > 0),
@@ -130,9 +143,12 @@ object Hits {
       i += 1
       if (eager) {
         // tolerance path: each round materialized for its two 1-row
-        // maxΔ aggregates; both tables must settle to stop
-        val aMat = a.localCheckpoint()
-        val hMat = h.localCheckpoint()
+        // maxΔ aggregates — as LAZY localCheckpoints the aggregates
+        // themselves prime (one job per table per round, and lineage
+        // truncation keeps the doubled-per-half-round plan tree flat;
+        // the PageRank tolerance-path discipline)
+        val aMat = a.localCheckpoint(false)
+        val hMat = h.localCheckpoint(false)
         converged = tolScaled.exists { tol =>
           maxDelta(aMat, auths) < tol && maxDelta(hMat, hubs) < tol
         }
@@ -154,9 +170,9 @@ object Hits {
         }
       }
     }
-    hubs.withColumnRenamed("score_scaled", "hub_scaled")
+    (hubs.withColumnRenamed("score_scaled", "hub_scaled")
       .join(auths.withColumnRenamed("score_scaled", "auth_scaled"),
-        Seq("node"))
+        Seq("node")), i)
   }
 
   /** max |cur − prev| over the node-aligned score tables (Long.MaxValue
