@@ -276,6 +276,12 @@ object AnalyticsQueries {
       () => { markovPersisted(spark, dir); () },
       () => graft.operators.MarkovModel.loadIfValid(spark,
           markovModelPath(dir), eventsSourceTag(spark, dir))
+        .map(_.transitions().count())),
+    ("markov_appended",
+      () => { markovAppended(spark, dir); () },
+      () => graft.operators.MarkovModel.loadIfValid(spark,
+          QueryArtifacts.path("target/markov-model-appended", dir),
+          eventsSourceTag(spark, dir) + "#append-batch")
         .map(_.transitions().count())))
 
   /** Release the persisted trade-graph + transition-pairs + co-occurrence

@@ -8,9 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The ZERO-BUILD serve-everything capstone — the cross-session
   * cold-start story a 100 TB deployment actually lives by: a fresh
   * session (or here, a fresh reopen past every session cache) opens
-  * EVERY durable artifact the engine maintains through its validation
-  * manifest, runs ZERO build/fit/train jobs doing so, and serves one
-  * bounded request from each. One row per artifact:
+  * EVERY durable artifact the engine maintains — base AND appended
+  * lifecycles, 13 reopens — through its validation manifest, runs ZERO
+  * build/fit/train jobs doing so, and serves one bounded request from
+  * each. One row per artifact:
   *
   *   zero_build — the reopen+serve left every operator build/train
   *                counter untouched (a manifest that failed validation
@@ -111,8 +112,11 @@ object ServeAllQueries {
       """SELECT * FROM (VALUES
         |  ('bigram_lm', TRUE, TRUE), ('bpe', TRUE, TRUE),
         |  ('chunk_index', TRUE, TRUE), ('classifier', TRUE, TRUE),
-        |  ('inverted_index', TRUE, TRUE), ('ivf', TRUE, TRUE),
+        |  ('inverted_index', TRUE, TRUE),
+        |  ('inverted_index_appended', TRUE, TRUE),
+        |  ('ivf', TRUE, TRUE), ('ivf_appended', TRUE, TRUE),
         |  ('ivfpq', TRUE, TRUE), ('markov', TRUE, TRUE),
+        |  ('markov_appended', TRUE, TRUE),
         |  ('pq', TRUE, TRUE), ('trigram_lm', TRUE, TRUE))
         |  AS t(artifact, zero_build, served)
         |ORDER BY artifact""".stripMargin)

@@ -132,7 +132,13 @@ object SimilarityQueries {
           i <- graft.operators.IvfIndex.loadIfValid(spark, ivfPath, tag)
           p <- graft.operators.PqIndex.loadIfValid(spark, pqPath, tag)
         } yield new graft.operators.IvfPq(i, p)
-          .topK(q5, k = 5, nprobe = 6, nCandidates = 64).count()))
+          .topK(q5, k = 5, nprobe = 6, nCandidates = 64).count()),
+      ("ivf_appended",
+        () => { driftIndexPath(spark, dir); () },
+        () => graft.operators.IvfIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/ivf-drift-index", dir),
+            tag + "#drift-append")
+          .map(_.topK(q5, k = 5, nprobe = 6).count())))
   }
 
   /** One PQ index per (session, dir) — build/encode once, every query and

@@ -1408,6 +1408,12 @@ object TextQueries {
         () => graft.operators.QualityClassifier.loadIfValid(spark,
             QueryArtifacts.path("target/quality-clf", dir), tag)
           .map(_.score(docs3, "doc_id", "text").count())),
+      ("inverted_index_appended",
+        () => { invAppendedCompacted(spark, dir); () },
+        () => graft.operators.InvertedIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/inverted-index-appended", dir),
+            tag + "#append-batch")
+          .map(_.serve(Seq("hash", "join", "vector")).count())),
       ("bpe",
         () => { bpeMerges(spark, dir); () },
         () => graft.operators.BpeTokenizer.loadIfValid(spark,
