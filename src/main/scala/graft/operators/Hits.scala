@@ -84,6 +84,34 @@ object Hits {
       tolScaled: Option[Long] = None): DataFrame =
     runOn(prepare(edges, srcCol, dstCol), iterations, scale, tolScaled)
 
+  /** INCREMENTALLY extend a [[prepare]]d graph with a new edge batch —
+    * [[PageRank.append]]'s twin for the directed bipartite form: novel
+    * edges found with one anti-join against the materialized src copy
+    * (the full re-distinct never recurs), both partitioned edge copies
+    * extended, the node set by the batch's endpoints only. Scores over
+    * the appended graph equal a fresh build of the union exactly
+    * (integer arithmetic, no accumulated state — HitsSpec pins it);
+    * the caller owns releasing the previous graph's persists. */
+  def append(g: Graph, edges: DataFrame, srcCol: String, dstCol: String,
+      persist: Boolean = false): Graph = {
+    val fresh = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    def mat(df: DataFrame): DataFrame =
+      if (persist) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      } else df.localCheckpoint()
+    val novel = fresh.join(g.eBySrc, Seq("src", "dst"), "left_anti")
+      .localCheckpoint() // read by BOTH extended copies and the node set
+    val eBySrc = mat(g.eBySrc.unionByName(novel).repartition(col("src")))
+    val eByDst = mat(g.eByDst.unionByName(novel).repartition(col("dst")))
+    val nodes = mat(g.nodes.unionByName(
+        novel.select(col("src").as("node"))
+          .union(novel.select(col("dst")))).distinct())
+    Graph(eBySrc, eByDst, nodes)
+  }
+
   /** [[run]] over a [[prepare]]d graph — amortizes the edge
     * materializations across calls/passes. With `tolScaled` set, rounds
     * run EAGERLY (each materialized for its two 1-row maxΔ aggregates —

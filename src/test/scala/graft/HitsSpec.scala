@@ -58,4 +58,25 @@ class HitsSpec extends AnyFunSuite {
     assert(r("x") == ((0L, 1000000000L)))
     assert(r("a") == ((1000000000L, 0L)) && r("b") == ((1000000000L, 0L)))
   }
+
+  test("incremental append: scores over the appended graph equal a fresh " +
+      "build of the union; re-append is a structural no-op") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    val all = events.select(concat(lit("U"), col("user_id")).as("s"),
+      col("event_type").as("d"))
+    val day1 = all.filter(col("s") < "U5")
+    val day2 = all.filter(col("s") >= "U5")
+    val g1 = Hits.prepare(day1, "s", "d")
+    val appended = Hits.append(g1, day2, "s", "d")
+    val fresh = Hits.prepare(day1.unionByName(day2), "s", "d")
+    val ra = scores(Hits.runOn(appended, iterations = 2))
+    val rf = scores(Hits.runOn(fresh, iterations = 2))
+    assert(ra === rf)
+    assert(appended.eBySrc.count() === fresh.eBySrc.count(),
+      "append must not duplicate or drop edges vs the union distinct")
+    val again = Hits.append(appended, day2, "s", "d")
+    assert(again.eBySrc.count() === appended.eBySrc.count())
+    assert(scores(Hits.runOn(again, iterations = 2)) === ra)
+  }
 }
