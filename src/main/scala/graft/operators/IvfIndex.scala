@@ -450,6 +450,65 @@ object IvfIndex {
     true
   }
 
+  /** OPTIMIZE: rewrite the fragmented cells table of a written index
+    * into one file per cell — the [[InvertedIndex.compact]] step for the
+    * inverted file. Every [[appendTo]] batch appends one parquet file
+    * per touched cell, so after many daily batches a probe opens one
+    * small file per append per probed cell; compaction repartitions the
+    * cells by the partition key into a STAGED directory (one task — one
+    * file — per cell) and swaps it in by rename. The manifest needs NO
+    * change (rows, centroid fingerprint, ledger, and the build-time
+    * balance snapshot are all layout-invariant); the staged table is
+    * RECOUNTED against it before the swap, a torn live table refuses
+    * compaction outright, and a crash between the renames leaves a
+    * missing table every later recount refuses. Writer contract as for
+    * append: one maintainer at a time, no live readers across the swap. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    require(Option(prior.getProperty("version")).contains(ManifestVersion),
+      s"index at $path has manifest version ${prior.getProperty("version")}; " +
+        s"this compactor understands only $ManifestVersion")
+    val rows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    require(spark.read.parquet(s"$path/cells").count() == rows,
+      s"index at $path does not match its committed manifest — a previous " +
+        "append or compact crashed mid-write; rebuild instead of compacting")
+    val staging = s"$path/cells-next"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.delete(stagingPath, true) // leftover from a crashed prior compact
+    spark.read.parquet(s"$path/cells")
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(staging)
+    require(spark.read.parquet(staging).count() == rows,
+      s"staged compaction at $staging lost rows — refusing the swap")
+    val livePath = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/cells-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
+    require(fs.rename(stagingPath, livePath),
+      s"could not rename $stagingPath into place")
+    fs.delete(oldPath, true)
+  }
+
+  /** Data-file count of a written index's cells table — the observable
+    * [[compact]] shrinks. */
+  def cellsFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** (cell, rows) of the written cells table — a zero-data-column count
     * per partition, satisfied from parquet file row counts (metadata). */
   private def cellCounts(spark: org.apache.spark.sql.SparkSession,

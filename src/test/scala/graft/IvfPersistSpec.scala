@@ -237,4 +237,44 @@ class IvfPersistSpec extends AnyFunSuite {
         "torn table validated against the stale manifest")
     } finally built.close()
   }
+
+  test("compact: <= one file per cell, served top-k unchanged bit-for-bit, " +
+      "ledger and manifest intact, torn table refused") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = "target/ivf-compact-test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    val built = IvfIndex.build(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", nCells = 8)
+    try built.write(path, source = "base") finally built.close()
+    assert(IvfIndex.appendTo(spark, path,
+      emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", "day-1"))
+    assert(IvfIndex.appendTo(spark, path,
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", "day-2"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def served() = IvfIndex.load(spark, path).topK(q, k = 5, nprobe = 8)
+      .select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val before = served()
+    val filesBefore = IvfIndex.cellsFileCount(spark, path)
+    assert(filesBefore > 8,
+      s"fixture degenerate: $filesBefore files is not fragmented past one per cell")
+    IvfIndex.compact(spark, path)
+    val filesAfter = IvfIndex.cellsFileCount(spark, path)
+    assert(filesAfter < filesBefore && filesAfter <= 8,
+      s"compaction must leave <= one file per cell ($filesBefore -> $filesAfter)")
+    assert(served() === before, "compaction changed the served ranking")
+    // ledger survived (manifest untouched): replayed batch still a no-op,
+    // the latest tag still validates
+    assert(!IvfIndex.appendTo(spark, path,
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", "day-2"))
+    assert(IvfIndex.loadIfValid(spark, path, "day-2").isDefined)
+    // a torn table refuses compaction BEFORE any swap
+    import spark.implicits._
+    Seq((999999L, Array(0.1f), 0.1, 0))
+      .toDF("c_id", "cv", "cn", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    val e = intercept[IllegalArgumentException] { IvfIndex.compact(spark, path) }
+    assert(e.getMessage.contains("manifest"))
+  }
 }
