@@ -192,6 +192,11 @@ object SimilarityQueries {
         try idx.write(path, baseTag) finally idx.close()
         graft.operators.IvfIndex.appendTo(spark, path,
           emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+        // OPTIMIZE after the append (r16): the served index is the
+        // compacted one-file-per-cell layout, so ann_ivf_appended's
+        // parity gate and the capstone's ivf_appended reopen exercise
+        // compaction on the driver path, not just in IvfPersistSpec
+        graft.operators.IvfIndex.compact(spark, path)
       }
       path
     })
