@@ -135,4 +135,54 @@ object ChunkIndex {
     finally out.close()
     true
   }
+
+  /** OPTIMIZE: rewrite the fragmented chunks table of a written index
+    * into `nFiles` files — the [[PqIndex.compact]] step for this flat
+    * table, whose [[appendTo]] adds one parquet file per batch. Staged
+    * write, recount against the committed manifest BEFORE the swap,
+    * rename swap; the manifest (rows, maskBits, ledger) is
+    * layout-invariant and needs no change; torn tables refuse. */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    require(Option(prior.getProperty("version")).contains(ManifestVersion),
+      s"chunk index at $path has manifest version " +
+        s"${prior.getProperty("version")}; this compactor understands " +
+        s"only $ManifestVersion")
+    val rows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    require(spark.read.parquet(s"$path/chunks").count() == rows,
+      s"chunk index at $path does not match its committed manifest — a " +
+        "previous append or compact crashed mid-write; rebuild instead " +
+        "of compacting")
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$path/chunks-next")
+    fs.delete(stagingPath, true)
+    spark.read.parquet(s"$path/chunks").repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$path/chunks-next")
+    require(spark.read.parquet(s"$path/chunks-next").count() == rows,
+      s"staged compaction at $path/chunks-next lost rows — refusing the swap")
+    val livePath = new org.apache.hadoop.fs.Path(s"$path/chunks")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/chunks-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
+    require(fs.rename(stagingPath, livePath),
+      s"could not rename $stagingPath into place")
+    fs.delete(oldPath, true)
+  }
+
+  /** Data-file count of a written index's chunks table — the observable
+    * [[compact]] shrinks. */
+  def chunksFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/chunks")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, false)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
 }

@@ -295,6 +295,57 @@ object PqIndex {
     true
   }
 
+  /** OPTIMIZE: rewrite the fragmented codes table of a written index
+    * into `nFiles` files — the [[IvfIndex.compact]] step for the flat
+    * (unpartitioned) code stream, whose [[appendTo]] adds one parquet
+    * file per batch. Staged write, recount against the committed
+    * manifest BEFORE the swap, rename swap; the manifest (rows, params,
+    * codebook fingerprint, ledger, staleness baselines) is
+    * layout-invariant and needs no change; torn tables refuse. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      nFiles: Int = 1): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    require(Option(prior.getProperty("version")).contains(ManifestVersion),
+      s"index at $path has manifest version ${prior.getProperty("version")}; " +
+        s"this compactor understands only $ManifestVersion")
+    val rows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    require(spark.read.parquet(s"$path/codes").count() == rows,
+      s"index at $path does not match its committed manifest — a previous " +
+        "append or compact crashed mid-write; rebuild instead of compacting")
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$path/codes-next")
+    fs.delete(stagingPath, true)
+    spark.read.parquet(s"$path/codes").repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$path/codes-next")
+    require(spark.read.parquet(s"$path/codes-next").count() == rows,
+      s"staged compaction at $path/codes-next lost rows — refusing the swap")
+    val livePath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/codes-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
+    require(fs.rename(stagingPath, livePath),
+      s"could not rename $stagingPath into place")
+    fs.delete(oldPath, true)
+  }
+
+  /** Data-file count of a written index's codes table — the observable
+    * [[compact]] shrinks. */
+  def codesFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, false)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Mean squared reconstruction error ||cv - decode(code)||² of the
     * codebook over a BOUNDED deterministic (md5, id)-ordered sample of
     * the codes table — the quantization-quality probe used as the

@@ -222,6 +222,8 @@ object SimilarityQueries {
         try idx.write(path, baseTag) finally idx.close()
         graft.operators.PqIndex.appendTo(spark, path,
           emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+        // OPTIMIZE after the append (r16, the driftIndexPath discipline)
+        graft.operators.PqIndex.compact(spark, path)
       }
       path
     })

@@ -75,4 +75,32 @@ class ChunkIndexPersistSpec extends AnyFunSuite {
     ChunkIndex.build(media(corpus)).write(path, source = "spec-v1")
     assert(ChunkIndex.appendTo(spark, path, media(arrivals), "day-2"))
   }
+
+  test("compact: file count shrinks to nFiles, chunk table unchanged " +
+      "bit-for-bit, ledger intact, torn table refused") {
+    val cPath = "target/cdc-chunk-index-test/compact"
+    ChunkIndex.build(media(corpus)).write(cPath, source = "spec-v1")
+    assert(ChunkIndex.appendTo(spark, cPath,
+      media(arrivals.filter(col("doc_id") % 8 === 0)), "day-1"))
+    assert(ChunkIndex.appendTo(spark, cPath,
+      media(arrivals.filter(col("doc_id") % 8 =!= 0)), "day-2"))
+    val before = tableRows(ChunkIndex.load(spark, cPath))
+    val filesBefore = ChunkIndex.chunksFileCount(spark, cPath)
+    assert(filesBefore > 1, "fixture degenerate: not fragmented")
+    ChunkIndex.compact(spark, cPath, nFiles = 1)
+    assert(ChunkIndex.chunksFileCount(spark, cPath) === 1)
+    assert(tableRows(ChunkIndex.load(spark, cPath)) === before,
+      "compaction changed the chunk table")
+    // ledger survived the rewrite; the latest tag still validates
+    assert(!ChunkIndex.appendTo(spark, cPath,
+      media(arrivals.filter(col("doc_id") % 8 =!= 0)), "day-2"))
+    assert(ChunkIndex.loadIfValid(spark, cPath, "day-2").isDefined)
+    // a torn table refuses compaction before any swap
+    CdcChunking.chunkTable(media(arrivals.limit(2)))
+      .write.mode("append").parquet(s"$cPath/chunks")
+    val e = intercept[IllegalArgumentException] {
+      ChunkIndex.compact(spark, cPath)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
 }

@@ -82,6 +82,38 @@ class PqPersistSpec extends AnyFunSuite {
     } finally built.close()
   }
 
+  test("compact: codes file count shrinks to nFiles, served top-k " +
+      "unchanged bit-for-bit, ledger intact, torn table refused") {
+    val path = "target/pq-compact-test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    val built = PqIndex.build(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", m = 8, ksub = 16)
+    try built.write(path, source = "base") finally built.close()
+    assert(PqIndex.appendTo(spark, path,
+      emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", "day-1"))
+    assert(PqIndex.appendTo(spark, path,
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", "day-2"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def served() = PqIndex.load(spark, path).topK(q, k = 5, nCandidates = 64)
+      .select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val before = served()
+    val filesBefore = PqIndex.codesFileCount(spark, path)
+    assert(filesBefore > 1, "fixture degenerate: not fragmented")
+    PqIndex.compact(spark, path, nFiles = 1)
+    assert(PqIndex.codesFileCount(spark, path) === 1)
+    assert(served() === before, "compaction changed the served ranking")
+    assert(!PqIndex.appendTo(spark, path,
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", "day-2"))
+    assert(PqIndex.loadIfValid(spark, path, "day-2").isDefined)
+    // a torn table refuses compaction before any swap
+    PqIndex.load(spark, path).codes.limit(1)
+      .write.mode("append").parquet(s"$path/codes")
+    val e = intercept[IllegalArgumentException] { PqIndex.compact(spark, path) }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("appendTo refuses a torn table (crash between data append and manifest)") {
     val tornPath = "target/pq-torn-test"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tornPath))
