@@ -155,14 +155,22 @@ object MarkovModel {
     * entity-disjoint split of the pairs table, so merged counts equal a
     * fresh train over the union exactly (the `markov_model_appended`
     * driver row hashes that equality); totals re-derive from the merged
-    * counts so the two tables can never disagree. Both matrix-sized
-    * tables rebuild into staged dirs and swap by renames; the manifest
-    * (with the batch ledger) commits LAST, so a crash at any earlier
-    * point leaves a table the recount refuses as torn. Returns false
-    * (no-op) when `newSource` is already in the ledger — a crashed job's
-    * retry can never double-count a batch. Writer contract as for the
-    * index family: one appender at a time, no live readers across the
-    * swap. */
+    * counts so the two tables can never disagree.
+    *
+    * Crash safety is a WHOLE-DIRECTORY swap (the [[ZOrderLayout]].compact
+    * shape), not per-table renames: a merge can change count VALUES
+    * without changing either table's ROW count (a saturated matrix), so
+    * row-count recounts alone cannot detect a crash that landed one
+    * table but not the other. Instead the full next model — counts,
+    * totals, and the refreshed manifest, staged manifest LAST — is built
+    * beside the live one and swapped in by two directory renames: a
+    * crash before the swap leaves the OLD model fully valid (the staged
+    * dir is an invisible orphan, deleted on retry); a crash between the
+    * renames leaves NO model directory, which every reopen refuses
+    * (rebuild is the documented recovery). Returns false (no-op) when
+    * `newSource` is already in the ledger — a crashed job's retry can
+    * never double-count a batch. Writer contract as for the index
+    * family: one appender at a time, no live readers across the swap. */
   def appendTo(spark: SparkSession, path: String, pairs: DataFrame,
       newSource: String): Boolean = {
     val mPath = manifestPath(path)
@@ -191,24 +199,17 @@ object MarkovModel {
     val merged = spark.read.parquet(s"$path/counts")
       .unionByName(delta)
       .groupBy("from_type", "to_type").agg(sum("n").cast("long").as("n"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/counts-next")
+    // stage the WHOLE next model beside the live one (see scaladoc)
+    val next = s"$path-next"
+    val nextPath = new org.apache.hadoop.fs.Path(next)
+    fs.delete(nextPath, true) // orphan from a crashed prior append
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$next/counts")
     // totals from the STAGED merged counts — one consistent derivation
-    spark.read.parquet(s"$path/counts-next")
+    spark.read.parquet(s"$next/counts")
       .groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/totals-next")
-    def swap(table: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
-      val next = new org.apache.hadoop.fs.Path(s"$path/$table-next")
-      val old = new org.apache.hadoop.fs.Path(s"$path/$table-old")
-      fs.delete(old, true) // leftover from a crashed prior swap
-      require(fs.rename(live, old), s"could not move $live aside")
-      require(fs.rename(next, live), s"could not rename $next into place")
-      fs.delete(old, true)
-    }
-    swap("counts")
-    swap("totals")
-    val countRows = spark.read.parquet(s"$path/counts").count()
-    val totalRows = spark.read.parquet(s"$path/totals").count()
+      .coalesce(1).write.mode("overwrite").parquet(s"$next/totals")
+    val countRows = spark.read.parquet(s"$next/counts").count()
+    val totalRows = spark.read.parquet(s"$next/totals").count()
     val props = new java.util.Properties()
     props.setProperty("version", ManifestVersion)
     props.setProperty("source", newSource)
@@ -216,9 +217,18 @@ object MarkovModel {
       (ledger + newSource).toSeq.sorted.mkString(SourceSep))
     props.setProperty("countRows", countRows.toString)
     props.setProperty("totalRows", totalRows.toString)
-    val out = fs.create(mPath, true)
-    try props.store(out, "graft markov-model manifest")
-    finally out.close()
+    // staged manifest LAST: its presence marks the staged model complete
+    val nOut = fs.create(manifestPath(next), true)
+    try props.store(nOut, "graft markov-model manifest")
+    finally nOut.close()
+    // directory swap: old aside, next into place, drop old
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
+    require(fs.rename(nextPath, livePath),
+      s"could not rename $nextPath into place")
+    fs.delete(oldPath, true)
     true
   }
 
