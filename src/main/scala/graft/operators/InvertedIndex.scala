@@ -37,6 +37,16 @@ import org.apache.spark.sql.functions._
   * df from the corpus (the parity-check path InvertedIndexSpec uses).
   * Production serving is write() + load(): scans then read the bucketed
   * parquet, and only the query buckets.
+  *
+  * DELETION lifecycle ([[InvertedIndex.excise]]): excised documents are
+  * TOMBSTONED, not rewritten — the corpus-sized postings table stays
+  * untouched on disk while the vocab-sized df sidecar and the manifest
+  * scalars (the BM25 N/df/avgdl inputs) are corrected immediately from
+  * the excised BATCH, so every serve after the excise scores exactly as
+  * a fresh build over the surviving corpus would. Serving anti-joins the
+  * (small, takedown-sized) tombstone list after bucket pruning; the next
+  * [[InvertedIndex.compact]] physically drops the tombstoned posting
+  * rows and clears the list.
   */
 final class InvertedIndex private[operators] (
     private[operators] val spark: SparkSession,
@@ -53,7 +63,11 @@ final class InvertedIndex private[operators] (
     /** Sum of document lengths (tokens) over the corpus. */
     val sumDl: Long,
     /** Term hash-bucket count (the partition key space). */
-    val nBuckets: Int) {
+    val nBuckets: Int,
+    /** Excised doc ids ([[InvertedIndex.excise]]) not yet physically
+      * dropped by [[InvertedIndex.compact]] — None when the index has no
+      * pending tombstones (the common case; serve plans are unchanged). */
+    val tombstones: Option[DataFrame] = None) {
 
   /** BM25 score per document containing at least one query term:
     * (idCol, matched_terms, bm25). Query terms are lowercased to match
@@ -67,9 +81,17 @@ final class InvertedIndex private[operators] (
       s"need k1 > 0 and 0 <= b <= 1, got k1=$k1 b=$b")
     val termList = queryTerms.map(_.toLowerCase)
     val buckets = termList.map(InvertedIndex.bucketOf(_, nBuckets)).distinct
-    val post = postings
+    // tombstoned docs are excluded AFTER bucket+term pruning (the anti
+    // join sees query-bucket posting rows only, never the corpus) and
+    // BEFORE scoring — their df/N/avgdl contributions were already
+    // removed at excise time, so the scores equal a fresh build over the
+    // surviving corpus
+    val prunedPost = postings
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termList: _*))
+    val post = tombstones
+      .map(t => prunedPost.join(t, Seq(idCol), "left_anti"))
+      .getOrElse(prunedPost)
     val df = terms
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termList: _*))
@@ -120,8 +142,12 @@ final class InvertedIndex private[operators] (
     props.setProperty("nBuckets", nBuckets.toString)
     props.setProperty("postRows", postRows.toString)
     props.setProperty("termRows", termRows.toString)
+    props.setProperty("tombRows", "0")
     val mPath = InvertedIndex.manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a rebuild at a path that previously carried pending excisions must
+    // not leave the stale tombstone list beside the fresh tables
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     val out = fs.create(mPath, true)
     try props.store(out, "graft inverted-index manifest")
     finally out.close()
@@ -219,12 +245,28 @@ object InvertedIndex {
     if (ledger.contains(newSource)) return false // already applied: no-op
     val priorPost = field("postRows").map(_.toLong).getOrElse(-1L)
     val priorTerm = field("termRows").map(_.toLong).getOrElse(-1L)
+    val priorTomb = field("tombRows").map(_.toLong).getOrElse(0L)
     require(spark.read.parquet(s"$path/postings").count() == priorPost &&
-      spark.read.parquet(s"$path/terms").count() == priorTerm,
+      spark.read.parquet(s"$path/terms").count() == priorTerm &&
+      tombstoneCount(spark, path) == priorTomb,
       s"inverted index at $path does not match its committed manifest — " +
-        "a previous append crashed mid-write; rebuild instead of appending")
+        "a previous append or excise crashed mid-write; rebuild instead " +
+        "of appending")
     val idCol = prior.getProperty("idCol")
     val nBuckets = prior.getProperty("nBuckets").toInt
+    // an appended id matching a pending tombstone would be served DEAD
+    // (the excision anti-join cannot tell a re-ingest from the excised
+    // original until compaction clears the list) — refuse loudly; the
+    // operator compacts first, then re-ingests
+    if (priorTomb > 0) {
+      val collisions = newDocs.select(col(idCol))
+        .join(spark.read.parquet(s"$path/tombstones"), Seq(idCol), "left_semi")
+        .count()
+      require(collisions == 0,
+        s"$collisions appended ids collide with pending tombstones at " +
+          s"$path — compact the index (physically dropping the excised " +
+          "rows) before re-ingesting those ids")
+    }
     // same tokenization + null semantics as build, so an appended index
     // can never drift from a fresh build over the union corpus
     val t = TextAnalysis.tokens(col(textCol))
@@ -284,6 +326,134 @@ object InvertedIndex {
     props.setProperty("nBuckets", nBuckets.toString)
     props.setProperty("postRows", postRows.toString)
     props.setProperty("termRows", termRows.toString)
+    // pending excisions survive an append verbatim — dropping the field
+    // would resurface every tombstoned document on the next load
+    props.setProperty("tombRows", priorTomb.toString)
+    val out = fs.create(mPath, true)
+    try props.store(out, "graft inverted-index manifest")
+    finally out.close()
+    true
+  }
+
+  /** Row count of the tombstone list — 0 when the dir does not exist
+    * (an index that never saw an excise). */
+  private def tombstoneCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").count() else 0L
+  }
+
+  /** EXCISE: remove documents from a written index — the takedown /
+    * opt-out / decontamination lifecycle, completing the maintenance
+    * story (append → compact → DELETE). Tombstone-then-compact, never a
+    * corpus-sized rewrite here:
+    *
+    *  - the excised ids land in a tombstone list the serve path
+    *    anti-joins after bucket pruning (metadata-sized write);
+    *  - the vocab-sized df sidecar is corrected IMMEDIATELY by
+    *    subtracting the excised BATCH's per-term document counts — the
+    *    same batch-sized tokenize [[appendTo]] pays, inverted — staged
+    *    and swapped by two renames, terms reaching df 0 dropped;
+    *  - the corpus scalars (the BM25 N and avgdl inputs) subtract the
+    *    batch's stats under build's exact null semantics;
+    *
+    * so every serve between the excise and the next [[compact]] already
+    * scores EXACTLY as a fresh build over the surviving corpus — stale
+    * df/N/avgdl is the silent-corruption mode this design exists to
+    * prevent. The postings table is untouched until [[compact]]
+    * physically drops the tombstoned rows.
+    *
+    * `excisedDocs` must be the corpus rows being removed (id + the same
+    * text column the index was built over) — the usual shape, since a
+    * takedown list is resolved against the corpus to delete the rows
+    * there too; the batch-derived df/scalar deltas are exact because
+    * tokenization is deterministic. IDEMPOTENT via the applied-sources
+    * ledger (a replayed excise tag no-ops, returns false); a torn state
+    * from a crash mid-excise is detected by recount and REFUSED
+    * (recovery = rebuild over the surviving corpus). Writer contract as
+    * for append: one maintainer at a time, no live readers across the
+    * sidecar swap. */
+  def excise(spark: SparkSession, path: String, excisedDocs: DataFrame,
+      textCol: String, newSource: String): Boolean = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    def field(k: String) = Option(prior.getProperty(k))
+    require(field("version").contains(ManifestVersion),
+      s"inverted index at $path has manifest version " +
+        s"${field("version").getOrElse("<none>")}; this excisor " +
+        s"understands only $ManifestVersion — rebuild instead")
+    val ledger = field("appliedSources")
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val priorTomb = field("tombRows").map(_.toLong).getOrElse(0L)
+    require(
+      spark.read.parquet(s"$path/postings").count() ==
+        field("postRows").map(_.toLong).getOrElse(-1L) &&
+        spark.read.parquet(s"$path/terms").count() ==
+          field("termRows").map(_.toLong).getOrElse(-1L) &&
+        tombstoneCount(spark, path) == priorTomb,
+      s"inverted index at $path does not match its committed manifest — " +
+        "a previous append or excise crashed mid-write; rebuild instead " +
+        "of excising")
+    val idCol = prior.getProperty("idCol")
+    val nBuckets = prior.getProperty("nBuckets").toInt
+    // batch deltas under build's exact semantics: dDocs counts EVERY
+    // excised row (the idf N), dNl/dSumDl only tokenized rows (avgdl)
+    val t = TextAnalysis.tokens(col(textCol))
+    val dl = excisedDocs.select(col(idCol), size(t).cast("long").as("dl"))
+    val Array(dDocs, dNl, dSumDl) = dl
+      .agg(count(lit(1)).cast("long"), count(col("dl")).cast("long"),
+        sum("dl").cast("long"))
+      .head().toSeq.map(x => Option(x).fold(0L)(_.asInstanceOf[Long])).toArray
+    // tombstones FIRST: a crash after this append is caught by the
+    // recount (tombRows off the committed manifest) and refused as torn
+    excisedDocs.select(col(idCol)).write.mode("append")
+      .parquet(s"$path/tombstones")
+    // df correction is batch-sized (the excised docs' distinct terms),
+    // merged into the vocab-sized sidecar and swapped like appendTo's
+    val deltaDf = excisedDocs.select(col(idCol), explode(t).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("delta"))
+    val merged = spark.read.parquet(s"$path/terms").select("term", "df")
+      .join(deltaDf, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("delta"), lit(0L))).cast("long").as("df"))
+      .filter(col("df") > 0)
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(s"$path/terms-next")
+    val termsPath = new org.apache.hadoop.fs.Path(s"$path/terms")
+    val nextPath = new org.apache.hadoop.fs.Path(s"$path/terms-next")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/terms-old")
+    fs.delete(oldPath, true) // leftover from a crashed prior swap
+    require(fs.rename(termsPath, oldPath),
+      s"could not move $termsPath aside for the sidecar swap")
+    require(fs.rename(nextPath, termsPath),
+      s"could not rename $nextPath into place")
+    fs.delete(oldPath, true)
+    val termRows = spark.read.parquet(s"$path/terms").count()
+    val tombRows = spark.read.parquet(s"$path/tombstones").count()
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    props.setProperty("idCol", idCol)
+    props.setProperty("nDocs",
+      (prior.getProperty("nDocs").toLong - dDocs).toString)
+    props.setProperty("nDl",
+      (prior.getProperty("nDl").toLong - dNl).toString)
+    props.setProperty("sumDl",
+      (prior.getProperty("sumDl").toLong - dSumDl).toString)
+    props.setProperty("nBuckets", nBuckets.toString)
+    props.setProperty("postRows", prior.getProperty("postRows"))
+    props.setProperty("termRows", termRows.toString)
+    props.setProperty("tombRows", tombRows.toString)
     val out = fs.create(mPath, true)
     try props.store(out, "graft inverted-index manifest")
     finally out.close()
@@ -292,25 +462,32 @@ object InvertedIndex {
 
   /** OPTIMIZE: rewrite the fragmented postings table of a written index
     * into one file per bucket — the [[ZOrderLayout.compact]] step for
-    * this family. Every [[appendTo]] batch appends one parquet file per
-    * touched bucket, so after many daily batches a query bucket's scan
-    * opens one small file per append; compaction repartitions the
-    * postings by bucket into a STAGED directory (exactly one task — one
-    * file — per bucket) and swaps it in by rename.
+    * this family — AND physically drop any posting rows tombstoned by
+    * [[excise]] (the rewrite is happening anyway; folding the deletes in
+    * means excision never pays a corpus-sized pass of its own). Every
+    * [[appendTo]] batch appends one parquet file per touched bucket, so
+    * after many daily batches a query bucket's scan opens one small file
+    * per append; compaction repartitions the SURVIVING postings by
+    * bucket into a STAGED directory (exactly one task — one file — per
+    * bucket) and swaps it in by rename.
     *
-    * Only the postings fragment: [[appendTo]] rebuilds the terms sidecar
-    * wholesale each merge, so it is always one write's worth of files.
+    * Only the postings fragment: [[appendTo]]/[[excise]] rebuild the
+    * terms sidecar wholesale each merge, so it is always one write's
+    * worth of files.
     *
-    * Crash safety (the appendTo discipline, inverted): the committed
-    * manifest needs NO change — row counts, scalars, and ledger are all
-    * layout-invariant — so there is no commit step to order. The staged
-    * table is RECOUNTED against the manifest before the swap (a torn
-    * staging write never swaps in); a crash between the two renames
-    * leaves no postings directory, which every later recount
-    * ([[loadIfValid]], the [[appendTo]] pre-check, this method's own
-    * pre-check) refuses as torn instead of serving half an index.
-    * Writer contract as for append: one maintainer at a time, no live
-    * readers across the swap. */
+    * Crash safety (the appendTo discipline, inverted): with NO pending
+    * tombstones the committed manifest needs no change — row counts,
+    * scalars, and ledger are all layout-invariant — so there is no
+    * commit step to order. With pending tombstones the manifest's
+    * postRows/tombRows change and commit LAST; a crash after the swap
+    * but before the commit (or before the tombstone-list clear) leaves
+    * counts off the manifest, which every later recount ([[loadIfValid]],
+    * the [[appendTo]]/[[excise]] pre-checks, this method's own
+    * pre-check) refuses as torn instead of serving half an index. Either
+    * way the staged table is RECOUNTED against its expected row count
+    * before the swap, and a crash between the two renames leaves no
+    * postings directory — refused everywhere. Writer contract as for
+    * append: one maintainer at a time, no live readers across the swap. */
   def compact(spark: SparkSession, path: String): Unit = {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -322,20 +499,34 @@ object InvertedIndex {
         s"${prior.getProperty("version")}; this compactor understands " +
         s"only $ManifestVersion — rebuild instead of compacting")
     val postRows = prior.getProperty("postRows").toLong
-    require(spark.read.parquet(s"$path/postings").count() == postRows,
+    val tombRows = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    require(spark.read.parquet(s"$path/postings").count() == postRows &&
+      tombstoneCount(spark, path) == tombRows,
       s"inverted index at $path does not match its committed manifest — " +
-        "a previous append or compact crashed mid-write; rebuild instead " +
-        "of compacting")
+        "a previous append, excise, or compact crashed mid-write; rebuild " +
+        "instead of compacting")
+    val live = spark.read.parquet(s"$path/postings")
+    val idCol = prior.getProperty("idCol")
+    // surviving rows + their expected count: with tombstones pending the
+    // drop count is measured on the LIVE table first, so the staged
+    // recount still proves the staging write lost nothing
+    val (survivors, expectRows) =
+      if (tombRows == 0) (live, postRows)
+      else {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+        val dropped = live.join(tomb, Seq(idCol), "left_semi").count()
+        (live.join(tomb, Seq(idCol), "left_anti"), postRows - dropped)
+      }
     val staging = s"$path/postings-next"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     fs.delete(stagingPath, true) // leftover from a crashed prior compact
     // one shuffle task per bucket value -> exactly one file per bucket
-    spark.read.parquet(s"$path/postings")
+    survivors
       .repartition(col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket").parquet(staging)
-    require(spark.read.parquet(staging).count() == postRows,
+    require(spark.read.parquet(staging).count() == expectRows,
       s"staged compaction at $staging lost rows — refusing the swap")
     val livePath = new org.apache.hadoop.fs.Path(s"$path/postings")
     val oldPath = new org.apache.hadoop.fs.Path(s"$path/postings-old")
@@ -345,6 +536,17 @@ object InvertedIndex {
     require(fs.rename(stagingPath, livePath),
       s"could not rename $stagingPath into place")
     fs.delete(oldPath, true)
+    if (tombRows > 0) {
+      // the tombstoned rows are physically gone: clear the list, commit
+      // the new physical count LAST (scalars/ledger are excise-time facts
+      // and unchanged here)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      prior.setProperty("postRows", expectRows.toString)
+      prior.setProperty("tombRows", "0")
+      val out = fs.create(mPath, true)
+      try prior.store(out, "graft inverted-index manifest")
+      finally out.close()
+    }
   }
 
   /** Data-file count of a written index's postings table — the
@@ -380,20 +582,24 @@ object InvertedIndex {
       val idx = load(spark, path)
       val valid =
         field("postRows").exists(_.toLong == idx.postings.count()) &&
-          field("termRows").exists(_.toLong == idx.terms.count())
+          field("termRows").exists(_.toLong == idx.terms.count()) &&
+          field("tombRows").map(_.toLong).getOrElse(0L) ==
+            tombstoneCount(spark, path)
       if (valid) Some(idx) else None
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
   }
 
-  /** Reopen a written index: lazy partitioned scans + manifest scalars. */
+  /** Reopen a written index: lazy partitioned scans + manifest scalars
+    * (+ the pending-tombstone list when excisions await compaction). */
   def load(spark: SparkSession, path: String): InvertedIndex = {
     val props = new java.util.Properties()
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(mPath)
     try props.load(in) finally in.close()
+    val tombRows = Option(props.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
     new InvertedIndex(spark,
       spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/terms"),
@@ -401,6 +607,8 @@ object InvertedIndex {
       props.getProperty("nDocs").toLong,
       props.getProperty("nDl").toLong,
       props.getProperty("sumDl").toLong,
-      props.getProperty("nBuckets").toInt)
+      props.getProperty("nBuckets").toInt,
+      if (tombRows > 0) Some(spark.read.parquet(s"$path/tombstones"))
+      else None)
   }
 }

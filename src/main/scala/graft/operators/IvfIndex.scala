@@ -194,12 +194,16 @@ final class IvfIndex private (
     props.setProperty("appliedSources", source)
     props.setProperty("nCells", nCells.toString)
     props.setProperty("rows", rows.toString)
+    props.setProperty("tombRows", "0")
     props.setProperty("centroidSha", IvfIndex.centroidSha(centroids))
     // build-time cell-balance snapshot: the baseline every later
     // staleness() call compares against (appends preserve it verbatim)
     props.setProperty("buildCellSizes", IvfIndex.formatSizes(sizes))
     val mPath = IvfIndex.manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a rebuild at a path that previously carried pending excisions must
+    // not leave the stale tombstone list beside the fresh table
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     val out = fs.create(mPath, true)
     try props.store(out, "graft IVF inverted-file manifest")
     finally out.close()
@@ -259,7 +263,12 @@ object IvfIndex {
       val idx = load(spark, path)
       val valid = field("nCells").contains(idx.nCells.toString) &&
         field("centroidSha").contains(centroidSha(idx.centroids)) &&
-        field("rows").exists(_.toLong == idx.cells.count())
+        // PHYSICAL row count (the manifest commits physical facts; the
+        // served idx.cells view already excludes pending tombstones)
+        field("rows").exists(_.toLong ==
+          spark.read.parquet(s"$path/cells").count()) &&
+        field("tombRows").map(_.toLong).getOrElse(0L) ==
+          tombstoneCount(spark, path)
       if (valid) Some(idx) else None
     } catch {
       // an unreadable/corrupt index is a rebuild, never a crash
@@ -267,18 +276,43 @@ object IvfIndex {
     }
   }
 
+  /** Row count of the tombstone list — 0 when the dir does not exist
+    * (an index that never saw an excise). */
+  private def tombstoneCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").count() else 0L
+  }
+
   /** Reopen an index [[IvfIndex#write]]ten as a cell-partitioned table.
     * The cells DataFrame is a lazy partitioned scan — nothing is cached;
     * pruning (and the OS page cache / parquet footers) make repeated
     * probes cheap, and the index is shareable across sessions and
-    * executors, unlike an in-memory persist. */
+    * executors, unlike an in-memory persist. When excisions await
+    * compaction ([[excise]]) the tombstone anti-join is baked into the
+    * cells view here, so EVERY consumer — topK, the filtered path,
+    * softCells, the [[IvfPq]] composition — excludes the excised vectors
+    * while the probe's static partition filter still pushes down to the
+    * scan beneath the anti-join. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
     require(centroids.nonEmpty, s"no centroids found under $path")
-    val cells = spark.read.parquet(s"$path/cells")
+    val raw = spark.read.parquet(s"$path/cells")
       .select("cell", "c_id", "cv", "cn")
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = new java.util.Properties()
+    val in = fs.open(mPath)
+    try props.load(in) finally in.close()
+    val tombRows = Option(props.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    val cells =
+      if (tombRows > 0)
+        raw.join(spark.read.parquet(s"$path/tombstones"), Seq("c_id"),
+          "left_anti")
+      else raw
     new IvfIndex(cells, centroids, centroids.size, fileBacked = true)
   }
 
@@ -421,11 +455,22 @@ object IvfIndex {
     // partial-append guard: the table must still match the last committed
     // manifest before new files land — a footer-stats recount, not a scan
     val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val priorTomb = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
     val currentRows = spark.read.parquet(s"$path/cells").count()
-    require(currentRows == priorRows,
+    require(currentRows == priorRows && tombstoneCount(spark, path) == priorTomb,
       s"index at $path has $currentRows rows but its manifest committed " +
-        s"$priorRows — a previous append crashed mid-write; rebuild the " +
-        "index instead of appending onto a torn table")
+        s"$priorRows — a previous append or excise crashed mid-write; " +
+        "rebuild the index instead of appending onto a torn table")
+    // an appended id matching a pending tombstone would be served DEAD
+    // (see InvertedIndex.appendTo) — refuse; compact first, then re-ingest
+    if (priorTomb > 0) {
+      val collisions = df.select(col(idCol).as("c_id"))
+        .join(spark.read.parquet(s"$path/tombstones"), Seq("c_id"), "left_semi")
+        .count()
+      require(collisions == 0,
+        s"$collisions appended ids collide with pending tombstones at " +
+          s"$path — compact the index before re-ingesting those ids")
+    }
     val idx = load(spark, path)
     val base = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))
@@ -441,6 +486,8 @@ object IvfIndex {
     props.setProperty("appliedSources", (ledger + newSource).toSeq.sorted.mkString(SourceSep))
     props.setProperty("nCells", idx.nCells.toString)
     props.setProperty("rows", rows.toString)
+    // pending excisions survive an append verbatim
+    props.setProperty("tombRows", priorTomb.toString)
     props.setProperty("centroidSha", centroidSha(idx.centroids))
     Option(prior.getProperty("buildCellSizes"))
       .foreach(props.setProperty("buildCellSizes", _))
@@ -450,19 +497,76 @@ object IvfIndex {
     true
   }
 
+  /** EXCISE: remove vectors from a written index — the takedown /
+    * opt-out lifecycle ([[InvertedIndex.excise]]'s vector twin),
+    * completing append → compact → DELETE for the inverted file.
+    * Tombstone-then-compact: the excised ids land in a tombstone list
+    * (metadata-sized write — never a rewrite of the cell partitions) and
+    * [[load]] bakes the anti-join into the served cells view, so every
+    * probe between the excise and the next [[compact]] already returns
+    * exactly what a fresh build over the survivors (under these frozen
+    * centroids) would; the compact then physically drops the tombstoned
+    * rows. Unlike the text index there are no corpus scalars to correct —
+    * IVF serving is pure geometry over the surviving rows.
+    *
+    * `ids` is a single-column DataFrame of the excised ids (named
+    * `idCol`). IDEMPOTENT via the applied-sources ledger (replayed tag →
+    * no-op, false); torn states are detected by recount and REFUSED.
+    * Writer contract as for append. */
+  def excise(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, newSource: String): Boolean = {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    require(Option(prior.getProperty("version")).contains(ManifestVersion),
+      s"index at $path has manifest version ${prior.getProperty("version")}; " +
+        s"this excisor understands only $ManifestVersion")
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val priorTomb = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    require(spark.read.parquet(s"$path/cells").count() == priorRows &&
+      tombstoneCount(spark, path) == priorTomb,
+      s"index at $path does not match its committed manifest — a previous " +
+        "append or excise crashed mid-write; rebuild instead of excising")
+    // tombstones FIRST: a crash after this append is caught by the
+    // recount (tombRows off the committed manifest) and refused as torn
+    ids.select(col(idCol).as("c_id")).write.mode("append")
+      .parquet(s"$path/tombstones")
+    val tombRows = spark.read.parquet(s"$path/tombstones").count()
+    prior.setProperty("source", newSource)
+    prior.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    prior.setProperty("tombRows", tombRows.toString)
+    val out = fs.create(mPath, true)
+    try prior.store(out, "graft IVF inverted-file manifest")
+    finally out.close()
+    true
+  }
+
   /** OPTIMIZE: rewrite the fragmented cells table of a written index
     * into one file per cell — the [[InvertedIndex.compact]] step for the
-    * inverted file. Every [[appendTo]] batch appends one parquet file
-    * per touched cell, so after many daily batches a probe opens one
-    * small file per append per probed cell; compaction repartitions the
-    * cells by the partition key into a STAGED directory (one task — one
-    * file — per cell) and swaps it in by rename. The manifest needs NO
-    * change (rows, centroid fingerprint, ledger, and the build-time
-    * balance snapshot are all layout-invariant); the staged table is
-    * RECOUNTED against it before the swap, a torn live table refuses
-    * compaction outright, and a crash between the renames leaves a
-    * missing table every later recount refuses. Writer contract as for
-    * append: one maintainer at a time, no live readers across the swap. */
+    * inverted file — AND physically drop any rows tombstoned by
+    * [[excise]] (the rewrite happens anyway; folding the deletes in
+    * means excision never pays a corpus-sized pass of its own). Every
+    * [[appendTo]] batch appends one parquet file per touched cell, so
+    * after many daily batches a probe opens one small file per append
+    * per probed cell; compaction repartitions the SURVIVING cells by the
+    * partition key into a STAGED directory (one task — one file — per
+    * cell) and swaps it in by rename. With no pending tombstones the
+    * manifest needs NO change (rows, centroid fingerprint, ledger, and
+    * the build-time balance snapshot are all layout-invariant); with
+    * tombstones the new physical count and the cleared list commit LAST,
+    * so any crash window leaves counts off the manifest — refused
+    * everywhere. The staged table is RECOUNTED before the swap, a torn
+    * live table refuses compaction outright, and a crash between the
+    * renames leaves a missing table every later recount refuses. Writer
+    * contract as for append: one maintainer at a time, no live readers
+    * across the swap. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -473,18 +577,29 @@ object IvfIndex {
       s"index at $path has manifest version ${prior.getProperty("version")}; " +
         s"this compactor understands only $ManifestVersion")
     val rows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
-    require(spark.read.parquet(s"$path/cells").count() == rows,
+    val tombRows = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    require(spark.read.parquet(s"$path/cells").count() == rows &&
+      tombstoneCount(spark, path) == tombRows,
       s"index at $path does not match its committed manifest — a previous " +
-        "append or compact crashed mid-write; rebuild instead of compacting")
+        "append, excise, or compact crashed mid-write; rebuild instead of " +
+        "compacting")
+    val live = spark.read.parquet(s"$path/cells")
+    val (survivors, expectRows) =
+      if (tombRows == 0) (live, rows)
+      else {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+        val dropped = live.join(tomb, Seq("c_id"), "left_semi").count()
+        (live.join(tomb, Seq("c_id"), "left_anti"), rows - dropped)
+      }
     val staging = s"$path/cells-next"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     fs.delete(stagingPath, true) // leftover from a crashed prior compact
-    spark.read.parquet(s"$path/cells")
+    survivors
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(staging)
-    require(spark.read.parquet(staging).count() == rows,
+    require(spark.read.parquet(staging).count() == expectRows,
       s"staged compaction at $staging lost rows — refusing the swap")
     val livePath = new org.apache.hadoop.fs.Path(s"$path/cells")
     val oldPath = new org.apache.hadoop.fs.Path(s"$path/cells-old")
@@ -493,6 +608,14 @@ object IvfIndex {
     require(fs.rename(stagingPath, livePath),
       s"could not rename $stagingPath into place")
     fs.delete(oldPath, true)
+    if (tombRows > 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      prior.setProperty("rows", expectRows.toString)
+      prior.setProperty("tombRows", "0")
+      val out = fs.create(mPath, true)
+      try prior.store(out, "graft IVF inverted-file manifest")
+      finally out.close()
+    }
   }
 
   /** Data-file count of a written index's cells table — the observable

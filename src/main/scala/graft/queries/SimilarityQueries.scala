@@ -138,6 +138,12 @@ object SimilarityQueries {
         () => graft.operators.IvfIndex.loadIfValid(spark,
             QueryArtifacts.path("target/ivf-drift-index", dir),
             tag + "#drift-append")
+          .map(_.topK(q5, k = 5, nprobe = 6).count())),
+      ("ivf_excised",
+        () => { excisedServeIndex(spark, dir); () },
+        () => graft.operators.IvfIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/ivf-excised-index", dir),
+            tag + "#excise-batch")
           .map(_.topK(q5, k = 5, nprobe = 6).count())))
   }
 
@@ -250,6 +256,48 @@ object SimilarityQueries {
         "replaying an already-applied append batch must be a ledger no-op")
       graft.operators.IvfIndex.load(spark, path)
     })
+
+  /** Excision-PLANTED durable IVF index (r17) — the DELETE chapter:
+    * built over the full corpus, the vec_id%7==0 slice then excised as a
+    * takedown batch ([[graft.operators.IvfIndex.excise]] — tombstone
+    * list + ledger; the replayed-excise no-op pinned). Deliberately NOT
+    * compacted: the served artifact keeps its pending tombstones, so the
+    * driver row gates the tombstone-anti-join serving path and the
+    * manifest's tombRows validation — the state a 100 TB index is in
+    * between a takedown and its next scheduled OPTIMIZE. The physical
+    * drop at compact is pinned in IvfPersistSpec. Build-once via the
+    * manifest+ledger (the [[driftIndexPath]] discipline). */
+  private val ivfExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.IvfIndex]
+
+  private def excisedServeIndex(spark: SparkSession,
+      dir: String): graft.operators.IvfIndex =
+    QueryArtifacts.runOnce(ivfExciseCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/ivf-excised-index", dir)
+      val baseTag = ivfSourceTag(spark, dir) + "#excise-base"
+      val exciseTag = ivfSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.IvfIndex.loadIfValid(spark, path, exciseTag).isEmpty) {
+        val emb = Tables.load(spark, dir, "embeddings")
+        val takedown = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+        val idx = graft.operators.IvfIndex.build(
+          emb, "vec_id", "embedding", nCells = 8)
+        try idx.write(path, baseTag) finally idx.close()
+        graft.operators.IvfIndex.excise(spark, path, takedown, "vec_id",
+          exciseTag)
+        val replayed = graft.operators.IvfIndex.excise(spark, path,
+          takedown, "vec_id", exciseTag)
+        require(!replayed,
+          "replaying an already-applied excise batch must be a ledger no-op")
+      }
+      graft.operators.IvfIndex.load(spark, path)
+    })
+
+  // Pseudo-replay WARM-UP: the build+excise chain is a multi-write cold
+  // build like the drift chain — overlap it with the replay fan-out.
+  ReplayOrchestrator.register("warm-ivf-excise") { (spark, dir) =>
+    excisedServeIndex(spark, dir)
+    java.lang.Boolean.TRUE
+  }
 
   /** Topic-cluster assignment under a FROZEN SEEDED quantizer (r12):
     * the K centroids are the K corpus vectors with the smallest
@@ -384,6 +432,7 @@ object SimilarityQueries {
     driftCache.clear() // no persist to release — file-backed
     pqDriftCache.clear() // no persist to release — file-backed
     appendServeCache.clear() // no persist to release — file-backed
+    ivfExciseCache.clear() // no persist to release — file-backed
     releaseTopicCells()
   }
 
@@ -745,6 +794,36 @@ object SimilarityQueries {
       val file = appendedServeIndex(spark, dir)
       val mem = graft.operators.IvfIndex
         .withCentroids(emb, "vec_id", "embedding", file.centroids)
+        .topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val served = file.topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(served, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
+    // EXCISION parity gate (r17) — the takedown story for vectors: the
+    // durable index with the vec_id%7==0 slice tombstoned (NOT yet
+    // compacted — the anti-join serving path is what this row gates)
+    // must reproduce, at ann_ivf_topk's operating point, an in-session
+    // index holding ONLY the survivors assigned under the SAME frozen
+    // centroids — because excise-then-serve and assign-only-survivors
+    // are definitionally the same candidate set. An excised vector
+    // resurfacing in any top-5 (a missed anti-join, a stale tombRows
+    // manifest) breaks the symmetric difference and turns this row red.
+    "ann_ivf_excised" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val file = excisedServeIndex(spark, dir)
+      val mem = graft.operators.IvfIndex
+        .withCentroids(emb.filter(col("vec_id") % 7 =!= 0), "vec_id",
+          "embedding", file.centroids)
         .topK(q, k = 5, nprobe = 6)
         .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
       val served = file.topK(q, k = 5, nprobe = 6)
@@ -1438,6 +1517,11 @@ object SimilarityQueries {
     // append-then-serve must equal assign-everything under the frozen
     // centroids — the same pinned parity row
     "ann_ivf_appended" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    // excise-then-serve must equal assign-only-survivors under the
+    // frozen centroids — the same pinned parity row
+    "ann_ivf_excised" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     "ann_topk_native" -> bruteForceOracle,

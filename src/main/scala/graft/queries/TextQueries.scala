@@ -746,6 +746,21 @@ object TextQueries {
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(20)
     }),
+    // EXCISION lifecycle on the driver gate (r17) — the takedown story:
+    // the same 3-term ranking served from an index built on the FULL
+    // corpus from which the doc_id%3==0 slice was then excised
+    // (tombstone + df/N/avgdl correction) and compacted (tombstoned rows
+    // physically dropped) — hash-checked against a FRESH BM25 derivation
+    // over only the surviving corpus, so a stale df, an undecremented N,
+    // a wrong avgdl, or an excised doc resurfacing in the ranking turns
+    // exactly this row red. The stats refresh is the point: BM25 weights
+    // every survivor by corpus-level statistics the excision changed.
+    "bm25_excised" -> ((spark, dir) => {
+      invExcisedCompacted(spark, dir)
+        .serve(Seq("hash", "join", "vector"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    }),
     // HYBRID retrieval (the RAG first-stage ranker): the same 3-term
     // keyword query served from the term-pruned inverted index, fused by
     // reciprocal rank (k=60, Cormack et al. 2009) with the exact dense
@@ -1377,6 +1392,51 @@ object TextQueries {
     java.lang.Boolean.TRUE
   }
 
+  /** Excised-and-COMPACTED durable inverted index — the DELETE chapter of
+    * the index-maintenance story (r17): built over the FULL corpus, the
+    * doc_id%3==0 slice excised as a takedown batch (tombstones + df/scalar
+    * correction — see [[graft.operators.InvertedIndex.excise]]), the
+    * replayed-excise ledger no-op pinned, then compacted so the
+    * tombstoned posting rows are physically gone. Build-once via the
+    * manifest+ledger (the [[invAppendedCompacted]] discipline): a
+    * manifest whose source is the EXCISE tag proves the whole chain
+    * completed and reopens with zero tokenize jobs. */
+  private val invExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.InvertedIndex]
+
+  private def invExcisedCompacted(spark: SparkSession,
+      dir: String): graft.operators.InvertedIndex =
+    QueryArtifacts.runOnce(invExciseCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/inverted-index-excised", dir)
+      val baseTag = lmSourceTag(spark, dir) + "#excise-base"
+      val exciseTag = lmSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.InvertedIndex.loadIfValid(spark, path, exciseTag).isEmpty) {
+        val docs = Tables.load(spark, dir, "documents")
+        val takedown = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.InvertedIndex
+          .build(docs, "doc_id", "text")
+          .write(path, baseTag)
+        graft.operators.InvertedIndex.excise(spark, path, takedown, "text",
+          exciseTag)
+        // crashed-job-retry protection, pinned on the driver path: a
+        // replayed excise of the same batch must be a ledger no-op
+        val replayed = graft.operators.InvertedIndex.excise(spark, path,
+          takedown, "text", exciseTag)
+        require(!replayed,
+          "replaying an already-applied excise batch must be a ledger no-op")
+        graft.operators.InvertedIndex.compact(spark, path)
+      }
+      graft.operators.InvertedIndex.load(spark, path)
+    })
+
+  // Pseudo-replay WARM-UP: the build-full/excise/compact chain is a
+  // multi-write cold build like the append chain — overlap it with the
+  // replay fan-out (manifest reopen is free on a warm tree).
+  ReplayOrchestrator.register("warm-inv-excise") { (spark, dir) =>
+    invExcisedCompacted(spark, dir)
+    java.lang.Boolean.TRUE
+  }
+
   /** Cold-reopen hooks for the serve-everything capstone (see
     * [[ServeAllQueries]] and [[SimilarityQueries.coldServeHooks]]'s
     * contract): fresh `loadIfValid` reopens past the session caches, one
@@ -1413,6 +1473,12 @@ object TextQueries {
         () => graft.operators.InvertedIndex.loadIfValid(spark,
             QueryArtifacts.path("target/inverted-index-appended", dir),
             tag + "#append-batch")
+          .map(_.serve(Seq("hash", "join", "vector")).count())),
+      ("inverted_index_excised",
+        () => { invExcisedCompacted(spark, dir); () },
+        () => graft.operators.InvertedIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/inverted-index-excised", dir),
+            tag + "#excise-batch")
           .map(_.serve(Seq("hash", "join", "vector")).count())),
       ("bpe",
         () => { bpeMerges(spark, dir); () },
@@ -1549,10 +1615,13 @@ object TextQueries {
 
   /** One BM25 oracle for the fused (`bm25_rank`) and index-served
     * (`bm25_served`) rows — the two engines and the two in-repo
-    * formulations must all agree on the same ranking. */
-  private val bm25Oracle =
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    * formulations must all agree on the same ranking — parametrized by
+    * the corpus relation so the excised row's oracle is the SAME
+    * derivation over only the surviving documents (a fresh build on the
+    * survivors, which is exactly what serve-after-excise must equal). */
+  private def bm25OracleOver(rel: String) =
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM $rel),
         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tok),
         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
         |tf AS (
@@ -1567,6 +1636,8 @@ object TextQueries {
         |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
         |GROUP BY tf.doc_id, n_docs, avgdl
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  private val bm25Oracle = bm25OracleOver("documents")
 
   private def duckScore(markers: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -1985,6 +2056,10 @@ object TextQueries {
     // the appended+compacted index must rank the UNION corpus exactly —
     // same oracle as the fused and build-once forms
     "bm25_compacted" -> bm25Oracle,
+    // serve-after-excise == fresh-build-on-survivors: the SAME BM25
+    // derivation over only the docs the takedown left standing
+    "bm25_excised" ->
+      bm25OracleOver("(SELECT * FROM documents WHERE doc_id % 3 <> 0)"),
     // both passes re-derived from the bm25 CTEs: seed scoring -> top-10
     // feedback docs -> non-seed term mass -> top-3 expansion (mass desc,
     // term asc) -> the same scoring over seed UNION expansion

@@ -187,4 +187,62 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("manifest"))
   }
+
+  test("excise: tombstoned serve == compacted serve == fused over survivors; " +
+      "stats refreshed; ledger no-op; collision + torn state refused") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+    val takedown = docs.filter(col("doc_id") % 3 === 0)
+    val path = "target/test-inverted-index-excise"
+    InvertedIndex.build(docs, "doc_id", "text").write(path, source = "base")
+    assert(InvertedIndex.excise(spark, path, takedown, "text", "takedown-1"))
+    // BEFORE compaction: the tombstone anti-join plus the corrected
+    // df/N/avgdl already serve EXACTLY the fresh-build-on-survivors
+    // ranking — stale corpus stats are the bug this pin exists to catch
+    val tombstoned = InvertedIndex.load(spark, path)
+    assert(tombstoned.tombstones.isDefined, "pending tombstones must load")
+    val fused = ranked(TextAnalysis.bm25Rank(survivors, "doc_id", "text", queryTerms))
+    assert(ranked(tombstoned.serve(queryTerms)) === fused,
+      "tombstoned serve diverged from a fresh build over the survivors")
+    val freshIdx = InvertedIndex.build(survivors, "doc_id", "text")
+    assert(tombstoned.nDocs === freshIdx.nDocs, "idf N not decremented")
+    assert(tombstoned.nDl === freshIdx.nDl)
+    assert(tombstoned.sumDl === freshIdx.sumDl, "avgdl numerator stale")
+    // replayed excise of the same batch is a ledger no-op
+    assert(!InvertedIndex.excise(spark, path, takedown, "text", "takedown-1"))
+    // re-ingesting a tombstoned id before compaction refuses loudly (the
+    // serve anti-join would silently kill the re-ingested doc otherwise)
+    val collide = intercept[IllegalArgumentException] {
+      InvertedIndex.appendTo(spark, path, takedown.limit(1), "text", "re-ingest")
+    }
+    assert(collide.getMessage.contains("tombstone"))
+    // compaction physically drops the tombstoned rows and clears the list
+    val postBefore = tombstoned.postings.count()
+    InvertedIndex.compact(spark, path)
+    val compacted = InvertedIndex.load(spark, path)
+    assert(compacted.tombstones.isEmpty, "compaction must clear tombstones")
+    assert(compacted.postings.count() < postBefore,
+      "compaction did not drop the excised posting rows")
+    assert(compacted.postings
+      .join(takedown.select("doc_id"), Seq("doc_id"), "left_semi")
+      .count() === 0, "an excised doc survived compaction")
+    assert(ranked(compacted.serve(queryTerms)) === fused,
+      "compacted serve diverged from the tombstoned serve")
+    // the excise tag reopens with zero builds; the pre-excise tag refuses
+    val builds = InvertedIndex.buildCount
+    assert(InvertedIndex.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(InvertedIndex.buildCount === builds)
+    assert(InvertedIndex.loadIfValid(spark, path, "base").isEmpty)
+    // a torn excise (tombstones landed, manifest didn't) refuses every
+    // maintenance op AND the validated reopen
+    Seq(888888L).toDF("doc_id").write.mode("append").parquet(s"$path/tombstones")
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.excise(spark, path, takedown, "text", "takedown-2")
+    }.getMessage.contains("manifest"))
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.compact(spark, path)
+    }.getMessage.contains("manifest"))
+    assert(InvertedIndex.loadIfValid(spark, path, "takedown-1").isEmpty,
+      "a torn tombstone list must refuse the validated reopen")
+  }
 }

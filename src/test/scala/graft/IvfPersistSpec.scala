@@ -277,4 +277,66 @@ class IvfPersistSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { IvfIndex.compact(spark, path) }
     assert(e.getMessage.contains("manifest"))
   }
+
+  test("excise: tombstoned serve == survivors-only rebuild; compact drops " +
+      "the rows physically; ledger no-op; collision + torn state refused") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = "target/ivf-excise-test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    try built.write(path, source = "base") finally built.close()
+    val takedown = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    assert(IvfIndex.excise(spark, path, takedown, "vec_id", "takedown-1"))
+    // BEFORE compaction: the baked anti-join serves exactly what an index
+    // over only the survivors (same frozen centroids) would
+    val tombstoned = IvfIndex.load(spark, path)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val survivorsIdx = IvfIndex.withCentroids(
+      emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+      tombstoned.centroids)
+    assert(resultSet(tombstoned.topK(q, k = 5, nprobe = 8)) ===
+      resultSet(survivorsIdx.topK(q, k = 5, nprobe = 8)),
+      "tombstoned serve diverged from the survivors-only assignment")
+    // no excised id can surface in the served cells view
+    assert(tombstoned.cells
+      .join(takedown.withColumnRenamed("vec_id", "c_id"), Seq("c_id"), "left_semi")
+      .count() === 0)
+    // replayed excise is a ledger no-op
+    assert(!IvfIndex.excise(spark, path, takedown, "vec_id", "takedown-1"))
+    // re-ingesting a tombstoned id before compaction refuses loudly
+    val collide = intercept[IllegalArgumentException] {
+      IvfIndex.appendTo(spark, path, emb.filter(col("vec_id") % 7 === 0).limit(1),
+        "vec_id", "embedding", "re-ingest")
+    }
+    assert(collide.getMessage.contains("tombstone"))
+    // compaction physically drops the tombstoned rows and clears the list
+    val physBefore = spark.read.parquet(s"$path/cells").count()
+    IvfIndex.compact(spark, path)
+    val physAfter = spark.read.parquet(s"$path/cells").count()
+    assert(physAfter < physBefore, "compaction did not drop excised rows")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the tombstone list")
+    val compacted = IvfIndex.load(spark, path)
+    assert(resultSet(compacted.topK(q, k = 5, nprobe = 8)) ===
+      resultSet(survivorsIdx.topK(q, k = 5, nprobe = 8)),
+      "compacted serve diverged from the tombstoned serve")
+    // the excise tag reopens zero-build; the pre-excise tag refuses
+    val builds = IvfIndex.buildsRun.get()
+    assert(IvfIndex.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(IvfIndex.buildsRun.get() === builds)
+    assert(IvfIndex.loadIfValid(spark, path, "base").isEmpty)
+    // a torn excise (tombstones landed, manifest didn't) refuses the
+    // maintenance ops AND the validated reopen
+    import spark.implicits._
+    Seq(888888L).toDF("c_id").write.mode("append").parquet(s"$path/tombstones")
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.excise(spark, path, takedown, "vec_id", "takedown-2")
+    }.getMessage.contains("manifest"))
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.compact(spark, path)
+    }.getMessage.contains("manifest"))
+    assert(IvfIndex.loadIfValid(spark, path, "takedown-1").isEmpty,
+      "a torn tombstone list must refuse the validated reopen")
+  }
 }
