@@ -231,6 +231,24 @@ object PqIndex {
     }
   }
 
+  /** In-session index under a CALLER-FROZEN codebook — no k-means fit,
+    * no sample job, no persist: one lazy encode scan through the
+    * codegen'd argmin kernel. The staging/parity tool for the
+    * incremental lifecycle ([[IvfIndex.withCentroids]]'s PQ twin): an
+    * index built this way over (base ∪ arrivals) holds EXACTLY the rows
+    * a [[build]]-then-[[appendTo]] sequence with this codebook commits
+    * to disk (the encode expression is shared), so serving parity
+    * between the two gates the whole append path. */
+  def withCodebook(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]]): PqIndex = {
+    require(codebook.nonEmpty && codebook(0).nonEmpty,
+      "need a non-empty codebook")
+    val codes = df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vec_l2norm(col("cv")))
+      .withColumn("code", pq_encode(col("cv"), codebook))
+    new PqIndex(codes, codebook, codebook.length, codebook(0).length)
+  }
+
   /** Incremental maintenance: encode `df`'s vectors with the WRITTEN
     * index's existing codebook (no re-fit — the sidecar is the contract),
     * append them to the codes table, refresh the manifest for

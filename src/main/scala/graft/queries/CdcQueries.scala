@@ -57,6 +57,46 @@ object CdcQueries {
       }
     })
 
+  /** Appended-and-COMPACTED durable chunk index (r17) — the incremental
+    * lifecycle driver-gated like [[graft.operators.IvfIndex.appendTo]]'s
+    * (`ann_ivf_appended`): built over the odd doc_ids, the even half
+    * appended as a daily batch under the ledger (replayed no-op pinned),
+    * then compacted to one file. Build-once via the manifest+ledger: a
+    * manifest whose source is the APPEND tag proves the chain completed
+    * and reopens with zero chunking jobs. */
+  private val chunkAppendCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.ChunkIndex]
+
+  private def chunkAppendedCompacted(spark: SparkSession,
+      dir: String): graft.operators.ChunkIndex =
+    QueryArtifacts.runOnce(chunkAppendCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/cdc-chunk-index-appended", dir)
+      val baseTag = chunkSourceTag(spark, dir) + "#append-base"
+      val appendTag = chunkSourceTag(spark, dir) + "#append-batch"
+      if (graft.operators.ChunkIndex.loadIfValid(spark, path, appendTag).isEmpty) {
+        val m = media(spark, dir)
+        graft.operators.ChunkIndex
+          .build(m.filter(col("doc_id") % 2 === 1), maskBits = 6)
+          .write(path, baseTag)
+        graft.operators.ChunkIndex.appendTo(spark, path,
+          m.filter(col("doc_id") % 2 === 0), appendTag)
+        val replayed = graft.operators.ChunkIndex.appendTo(spark, path,
+          m.filter(col("doc_id") % 2 === 0), appendTag)
+        require(!replayed,
+          "replaying an already-applied append batch must be a ledger no-op")
+        graft.operators.ChunkIndex.compact(spark, path)
+      }
+      graft.operators.ChunkIndex.load(spark, path)
+    })
+
+  // Pseudo-replay WARM-UP: the build-half/append-half/compact chain pays
+  // three chunking passes cold — overlap it with the replay fan-out (the
+  // manifest reopen is free on a warm tree).
+  ReplayOrchestrator.register("warm-chunk-append") { (spark, dir) =>
+    chunkAppendedCompacted(spark, dir)
+    java.lang.Boolean.TRUE
+  }
+
   /** Cold-reopen hook for the serve-everything capstone (see
     * [[ServeAllQueries]]): fresh manifest reopen of the durable chunk
     * index past the session cache + one bounded chunk lookup. */
@@ -109,6 +149,28 @@ object CdcQueries {
       val cols = Seq("doc_id", "chunk_no", "chunk_start", "chunk_len", "chunk_md5")
       val mem = chunks(spark, dir).withColumn("in_mem", lit(1))
       val file = chunkPersisted(spark, dir).chunks.withColumn("in_file", lit(1))
+      mem.join(file, cols, "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
+    // Incremental-APPEND parity gate (r17, the ann_ivf_appended pattern
+    // for the chunk table): the build-half / append-half / compact chain
+    // under the ledger (replayed no-op pinned in chunkAppendedCompacted)
+    // must equal the in-session chunk table over the WHOLE corpus row
+    // for row — chunking is per-document and deterministic, so
+    // append-then-serve and chunk-everything are definitionally the same
+    // rows; a lost appended doc, a double-applied batch, or a compaction
+    // that dropped rows turns exactly this row red.
+    "cdc_chunks_appended" -> ((spark, dir) => {
+      val cols = Seq("doc_id", "chunk_no", "chunk_start", "chunk_len", "chunk_md5")
+      val mem = chunks(spark, dir).withColumn("in_mem", lit(1))
+      val file = chunkAppendedCompacted(spark, dir).chunks
+        .withColumn("in_file", lit(1))
       mem.join(file, cols, "full_outer")
         .agg(
           coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
@@ -185,6 +247,10 @@ object CdcQueries {
         |LEFT JOIN mt ON mt.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin),
     "cdc_chunks_persisted" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    // append-then-serve must equal chunk-everything — the pinned parity
+    "cdc_chunks_appended" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin)
 }

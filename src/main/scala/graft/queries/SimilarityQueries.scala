@@ -257,6 +257,27 @@ object SimilarityQueries {
       graft.operators.IvfIndex.load(spark, path)
     })
 
+  /** Serving handle on [[pqDriftIndexPath]]'s appended PQ index — the
+    * [[appendedServeIndex]] pattern for the code table: build at %2==1,
+    * encode+append %2==0 under the frozen codebook, compact, and pin the
+    * REPLAYED-LEDGER no-op before first serve. One load per
+    * (session, dir); serving is the usual code-column ADC scan. */
+  private val pqAppendServeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.PqIndex]
+
+  private def pqAppendedServeIndex(spark: SparkSession,
+      dir: String): graft.operators.PqIndex =
+    QueryArtifacts.runOnce(pqAppendServeCache, (spark, dir))({
+      val path = pqDriftIndexPath(spark, dir)
+      val appendTag = ivfSourceTag(spark, dir) + "#drift-append"
+      val emb = Tables.load(spark, dir, "embeddings")
+      val replayed = graft.operators.PqIndex.appendTo(spark, path,
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+      require(!replayed,
+        "replaying an already-applied append batch must be a ledger no-op")
+      graft.operators.PqIndex.load(spark, path)
+    })
+
   /** Excision-PLANTED durable IVF index (r17) — the DELETE chapter:
     * built over the full corpus, the vec_id%7==0 slice then excised as a
     * takedown batch ([[graft.operators.IvfIndex.excise]] — tombstone
@@ -432,6 +453,7 @@ object SimilarityQueries {
     driftCache.clear() // no persist to release — file-backed
     pqDriftCache.clear() // no persist to release — file-backed
     appendServeCache.clear() // no persist to release — file-backed
+    pqAppendServeCache.clear() // no persist to release — file-backed
     ivfExciseCache.clear() // no persist to release — file-backed
     releaseTopicCells()
   }
@@ -895,6 +917,38 @@ object SimilarityQueries {
       val file = pqPersisted(spark, dir).topK(q, k = 5, nCandidates = 256)
         .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
       mem.join(file, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
+    // Incremental-APPEND parity gate for the CODE table (r17, closing
+    // the ann_ivf_appended pattern over the PQ lifecycle): the
+    // build-at-%2==1 / encode-and-append-%2==0 / compact chain
+    // (pqAppendedServeIndex — crash-window refusal + batch ledger, with
+    // the replayed no-op pinned before first serve) must reproduce an
+    // in-session index that encodes the FULL corpus under the SAME
+    // frozen codebook (PqIndex.withCodebook — shared encode kernel),
+    // because append-then-serve and encode-everything are definitionally
+    // the same code rows, and the two-level ADC cut is
+    // partition-independent (global top-C by (adc, c_id)). A lost or
+    // double-encoded appended code, codebook drift, or a compaction that
+    // dropped rows turns exactly this row red.
+    "ann_pq_appended" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val file = pqAppendedServeIndex(spark, dir)
+      val mem = graft.operators.PqIndex
+        .withCodebook(emb, "vec_id", "embedding", file.codebook)
+        .topK(q, k = 5, nCandidates = 64)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val served = file.topK(q, k = 5, nCandidates = 64)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(served, Seq("q_id", "c_id", "rank"), "full_outer")
         .agg(
           coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
             .as("missing_from_file"),
@@ -1522,6 +1576,11 @@ object SimilarityQueries {
     // excise-then-serve must equal assign-only-survivors under the
     // frozen centroids — the same pinned parity row
     "ann_ivf_excised" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    // append-then-serve must equal encode-everything under the frozen
+    // codebook — the same pinned parity row
+    "ann_pq_appended" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     "ann_topk_native" -> bruteForceOracle,
