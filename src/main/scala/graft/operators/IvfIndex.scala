@@ -689,6 +689,27 @@ object IvfIndex {
     DriftReport(bs, ns, frac, ns > skewGrowth * bs || frac >= appendedFrac)
   }
 
+  /** The maintenance loop's actuation step: MEASURE quantizer drift,
+    * DECIDE against the staleness bounds, and [[retrain]]-and-swap only
+    * when the index is actually stale — the no-drift branch is a
+    * zero-job no-op (one metadata-sized staleness check, no sample, no
+    * fit, no rewrite). Returns true when a refit ran. This closes the
+    * measure-half/actuate-half split: [[staleness]] tells an operator
+    * the frozen quantizer no longer represents what it serves;
+    * `refitIfStale` is what a scheduled maintenance job actually calls. */
+  def refitIfStale(spark: org.apache.spark.sql.SparkSession, path: String,
+      nCells: Int, newSource: String, skewGrowth: Double = 2.0,
+      appendedFrac: Double = 0.5, seed: Long = 42L, maxIter: Int = 10,
+      sampleSize: Int = 4096): Boolean = {
+    val rep = staleness(spark, path, skewGrowth, appendedFrac)
+    if (!rep.stale) false
+    else {
+      retrain(spark, path, nCells, newSource, seed, maxIter, sampleSize)
+        .close() // loaded handle: close is a no-op, residency is the table
+      true
+    }
+  }
+
   /** Rebuild the index under a FRESH quantizer fitted to everything the
     * table now holds, and atomically swap it in — the recovery move when
     * [[staleness]] flags drift. The new index is written to a staging

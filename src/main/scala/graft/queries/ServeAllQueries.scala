@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The ZERO-BUILD serve-everything capstone — the cross-session
   * cold-start story a 100 TB deployment actually lives by: a fresh
   * session (or here, a fresh reopen past every session cache) opens
-  * EVERY durable artifact the engine maintains — base, appended, AND
-  * excised lifecycles, 15 reopens — through its validation manifest, runs ZERO
+  * EVERY durable artifact the engine maintains — base, appended, excised,
+  * AND drift-refitted lifecycles, 16 reopens — through its validation
+  * manifest, runs ZERO
   * build/fit/train jobs doing so, and serves one bounded request from
   * each. One row per artifact:
   *
@@ -116,7 +117,7 @@ object ServeAllQueries {
         |  ('inverted_index_appended', TRUE, TRUE),
         |  ('inverted_index_excised', TRUE, TRUE),
         |  ('ivf', TRUE, TRUE), ('ivf_appended', TRUE, TRUE),
-        |  ('ivf_excised', TRUE, TRUE),
+        |  ('ivf_excised', TRUE, TRUE), ('ivf_refitted', TRUE, TRUE),
         |  ('ivfpq', TRUE, TRUE), ('markov', TRUE, TRUE),
         |  ('markov_appended', TRUE, TRUE),
         |  ('pq', TRUE, TRUE), ('trigram_lm', TRUE, TRUE))

@@ -144,6 +144,12 @@ object SimilarityQueries {
         () => graft.operators.IvfIndex.loadIfValid(spark,
             QueryArtifacts.path("target/ivf-excised-index", dir),
             tag + "#excise-batch")
+          .map(_.topK(q5, k = 5, nprobe = 6).count())),
+      ("ivf_refitted",
+        () => { refittedIndex(spark, dir); () },
+        () => graft.operators.IvfIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/ivf-refit-index", dir),
+            tag + "#refit-done")
           .map(_.topK(q5, k = 5, nprobe = 6).count())))
   }
 
@@ -256,6 +262,58 @@ object SimilarityQueries {
         "replaying an already-applied append batch must be a ledger no-op")
       graft.operators.IvfIndex.load(spark, path)
     })
+
+  /** Drift-REMEDIATED durable IVF index (r17) — the actuation half of
+    * the drift story ([[driftIndexPath]] measures; this one acts): the
+    * same half/half drift is planted (quantizer frozen on the odd
+    * vec_ids, even half appended — fracAppended >= 0.5, provably stale),
+    * then [[graft.operators.IvfIndex.refitIfStale]] runs the
+    * measure → decide → retrain-and-swap loop: the staleness check must
+    * FIRE (a refit runs, quantizer refitted over base+appended, ledger
+    * carried), and the immediately repeated call on the refreshed index
+    * must be a ZERO-BUILD no-op (the no-drift branch, fenced by the
+    * build counter). Build-once via the manifest+ledger: a manifest
+    * whose source is the refit tag proves the whole chain completed. */
+  private val refitCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.IvfIndex]
+
+  private def refittedIndex(spark: SparkSession,
+      dir: String): graft.operators.IvfIndex =
+    QueryArtifacts.runOnce(refitCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/ivf-refit-index", dir)
+      val baseTag = ivfSourceTag(spark, dir) + "#refit-base"
+      val appendTag = ivfSourceTag(spark, dir) + "#refit-append"
+      val refitTag = ivfSourceTag(spark, dir) + "#refit-done"
+      if (graft.operators.IvfIndex.loadIfValid(spark, path, refitTag).isEmpty) {
+        val emb = Tables.load(spark, dir, "embeddings")
+        val idx = graft.operators.IvfIndex.build(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", nCells = 8)
+        try idx.write(path, baseTag) finally idx.close()
+        graft.operators.IvfIndex.appendTo(spark, path,
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+        // MEASURE + DECIDE + ACT: the planted drift must trip the bound
+        // and trigger exactly one refit
+        require(graft.operators.IvfIndex.refitIfStale(spark, path,
+          nCells = 8, refitTag),
+          "the planted half/half drift must trigger a quantizer refit")
+        // the refreshed quantizer is healthy: the same decision rule is
+        // now a zero-build no-op (counter-fenced)
+        val builds = graft.operators.IvfIndex.buildsRun.get()
+        require(!graft.operators.IvfIndex.refitIfStale(spark, path,
+          nCells = 8, refitTag + "#again"),
+          "a just-refitted index must not be stale")
+        require(graft.operators.IvfIndex.buildsRun.get() == builds,
+          "the no-drift branch must run zero build jobs")
+      }
+      graft.operators.IvfIndex.load(spark, path)
+    })
+
+  // Pseudo-replay WARM-UP: build + append + retrain is the family's
+  // heaviest cold chain — overlap it with the replay fan-out.
+  ReplayOrchestrator.register("warm-ivf-refit") { (spark, dir) =>
+    refittedIndex(spark, dir)
+    java.lang.Boolean.TRUE
+  }
 
   /** Serving handle on [[pqDriftIndexPath]]'s appended PQ index — the
     * [[appendedServeIndex]] pattern for the code table: build at %2==1,
@@ -455,6 +513,7 @@ object SimilarityQueries {
     appendServeCache.clear() // no persist to release — file-backed
     pqAppendServeCache.clear() // no persist to release — file-backed
     ivfExciseCache.clear() // no persist to release — file-backed
+    refitCache.clear() // no persist to release — file-backed
     releaseTopicCells()
   }
 
@@ -1081,6 +1140,23 @@ object SimilarityQueries {
         .toDF("frac_appended", "stale_by_fraction")
         .withColumn("frac_appended", round(col("frac_appended"), 6))
     }),
+    // Drift REMEDIATION gate (r17) — measure → decide → re-fit → serve,
+    // the actuation half the drift reports lacked: on the refit-planted
+    // index (quantizer frozen on half, other half appended, provably
+    // stale) refitIfStale must fire exactly once, the repeated call must
+    // be a zero-build no-op (both pinned inside refittedIndex), and the
+    // REFRESHED index at FULL probe must reproduce brute force over the
+    // union exactly — recall@5 == 1.0 per query, the ann_ivf_recall gate
+    // applied to the post-refit quantizer. The oracle computes
+    // exact-vs-exact, so any refit that lost a vector, double-kept one,
+    // or broke assignment turns this row red.
+    "ann_ivf_drift_refit" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      recallOf(refittedIndex(spark, dir).topK(q, k = 5, nprobe = 8),
+        spark, dir)
+    }),
     // PQ twin of ann_ivf_drift_report: the frozen CODEBOOK's health under
     // post-freeze arrivals — same planted half/half drift, same
     // exact-arithmetic driver fields; the sample-MSE growth disjunct
@@ -1555,6 +1631,8 @@ object SimilarityQueries {
         |GROUP BY co.vec_id ORDER BY co.vec_id""".stripMargin,
     "ann_ivf_drift_report" -> driftFractionOracle,
     "ann_pq_drift_report" -> driftFractionOracle,
+    // the refreshed quantizer at full probe is brute force exactly
+    "ann_ivf_drift_refit" -> fullRecallOracle,
     "ann_pq_recall" -> fullRecallOracle,
     "ann_ivfpq_recall" -> fullRecallOracle,
     "ann_pq_persisted" ->

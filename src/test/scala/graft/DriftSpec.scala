@@ -110,6 +110,24 @@ class DriftSpec extends AnyFunSuite {
         newSource = "drift-day"), "retrain dropped the applied ledger")
       assert(IvfIndex.loadIfValid(spark, path, "retrain-1").isDefined,
         "retrained manifest failed to validate")
+      // the actuation wrapper: a healthy index is a ZERO-BUILD no-op...
+      val builds = IvfIndex.buildsRun.get()
+      assert(!IvfIndex.refitIfStale(spark, path, nCells = 4, "refit-noop"),
+        "refitIfStale must not fire on a healthy index")
+      assert(IvfIndex.buildsRun.get() === builds,
+        "the no-drift branch must run zero build jobs")
+      // ...and a re-drifted one fires exactly one refit and recovers
+      val drifted2 = (0 until 1200).map { i =>
+        val lean = if (i % 2 == 0) 0.4 else -0.4
+        (20000L + i, Seq((7.0 + lean).toFloat, (7.0 - lean).toFloat,
+          (i % 7) * 0.01f, 0.0f))
+      }.toDF("vec_id", "embedding")
+      assert(IvfIndex.appendTo(spark, path, drifted2, "vec_id", "embedding",
+        newSource = "drift-day-2"))
+      assert(IvfIndex.refitIfStale(spark, path, nCells = 4, "refit-1"),
+        "refitIfStale must fire on the re-drifted index")
+      assert(!IvfIndex.staleness(spark, path).stale)
+      assert(IvfIndex.loadIfValid(spark, path, "refit-1").isDefined)
     } finally built.close()
   }
 
