@@ -263,6 +263,61 @@ object SimilarityQueries {
       graft.operators.IvfIndex.load(spark, path)
     })
 
+  /** Streaming ingest → durable index FOLD replay body (r17; see
+    * [[graft.streaming.StreamingOps.foldIntoIvf]]): a real Structured
+    * Streaming run over three staged deliveries of the vec_id%5==0
+    * slice — the second delivery padded with ALREADY-SERVED vectors the
+    * admission anti-join must drop, the third a VERBATIM re-delivery of
+    * the first the content-tag ledger must swallow — each admitted
+    * micro-batch folded into a session-salted copy of the base index
+    * (built over the %5!=0 rest) via `foreachBatch` +
+    * `Trigger.AvailableNow`. Returns the index path; the driver row
+    * parity-checks the folded index against assign-everything under the
+    * frozen centroids. Paths live under the session root (the runReplay
+    * discipline): delete-and-rewrite artifacts are session-scoped, only
+    * validated-and-reused ones live under stable paths. */
+  private def buildIvfFoldReplay(spark: SparkSession, dir: String): String = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val slice = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding")
+    // re-crawled rows: already served by the base index, delivered again
+    // inside a later batch — admission must drop them or the fold
+    // duplicates serving rows (which the parity row would catch)
+    val recrawled = emb.filter(col("vec_id") % 5 === 1 && col("vec_id") < 50)
+      .select("vec_id", "embedding")
+    val root = QueryArtifacts.sessionRoot(spark)
+    val src = QueryArtifacts.path(s"$root/ivf-fold-src", dir)
+    val ckpt = QueryArtifacts.path(s"$root/ivf-fold-ckpt", dir)
+    val path = QueryArtifacts.path(s"$root/ivf-fold-index", dir)
+    Seq(src, ckpt, path).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val idx = graft.operators.IvfIndex.build(
+      base, "vec_id", "embedding", nCells = 8)
+    try idx.write(path, ivfSourceTag(spark, dir) + "#fold-base")
+    finally idx.close()
+    val servedIds = base.select("vec_id")
+    val half1 = slice.filter(col("vec_id") % 2 === 0)
+    val half2 = slice.filter(col("vec_id") % 2 =!= 0).unionByName(recrawled)
+    graft.streaming.StreamingOps.stageOrdered(src,
+      Seq(half1, half2, half1 /* re-delivery */))
+    val stream = spark.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingOps.foldIntoIvf(spark, path, servedIds,
+          batch, "vec_id", "embedding")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    path
+  }
+
+  ReplayOrchestrator.register("ivf-fold")(buildIvfFoldReplay)
+
   /** Drift-REMEDIATED durable IVF index (r17) — the actuation half of
     * the drift story ([[driftIndexPath]] measures; this one acts): the
     * same half/half drift is planted (quantizer frozen on the odd
@@ -1140,6 +1195,38 @@ object SimilarityQueries {
         .toDF("frac_appended", "stale_by_fraction")
         .withColumn("frac_appended", round(col("frac_appended"), 6))
     }),
+    // Streaming ingest → durable index FOLD replay (r17) — ties the two
+    // previously separate gates together: streaming_ingest_replay gates
+    // corpus admission, ann_ivf_appended gates batch append; the
+    // production loop is "the admitted micro-batch folds into the
+    // serving index". A real streaming run (three deliveries: clean,
+    // padded with already-served rows admission must drop, verbatim
+    // re-delivery the ledger must swallow) folds into a base index via
+    // foreachBatch; the folded index must reproduce, at ann_ivf_topk's
+    // operating point, assign-EVERYTHING under the frozen centroids —
+    // a dropped admitted row, a double-folded re-delivery, or a leaked
+    // re-crawl all break the symmetric difference.
+    "streaming_index_fold_replay" -> ((spark, dir) => {
+      val path = ReplayOrchestrator.await[String](spark, dir, "ivf-fold")
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val file = graft.operators.IvfIndex.load(spark, path)
+      val mem = graft.operators.IvfIndex
+        .withCentroids(emb, "vec_id", "embedding", file.centroids)
+        .topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val served = file.topK(q, k = 5, nprobe = 6)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(served, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
     // Drift REMEDIATION gate (r17) — measure → decide → re-fit → serve,
     // the actuation half the drift reports lacked: on the refit-planted
     // index (quantizer frozen on half, other half appended, provably
@@ -1659,6 +1746,11 @@ object SimilarityQueries {
     // append-then-serve must equal encode-everything under the frozen
     // codebook — the same pinned parity row
     "ann_pq_appended" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    // streamed admit-and-fold must equal assign-everything under the
+    // frozen centroids — the same pinned parity row
+    "streaming_index_fold_replay" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     "ann_topk_native" -> bruteForceOracle,

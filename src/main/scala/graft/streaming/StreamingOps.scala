@@ -30,6 +30,43 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       RocksDBProviderClass)
 
+  /** Fold one admitted micro-batch of vectors into a WRITTEN
+    * [[graft.operators.IvfIndex]] — the production loop that closes the
+    * gap between streaming admission and the serving index: "the
+    * admitted micro-batch folds into the index it will be served from".
+    * Designed for `foreachBatch` under `Trigger.AvailableNow` (batches
+    * arrive sequentially, honoring the index family's one-appender
+    * writer contract):
+    *
+    *  - ADMISSION: rows whose id is already served (`servedIds`) are
+    *    dropped by a stream-static LEFT ANTI join — the exact-dedup
+    *    admission rule applied to vectors (a re-crawled vector must not
+    *    duplicate its serving row);
+    *  - IDENTITY: the admitted batch's content tag is an md5 over its
+    *    sorted ids (one single-row aggregate — at warehouse scale tag by
+    *    the source-file manifest instead), so a VERBATIM re-delivered
+    *    file — new file name, same rows — maps to the SAME tag;
+    *  - FOLD: [[graft.operators.IvfIndex.appendTo]] under that tag. The
+    *    applied-sources ledger makes both failure modes of a streaming
+    *    job no-ops: an engine-level batch REPLAY after a checkpoint
+    *    restart, and a source-level RE-DELIVERY of already-folded data.
+    *
+    * Returns true when the batch folded, false when it was empty after
+    * admission or already in the ledger. */
+  def foldIntoIvf(spark: SparkSession, indexPath: String,
+      servedIds: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String): Boolean = {
+    val admitted = batch.join(servedIds.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    val tagRow = admitted.agg(
+      md5(concat_ws(",", transform(sort_array(collect_list(col(idCol))),
+        x => x.cast("string")))).as("h"),
+      count(lit(1)).as("n")).head()
+    if (tagRow.getLong(1) == 0L) return false // nothing survived admission
+    graft.operators.IvfIndex.appendTo(spark, indexPath, admitted, idCol,
+      vecCol, "fold-" + tagRow.getString(0))
+  }
+
   /** Stage `parts` into `src` as sequence-named single parquet files
     * (`delivery-00000.parquet`, …) with STRICTLY INCREASING, whole-second
     * modification times. Delivery-order contract: FileStreamSource picks

@@ -782,6 +782,89 @@ class StreamingSpec extends AnyFunSuite {
       s"first-wins dedup must keep delivery 0's id, got $kept")
   }
 
+  test("streaming index fold: restart mid-stream resumes from the checkpoint, " +
+      "re-delivery and replayed batches are ledger no-ops, admission drops " +
+      "already-served rows") {
+    import java.nio.file.{Files, Paths}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val basePop = emb.filter(col("vec_id") % 5 =!= 0)
+    val slice = emb.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
+    val root = Paths.get("target/stream-fold-restart")
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    Files.createDirectories(root)
+    val src = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    val idxPath = root.resolve("index").toString
+    val built = graft.operators.IvfIndex.build(
+      basePop, "vec_id", "embedding", nCells = 8)
+    try built.write(idxPath, "fold-base") finally built.close()
+    val servedIds = basePop.select("vec_id")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(slice.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingOps.foldIntoIvf(spark, idxPath, servedIds, batch,
+            "vec_id", "embedding")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val half1 = slice.filter(col("vec_id") % 2 === 0)
+    val half2 = slice.filter(col("vec_id") % 2 =!= 0)
+    // phase 1: first delivery only; the query STOPS afterwards (the crash)
+    StreamingOps.stageOrdered(src, Seq(half1))
+    run()
+    val rowsAfter1 = spark.read.parquet(s"$idxPath/cells").count()
+    assert(rowsAfter1 === basePop.count() + half1.count())
+    // phase 2 arrives while the job is down: the second delivery, a
+    // VERBATIM re-delivery of the first (new file, same rows — the
+    // content tag must swallow it), and a delivery of ONLY already-served
+    // rows (admission must empty it); restart resumes from the checkpoint
+    // — the source log skips the already-processed file, and even if it
+    // REPLAYED it, the ledger would refuse the duplicate fold
+    StreamingOps.stageOrdered(root.resolve("stage2").toString,
+      Seq(half2, half1, basePop.select("vec_id", "embedding").limit(7)))
+    val stamp2 = System.currentTimeMillis() / 1000L * 1000L
+    Option(new java.io.File(root.resolve("stage2").toString).listFiles())
+      .getOrElse(Array.empty).sortBy(_.getName).zipWithIndex.foreach {
+        case (f, i) =>
+          val dst = new java.io.File(src, f"delivery-1$i%04d.parquet")
+          Files.move(f.toPath, dst.toPath)
+          // strictly after phase 1's stamps, one second apart (the
+          // stageOrdered delivery-order contract), never in 1970 — the
+          // file source age-filters ancient files
+          assert(dst.setLastModified(stamp2 + i * 1000L))
+      }
+    run()
+    // every admitted row folded EXACTLY once: base + the full slice
+    val idx = graft.operators.IvfIndex.load(spark, idxPath)
+    assert(spark.read.parquet(s"$idxPath/cells").count() ===
+      basePop.count() + slice.count(),
+      "a re-delivered or already-served row leaked into the fold")
+    // and the folded index serves exactly assign-everything under the
+    // frozen centroids
+    val q5 = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mem = graft.operators.IvfIndex.withCentroids(
+      emb, "vec_id", "embedding", idx.centroids)
+    assert(rs(idx.topK(q5, k = 5, nprobe = 8)) ===
+      rs(mem.topK(q5, k = 5, nprobe = 8)))
+    // direct-replay guard: folding an already-folded batch is a no-op
+    assert(!StreamingOps.foldIntoIvf(spark, idxPath, servedIds,
+      half1, "vec_id", "embedding"))
+    // admission-empty guard: a batch of only served rows never touches
+    // the ledger or the table
+    assert(!StreamingOps.foldIntoIvf(spark, idxPath, servedIds,
+      basePop.select("vec_id", "embedding").limit(3), "vec_id", "embedding"))
+  }
+
   test("streaming transition monitor pairs across batch boundaries, " +
       "repairs intra-batch disorder, and orders equal-ts ties by event_id") {
     import spark.implicits._
