@@ -25,6 +25,8 @@ final class ChunkIndex private[operators] (
   /** Durable form: chunk rows + validation manifest. */
   def write(path: String, source: String = ""): Unit = {
     val spark = chunks.sparkSession
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(spark, path)
     chunks.write.mode("overwrite").parquet(s"$path/chunks")
     val rows = spark.read.parquet(s"$path/chunks").count()
     val props = new java.util.Properties()
@@ -103,7 +105,8 @@ object ChunkIndex {
     * recount and REFUSED (recovery = rebuild + write, overwrite mode).
     * Returns true when the append was applied. */
   def appendTo(spark: SparkSession, path: String, media: DataFrame,
-      newSource: String): Boolean = {
+      newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -142,7 +145,8 @@ object ChunkIndex {
     * write, recount against the committed manifest BEFORE the swap,
     * rename swap; the manifest (rows, maskBits, ledger) is
     * layout-invariant and needs no change; torn tables refuse. */
-  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Unit =
+      WriterLease.withLease(spark, path) {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())

@@ -121,6 +121,8 @@ final class InvertedIndex private[operators] (
     * keep stale bucket directories and the recount would then certify
     * the mixed table. */
   def write(path: String, source: String = ""): Unit = {
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(spark, path)
     postings.write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("bucket").parquet(s"$path/postings")
@@ -228,7 +230,8 @@ object InvertedIndex {
     * after the append; the manifest is the publication point). Returns
     * false (no-op) when `newSource` is already in the ledger. */
   def appendTo(spark: SparkSession, path: String, newDocs: DataFrame,
-      textCol: String, newSource: String): Boolean = {
+      textCol: String, newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -374,7 +377,8 @@ object InvertedIndex {
     * for append: one maintainer at a time, no live readers across the
     * sidecar swap. */
   def excise(spark: SparkSession, path: String, excisedDocs: DataFrame,
-      textCol: String, newSource: String): Boolean = {
+      textCol: String, newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -488,7 +492,8 @@ object InvertedIndex {
     * before the swap, and a crash between the two renames leaves no
     * postings directory — refused everywhere. Writer contract as for
     * append: one maintainer at a time, no live readers across the swap. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()

@@ -180,6 +180,8 @@ final class IvfIndex private (
   def write(path: String, source: String = ""): Unit = {
     val spark = cells.sparkSession
     import spark.implicits._
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(spark, path)
     cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -442,7 +444,8 @@ object IvfIndex {
     * overwrite mode replaces the torn table). Returns true when the
     * append was applied. */
   def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
-      df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean = {
+      df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -514,7 +517,8 @@ object IvfIndex {
     * no-op, false); torn states are detected by recount and REFUSED.
     * Writer contract as for append. */
   def excise(spark: org.apache.spark.sql.SparkSession, path: String,
-      ids: DataFrame, idCol: String, newSource: String): Boolean = {
+      ids: DataFrame, idCol: String, newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -567,7 +571,8 @@ object IvfIndex {
     * renames leaves a missing table every later recount refuses. Writer
     * contract as for append: one maintainer at a time, no live readers
     * across the swap. */
-  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -723,7 +728,8 @@ object IvfIndex {
     * and the staging dir still holds the complete rebuild. */
   def retrain(spark: org.apache.spark.sql.SparkSession, path: String,
       nCells: Int, newSource: String, seed: Long = 42L, maxIter: Int = 10,
-      sampleSize: Int = 4096): IvfIndex = {
+      sampleSize: Int = 4096): IvfIndex =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()

@@ -85,6 +85,8 @@ final class MarkovModel private[operators] (
     * training corpus is not. */
   def write(path: String, source: String = ""): Unit = {
     val spark = counts.sparkSession
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(spark, path)
     counts.coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
     totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
     // footer-stats counts of what was just written — metadata, not a scan
@@ -172,7 +174,8 @@ object MarkovModel {
     * never double-count a batch. Writer contract as for the index
     * family: one appender at a time, no live readers across the swap. */
   def appendTo(spark: SparkSession, path: String, pairs: DataFrame,
-      newSource: String): Boolean = {
+      newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()

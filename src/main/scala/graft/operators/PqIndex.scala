@@ -52,6 +52,8 @@ final class PqIndex private (
   def write(path: String, source: String = ""): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(spark, path)
     codes.write.mode("overwrite").parquet(s"$path/codes")
     codebook.zipWithIndex.flatMap { case (cents, j) =>
       cents.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toSeq) }
@@ -269,7 +271,8 @@ object PqIndex {
     * is a rebuild (overwrite replaces the torn table). Returns true when
     * applied. */
   def appendTo(spark: org.apache.spark.sql.SparkSession, path: String,
-      df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean = {
+      df: DataFrame, idCol: String, vecCol: String, newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -321,7 +324,8 @@ object PqIndex {
     * codebook fingerprint, ledger, staleness baselines) is
     * layout-invariant and needs no change; torn tables refuse. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      nFiles: Int = 1): Unit = {
+      nFiles: Int = 1): Unit =
+      WriterLease.withLease(spark, path) {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -438,7 +442,8 @@ object PqIndex {
     * carried over so pre-retrain batch retries stay refused. */
   def retrain(spark: org.apache.spark.sql.SparkSession, path: String,
       m: Int, ksub: Int, newSource: String, seed: Long = 42L,
-      maxIter: Int = 10, sampleSize: Int = 4096): PqIndex = {
+      maxIter: Int = 10, sampleSize: Int = 4096): PqIndex =
+      WriterLease.withLease(spark, path) {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Advisory exclusive-writer lease for the durable-artifact maintenance
+  * ops (append / compact / excise / retrain across [[IvfIndex]],
+  * [[PqIndex]], [[InvertedIndex]], [[ChunkIndex]], [[MarkovModel]]).
+  *
+  * The family's writer contract — ONE maintainer at a time per artifact
+  * path, no live readers across a swap — was previously convention
+  * documented in scaladoc; this makes the first half enforceable: every
+  * maintenance op runs under [[withLease]], which atomically creates a
+  * manifest-adjacent `_LEASE.properties` (owner + expiry) and deletes it
+  * on completion. A second concurrent maintainer fails FAST with the
+  * holder named instead of interleaving staged writes and directory
+  * swaps with the first one — the failure mode otherwise is two appends
+  * double-counting a recount, or a compactor swapping a table out from
+  * under an excisor mid-sidecar-rebuild.
+  *
+  * Crash recovery is TTL-based: a maintainer that died without releasing
+  * leaves its lease behind, and any later maintainer whose clock reads
+  * past the expiry TAKES OVER (delete + re-create). The artifact itself
+  * stays safe across that window by the family's manifest-recount
+  * discipline — a torn write is refused by counts, not by the lease; the
+  * lease only serializes the writers. Readers are unaffected: they
+  * validate through the manifest and never consult the lease (the
+  * "no live readers across the swap" half stays an operational contract,
+  * as a reader lease would put a metadata write on every reopen).
+  *
+  * Atomicity note: `FileSystem.create(path, overwrite = false)` is the
+  * primitive — atomic on HDFS and object stores with conditional-put;
+  * on a raw local FS it is check-then-create, which is sufficient for
+  * the advisory guard this is (the enemy is two scheduled maintenance
+  * jobs, seconds apart, not adversarial nanosecond races).
+  */
+object WriterLease {
+
+  /** Default time-to-live: generous for any single maintenance op (an
+    * append or compact is minutes even at scale), short enough that a
+    * crashed maintainer's artifact is not locked out for long. */
+  val DefaultTtlMs: Long = 15L * 60 * 1000
+
+  /** SIBLING of the artifact dir, not inside it: the Markov append swaps
+    * the whole directory and IVF retrain delete-and-renames it — a lease
+    * inside would vanish mid-operation with the old dir. */
+  private def leasePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path._LEASE.properties")
+
+  /** pid@host — unique per maintainer process, readable in the refusal. */
+  private[operators] def defaultOwner: String =
+    java.lang.ProcessHandle.current().pid() + "@" +
+      java.net.InetAddress.getLocalHost.getHostName
+
+  /** Run `body` holding the exclusive maintainer lease for `path`.
+    * Throws IllegalStateException NAMING the current holder and its
+    * expiry when the lease is held and unexpired; an expired lease is
+    * taken over. The lease is released on every exit path (the finally),
+    * but only if still owned — a takeover by a later maintainer after
+    * this one stalls past its own TTL must not have its fresh lease
+    * deleted by the stalled one's release. */
+  def withLease[T](spark: SparkSession, path: String,
+      ttlMs: Long = DefaultTtlMs, owner: String = defaultOwner)(body: => T): T = {
+    val lp = leasePath(path)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    acquire(fs, lp, owner, ttlMs)
+    try body
+    finally release(fs, lp, owner)
+  }
+
+  private def acquire(fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path, owner: String, ttlMs: Long): Unit = {
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      try {
+        val out = fs.create(lp, false) // fails if the lease exists
+        try {
+          val props = new java.util.Properties()
+          props.setProperty("owner", owner)
+          props.setProperty("expiresAtMs",
+            (System.currentTimeMillis() + ttlMs).toString)
+          props.store(out, "graft writer lease")
+        } finally out.close()
+        return
+      } catch {
+        case _: java.io.IOException =>
+          // lease exists (or raced): read it; refuse if live, else usurp
+          val held = try {
+            val props = new java.util.Properties()
+            val in = fs.open(lp)
+            try props.load(in) finally in.close()
+            Some((Option(props.getProperty("owner")).getOrElse("<unknown>"),
+              Option(props.getProperty("expiresAtMs")).map(_.toLong)
+                .getOrElse(0L)))
+          } catch {
+            // unreadable/vanished between create and open: retry the loop
+            case scala.util.control.NonFatal(_) => None
+          }
+          held.foreach { case (holder, expiresAt) =>
+            if (System.currentTimeMillis() <= expiresAt)
+              throw new IllegalStateException(
+                s"maintenance lease for $lp is held by $holder until " +
+                  s"${java.time.Instant.ofEpochMilli(expiresAt)} — one " +
+                  "maintainer at a time; retry after it releases or expires")
+            // expired: crashed maintainer — take the lease over
+            fs.delete(lp, false)
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire maintenance lease at $lp after $attempts attempts")
+  }
+
+  private def release(fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path, owner: String): Unit = {
+    try {
+      val props = new java.util.Properties()
+      val in = fs.open(lp)
+      try props.load(in) finally in.close()
+      // only the owner deletes: a post-takeover release must not drop the
+      // usurper's live lease
+      if (Option(props.getProperty("owner")).contains(owner))
+        fs.delete(lp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Drop any lease at `path` — the rebuild entry point ([[IvfIndex#write]]
+    * and twins) clears leases left by crashed maintainers: a full
+    * overwrite IS the documented recovery, and it must not wait out a
+    * dead writer's TTL. */
+  def clear(spark: SparkSession, path: String): Unit = {
+    val lp = leasePath(path)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    try { fs.delete(lp, false); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{InvertedIndex, IvfIndex, WriterLease}
+
+/** The writer-fencing contract for the durable-artifact maintenance ops:
+  * one maintainer at a time per path, a concurrent second maintainer
+  * refuses FAST with the holder named, a crashed maintainer's lease is
+  * taken over after expiry, and a rebuild (the documented crash
+  * recovery) clears a dead writer's lease instead of waiting out its
+  * TTL. The lease is a SIBLING of the artifact dir so directory swaps
+  * (Markov append, IVF retrain) cannot vanish it mid-operation.
+  */
+class WriterLeaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plant a lease at `path`'s slot as if `owner` held it to `expiresAt`. */
+  private def plant(path: String, owner: String, expiresAtMs: Long): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("owner", owner)
+    props.setProperty("expiresAtMs", expiresAtMs.toString)
+    val out = new java.io.FileOutputStream(s"$path._LEASE.properties")
+    try props.store(out, "planted") finally out.close()
+  }
+
+  private def leaseExists(path: String): Boolean =
+    new java.io.File(s"$path._LEASE.properties").exists()
+
+  test("withLease runs the body exclusively and releases on every exit") {
+    val path = "target/test-lease-basic"
+    var ran = false
+    val result = WriterLease.withLease(spark, path) { ran = true; 42 }
+    assert(ran && result === 42)
+    assert(!leaseExists(path), "lease must be released after a clean exit")
+    // released on the throwing path too
+    intercept[RuntimeException] {
+      WriterLease.withLease(spark, path) { throw new RuntimeException("boom") }
+    }
+    assert(!leaseExists(path), "lease must be released after a throw")
+  }
+
+  test("a live foreign lease refuses maintenance with the holder named; " +
+      "an expired one is taken over") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = "target/test-lease-inv"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    InvertedIndex.build(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .write(path, source = "base")
+    // another maintainer holds the lease for 10 more minutes: every
+    // maintenance op refuses fast, naming the holder
+    plant(path, "maintainer-2@otherhost",
+      System.currentTimeMillis() + 10 * 60 * 1000)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val e1 = intercept[IllegalStateException] {
+      InvertedIndex.appendTo(spark, path, batch, "text", "day-1")
+    }
+    assert(e1.getMessage.contains("maintainer-2@otherhost"))
+    val e2 = intercept[IllegalStateException] {
+      InvertedIndex.compact(spark, path)
+    }
+    assert(e2.getMessage.contains("maintainer-2@otherhost"))
+    // nothing was applied under the refusal
+    assert(InvertedIndex.loadIfValid(spark, path, "base").isDefined,
+      "a refused append must leave the artifact untouched")
+    // the holder crashed: after expiry the next maintainer takes over
+    plant(path, "maintainer-2@otherhost", System.currentTimeMillis() - 1000)
+    assert(InvertedIndex.appendTo(spark, path, batch, "text", "day-1"),
+      "an expired lease must be taken over, not waited out")
+    assert(!leaseExists(path), "takeover must still release at completion")
+    assert(InvertedIndex.loadIfValid(spark, path, "day-1").isDefined)
+  }
+
+  test("two concurrent appenders: exactly one wins, the loser names the winner") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = "target/test-lease-ivf"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    val built = IvfIndex.build(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", nCells = 4)
+    try built.write(path, "base") finally built.close()
+    val batch = emb.filter(col("vec_id") % 2 === 0)
+    // hold the lease while issuing an append: the second maintainer must
+    // refuse (not queue) while the first body is still in flight
+    WriterLease.withLease(spark, path) {
+      val e = intercept[IllegalStateException] {
+        IvfIndex.appendTo(spark, path, batch, "vec_id", "embedding", "day-1")
+      }
+      assert(e.getMessage.contains("held by"))
+    }
+    // lease released: the same append now applies
+    assert(IvfIndex.appendTo(spark, path, batch, "vec_id", "embedding", "day-1"))
+  }
+
+  test("rebuild (write) clears a dead maintainer's lease — recovery does " +
+      "not wait out the TTL") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = "target/test-lease-rebuild"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    val idx = InvertedIndex.build(docs.limit(50), "doc_id", "text")
+    idx.write(path, "base")
+    // a maintainer died mid-op holding a LIVE lease; the operator's
+    // recovery is a rebuild, which must not be locked out
+    plant(path, "dead-maintainer@host",
+      System.currentTimeMillis() + 10 * 60 * 1000)
+    idx.write(path, "base-2")
+    assert(!leaseExists(path), "write() must clear the stale lease")
+    assert(InvertedIndex.appendTo(spark, path,
+      Seq((900001L, "fresh doc")).toDF("doc_id", "text"), "text", "day-1"))
+  }
+}
