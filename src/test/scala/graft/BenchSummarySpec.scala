@@ -55,6 +55,17 @@ class BenchSummarySpec extends AnyFunSuite {
       "the failed-query NAME must survive the tail capture too")
   }
 
+  test("serveall reopen wall-times ride in the artifact before the headline") {
+    val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
+      reopenMs = Some(Seq("ivf" -> 120L, "pq" -> 45L)))
+    assert(s.contains(""""serveall_reopen_ms":{"ivf":120,"pq":45}"""), s)
+    assert(s.indexOf("serveall_reopen_ms") < s.indexOf("\"metric\":"),
+      "reopen times must not displace the tail headline fields")
+    // absent when the capstone didn't run (e.g. a filtered bench)
+    val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
+    assert(!none.contains("serveall_reopen_ms"), none)
+  }
+
   test("host load average rides in the artifact; headline still trails it") {
     val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
       loadAvg = Seq(1.5, 2.25, 3.0))

@@ -764,6 +764,71 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("durable Markov train/serve/append scales onto 10 disjoint user copies " +
+      "with exact surprise parity; appended days equal the fresh union model",
+      SlowTest) {
+    // The behavioral tier's durable lifecycle at scale (r17 — the one
+    // family TenX didn't cover): disjoint user-space copies multiply
+    // every (from, to) count by exactly 10 while leaving every RATIO —
+    // and therefore every quantized per-class surprise and every user's
+    // served (n_transitions, surprise_micro_avg) — bit-identical, so the
+    // broadcast-serve path has an exact oracle at 10x. The model stays
+    // matrix-sized at any corpus size (the scale contract); train+serve
+    // wall-time must stay ~linear. Then the INCREMENTAL path: a model
+    // trained on day 0 with nine more days folded via appendTo must
+    // serve bit-identically to the fresh train over the 10x union —
+    // counts are additive over entity-disjoint splits, so any divergence
+    // is a merge bug.
+    import graft.operators.MarkovModel
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select("user_id", "event_type", "ts", "event_id")
+    def copyOf(k: Int): DataFrame = ev.select(
+      (col("user_id") + lit(k * 10000000L)).as("user_id"),
+      col("event_type"), col("ts"),
+      (col("event_id") + lit(k * 100000000L)).as("event_id"))
+    def pairsOf(df: DataFrame) =
+      MarkovModel.pairs(df, "user_id", "event_type", Seq("ts", "event_id"))
+    val big = (0 until copies).map(copyOf).reduce(_ unionByName _)
+    def trainServe(df: DataFrame, path: String): (Map[Long, (Long, Long)], Double) =
+      timed {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        val p = pairsOf(df)
+        MarkovModel.train(p).write(path, "tenx")
+        MarkovModel.load(spark, path).scoreSessions(p, "user_id")
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+      }
+    trainServe(copyOf(0), "target/test-tenx-markov-warm") // JIT warmup
+    val (s1, t1) = trainServe(copyOf(0), "target/test-tenx-markov-1x")
+    val (s10, t10) = trainServe(big, "target/test-tenx-markov-10x")
+    assert(s1.nonEmpty && s10.size === copies * s1.size)
+    val mismatch = s10.iterator.filter { case (user, scored) =>
+      scored != s1(user % 10000000L)
+    }.take(3).toSeq
+    assert(mismatch.isEmpty,
+      s"copied users' served surprise diverged from copy 0: $mismatch")
+    info(f"markov train+serve 1x: $t1%.1fs; 10x: $t10%.1fs; ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 10.0,
+      f"10x event log took ${t10 / t1}%.1fx the 1x wall-time — superlinear " +
+        "markov train/serve")
+    // incremental: day 0 trained, days 1..9 folded — must equal the
+    // fresh union model transition for transition (counts AND probs)
+    val inc = "target/test-tenx-markov-inc"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(inc))
+    MarkovModel.train(pairsOf(copyOf(0))).write(inc, "day-0")
+    val (_, tApp) = timed((1 until copies).foreach { k =>
+      assert(MarkovModel.appendTo(spark, inc, pairsOf(copyOf(k)), s"day-$k"),
+        s"day-$k append refused")
+    })
+    def cells(path: String): Map[(String, String), (Long, Double)] =
+      MarkovModel.load(spark, path).transitions().collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(cells(inc) === cells("target/test-tenx-markov-10x"),
+      "nine appended days diverged from the fresh 10x union model")
+    info(f"markov 9-day append fold: $tApp%.1fs total")
+  }
+
   test("retrieval serve chain (fuzzy-correct -> serve -> RRF -> PRF) holds " +
       "on a 10x vocab with bucket-pruned posting reads", SlowTest) {
     // The serve-side contracts the per-query specs can't see at scale:
