@@ -36,6 +36,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // the same 8-row centroid broadcast as ann_ivf_persisted, on both
       // the appended-file and the frozen-centroid in-session probe side
       "ann_ivf_appended",
+      // same 8-row centroid broadcast on the tombstoned-file / survivors-
+      // in-session parity pair (r17 excision gate)
+      "ann_ivf_excised",
+      // same 8-row centroid broadcast; the refreshed quantizer's full
+      // probe vs the <=5-row exact-side broadcast scan (r17 refit gate)
+      "ann_ivf_drift_refit",
+      // the <=5-row per-query ADC lookup-table broadcast of ann_pq_topk,
+      // on both the appended-file and encode-fresh in-session side (r17)
+      "ann_pq_appended",
+      // the 8-row frozen-centroid broadcast on both the folded-index and
+      // assign-everything parity sides (r17 streaming fold gate)
+      "streaming_index_fold_replay",
       // the same <=5-row query-set broadcast as ann_bruteforce_topk, over
       // the 16-dim prefix columns (the coarse pass of the MRL re-ranker)
       "ann_matryoshka_topk",
