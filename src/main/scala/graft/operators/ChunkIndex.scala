@@ -35,8 +35,11 @@ final class ChunkIndex private[operators] (
     props.setProperty("appliedSources", source)
     props.setProperty("maskBits", maskBits.toString)
     props.setProperty("rows", rows.toString)
+    props.setProperty("tombRows", "0")
     val mPath = ChunkIndex.manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a rebuild must not leave a stale tombstone list beside fresh rows
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     val out = fs.create(mPath, true)
     try props.store(out, "graft CDC chunk-index manifest")
     finally out.close()
@@ -80,22 +83,85 @@ object ChunkIndex {
         !field("source").contains(source) ||
         !field("maskBits").contains(maskBits.toString)) return None
       val idx = load(spark, path)
-      val valid = field("rows").exists(_.toLong == idx.chunks.count())
+      // PHYSICAL row count (the served chunks view already excludes
+      // pending tombstones)
+      val valid = field("rows").exists(_.toLong ==
+        spark.read.parquet(s"$path/chunks").count()) &&
+        field("tombRows").map(_.toLong).getOrElse(0L) ==
+          tombstoneCount(spark, path)
       if (valid) Some(idx) else None
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
   }
 
-  /** Reopen a written index: one lazy parquet scan + manifest params. */
+  /** Row count of the tombstone list — 0 when the dir does not exist. */
+  private def tombstoneCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").count() else 0L
+  }
+
+  /** EXCISE documents' chunk rows from a written index —
+    * [[IvfIndex.excise]]'s chunk twin (takedowns must vanish from the
+    * ingest gate's overlap checks too, or a removed document keeps
+    * rejecting its own re-crawls as duplicates). Tombstone-then-compact:
+    * excised doc_ids land in a tombstone list baked into [[load]]'s
+    * chunks view as an anti join; the next [[compact]] drops the rows
+    * physically. IDEMPOTENT via the ledger; torn states refused. `ids`
+    * is a single-column DataFrame named `doc_id`. */
+  def excise(spark: SparkSession, path: String, ids: DataFrame,
+      newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    require(Option(prior.getProperty("version")).contains(ManifestVersion),
+      s"chunk index at $path has manifest version " +
+        s"${prior.getProperty("version")}; this excisor understands only " +
+        s"$ManifestVersion")
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val priorTomb = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    require(spark.read.parquet(s"$path/chunks").count() == priorRows &&
+      tombstoneCount(spark, path) == priorTomb,
+      s"chunk index at $path does not match its committed manifest — a " +
+        "previous append or excise crashed mid-write; rebuild instead of " +
+        "excising")
+    ids.select(org.apache.spark.sql.functions.col("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    val tombRows = spark.read.parquet(s"$path/tombstones").count()
+    prior.setProperty("source", newSource)
+    prior.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    prior.setProperty("tombRows", tombRows.toString)
+    val out = fs.create(mPath, true)
+    try prior.store(out, "graft CDC chunk-index manifest")
+    finally out.close()
+    true
+  }
+
+  /** Reopen a written index: one lazy parquet scan + manifest params;
+    * pending tombstones ([[excise]]) are baked into the chunks view. */
   def load(spark: SparkSession, path: String): ChunkIndex = {
     val props = new java.util.Properties()
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(mPath)
     try props.load(in) finally in.close()
-    new ChunkIndex(spark.read.parquet(s"$path/chunks"),
-      props.getProperty("maskBits").toInt)
+    val raw = spark.read.parquet(s"$path/chunks")
+    val tombRows = Option(props.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    val served =
+      if (tombRows > 0)
+        raw.join(spark.read.parquet(s"$path/tombstones"), Seq("doc_id"),
+          "left_anti")
+      else raw
+    new ChunkIndex(served, props.getProperty("maskBits").toInt)
   }
 
   /** Append the chunk rows of newly accepted documents under the EXISTING
@@ -117,11 +183,22 @@ object ChunkIndex {
       .getOrElse(Set(prior.getProperty("source", "")))
     if (ledger.contains(newSource)) return false // already applied: no-op
     val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val priorTomb = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
     val currentRows = spark.read.parquet(s"$path/chunks").count()
-    require(currentRows == priorRows,
+    require(currentRows == priorRows && tombstoneCount(spark, path) == priorTomb,
       s"chunk index at $path has $currentRows rows but its manifest " +
-        s"committed $priorRows — a previous append crashed mid-write; " +
-        "rebuild the index instead of appending onto a torn table")
+        s"committed $priorRows — a previous append or excise crashed " +
+        "mid-write; rebuild the index instead of appending onto a torn table")
+    // an appended doc matching a pending tombstone would be served DEAD —
+    // refuse; compact first, then re-ingest (see InvertedIndex.appendTo)
+    if (priorTomb > 0) {
+      val collisions = media.select(org.apache.spark.sql.functions.col("doc_id"))
+        .join(spark.read.parquet(s"$path/tombstones"), Seq("doc_id"), "left_semi")
+        .count()
+      require(collisions == 0,
+        s"$collisions appended doc ids collide with pending tombstones at " +
+          s"$path — compact the index before re-ingesting those ids")
+    }
     val mb = prior.getProperty("maskBits").toInt
     CdcChunking.chunkTable(media, mb)
       .write.mode("append").parquet(s"$path/chunks")
@@ -133,6 +210,8 @@ object ChunkIndex {
       (ledger + newSource).toSeq.sorted.mkString(SourceSep))
     props.setProperty("maskBits", mb.toString)
     props.setProperty("rows", rows.toString)
+    // pending excisions survive an append verbatim
+    props.setProperty("tombRows", priorTomb.toString)
     val out = fs.create(mPath, true)
     try props.store(out, "graft CDC chunk-index manifest")
     finally out.close()
@@ -158,15 +237,25 @@ object ChunkIndex {
         s"${prior.getProperty("version")}; this compactor understands " +
         s"only $ManifestVersion")
     val rows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
-    require(spark.read.parquet(s"$path/chunks").count() == rows,
+    val tombRows = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    require(spark.read.parquet(s"$path/chunks").count() == rows &&
+      tombstoneCount(spark, path) == tombRows,
       s"chunk index at $path does not match its committed manifest — a " +
-        "previous append or compact crashed mid-write; rebuild instead " +
-        "of compacting")
+        "previous append, excise, or compact crashed mid-write; rebuild " +
+        "instead of compacting")
+    val live = spark.read.parquet(s"$path/chunks")
+    val (survivors, expectRows) =
+      if (tombRows == 0) (live, rows)
+      else {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+        val dropped = live.join(tomb, Seq("doc_id"), "left_semi").count()
+        (live.join(tomb, Seq("doc_id"), "left_anti"), rows - dropped)
+      }
     val stagingPath = new org.apache.hadoop.fs.Path(s"$path/chunks-next")
     fs.delete(stagingPath, true)
-    spark.read.parquet(s"$path/chunks").repartition(nFiles)
+    survivors.repartition(nFiles)
       .write.mode("overwrite").parquet(s"$path/chunks-next")
-    require(spark.read.parquet(s"$path/chunks-next").count() == rows,
+    require(spark.read.parquet(s"$path/chunks-next").count() == expectRows,
       s"staged compaction at $path/chunks-next lost rows — refusing the swap")
     val livePath = new org.apache.hadoop.fs.Path(s"$path/chunks")
     val oldPath = new org.apache.hadoop.fs.Path(s"$path/chunks-old")
@@ -175,6 +264,14 @@ object ChunkIndex {
     require(fs.rename(stagingPath, livePath),
       s"could not rename $stagingPath into place")
     fs.delete(oldPath, true)
+    if (tombRows > 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      prior.setProperty("rows", expectRows.toString)
+      prior.setProperty("tombRows", "0")
+      val out = fs.create(mPath, true)
+      try prior.store(out, "graft CDC chunk-index manifest")
+      finally out.close()
+    }
   }
 
   /** Data-file count of a written index's chunks table — the observable

@@ -68,6 +68,7 @@ final class PqIndex private (
     props.setProperty("m", m.toString)
     props.setProperty("ksub", ksub.toString)
     props.setProperty("rows", rows.toString)
+    props.setProperty("tombRows", "0")
     props.setProperty("codebookSha", PqIndex.codebookSha(codebook))
     // build-time staleness baselines (appends preserve both verbatim):
     // quantization error of the frozen codebook on a bounded sample of
@@ -77,6 +78,9 @@ final class PqIndex private (
     props.setProperty("buildRows", rows.toString)
     val mPath = PqIndex.manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a rebuild at a path that previously carried pending excisions must
+    // not leave the stale tombstone list beside the fresh table
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     val out = fs.create(mPath, true)
     try props.store(out, "graft PQ index manifest")
     finally out.close()
@@ -226,7 +230,12 @@ object PqIndex {
       val valid = field("m").contains(idx.m.toString) &&
         field("ksub").contains(idx.ksub.toString) &&
         field("codebookSha").contains(codebookSha(idx.codebook)) &&
-        field("rows").exists(_.toLong == idx.codes.count())
+        // PHYSICAL row count (the served idx.codes view already excludes
+        // pending tombstones)
+        field("rows").exists(_.toLong ==
+          spark.read.parquet(s"$path/codes").count()) &&
+        field("tombRows").map(_.toLong).getOrElse(0L) ==
+          tombstoneCount(spark, path)
       if (valid) Some(idx) else None
     } catch {
       case scala.util.control.NonFatal(_) => None
@@ -285,11 +294,22 @@ object PqIndex {
     // partial-append guard: refuse when the table no longer matches the
     // last committed manifest (footer-stats recount, not a data scan)
     val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val priorTomb = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
     val currentRows = spark.read.parquet(s"$path/codes").count()
-    require(currentRows == priorRows,
+    require(currentRows == priorRows && tombstoneCount(spark, path) == priorTomb,
       s"index at $path has $currentRows rows but its manifest committed " +
-        s"$priorRows — a previous append crashed mid-write; rebuild the " +
-        "index instead of appending onto a torn table")
+        s"$priorRows — a previous append or excise crashed mid-write; " +
+        "rebuild the index instead of appending onto a torn table")
+    // an appended id matching a pending tombstone would be served DEAD
+    // (see InvertedIndex.appendTo) — refuse; compact first, then re-ingest
+    if (priorTomb > 0) {
+      val collisions = df.select(col(idCol).as("c_id"))
+        .join(spark.read.parquet(s"$path/tombstones"), Seq("c_id"), "left_semi")
+        .count()
+      require(collisions == 0,
+        s"$collisions appended ids collide with pending tombstones at " +
+          s"$path — compact the index before re-ingesting those ids")
+    }
     val idx = load(spark, path)
     df.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", vec_l2norm(col("cv")))
@@ -304,6 +324,8 @@ object PqIndex {
     props.setProperty("m", idx.m.toString)
     props.setProperty("ksub", idx.ksub.toString)
     props.setProperty("rows", rows.toString)
+    // pending excisions survive an append verbatim
+    props.setProperty("tombRows", priorTomb.toString)
     props.setProperty("codebookSha", codebookSha(idx.codebook))
     // staleness baselines are BUILD-time facts — preserved, not refreshed
     Option(prior.getProperty("buildMse"))
@@ -316,13 +338,69 @@ object PqIndex {
     true
   }
 
+  /** Row count of the tombstone list — 0 when the dir does not exist. */
+  private def tombstoneCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").count() else 0L
+  }
+
+  /** EXCISE: remove vectors from a written index — [[IvfIndex.excise]]'s
+    * code-table twin, completing append → compact → DELETE for the PQ
+    * family. Tombstone-then-compact: the excised ids land in a tombstone
+    * list (metadata-sized write) that [[load]] bakes into the codes view
+    * as an anti join, so every ADC scan and re-rank between the excise
+    * and the next [[compact]] already serves only the survivors; the
+    * compact folds the physical drop into its rewrite. IDEMPOTENT via
+    * the applied-sources ledger; torn states refused by recount. `ids`
+    * is a single-column DataFrame named `idCol`. */
+  def excise(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    require(Option(prior.getProperty("version")).contains(ManifestVersion),
+      s"index at $path has manifest version ${prior.getProperty("version")}; " +
+        s"this excisor understands only $ManifestVersion")
+    val ledger = Option(prior.getProperty("appliedSources"))
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val priorRows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
+    val priorTomb = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    require(spark.read.parquet(s"$path/codes").count() == priorRows &&
+      tombstoneCount(spark, path) == priorTomb,
+      s"index at $path does not match its committed manifest — a previous " +
+        "append or excise crashed mid-write; rebuild instead of excising")
+    // tombstones FIRST: a crash after this append is caught by the
+    // recount (tombRows off the committed manifest) and refused as torn
+    ids.select(col(idCol).as("c_id")).write.mode("append")
+      .parquet(s"$path/tombstones")
+    val tombRows = spark.read.parquet(s"$path/tombstones").count()
+    prior.setProperty("source", newSource)
+    prior.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    prior.setProperty("tombRows", tombRows.toString)
+    val out = fs.create(mPath, true)
+    try prior.store(out, "graft PQ index manifest")
+    finally out.close()
+    true
+  }
+
   /** OPTIMIZE: rewrite the fragmented codes table of a written index
     * into `nFiles` files — the [[IvfIndex.compact]] step for the flat
     * (unpartitioned) code stream, whose [[appendTo]] adds one parquet
-    * file per batch. Staged write, recount against the committed
-    * manifest BEFORE the swap, rename swap; the manifest (rows, params,
-    * codebook fingerprint, ledger, staleness baselines) is
-    * layout-invariant and needs no change; torn tables refuse. */
+    * file per batch — AND physically drop any rows tombstoned by
+    * [[excise]]. Staged write, recount against the expected survivor
+    * count BEFORE the swap, rename swap; with no pending tombstones the
+    * manifest is layout-invariant and needs no change, with tombstones
+    * the new physical count + cleared list commit LAST (any crash window
+    * leaves counts off the manifest — refused everywhere); torn tables
+    * refuse. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       nFiles: Int = 1): Unit =
       WriterLease.withLease(spark, path) {
@@ -336,14 +414,25 @@ object PqIndex {
       s"index at $path has manifest version ${prior.getProperty("version")}; " +
         s"this compactor understands only $ManifestVersion")
     val rows = Option(prior.getProperty("rows")).map(_.toLong).getOrElse(-1L)
-    require(spark.read.parquet(s"$path/codes").count() == rows,
+    val tombRows = Option(prior.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    require(spark.read.parquet(s"$path/codes").count() == rows &&
+      tombstoneCount(spark, path) == tombRows,
       s"index at $path does not match its committed manifest — a previous " +
-        "append or compact crashed mid-write; rebuild instead of compacting")
+        "append, excise, or compact crashed mid-write; rebuild instead of " +
+        "compacting")
+    val live = spark.read.parquet(s"$path/codes")
+    val (survivors, expectRows) =
+      if (tombRows == 0) (live, rows)
+      else {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+        val dropped = live.join(tomb, Seq("c_id"), "left_semi").count()
+        (live.join(tomb, Seq("c_id"), "left_anti"), rows - dropped)
+      }
     val stagingPath = new org.apache.hadoop.fs.Path(s"$path/codes-next")
     fs.delete(stagingPath, true)
-    spark.read.parquet(s"$path/codes").repartition(nFiles)
+    survivors.repartition(nFiles)
       .write.mode("overwrite").parquet(s"$path/codes-next")
-    require(spark.read.parquet(s"$path/codes-next").count() == rows,
+    require(spark.read.parquet(s"$path/codes-next").count() == expectRows,
       s"staged compaction at $path/codes-next lost rows — refusing the swap")
     val livePath = new org.apache.hadoop.fs.Path(s"$path/codes")
     val oldPath = new org.apache.hadoop.fs.Path(s"$path/codes-old")
@@ -352,6 +441,14 @@ object PqIndex {
     require(fs.rename(stagingPath, livePath),
       s"could not rename $stagingPath into place")
     fs.delete(oldPath, true)
+    if (tombRows > 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      prior.setProperty("rows", expectRows.toString)
+      prior.setProperty("tombRows", "0")
+      val out = fs.create(mPath, true)
+      try prior.store(out, "graft PQ index manifest")
+      finally out.close()
+    }
   }
 
   /** Data-file count of a written index's codes table — the observable
@@ -476,7 +573,9 @@ object PqIndex {
   /** Reopen a [[PqIndex#write]]ten index: the codes table is a LAZY
     * parquet scan (no persist — at scale the 8-byte-code table is the
     * hot materialization itself) and the codebook comes from the
-    * sidecar. */
+    * sidecar. When excisions await compaction ([[excise]]) the tombstone
+    * anti join is baked into the codes view here, so the ADC scan AND
+    * the exact re-rank both exclude the excised vectors. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
     val cbRows = spark.read.parquet(s"$path/codebook")
       .select("j", "c", "ctr").collect()
@@ -487,7 +586,19 @@ object PqIndex {
     cbRows.foreach { r =>
       cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
-    new PqIndex(spark.read.parquet(s"$path/codes"), cb, m, ksub)
+    val raw = spark.read.parquet(s"$path/codes")
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = new java.util.Properties()
+    val in = fs.open(mPath)
+    try props.load(in) finally in.close()
+    val tombRows = Option(props.getProperty("tombRows")).map(_.toLong).getOrElse(0L)
+    val codes =
+      if (tombRows > 0)
+        raw.join(spark.read.parquet(s"$path/tombstones"), Seq("c_id"),
+          "left_anti")
+      else raw
+    new PqIndex(codes, cb, m, ksub)
   }
 
   /** Train per-subspace codebooks on a bounded hash-ordered sample and

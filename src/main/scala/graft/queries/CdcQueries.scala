@@ -89,11 +89,42 @@ object CdcQueries {
       graft.operators.ChunkIndex.load(spark, path)
     })
 
-  // Pseudo-replay WARM-UP: the build-half/append-half/compact chain pays
-  // three chunking passes cold — overlap it with the replay fan-out (the
+  /** Excision-PLANTED durable chunk index (r17) — the takedown story for
+    * the ingest gate's artifact: built over the full corpus, the
+    * doc_id%3==0 docs' chunk rows tombstoned (NOT compacted — the served
+    * artifact keeps pending tombstones, gating the anti-join view and
+    * the tombRows validation; the physical drop is pinned in
+    * ChunkIndexPersistSpec). A removed document must vanish from overlap
+    * checks too, or it keeps rejecting its own re-crawls forever. */
+  private val chunkExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.ChunkIndex]
+
+  private def chunkExcised(spark: SparkSession,
+      dir: String): graft.operators.ChunkIndex =
+    QueryArtifacts.runOnce(chunkExciseCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/cdc-chunk-index-excised", dir)
+      val baseTag = chunkSourceTag(spark, dir) + "#excise-base"
+      val exciseTag = chunkSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.ChunkIndex.loadIfValid(spark, path, exciseTag).isEmpty) {
+        val takedown = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 3 === 0).select("doc_id")
+        graft.operators.ChunkIndex.build(media(spark, dir), maskBits = 6)
+          .write(path, baseTag)
+        graft.operators.ChunkIndex.excise(spark, path, takedown, exciseTag)
+        val replayed = graft.operators.ChunkIndex.excise(spark, path,
+          takedown, exciseTag)
+        require(!replayed,
+          "replaying an already-applied excise batch must be a ledger no-op")
+      }
+      graft.operators.ChunkIndex.load(spark, path)
+    })
+
+  // Pseudo-replay WARM-UP: the append and excise chains pay several
+  // chunking passes cold — overlap them with the replay fan-out (the
   // manifest reopen is free on a warm tree).
   ReplayOrchestrator.register("warm-chunk-append") { (spark, dir) =>
     chunkAppendedCompacted(spark, dir)
+    chunkExcised(spark, dir)
     java.lang.Boolean.TRUE
   }
 
@@ -179,6 +210,25 @@ object CdcQueries {
             .as("extra_in_file"))
         .withColumn("parity",
           col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
+    // EXCISION parity gate (r17, bm25_excised's chunk twin): the durable
+    // chunk table with the doc_id%3==0 docs tombstoned (not compacted —
+    // the anti-join view is the gated path) must equal the in-session
+    // chunk table over ONLY the survivors row for row — an excised doc's
+    // chunks resurfacing in the ingest gate turns this row red.
+    "cdc_chunks_excised" -> ((spark, dir) => {
+      val cols = Seq("doc_id", "chunk_no", "chunk_start", "chunk_len", "chunk_md5")
+      val mem = chunks(spark, dir).filter(col("doc_id") % 3 =!= 0)
+        .withColumn("in_mem", lit(1))
+      val file = chunkExcised(spark, dir).chunks.withColumn("in_file", lit(1))
+      mem.join(file, cols, "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
     }))
 
   /** Shared chunk-table CTE: positions -> gear values -> windowed-sum hash
@@ -251,6 +301,10 @@ object CdcQueries {
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     // append-then-serve must equal chunk-everything — the pinned parity
     "cdc_chunks_appended" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    // excise-then-serve must equal chunk-only-survivors — pinned parity
+    "cdc_chunks_excised" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin)
 }

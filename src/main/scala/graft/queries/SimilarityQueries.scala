@@ -426,10 +426,41 @@ object SimilarityQueries {
       graft.operators.IvfIndex.load(spark, path)
     })
 
-  // Pseudo-replay WARM-UP: the build+excise chain is a multi-write cold
-  // build like the drift chain — overlap it with the replay fan-out.
+  /** PQ twin of [[excisedServeIndex]]: codes built over the full corpus,
+    * the vec_id%7==0 slice tombstoned (NOT compacted — the served
+    * artifact keeps its pending tombstones, gating the anti-join ADC
+    * path and the tombRows manifest validation); physical drop at
+    * compact is pinned in PqPersistSpec. */
+  private val pqExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.PqIndex]
+
+  private def pqExcisedServeIndex(spark: SparkSession,
+      dir: String): graft.operators.PqIndex =
+    QueryArtifacts.runOnce(pqExciseCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/pq-excised-index", dir)
+      val baseTag = ivfSourceTag(spark, dir) + "#excise-base"
+      val exciseTag = ivfSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.PqIndex.loadIfValid(spark, path, exciseTag).isEmpty) {
+        val emb = Tables.load(spark, dir, "embeddings")
+        val takedown = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+        val idx = graft.operators.PqIndex.build(
+          emb, "vec_id", "embedding", m = 8, ksub = 16)
+        try idx.write(path, baseTag) finally idx.close()
+        graft.operators.PqIndex.excise(spark, path, takedown, "vec_id",
+          exciseTag)
+        val replayed = graft.operators.PqIndex.excise(spark, path,
+          takedown, "vec_id", exciseTag)
+        require(!replayed,
+          "replaying an already-applied excise batch must be a ledger no-op")
+      }
+      graft.operators.PqIndex.load(spark, path)
+    })
+
+  // Pseudo-replay WARM-UP: the build+excise chains are multi-write cold
+  // builds like the drift chain — overlap them with the replay fan-out.
   ReplayOrchestrator.register("warm-ivf-excise") { (spark, dir) =>
     excisedServeIndex(spark, dir)
+    pqExcisedServeIndex(spark, dir)
     java.lang.Boolean.TRUE
   }
 
@@ -591,6 +622,7 @@ object SimilarityQueries {
     appendServeCache.clear() // no persist to release — file-backed
     pqAppendServeCache.clear() // no persist to release — file-backed
     ivfExciseCache.clear() // no persist to release — file-backed
+    pqExciseCache.clear() // no persist to release — file-backed
     refitCache.clear() // no persist to release — file-backed
     releaseTopicCells()
   }
@@ -1081,6 +1113,33 @@ object SimilarityQueries {
       val file = pqAppendedServeIndex(spark, dir)
       val mem = graft.operators.PqIndex
         .withCodebook(emb, "vec_id", "embedding", file.codebook)
+        .topK(q, k = 5, nCandidates = 64)
+        .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
+      val served = file.topK(q, k = 5, nCandidates = 64)
+        .select("q_id", "c_id", "rank").withColumn("in_file", lit(1))
+      mem.join(served, Seq("q_id", "c_id", "rank"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_file").isNull, 1L)), lit(0L))
+            .as("missing_from_file"),
+          coalesce(sum(when(col("in_mem").isNull, 1L)), lit(0L))
+            .as("extra_in_file"))
+        .withColumn("parity",
+          col("missing_from_file") === 0 && col("extra_in_file") === 0)
+    }),
+    // EXCISION parity gate for the CODE table (r17, ann_ivf_excised's PQ
+    // twin): the durable codes with the vec_id%7==0 slice tombstoned
+    // (not yet compacted — the anti-join ADC path is what this row
+    // gates) must reproduce an in-session index ENCODING ONLY THE
+    // SURVIVORS under the same frozen codebook; an excised vector
+    // resurfacing in any shortlist turns the row red.
+    "ann_pq_excised" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val file = pqExcisedServeIndex(spark, dir)
+      val mem = graft.operators.PqIndex
+        .withCodebook(emb.filter(col("vec_id") % 7 =!= 0), "vec_id",
+          "embedding", file.codebook)
         .topK(q, k = 5, nCandidates = 64)
         .select("q_id", "c_id", "rank").withColumn("in_mem", lit(1))
       val served = file.topK(q, k = 5, nCandidates = 64)
@@ -1764,6 +1823,11 @@ object SimilarityQueries {
     // append-then-serve must equal encode-everything under the frozen
     // codebook — the same pinned parity row
     "ann_pq_appended" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_from_file,
+        |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
+    // excise-then-serve must equal encode-only-survivors under the
+    // frozen codebook — the same pinned parity row
+    "ann_pq_excised" ->
       """SELECT CAST(0 AS BIGINT) AS missing_from_file,
         |  CAST(0 AS BIGINT) AS extra_in_file, TRUE AS parity""".stripMargin,
     // streamed admit-and-fold must equal assign-everything under the

@@ -76,6 +76,45 @@ class ChunkIndexPersistSpec extends AnyFunSuite {
     assert(ChunkIndex.appendTo(spark, path, media(arrivals), "day-2"))
   }
 
+  test("excise: tombstoned table == survivors-only chunking; compact drops " +
+      "the rows physically; ledger no-op; collision + torn state refused") {
+    val path = "target/cdc-chunk-excise-test/idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File("target/cdc-chunk-excise-test"))
+    ChunkIndex.build(media(docs)).write(path, source = "base")
+    val takedown = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    assert(ChunkIndex.excise(spark, path, takedown, "takedown-1"))
+    val tombstoned = ChunkIndex.load(spark, path)
+    // the baked anti join serves exactly the survivors-only chunk table
+    // (chunking is per-doc local, so the oracle is a fresh build)
+    val survivors = ChunkIndex.build(media(docs.filter(col("doc_id") % 3 =!= 0)))
+    assert(tableRows(tombstoned) === tableRows(survivors),
+      "tombstoned chunk table diverged from the survivors-only build")
+    // replayed excise no-ops; colliding re-ingest refuses
+    assert(!ChunkIndex.excise(spark, path, takedown, "takedown-1"))
+    val collide = intercept[IllegalArgumentException] {
+      ChunkIndex.appendTo(spark, path,
+        media(docs.filter(col("doc_id") % 3 === 0).limit(1)), "re-ingest")
+    }
+    assert(collide.getMessage.contains("tombstone"))
+    // compaction drops the rows physically and clears the list
+    val physBefore = spark.read.parquet(s"$path/chunks").count()
+    ChunkIndex.compact(spark, path)
+    assert(spark.read.parquet(s"$path/chunks").count() < physBefore)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(tableRows(ChunkIndex.load(spark, path)) === tableRows(survivors),
+      "compacted chunk table diverged from the tombstoned one")
+    assert(ChunkIndex.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(ChunkIndex.loadIfValid(spark, path, "base").isEmpty)
+    // torn tombstone list refuses maintenance and the validated reopen
+    import spark.implicits._
+    Seq(888888L).toDF("doc_id").write.mode("append").parquet(s"$path/tombstones")
+    assert(intercept[IllegalArgumentException] {
+      ChunkIndex.excise(spark, path, takedown, "takedown-2")
+    }.getMessage.contains("manifest"))
+    assert(ChunkIndex.loadIfValid(spark, path, "takedown-1").isEmpty)
+  }
+
   test("compact: file count shrinks to nFiles, chunk table unchanged " +
       "bit-for-bit, ledger intact, torn table refused") {
     val cPath = "target/cdc-chunk-index-test/compact"

@@ -45,6 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // the <=5-row per-query ADC lookup-table broadcast of ann_pq_topk,
       // on both the appended-file and encode-fresh in-session side (r17)
       "ann_pq_appended",
+      // same LUT broadcast on the tombstoned-file / survivors-encode
+      // parity pair (r17 excision gate)
+      "ann_pq_excised",
       // the 8-row frozen-centroid broadcast on both the folded-index and
       // assign-everything parity sides (r17 streaming fold gate)
       "streaming_index_fold_replay",

@@ -140,6 +140,50 @@ class PqPersistSpec extends AnyFunSuite {
     } finally built.close()
   }
 
+  test("excise: tombstoned serve == survivors-only encode; compact drops the " +
+      "rows physically; ledger no-op; collision + torn state refused") {
+    val path = "target/pq-excise-test/index"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File("target/pq-excise-test"))
+    val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    try built.write(path, source = "base") finally built.close()
+    val takedown = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    assert(PqIndex.excise(spark, path, takedown, "vec_id", "takedown-1"))
+    val tombstoned = PqIndex.load(spark, path)
+    // the baked anti join serves exactly what an index encoding only the
+    // survivors under the same frozen codebook would
+    val survivorsIdx = PqIndex.withCodebook(
+      emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+      tombstoned.codebook)
+    assert(topkSet(tombstoned) === topkSet(survivorsIdx),
+      "tombstoned ADC serve diverged from the survivors-only encode")
+    assert(tombstoned.codes
+      .join(takedown.withColumnRenamed("vec_id", "c_id"), Seq("c_id"), "left_semi")
+      .count() === 0, "an excised id surfaced in the served codes view")
+    // replayed excise is a ledger no-op; colliding re-ingest refuses
+    assert(!PqIndex.excise(spark, path, takedown, "vec_id", "takedown-1"))
+    val collide = intercept[IllegalArgumentException] {
+      PqIndex.appendTo(spark, path, emb.filter(col("vec_id") % 7 === 0).limit(1),
+        "vec_id", "embedding", "re-ingest")
+    }
+    assert(collide.getMessage.contains("tombstone"))
+    // compaction drops the rows physically and clears the list
+    val physBefore = spark.read.parquet(s"$path/codes").count()
+    PqIndex.compact(spark, path)
+    assert(spark.read.parquet(s"$path/codes").count() < physBefore)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(topkSet(PqIndex.load(spark, path)) === topkSet(survivorsIdx),
+      "compacted serve diverged from the tombstoned serve")
+    assert(PqIndex.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(PqIndex.loadIfValid(spark, path, "base").isEmpty)
+    // torn tombstone list refuses maintenance and the validated reopen
+    import spark.implicits._
+    Seq(888888L).toDF("c_id").write.mode("append").parquet(s"$path/tombstones")
+    assert(intercept[IllegalArgumentException] {
+      PqIndex.excise(spark, path, takedown, "vec_id", "takedown-2")
+    }.getMessage.contains("manifest"))
+    assert(PqIndex.loadIfValid(spark, path, "takedown-1").isEmpty)
+  }
+
   test("manifest-validated reload runs zero build jobs; wrong source rebuilds") {
     val built = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     try {
