@@ -138,6 +138,12 @@ object CdcQueries {
       () => graft.operators.ChunkIndex.loadIfValid(spark,
           QueryArtifacts.path("target/cdc-chunk-index", dir),
           chunkSourceTag(spark, dir))
+        .map(_.chunks.limit(5).count())),
+    ("chunk_index_excised",
+      () => { chunkExcised(spark, dir); () },
+      () => graft.operators.ChunkIndex.loadIfValid(spark,
+          QueryArtifacts.path("target/cdc-chunk-index-excised", dir),
+          chunkSourceTag(spark, dir) + "#excise-batch")
         .map(_.chunks.limit(5).count())))
 
   val queries: ListMap[String, Q] = ListMap(

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cold-start story a 100 TB deployment actually lives by: a fresh
   * session (or here, a fresh reopen past every session cache) opens
   * EVERY durable artifact the engine maintains — base, appended, excised,
-  * AND drift-refitted lifecycles, 16 reopens — through its validation
+  * AND drift-refitted lifecycles, 18 reopens — through its validation
   * manifest, runs ZERO
   * build/fit/train jobs doing so, and serves one bounded request from
   * each. One row per artifact:
@@ -132,7 +132,9 @@ object ServeAllQueries {
     "serve_everything_cold" ->
       """SELECT * FROM (VALUES
         |  ('bigram_lm', TRUE, TRUE), ('bpe', TRUE, TRUE),
-        |  ('chunk_index', TRUE, TRUE), ('classifier', TRUE, TRUE),
+        |  ('chunk_index', TRUE, TRUE),
+        |  ('chunk_index_excised', TRUE, TRUE),
+        |  ('classifier', TRUE, TRUE),
         |  ('inverted_index', TRUE, TRUE),
         |  ('inverted_index_appended', TRUE, TRUE),
         |  ('inverted_index_excised', TRUE, TRUE),
@@ -140,7 +142,8 @@ object ServeAllQueries {
         |  ('ivf_excised', TRUE, TRUE), ('ivf_refitted', TRUE, TRUE),
         |  ('ivfpq', TRUE, TRUE), ('markov', TRUE, TRUE),
         |  ('markov_appended', TRUE, TRUE),
-        |  ('pq', TRUE, TRUE), ('trigram_lm', TRUE, TRUE))
+        |  ('pq', TRUE, TRUE), ('pq_excised', TRUE, TRUE),
+        |  ('trigram_lm', TRUE, TRUE))
         |  AS t(artifact, zero_build, served)
         |ORDER BY artifact""".stripMargin)
 }

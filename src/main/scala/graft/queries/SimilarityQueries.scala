@@ -150,7 +150,13 @@ object SimilarityQueries {
         () => graft.operators.IvfIndex.loadIfValid(spark,
             QueryArtifacts.path("target/ivf-refit-index", dir),
             tag + "#refit-done")
-          .map(_.topK(q5, k = 5, nprobe = 6).count())))
+          .map(_.topK(q5, k = 5, nprobe = 6).count())),
+      ("pq_excised",
+        () => { pqExcisedServeIndex(spark, dir); () },
+        () => graft.operators.PqIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/pq-excised-index", dir),
+            tag + "#excise-batch")
+          .map(_.topK(q5, k = 5, nCandidates = 64).count())))
   }
 
   /** One PQ index per (session, dir) — build/encode once, every query and

@@ -19,10 +19,10 @@ class ServeAllSpec extends AnyFunSuite {
     val dir = TestSpark.sfDir
     val hs = ServeAllQueries.hooks(spark, dir)
     assert(hs.map(_._1).sorted === Seq("bigram_lm", "bpe", "chunk_index",
-      "classifier", "inverted_index", "inverted_index_appended",
-      "inverted_index_excised", "ivf", "ivf_appended", "ivf_excised",
-      "ivf_refitted", "ivfpq", "markov", "markov_appended", "pq",
-      "trigram_lm"))
+      "chunk_index_excised", "classifier", "inverted_index",
+      "inverted_index_appended", "inverted_index_excised", "ivf",
+      "ivf_appended", "ivf_excised", "ivf_refitted", "ivfpq", "markov",
+      "markov_appended", "pq", "pq_excised", "trigram_lm"))
     hs.foreach(_._2()) // ensure phase: builds are legal here
     // quiesce the replay fan-out other suites may have launched — its
     // bodies fill the same caches and would pollute the job count
