@@ -168,12 +168,19 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName("bench_warmup").start()
       wq.awaitTermination()
-      // bounded grace for the prelaunched fan-out (see above): on a
-      // healthy box the replays finish well inside it; a wedged one
-      // stops blocking here after the bound and fails by name at its own
-      // row via the orchestrator's fail-sticky await accounting
-      graft.queries.ReplayOrchestrator.awaitQuiesce(spark, sfDir,
-        scala.concurrent.duration.Duration(5, "min"))
+      // COMPLETE barrier on the prelaunched fan-out: the measured loop
+      // must never start while any warm-up body is in flight (r17's
+      // fixed 5-min grace was overrun by the grown 26-body fan-out —
+      // warm-serveall alone waits up to 10 min for its siblings before
+      // its reopen phase — and the overrun bled ~25 s of contention
+      // into each of the first measured queries). Warm-up wall time is
+      // unmeasured by design; a genuinely wedged body times out after
+      // the orchestrator's per-body bound and fails by name at its own
+      // row via the fail-sticky await accounting.
+      val wedged = graft.queries.ReplayOrchestrator.awaitFanOut(spark, sfDir)
+      if (wedged.nonEmpty)
+        System.err.println("[bench] WARNING: warm-up bodies timed out " +
+          s"(still running, will fail by name): ${wedged.mkString(", ")}")
     } catch { case _: Throwable => () }
     // min-of-2 per query: a single-shot timing on a shared box is
     // load-skew-prone (r4's driver run showed 5 phantom >2x regressions
@@ -223,6 +230,7 @@ object Bench {
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.TextQueries.clearCaches()
     graft.queries.AnalyticsQueries.clearCaches()
+    graft.queries.RagQueries.clearCaches()
     graft.queries.ServeAllQueries.clearCaches()
     val leaked = spark.sparkContext.getPersistentRDDs.size
     if (leaked != 0)

@@ -6,12 +6,18 @@ import scala.concurrent.duration._
 
 import org.apache.spark.sql.SparkSession
 
-/** Concurrent launcher for the driver-ledger streaming REPLAYS (ingest,
-  * near-dup, drift, topic-drift). Each replay is an independent run-once
-  * Structured Streaming job (own staging dir, checkpoint, sink) whose cold
-  * cost is dominated by micro-batch orchestration, not CPU — run
-  * sequentially they were the largest cold-pass costs in the bench (~26 s
-  * summed on a quiet box). The first `await` for a (session, dir)
+/** Concurrent launcher for the warm-up fan-out: the driver-ledger
+  * streaming REPLAYS (ingest, near-dup, drift, topic-drift, ivf-fold)
+  * plus the pseudo-replay `warm-*` bodies that pre-build each family's
+  * heavy per-session artifacts — 26 registered bodies as of r18,
+  * including multi-write index build chains (`warm-ivf-excise`,
+  * `warm-ivf-refit`, `warm-inv-excise`, …) and the serve-everything
+  * capstone (`warm-serveall`, which itself barriers its 25 siblings
+  * before its counter-fenced reopen phase). Each body is an independent
+  * run-once job whose cold cost is dominated by orchestration, not CPU —
+  * run sequentially they were the largest cold-pass costs in the bench
+  * (~26 s summed for the four streaming replays alone on a quiet box).
+  * The first `await` for a (session, dir)
   * launches EVERY registered replay on daemon threads — exactly once
   * per (session, dir, name), the double-checked runOnce discipline —
   * and barriers on the lot (see [[await]]); every later row then finds
@@ -132,26 +138,27 @@ private[graft] object ReplayOrchestrator {
 
   /** Fire-and-forget fan-out: launch every registered replay for
     * (spark, dir) WITHOUT awaiting any — the bench warm-up hook. Kicked
-    * off there, the replays' micro-batch orchestration overlaps the first
-    * ~30 warm-up queries instead of stalling the first replay-owning row
-    * behind the whole concurrent family; by the time a replay row calls
-    * [[await]], its barrier finds completed (or well-underway) futures.
+    * off there, the 26 bodies' orchestration overlaps the rest of the
+    * one-off warm-up (parquet/shuffle/window/streaming machinery init)
+    * instead of stalling the first replay-owning row behind the whole
+    * concurrent family; the bench then blocks on [[awaitFanOut]] so the
+    * measured loop cannot start while any body is still in flight.
     * Launching is idempotent per (spark, dir, name) — the runOnce
     * discipline in [[launch]] — so a prelaunch followed by await never
     * double-runs a body. */
   def prelaunch(spark: SparkSession, dir: String): Unit =
     registry.keys.foreach(n => launch(spark, dir, n))
 
-  /** Best-effort BOUNDED wait for every launched replay of (spark, dir)
-    * — the bench warm-up's grace period after [[prelaunch]]: returns
-    * when all launched futures completed or the bound elapsed, never
-    * throws and never converts a timeout to fail-sticky (each replay row
-    * keeps its own accounting via [[await]]). Without this, replays
-    * still in flight when the measured loop starts tax whichever queries
-    * run first (r15 measured catalog_scan absorbing +4.6 s of replay
-    * contention in BOTH passes); with it, the concurrent fan-out cost
-    * sits in unmeasured warm-up wall time — the production shape, where
-    * monitors run continuously rather than inside a query. */
+  /** Best-effort BOUNDED wait for every launched replay of (spark, dir):
+    * returns when all launched futures completed or the bound elapsed,
+    * never throws and never converts a timeout to fail-sticky (each
+    * replay row keeps its own accounting via [[await]]). Used by bodies
+    * that must not run concurrently with their SIBLINGS (the
+    * serve-everything capstone's counter fence and [[RagQueries]]'
+    * zero-build fence, via `exclude` where awaiting one's own future
+    * would deadlock). The BENCH warm-up gate is [[awaitFanOut]] — a
+    * bounded quiesce was the r15–r17 gate, and r17's grown fan-out
+    * overran its fixed bound straight into the measured loop. */
   def awaitQuiesce(spark: SparkSession, dir: String,
       bound: Duration, exclude: Option[String] = None): Unit = {
     // `exclude` lets a registered body quiesce its SIBLINGS: awaiting the
@@ -168,6 +175,45 @@ private[graft] object ReplayOrchestrator {
           catch { case _: java.util.concurrent.TimeoutException => () }
         }
       }
+  }
+
+  /** COMPLETE barrier on the launched fan-out for (spark, dir) — the
+    * bench warm-up's gate between [[prelaunch]] and the measured loop.
+    * Unlike [[awaitQuiesce]]'s fixed all-bodies bound (which r17's grown
+    * fan-out overran: `warm-serveall` alone waits up to [[awaitBound]]
+    * for its 25 siblings BEFORE its reopen phase, so its worst case is
+    * structurally larger than any fixed bound sized for the whole
+    * family), this waits for EVERY in-flight body to complete, however
+    * long warm-up takes — warm-up wall time is unmeasured by design, and
+    * a fan-out body still running when the measured loop starts taxes
+    * whichever queries run first (r17's committed artifact: catalog_scan
+    * 0.54 → 25.7 s, dupe_detection 0.58 → 41.1 s of pure contention).
+    *
+    * The hang guard is PER BODY, not global: each not-yet-complete
+    * future gets a fresh [[awaitBound]] measured from when this loop
+    * reaches it (bodies run concurrently, so on a healthy box every
+    * await after the first returns instantly). A body that exhausts its
+    * bound is genuinely wedged — it is marked fail-sticky via
+    * [[markTimedOut]] so its own row fails FAST by name, and this
+    * barrier moves on rather than blocking the bench forever. Returns
+    * the names of bodies that timed out (empty on a healthy run). */
+  def awaitFanOut(spark: SparkSession, dir: String): Seq[String] = {
+    val pending = started.readOnlySnapshot().toSeq
+      .collect { case ((s, d, n), f) if s == spark && d == dir => (n, f) }
+      // await the capstone LAST: its body internally barriers the other
+      // 25, so waiting the siblings out first means the capstone's own
+      // await needs only its reopen-phase time of the budget
+      .sortBy { case (n, _) => n == "warm-serveall" }
+    pending.flatMap { case (n, f) =>
+      if (f.isCompleted) None
+      else {
+        try { Await.ready(f, awaitBound); None }
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            markTimedOut(spark, dir, n).map(_ => n)
+        }
+      }
+    }
   }
 
   /** Bodies whose `started` future was force-replaced by [[markTimedOut]]

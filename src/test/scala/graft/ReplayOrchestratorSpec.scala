@@ -125,6 +125,52 @@ class ReplayOrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  test("awaitFanOut: measured loop cannot begin before the fan-out quiesces") {
+    // the bench's warm-up gate (r18): prelaunch fires every body, then
+    // awaitFanOut must not return while any launched body is in flight —
+    // however long it takes (no fixed all-bodies bound; r17's 5-min
+    // grace was overrun by the grown fan-out and the overrun bled into
+    // the first measured queries). A genuinely wedged body is the one
+    // exception: it times out on its own per-body bound, is returned BY
+    // NAME, and is fail-sticky for its own row.
+    val slowDone = new AtomicBoolean(false)
+    ReplayOrchestrator.register("spec-fan-fast") { (_, _) => "fast" }
+    ReplayOrchestrator.register("spec-fan-slow") { (_, _) =>
+      Thread.sleep(900); slowDone.set(true); "slow"
+    }
+    ReplayOrchestrator.register("spec-fan-wedge") { (_, _) =>
+      Thread.sleep(600000); "never"
+    }
+    val saved = ReplayOrchestrator.awaitBound
+    ReplayOrchestrator.awaitBound = 2.seconds
+    try {
+      val dir = "/spec/fanout-dir"
+      ReplayOrchestrator.prelaunch(spark, dir)
+      val wedged = ReplayOrchestrator.awaitFanOut(spark, dir)
+      // every non-wedged body completed before the gate opened
+      assert(slowDone.get(),
+        "awaitFanOut returned while a launched body was still running")
+      assert(wedged.contains("spec-fan-wedge"),
+        s"the wedged body must be reported by name, got $wedged")
+      assert(!wedged.contains("spec-fan-slow") && !wedged.contains("spec-fan-fast"))
+      // the wedged body is now fail-sticky for its own row (fails fast)
+      val t0 = System.nanoTime()
+      intercept[TimeoutException] {
+        ReplayOrchestrator.await[String](spark, dir, "spec-fan-wedge")
+      }
+      assert((System.nanoTime() - t0) / 1e9 < 1.0,
+        "a fan-out-timed-out body must fail fast at its own row")
+      // a second awaitFanOut finds nothing in flight and returns at once
+      val t1 = System.nanoTime()
+      assert(ReplayOrchestrator.awaitFanOut(spark, dir).isEmpty)
+      assert((System.nanoTime() - t1) / 1e9 < 1.0)
+    } finally {
+      ReplayOrchestrator.awaitBound = saved
+      Seq("spec-fan-fast", "spec-fan-slow", "spec-fan-wedge")
+        .foreach(ReplayOrchestrator.unregisterForTest)
+    }
+  }
+
   test("first touch barriers on the whole fan-out; siblings' failures stay theirs") {
     val siblingDone = new AtomicBoolean(false)
     ReplayOrchestrator.register("spec-bar-a") { (_, _) => "a" }
