@@ -371,7 +371,10 @@ object InvertedIndex {
     * takedown list is resolved against the corpus to delete the rows
     * there too; the batch-derived df/scalar deltas are exact because
     * tokenization is deterministic. IDEMPOTENT via the applied-sources
-    * ledger (a replayed excise tag no-ops, returns false); a torn state
+    * ledger (a replayed excise tag no-ops, returns false), and SAFE
+    * under OVERLAPPING batches: ids already tombstoned by an earlier
+    * excise are anti-joined out before the deltas, so a second takedown
+    * notice naming the same document subtracts nothing twice; a torn state
     * from a crash mid-excise is detected by recount and REFUSED
     * (recovery = rebuild over the surviving corpus). Writer contract as
     * for append: one maintainer at a time, no live readers across the
@@ -405,21 +408,39 @@ object InvertedIndex {
         "of excising")
     val idCol = prior.getProperty("idCol")
     val nBuckets = prior.getProperty("nBuckets").toInt
+    // OVERLAP GUARD: a second takedown batch under a NEW tag may overlap
+    // an earlier one (two notices naming the same document) — ids already
+    // tombstoned must NOT contribute to the df/scalar deltas again, or
+    // nDocs/avgdl and per-term df double-subtract and BM25 silently
+    // corrupts for every survivor until rebuild (and the df>0 filter can
+    // drop terms surviving docs still contain). Anti-join the pending
+    // tombstone list (metadata-sized) out of the batch — and dedupe
+    // within the batch for the same reason — BEFORE computing deltas;
+    // the ledger entry still commits so the tag replays as a no-op. Ids
+    // never in the index at all remain the caller's contract
+    // (`excisedDocs` is corpus rows being removed, and corpus ids are
+    // the index's ids) — verifying membership would cost a corpus-sized
+    // postings scan per takedown.
+    val deduped = excisedDocs.dropDuplicates(idCol)
+    val batch =
+      if (priorTomb == 0L) deduped
+      else deduped.join(spark.read.parquet(s"$path/tombstones"),
+        Seq(idCol), "left_anti")
     // batch deltas under build's exact semantics: dDocs counts EVERY
     // excised row (the idf N), dNl/dSumDl only tokenized rows (avgdl)
     val t = TextAnalysis.tokens(col(textCol))
-    val dl = excisedDocs.select(col(idCol), size(t).cast("long").as("dl"))
+    val dl = batch.select(col(idCol), size(t).cast("long").as("dl"))
     val Array(dDocs, dNl, dSumDl) = dl
       .agg(count(lit(1)).cast("long"), count(col("dl")).cast("long"),
         sum("dl").cast("long"))
       .head().toSeq.map(x => Option(x).fold(0L)(_.asInstanceOf[Long])).toArray
     // tombstones FIRST: a crash after this append is caught by the
     // recount (tombRows off the committed manifest) and refused as torn
-    excisedDocs.select(col(idCol)).write.mode("append")
+    batch.select(col(idCol)).write.mode("append")
       .parquet(s"$path/tombstones")
     // df correction is batch-sized (the excised docs' distinct terms),
     // merged into the vocab-sized sidecar and swapped like appendTo's
-    val deltaDf = excisedDocs.select(col(idCol), explode(t).as("term"))
+    val deltaDf = batch.select(col(idCol), explode(t).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .groupBy("term").agg(count(lit(1)).as("delta"))
     val merged = spark.read.parquet(s"$path/terms").select("term", "df")

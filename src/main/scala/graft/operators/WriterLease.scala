@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Crash recovery is TTL-based: a maintainer that died without releasing
   * leaves its lease behind, and any later maintainer whose clock reads
-  * past the expiry TAKES OVER (delete + re-create). The artifact itself
+  * past the expiry TAKES OVER (delete + re-create). A LIVE maintainer
+  * never reaches that expiry — [[withLease]] renews the stamp every
+  * ttl/4 while its body runs — so takeover selects dead holders, not
+  * merely slow ones. The artifact itself
   * stays safe across that window by the family's manifest-recount
   * discipline — a torn write is refused by counts, not by the lease; the
   * lease only serializes the writers. Readers are unaffected: they
@@ -57,20 +60,94 @@ object WriterLease {
     * taken over. The lease is released on every exit path (the finally),
     * but only if still owned — a takeover by a later maintainer after
     * this one stalls past its own TTL must not have its fresh lease
-    * deleted by the stalled one's release. */
+    * deleted by the stalled one's release.
+    *
+    * RENEWAL: while `body` runs, a daemon thread re-stamps the expiry
+    * every ttl/4 — a maintainer legitimately running past one TTL (a
+    * giant compaction, a stalled shuffle) keeps its lease live instead
+    * of being silently usurped mid-write, so the TTL takeover path fires
+    * only for genuinely dead holders. If renewal ever finds the lease
+    * gone or re-owned anyway (possible only when the whole process
+    * stalled a full TTL between ticks, or a rebuild's [[clear]] fired on
+    * a live maintainer), the straggler fails LOUDLY at completion
+    * instead of pretending its interleaved writes were fenced — and
+    * never deletes the usurper's lease. */
   def withLease[T](spark: SparkSession, path: String,
       ttlMs: Long = DefaultTtlMs, owner: String = defaultOwner)(body: => T): T = {
     val lp = leasePath(path)
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     acquire(fs, lp, owner, ttlMs)
-    try body
-    finally release(fs, lp, owner)
+    val renewer = new Renewer(fs, lp, owner, ttlMs)
+    renewer.start()
+    var bodyCompleted = false
+    try {
+      val r = body
+      bodyCompleted = true
+      r
+    } finally {
+      renewer.shutdown()
+      if (renewer.usurped) {
+        // not ours anymore: never delete the usurper's live lease, and
+        // surface the lapsed guarantee loudly (unless the body is
+        // already failing — don't mask its own cause)
+        if (bodyCompleted)
+          throw new IllegalStateException(
+            s"maintenance lease at $lp was lost mid-operation (holder " +
+              s"$owner stalled past its TTL or the lease was cleared); " +
+              "another maintainer may have interleaved writes — verify " +
+              "the artifact by recount or rebuild it")
+        else
+          System.err.println(s"[writer-lease] WARNING: lease at $lp was " +
+            s"lost mid-operation while the body of $owner was failing")
+      } else release(fs, lp, owner)
+    }
+  }
+
+  /** Daemon renewal loop for a held lease: every ttl/4 re-reads the
+    * lease and, if still owned, rewrites it with a fresh expiry. A
+    * vanished or re-owned lease flips [[usurped]] and stops renewing;
+    * transient read/write failures are retried next tick (the lease
+    * stays valid for a full TTL, so one missed tick is harmless). */
+  private final class Renewer(fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path, owner: String,
+      ttlMs: Long) extends Thread("writer-lease-renewer") {
+    setDaemon(true)
+    @volatile var usurped = false
+    private val stopLatch = new java.util.concurrent.CountDownLatch(1)
+
+    def shutdown(): Unit = {
+      stopLatch.countDown()
+      join(5000)
+    }
+
+    override def run(): Unit = {
+      val interval = math.max(ttlMs / 4, 100L)
+      while (!stopLatch.await(interval,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          if (!fs.exists(lp)) { usurped = true; return }
+          val props = new java.util.Properties()
+          val in = fs.open(lp)
+          try props.load(in) finally in.close()
+          if (!Option(props.getProperty("owner")).contains(owner)) {
+            usurped = true; return
+          }
+          val fresh = new java.util.Properties()
+          fresh.setProperty("owner", owner)
+          fresh.setProperty("expiresAtMs",
+            (System.currentTimeMillis() + ttlMs).toString)
+          val out = fs.create(lp, true)
+          try fresh.store(out, "graft writer lease (renewed)")
+          finally out.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 
   private def acquire(fs: org.apache.hadoop.fs.FileSystem,
       lp: org.apache.hadoop.fs.Path, owner: String, ttlMs: Long): Unit = {
     var attempts = 0
-    while (attempts < 3) {
+    while (attempts < 5) {
       attempts += 1
       try {
         val out = fs.create(lp, false) // fails if the lease exists
@@ -84,31 +161,45 @@ object WriterLease {
         return
       } catch {
         case _: java.io.IOException =>
-          // lease exists (or raced): read it; refuse if live, else usurp
+          // lease exists (or raced): read it; refuse if live, usurp ONLY
+          // on a positively-expired one. A lease missing its owner or a
+          // parseable expiry is a holder caught BETWEEN create and store
+          // (or mid-renewal rewrite) — treating that window as "expired"
+          // (the pre-r18 getOrElse(0L)) let a concurrent acquirer delete
+          // and re-create it, yielding TWO live holders; it is HELD: back
+          // off briefly and retry, then refuse.
           val held = try {
             val props = new java.util.Properties()
             val in = fs.open(lp)
             try props.load(in) finally in.close()
-            Some((Option(props.getProperty("owner")).getOrElse("<unknown>"),
-              Option(props.getProperty("expiresAtMs")).map(_.toLong)
-                .getOrElse(0L)))
+            Some((Option(props.getProperty("owner")),
+              Option(props.getProperty("expiresAtMs"))
+                .flatMap(s => scala.util.Try(s.toLong).toOption)))
           } catch {
             // unreadable/vanished between create and open: retry the loop
             case scala.util.control.NonFatal(_) => None
           }
-          held.foreach { case (holder, expiresAt) =>
-            if (System.currentTimeMillis() <= expiresAt)
-              throw new IllegalStateException(
-                s"maintenance lease for $lp is held by $holder until " +
-                  s"${java.time.Instant.ofEpochMilli(expiresAt)} — one " +
-                  "maintainer at a time; retry after it releases or expires")
-            // expired: crashed maintainer — take the lease over
-            fs.delete(lp, false)
+          held match {
+            case Some((Some(holder), Some(expiresAt))) =>
+              if (System.currentTimeMillis() <= expiresAt)
+                throw new IllegalStateException(
+                  s"maintenance lease for $lp is held by $holder until " +
+                    s"${java.time.Instant.ofEpochMilli(expiresAt)} — one " +
+                    "maintainer at a time; retry after it releases or expires")
+              // expired: crashed maintainer — take the lease over
+              fs.delete(lp, false)
+            case Some(_) =>
+              // incomplete properties: a holder mid-write — HELD, back off
+              Thread.sleep(100)
+            case None => () // unreadable/vanished: retry immediately
           }
       }
     }
     throw new IllegalStateException(
-      s"could not acquire maintenance lease at $lp after $attempts attempts")
+      s"could not acquire maintenance lease at $lp after $attempts attempts " +
+        "— the lease exists but never became readable as owner+expiry; if " +
+        "its holder is dead, rebuild the artifact (write() clears leases) " +
+        "or delete the lease file")
   }
 
   private def release(fs: org.apache.hadoop.fs.FileSystem,

@@ -38,10 +38,20 @@ object StreamingOps {
     * arrive sequentially, honoring the index family's one-appender
     * writer contract):
     *
-    *  - ADMISSION: rows whose id is already served (`servedIds`) are
-    *    dropped by a stream-static LEFT ANTI join — the exact-dedup
-    *    admission rule applied to vectors (a re-crawled vector must not
-    *    duplicate its serving row);
+    *  - ADMISSION: rows whose id is already served are dropped — the
+    *    exact-dedup admission rule applied to vectors (a re-crawled
+    *    vector must not duplicate its serving row). "Already served" is
+    *    checked against BOTH the caller's static `servedIds` snapshot
+    *    (stream-static LEFT ANTI join) AND the ids the INDEX currently
+    *    holds — ids folded by EARLIER micro-batches of this same run are
+    *    not in the snapshot, so a re-crawled id arriving in a later,
+    *    non-verbatim batch would otherwise append twice (the content-tag
+    *    ledger only swallows byte-identical re-deliveries). The index
+    *    side is bounded: the batch's ids broadcast into a LEFT SEMI scan
+    *    of the index's served id column (one column, batch-sized
+    *    output), and the batch anti-joins that small hit set — never a
+    *    shuffle of the index. At warehouse scale, put a bloom filter
+    *    over the index ids in front of this scan;
     *  - IDENTITY: the admitted batch's content tag is an md5 over its
     *    sorted ids (one single-row aggregate — at warehouse scale tag by
     *    the source-file manifest instead), so a VERBATIM re-delivered
@@ -56,8 +66,15 @@ object StreamingOps {
   def foldIntoIvf(spark: SparkSession, indexPath: String,
       servedIds: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String): Boolean = {
-    val admitted = batch.join(servedIds.select(col(idCol)), Seq(idCol),
-      "left_anti")
+    // ids already folded by earlier micro-batches of this run: semi-join
+    // the index's served id column against the (small, broadcast) batch
+    // — the hit set is bounded by the batch size
+    val inIndex = graft.operators.IvfIndex.load(spark, indexPath).cells
+      .select(col("c_id").as(idCol))
+      .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
+    val admitted = batch
+      .join(servedIds.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(inIndex, Seq(idCol), "left_anti")
     val tagRow = admitted.agg(
       md5(concat_ws(",", transform(sort_array(collect_list(col(idCol))),
         x => x.cast("string")))).as("h"),

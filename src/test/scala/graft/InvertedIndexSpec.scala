@@ -245,4 +245,35 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.loadIfValid(spark, path, "takedown-1").isEmpty,
       "a torn tombstone list must refuse the validated reopen")
   }
+
+  test("overlapping excise batches never double-subtract df or corpus stats") {
+    // two takedown notices naming SOME OF THE SAME documents, applied
+    // under different tags (the ledger can't catch this — it's a new
+    // batch): ids already tombstoned must contribute nothing to the
+    // second batch's df/N/avgdl deltas, or BM25 silently corrupts for
+    // every survivor (the pre-r18 failure mode)
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val batch1 = docs.filter(col("doc_id") % 3 === 0)
+    val batch2 = docs.filter(col("doc_id") % 2 === 0) // overlaps at %6==0
+    val survivors = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 =!= 0)
+    val path = "target/test-inverted-index-excise-overlap"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    InvertedIndex.build(docs, "doc_id", "text").write(path, source = "base")
+    assert(InvertedIndex.excise(spark, path, batch1, "text", "notice-1"))
+    assert(InvertedIndex.excise(spark, path, batch2, "text", "notice-2"))
+    val served = InvertedIndex.load(spark, path)
+    val freshIdx = InvertedIndex.build(survivors, "doc_id", "text")
+    assert(served.nDocs === freshIdx.nDocs,
+      "overlapped ids double-subtracted the idf N")
+    assert(served.nDl === freshIdx.nDl)
+    assert(served.sumDl === freshIdx.sumDl,
+      "overlapped ids double-subtracted the avgdl numerator")
+    val fused = ranked(TextAnalysis.bm25Rank(survivors, "doc_id", "text", queryTerms))
+    assert(ranked(served.serve(queryTerms)) === fused,
+      "served BM25 diverged from a fresh build over the survivors after " +
+        "overlapping excisions")
+    // and the same parity survives the physical drop
+    InvertedIndex.compact(spark, path)
+    assert(ranked(InvertedIndex.load(spark, path).serve(queryTerms)) === fused)
+  }
 }

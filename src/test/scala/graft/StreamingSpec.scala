@@ -863,6 +863,21 @@ class StreamingSpec extends AnyFunSuite {
     // the ledger or the table
     assert(!StreamingOps.foldIntoIvf(spark, idxPath, servedIds,
       basePop.select("vec_id", "embedding").limit(3), "vec_id", "embedding"))
+    // NON-VERBATIM duplicate guard (r18): a re-crawled id arriving in a
+    // LATER batch mixed with genuinely new rows — it is in the index
+    // (folded by an earlier batch of this run) but NOT in the caller's
+    // static servedIds snapshot, and the mixed batch's content tag is
+    // new, so neither the snapshot anti-join nor the ledger caught it
+    // pre-r18; admission must drop it against the index's own ids while
+    // folding the new rows exactly once
+    val newRows = slice.limit(2)
+      .withColumn("vec_id", col("vec_id") + 9000000L)
+    val mixed = slice.limit(3).unionByName(newRows)
+    val before = spark.read.parquet(s"$idxPath/cells").count()
+    assert(StreamingOps.foldIntoIvf(spark, idxPath, servedIds, mixed,
+      "vec_id", "embedding"), "the genuinely new rows must fold")
+    assert(spark.read.parquet(s"$idxPath/cells").count() === before + 2,
+      "a re-crawled already-folded id duplicated its serving row")
   }
 
   test("streaming transition monitor pairs across batch boundaries, " +

@@ -93,6 +93,46 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(IvfIndex.appendTo(spark, path, batch, "vec_id", "embedding", "day-1"))
   }
 
+  test("an incomplete (mid-initialization) lease is HELD, never usurped") {
+    // a holder between create and props.store leaves a lease with no
+    // owner/expiry for a moment; reading that window as "expired 1970"
+    // (the pre-r18 getOrElse(0L)) let a second acquirer delete and
+    // re-create it — two live holders. It must refuse instead.
+    val path = "target/test-lease-init"
+    val lease = new java.io.File(s"$path._LEASE.properties")
+    lease.getParentFile.mkdirs()
+    val out = new java.io.FileOutputStream(lease)
+    try new java.util.Properties().store(out, "mid-initialization")
+    finally out.close()
+    try {
+      val e = intercept[IllegalStateException] {
+        WriterLease.withLease(spark, path) { 1 }
+      }
+      assert(e.getMessage.contains("never became readable"),
+        s"an initializing lease must refuse, not usurp: ${e.getMessage}")
+      assert(leaseExists(path),
+        "the initializing holder's lease must not be deleted")
+    } finally lease.delete()
+  }
+
+  test("a maintainer running past its TTL renews instead of being usurped") {
+    val path = "target/test-lease-renew"
+    // tiny TTL: the body deliberately outlives it several times over;
+    // the renewal thread (every ttl/4) must keep the lease live so a
+    // concurrent second maintainer still refuses by name
+    WriterLease.withLease(spark, path, ttlMs = 400, owner = "slow@host") {
+      Thread.sleep(1200) // 3x the TTL
+      val e = intercept[IllegalStateException] {
+        WriterLease.withLease(spark, path, owner = "fast@host") { 1 }
+      }
+      assert(e.getMessage.contains("slow@host"),
+        "a renewed lease must still refuse a second maintainer by name, " +
+          s"got: ${e.getMessage}")
+      42
+    }
+    assert(!leaseExists(path), "the straggler still releases cleanly")
+  }
+
   test("rebuild (write) clears a dead maintainer's lease — recovery does " +
       "not wait out the TTL") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
