@@ -39,7 +39,7 @@ object SparkEntry {
     ReferenceQueries.queries ++ AnalyticsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ SqlSurfaceQueries.queries ++ PipelineQueries.queries ++
-      CdcQueries.queries ++ ServeAllQueries.queries
+      CdcQueries.queries ++ RagQueries.queries ++ ServeAllQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +47,5 @@ object SparkEntry {
     ReferenceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      CdcQueries.oracleSql ++ ServeAllQueries.oracleSql
+      CdcQueries.oracleSql ++ RagQueries.oracleSql ++ ServeAllQueries.oracleSql
 }

@@ -54,6 +54,7 @@ object Verify {
     graft.queries.PipelineQueries.clearCaches()
     graft.queries.TextQueries.clearCaches()
     graft.queries.AnalyticsQueries.clearCaches()
+    graft.queries.RagQueries.clearCaches()
     graft.queries.ServeAllQueries.clearCaches()
     spark.stop()
   }

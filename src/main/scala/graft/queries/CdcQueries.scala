@@ -47,7 +47,14 @@ object CdcQueries {
   private val chunkFileCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.operators.ChunkIndex]
 
-  private def chunkPersisted(spark: SparkSession, dir: String): graft.operators.ChunkIndex =
+  /** Durable chunk-index location for a dir — (path, expected source
+    * tag), the reopen coordinates [[RagQueries]]' fresh-load fence shares
+    * with [[chunkPersisted]] and the cold-serve hooks. */
+  private[queries] def chunkLocation(spark: SparkSession,
+      dir: String): (String, String) =
+    (QueryArtifacts.path("target/cdc-chunk-index", dir), chunkSourceTag(spark, dir))
+
+  private[queries] def chunkPersisted(spark: SparkSession, dir: String): graft.operators.ChunkIndex =
     QueryArtifacts.runOnce(chunkFileCache, (spark, dir))({
       val path = QueryArtifacts.path("target/cdc-chunk-index", dir)
       val tag = chunkSourceTag(spark, dir)
@@ -103,13 +110,16 @@ object CdcQueries {
       dir: String): graft.operators.ChunkIndex =
     QueryArtifacts.runOnce(chunkExciseCache, (spark, dir))({
       val path = QueryArtifacts.path("target/cdc-chunk-index-excised", dir)
-      val baseTag = chunkSourceTag(spark, dir) + "#excise-base"
       val exciseTag = chunkSourceTag(spark, dir) + "#excise-batch"
       if (graft.operators.ChunkIndex.loadIfValid(spark, path, exciseTag).isEmpty) {
         val takedown = Tables.load(spark, dir, "documents")
           .filter(col("doc_id") % 3 === 0).select("doc_id")
-        graft.operators.ChunkIndex.build(media(spark, dir), maskBits = 6)
-          .write(path, baseTag)
+        // the pre-takedown state IS the persisted full-corpus chunk
+        // index (same maskBits) — clone its completed artifact instead
+        // of re-running the Gear chunking pass (r18, ensure-phase dedup)
+        chunkPersisted(spark, dir)
+        QueryArtifacts.cloneArtifact(
+          QueryArtifacts.path("target/cdc-chunk-index", dir), path)
         graft.operators.ChunkIndex.excise(spark, path, takedown, exciseTag)
         val replayed = graft.operators.ChunkIndex.excise(spark, path,
           takedown, exciseTag)
@@ -243,7 +253,7 @@ object CdcQueries {
     * sum reproduces the engine's sequential rolling hash exactly. Corpus
     * text is ASCII (pinned by the fixture), so character positions equal
     * byte positions and `ord` equals the byte value. */
-  private val chunksCte: String =
+  private[queries] val chunksCte: String =
     """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
       |pb AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, text FROM m),
       |pg AS (SELECT doc_id, n, i,

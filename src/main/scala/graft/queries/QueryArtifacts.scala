@@ -80,6 +80,27 @@ private[queries] object QueryArtifacts {
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Clone a COMPLETED durable-artifact directory to a sibling path —
+    * the ensure-phase deduplication for maintenance-lifecycle chains
+    * whose starting state is byte-identical to an artifact another chain
+    * already built (r18: the IVF refit chain starts from the drift
+    * chain's build+append state, the excise chains start from the
+    * persisted full-corpus indexes). A byte copy costs file IO only,
+    * where re-deriving the state re-runs the quantizer fit / tokenize /
+    * assignment scan the sibling already paid; the cloned manifest
+    * travels verbatim (source tag and ledger included), which is safe
+    * because every downstream maintenance op revalidates by recount and
+    * retags on commit. Destination is deleted first, so a torn clone is
+    * re-cloned cleanly on retry, never served (loadIfValid refuses a
+    * half-copied table by recount). Local-FS byte copy — the fixture
+    * artifacts live under target/; at warehouse scale this is the same
+    * pattern via a FileSystem/DistCp copy. */
+  def cloneArtifact(src: String, dst: String): Unit = {
+    val d = new java.io.File(dst)
+    org.apache.commons.io.FileUtils.deleteDirectory(d)
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(src), d)
+  }
+
   /** AT-MOST-ONCE cache fill: `TrieMap.getOrElseUpdate(k, synchronized {
     * body })` only SERIALIZES duplicate evaluations — two concurrent
     * first calls both run `body`, and for a side-effecting body (a

@@ -87,7 +87,14 @@ object SimilarityQueries {
     dir + "#" + md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
-  private def ivfPersisted(spark: SparkSession, dir: String): graft.operators.IvfIndex =
+  /** Durable IVF location for a dir — (path, expected source tag), the
+    * reopen coordinates [[RagQueries]]' fresh-load fence shares with
+    * [[ivfPersisted]] and the cold-serve hooks. */
+  private[queries] def ivfLocation(spark: SparkSession,
+      dir: String): (String, String) =
+    (QueryArtifacts.path("target/ivf-file-index", dir), ivfSourceTag(spark, dir))
+
+  private[queries] def ivfPersisted(spark: SparkSession, dir: String): graft.operators.IvfIndex =
     // the synchronized block (not TrieMap.getOrElseUpdate, whose thunk may
     // run twice under contention) keeps two concurrent first calls from
     // racing overwrite-mode writes to the same path
@@ -274,7 +281,8 @@ object SimilarityQueries {
     * Streaming run over three staged deliveries of the vec_id%5==0
     * slice — the second delivery padded with ALREADY-SERVED vectors the
     * admission anti-join must drop, the third a VERBATIM re-delivery of
-    * the first the content-tag ledger must swallow — each admitted
+    * the first that admission's index-side check (r18) empties before
+    * the content-tag ledger would have swallowed it — each admitted
     * micro-batch folded into a session-salted copy of the base index
     * (built over the %5!=0 rest) via `foreachBatch` +
     * `Trigger.AvailableNow`. Returns the index path; the driver row
@@ -326,8 +334,11 @@ object SimilarityQueries {
 
   /** Drift-REMEDIATED durable IVF index (r17) — the actuation half of
     * the drift story ([[driftIndexPath]] measures; this one acts): the
-    * same half/half drift is planted (quantizer frozen on the odd
-    * vec_ids, even half appended — fracAppended >= 0.5, provably stale),
+    * same half/half drift state (quantizer frozen on the odd vec_ids,
+    * even half appended — fracAppended >= 0.5, provably stale) is CLONED
+    * from [[driftIndexPath]]'s completed artifact (byte-identical by
+    * construction; re-deriving it re-paid the quantizer fit and both
+    * assignment scans every ensure phase),
     * then [[graft.operators.IvfIndex.refitIfStale]] runs the
     * measure → decide → retrain-and-swap loop: the staleness check must
     * FIRE (a refit runs, quantizer refitted over base+appended, ledger
@@ -342,16 +353,17 @@ object SimilarityQueries {
       dir: String): graft.operators.IvfIndex =
     QueryArtifacts.runOnce(refitCache, (spark, dir))({
       val path = QueryArtifacts.path("target/ivf-refit-index", dir)
-      val baseTag = ivfSourceTag(spark, dir) + "#refit-base"
-      val appendTag = ivfSourceTag(spark, dir) + "#refit-append"
       val refitTag = ivfSourceTag(spark, dir) + "#refit-done"
       if (graft.operators.IvfIndex.loadIfValid(spark, path, refitTag).isEmpty) {
-        val emb = Tables.load(spark, dir, "embeddings")
-        val idx = graft.operators.IvfIndex.build(
-          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", nCells = 8)
-        try idx.write(path, baseTag) finally idx.close()
-        graft.operators.IvfIndex.appendTo(spark, path,
-          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", appendTag)
+        // the stale starting state (quantizer frozen on the odd half,
+        // even half appended) is byte-identical to the drift chain's
+        // completed build+append+compact artifact — CLONE it instead of
+        // re-running the quantizer fit and both assignment scans (r18,
+        // ensure-phase dedup); a production refit acts on an EXISTING
+        // index, so starting from the sibling's files is the honest
+        // shape, and staleness (ledger + build-time balance snapshot)
+        // travels with the manifest
+        QueryArtifacts.cloneArtifact(driftIndexPath(spark, dir), path)
         // MEASURE + DECIDE + ACT: the planted drift must trip the bound
         // and trigger exactly one refit
         require(graft.operators.IvfIndex.refitIfStale(spark, path,
@@ -377,10 +389,13 @@ object SimilarityQueries {
   }
 
   /** Serving handle on [[pqDriftIndexPath]]'s appended PQ index — the
-    * [[appendedServeIndex]] pattern for the code table: build at %2==1,
-    * encode+append %2==0 under the frozen codebook, compact, and pin the
-    * REPLAYED-LEDGER no-op before first serve. One load per
-    * (session, dir); serving is the usual code-column ADC scan. */
+    * [[appendedServeIndex]] pattern for the code table. The
+    * build/append/compact chain itself lives in (and is forced by the
+    * call to) [[pqDriftIndexPath]]; this function only PINS the
+    * replayed-ledger no-op before first serve — re-issuing the even
+    * batch's append under its original tag must REFUSE — and loads the
+    * completed artifact. One load per (session, dir); serving is the
+    * usual code-column ADC scan. */
   private val pqAppendServeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.operators.PqIndex]
 
@@ -414,14 +429,18 @@ object SimilarityQueries {
       dir: String): graft.operators.IvfIndex =
     QueryArtifacts.runOnce(ivfExciseCache, (spark, dir))({
       val path = QueryArtifacts.path("target/ivf-excised-index", dir)
-      val baseTag = ivfSourceTag(spark, dir) + "#excise-base"
       val exciseTag = ivfSourceTag(spark, dir) + "#excise-batch"
       if (graft.operators.IvfIndex.loadIfValid(spark, path, exciseTag).isEmpty) {
         val emb = Tables.load(spark, dir, "embeddings")
         val takedown = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
-        val idx = graft.operators.IvfIndex.build(
-          emb, "vec_id", "embedding", nCells = 8)
-        try idx.write(path, baseTag) finally idx.close()
+        // the pre-takedown state IS the persisted full-corpus index
+        // (same build params) — clone its completed artifact instead of
+        // re-running the quantizer fit + assignment scan (r18,
+        // ensure-phase dedup); a takedown acts on the live serving
+        // index, so starting from its files is the production shape
+        ivfPersisted(spark, dir)
+        QueryArtifacts.cloneArtifact(
+          QueryArtifacts.path("target/ivf-file-index", dir), path)
         graft.operators.IvfIndex.excise(spark, path, takedown, "vec_id",
           exciseTag)
         val replayed = graft.operators.IvfIndex.excise(spark, path,
@@ -469,6 +488,92 @@ object SimilarityQueries {
     pqExcisedServeIndex(spark, dir)
     java.lang.Boolean.TRUE
   }
+
+  /** Writer-fencing lifecycle verdicts (r18): the maintenance-op
+    * concurrency contract driven at the driver surface, not just in
+    * WriterLeaseSpec — a dedicated tiny durable IVF index (session-rooted
+    * delete-and-rewrite, the runReplay discipline; it must never share a
+    * lease slot with the served artifacts) exercises the three lease
+    * states a production maintainer meets:
+    *
+    *  1. LIVE FOREIGN LEASE — another maintainer holds the slot,
+    *     unexpired: appendTo must refuse FAST naming the holder, and the
+    *     refusal must leave the artifact byte-untouched (manifest still
+    *     validates at the pre-append tag);
+    *  2. INITIALIZING LEASE — a holder caught between create and
+    *     props.store (owner/expiry not yet readable): HELD, refused
+    *     after bounded retries, the half-written lease NOT usurped (the
+    *     two-live-holders bug the r18 acquire fix closed);
+    *  3. EXPIRED LEASE — a crashed maintainer's leftover: taken over,
+    *     the append applies, and completion releases the slot.
+    *
+    * All verdicts are deterministic booleans (lifecycle literals, the
+    * classifier_persisted pattern) — hash-green at every SF. Computed
+    * once per (session, dir); the work is one tiny build + one tiny
+    * append on <=200 vectors. */
+  private val fenceCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, Boolean)]]
+
+  private def fencingVerdicts(spark: SparkSession,
+      dir: String): Seq[(String, Boolean)] =
+    QueryArtifacts.runOnce(fenceCache, (spark, dir))({
+      val emb = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+      val path = QueryArtifacts.path(
+        QueryArtifacts.sessionRoot(spark) + "/ivf-fence-index", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val leasePath = new org.apache.hadoop.fs.Path(s"$path._LEASE.properties")
+      val fs = leasePath.getFileSystem(spark.sessionState.newHadoopConf())
+      def plant(owner: Option[String], expiresAtMs: Option[Long]): Unit = {
+        val props = new java.util.Properties()
+        owner.foreach(props.setProperty("owner", _))
+        expiresAtMs.foreach(e => props.setProperty("expiresAtMs", e.toString))
+        val out = fs.create(leasePath, true)
+        try props.store(out, "planted by index_writer_fencing")
+        finally out.close()
+      }
+      val idx = graft.operators.IvfIndex.build(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", nCells = 2)
+      try idx.write(path, "fence-base") finally idx.close()
+      val batch = emb.filter(col("vec_id") % 2 === 0)
+      // 1. live foreign lease: refuse naming the holder, artifact untouched
+      plant(Some("maintainer-2@otherhost"),
+        Some(System.currentTimeMillis() + 10L * 60 * 1000))
+      val refusal = try {
+        graft.operators.IvfIndex.appendTo(spark, path, batch,
+          "vec_id", "embedding", "fence-day-1")
+        None
+      } catch { case e: IllegalStateException => Some(e.getMessage) }
+      val refusedNamingHolder =
+        refusal.exists(_.contains("maintainer-2@otherhost"))
+      val untouchedAfterRefusal = graft.operators.IvfIndex
+        .loadIfValid(spark, path, "fence-base").isDefined
+      // 2. initializing lease (no readable owner/expiry yet): HELD —
+      // refused after bounded retries and NOT usurped
+      plant(None, None)
+      val initRefused = try {
+        graft.operators.IvfIndex.appendTo(spark, path, batch,
+          "vec_id", "embedding", "fence-day-1")
+        false
+      } catch { case _: IllegalStateException => true }
+      val initLeaseSurvived = fs.exists(leasePath)
+      // 3. expired lease: crashed maintainer — taken over, append applies,
+      // completion releases the slot
+      plant(Some("maintainer-2@otherhost"),
+        Some(System.currentTimeMillis() - 1000))
+      val tookOver = graft.operators.IvfIndex.appendTo(spark, path, batch,
+        "vec_id", "embedding", "fence-day-1")
+      val releasedAfter = !fs.exists(leasePath)
+      val appendedServes = graft.operators.IvfIndex
+        .loadIfValid(spark, path, "fence-day-1").isDefined
+      Seq(
+        ("expired_lease_taken_over", tookOver && appendedServes),
+        ("initializing_lease_held_not_usurped",
+          initRefused && initLeaseSurvived),
+        ("live_lease_refuses_naming_holder", refusedNamingHolder),
+        ("refusal_leaves_artifact_untouched", untouchedAfterRefusal),
+        ("takeover_releases_lease", releasedAfter))
+    })
 
   /** Topic-cluster assignment under a FROZEN SEEDED quantizer (r12):
     * the K centroids are the K corpus vectors with the smallest
@@ -630,6 +735,7 @@ object SimilarityQueries {
     ivfExciseCache.clear() // no persist to release — file-backed
     pqExciseCache.clear() // no persist to release — file-backed
     refitCache.clear() // no persist to release — file-backed
+    fenceCache.clear() // no persist to release — verdict literals
     releaseTopicCells()
   }
 
@@ -1208,7 +1314,12 @@ object SimilarityQueries {
     // driver's correctness gate and bench clock, completing the coverage
     // that ann_ivf_persisted / ann_pq_persisted give each index alone
     // (the durable x durable pairing was previously pinned only in
-    // IvfPqSpec).
+    // IvfPqSpec). COST PROFILE (r18 audit, the r17 watch item): both
+    // index handles are session-cached (runOnce — manifests validate
+    // ONCE, never per pass); the ~1 s warm pass is the composed durable
+    // serve plan itself executing per pass (probed-cells collect + ADC
+    // scan + re-rank) — deliberately uncached, because putting the
+    // 100 TB serving plan on the bench clock is this row's purpose.
     "ann_ivfpq_persisted" -> ((spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
@@ -1326,6 +1437,17 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       recallOf(refittedIndex(spark, dir).topK(q, k = 5, nprobe = 8),
         spark, dir)
+    }),
+    // Writer-fencing gate (r18) — the one-maintainer-at-a-time contract
+    // on the driver's correctness surface (see fencingVerdicts): a live
+    // foreign lease refuses by name leaving the artifact untouched, an
+    // initializing (half-written) lease is HELD rather than usurped, an
+    // expired lease is taken over and released at completion. The engine
+    // computes every verdict genuinely against a real written index; the
+    // oracle states the required fixed point as lifecycle literals.
+    "index_writer_fencing" -> ((spark, dir) => {
+      import spark.implicits._
+      fencingVerdicts(spark, dir).toDF("fence_check", "ok").orderBy("fence_check")
     }),
     // PQ twin of ann_ivf_drift_report: the frozen CODEBOOK's health under
     // post-freeze arrivals — same planted half/half drift, same
@@ -1801,6 +1923,18 @@ object SimilarityQueries {
         |GROUP BY co.vec_id ORDER BY co.vec_id""".stripMargin,
     "ann_ivf_drift_report" -> driftFractionOracle,
     "ann_pq_drift_report" -> driftFractionOracle,
+    // lifecycle literals (the classifier_persisted pattern): the engine
+    // derives each verdict from a real lease-fenced maintenance attempt;
+    // the oracle pins the required concurrency fixed point
+    "index_writer_fencing" ->
+      """SELECT * FROM (VALUES
+        |  ('expired_lease_taken_over', TRUE),
+        |  ('initializing_lease_held_not_usurped', TRUE),
+        |  ('live_lease_refuses_naming_holder', TRUE),
+        |  ('refusal_leaves_artifact_untouched', TRUE),
+        |  ('takeover_releases_lease', TRUE))
+        |  AS t(fence_check, ok)
+        |ORDER BY fence_check""".stripMargin,
     // the refreshed quantizer at full probe is brute force exactly
     "ann_ivf_drift_refit" -> fullRecallOracle,
     "ann_pq_recall" -> fullRecallOracle,

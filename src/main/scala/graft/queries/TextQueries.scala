@@ -1408,14 +1408,18 @@ object TextQueries {
       dir: String): graft.operators.InvertedIndex =
     QueryArtifacts.runOnce(invExciseCache, (spark, dir))({
       val path = QueryArtifacts.path("target/inverted-index-excised", dir)
-      val baseTag = lmSourceTag(spark, dir) + "#excise-base"
       val exciseTag = lmSourceTag(spark, dir) + "#excise-batch"
       if (graft.operators.InvertedIndex.loadIfValid(spark, path, exciseTag).isEmpty) {
         val docs = Tables.load(spark, dir, "documents")
         val takedown = docs.filter(col("doc_id") % 3 === 0)
-        graft.operators.InvertedIndex
-          .build(docs, "doc_id", "text")
-          .write(path, baseTag)
+        // the pre-takedown state IS the persisted full-corpus index —
+        // clone its completed artifact instead of re-tokenizing the
+        // whole corpus a second time (r18, ensure-phase dedup); a
+        // takedown acts on the live serving index, so starting from its
+        // files is the production shape
+        invertedIndexPersisted(spark, dir)
+        QueryArtifacts.cloneArtifact(
+          QueryArtifacts.path("target/inverted-index", dir), path)
         graft.operators.InvertedIndex.excise(spark, path, takedown, "text",
           exciseTag)
         // crashed-job-retry protection, pinned on the driver path: a
@@ -1533,7 +1537,14 @@ object TextQueries {
   private val invFileCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.operators.InvertedIndex]
 
-  private def invertedIndexPersisted(spark: SparkSession,
+  /** Durable inverted-index location for a dir — (path, expected source
+    * tag), the reopen coordinates [[RagQueries]]' fresh-load fence and the
+    * cold-serve hooks share with [[invertedIndexPersisted]]. */
+  private[queries] def invIndexLocation(spark: SparkSession,
+      dir: String): (String, String) =
+    (QueryArtifacts.path("target/inverted-index", dir), lmSourceTag(spark, dir))
+
+  private[queries] def invertedIndexPersisted(spark: SparkSession,
       dir: String): graft.operators.InvertedIndex =
     QueryArtifacts.runOnce(invFileCache, (spark, dir))({
       val path = QueryArtifacts.path("target/inverted-index", dir)
