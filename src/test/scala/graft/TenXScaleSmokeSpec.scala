@@ -829,6 +829,67 @@ class TenXScaleSmokeSpec extends AnyFunSuite {
     info(f"markov 9-day append fold: $tApp%.1fs total")
   }
 
+  test("inverted-index excise -> compact lifecycle holds at 10x: survivor " +
+      "parity, batch-bounded tombstones, ~linear excise wall-time", SlowTest) {
+    // The r17 DELETE chapter at scale (r18 ask): the same per-copy
+    // takedown (base doc_id % 3 == 0 in every copy) excised from a 10x
+    // index must leave (a) a tombstone table EXACTLY the excised batch's
+    // size — the metadata-sized-write contract; a corpus-sized tombstone
+    // table is the scale bug this pins — (b) a tombstoned serve that
+    // equals a FRESH build over the 10x survivors bit-for-bit (stale
+    // df/N/avgdl after a 10x excise is the silent-corruption mode), and
+    // (c) the same result after the physical drop at compact. Excise
+    // wall-time must stay ~linear: its costs are the recount, the
+    // batch-sized tokenize, and the vocab-sized sidecar swap — all
+    // linear in corpus size, nothing quadratic.
+    import graft.operators.InvertedIndex
+    def baseId = pmod(col("doc_id"), lit(1000000L))
+    def takedownOf(df: DataFrame) = df.filter(pmod(baseId, lit(3)) === 0)
+    def survivorsOf(df: DataFrame) = df.filter(pmod(baseId, lit(3)) =!= 0)
+    def exciseRun(docs: DataFrame, path: String): (Long, Double) = {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      InvertedIndex.build(docs, "doc_id", "text").write(path, "base")
+      val (_, t) = timed(
+        InvertedIndex.excise(spark, path, takedownOf(docs), "text", "takedown-1"))
+      (spark.read.parquet(s"$path/tombstones").count(), t)
+    }
+    exciseRun(copyDf(0), "target/test-tenx-inv-excise-warm") // JIT warmup
+    val (tomb1, t1) = exciseRun(copyDf(0), "target/test-tenx-inv-excise-1x")
+    val path10 = "target/test-tenx-inv-excise-10x"
+    val (tomb10, t10) = exciseRun(saltedCorpus, path10)
+    val batch10 = takedownOf(saltedCorpus).count()
+    assert(tomb10 === batch10,
+      s"tombstone table ($tomb10 rows) not bounded by the excised batch ($batch10)")
+    assert(tomb10 === copies * tomb1, "takedown did not replicate per copy")
+    // survivor parity BEFORE compaction: the tombstone anti-join plus the
+    // corrected df/N/avgdl must serve exactly a fresh build over the 10x
+    // survivors (same integers -> bit-identical bm25 doubles)
+    val terms3 = Seq("c3_hash", "c3_join", "c3_vector")
+    def served(idx: InvertedIndex): Seq[(Long, Long, Double)] =
+      idx.serve(terms3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val fresh = served(InvertedIndex.build(survivorsOf(saltedCorpus),
+      "doc_id", "text"))
+    assert(fresh.nonEmpty, "fixture degenerate: no survivors match copy-3 terms")
+    val tombstoned = InvertedIndex.load(spark, path10)
+    assert(tombstoned.tombstones.isDefined)
+    assert(served(tombstoned) === fresh,
+      "10x tombstoned serve diverged from a fresh build over the survivors")
+    // ...and the physical drop at compact preserves it exactly
+    InvertedIndex.compact(spark, path10)
+    val compacted = InvertedIndex.load(spark, path10)
+    assert(compacted.tombstones.isEmpty, "compact must clear the tombstones")
+    assert(compacted.postings
+      .join(takedownOf(saltedCorpus).select("doc_id"), Seq("doc_id"), "left_semi")
+      .count() === 0L, "an excised doc's postings survived the 10x compact")
+    assert(served(compacted) === fresh,
+      "10x compacted serve diverged from the tombstoned serve")
+    info(f"excise 1x: $t1%.1fs ($tomb1 tombstones); 10x: $t10%.1fs " +
+      f"($tomb10 tombstones); ratio ${t10 / t1}%.1fx")
+    assert(t10 <= 15 * t1 + 10.0,
+      f"10x excise took ${t10 / t1}%.1fx the 1x wall-time — superlinear excision")
+  }
+
   test("retrieval serve chain (fuzzy-correct -> serve -> RRF -> PRF) holds " +
       "on a 10x vocab with bucket-pruned posting reads", SlowTest) {
     // The serve-side contracts the per-query specs can't see at scale:
