@@ -7,7 +7,7 @@ package graft.queries
   * indexes, drift indexes, z-order layouts) depends on the exact scheme,
   * and a drifted copy would silently fork artifact paths: stale index
   * reuse or duplicate on-disk layouts. */
-private[queries] object QueryArtifacts {
+private[graft] object QueryArtifacts {
   def path(prefix: String, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)

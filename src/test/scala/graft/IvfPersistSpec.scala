@@ -339,4 +339,50 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(IvfIndex.loadIfValid(spark, path, "takedown-1").isEmpty,
       "a torn tombstone list must refuse the validated reopen")
   }
+
+  test("cloneArtifact: the clone is independently maintainable, the ledger " +
+      "travels, and the source stays byte-untouched") {
+    // the r18 ensure-phase dedup contract: lifecycle chains CLONE a
+    // completed sibling artifact instead of re-deriving it, so three
+    // semantics must hold — (a) the clone validates at the source's tag
+    // and serves identically; (b) the SOURCE's ledger travels with the
+    // manifest, so replaying one of the source's applied tags on the
+    // clone is a no-op (tag identity, not path identity); (c) fresh-tag
+    // maintenance applies to the clone ONLY — the source's manifest,
+    // rows, and serving are untouched afterwards
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val src = "target/ivf-clone-src"
+    val dst = "target/ivf-clone-dst"
+    Seq(src, dst).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nCells = 4)
+    try built.write(src, source = "base") finally built.close()
+    graft.queries.QueryArtifacts.cloneArtifact(src, dst)
+    // (a) clone validates at the source tag, zero builds, serves equal
+    val builds = IvfIndex.buildsRun.get()
+    val cloned = IvfIndex.loadIfValid(spark, dst, "base")
+    assert(cloned.isDefined, "clone must validate at the source's tag")
+    assert(IvfIndex.buildsRun.get() === builds)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def served(idx: IvfIndex): Set[(Long, Long)] =
+      idx.topK(q, k = 3, nprobe = 4).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseline = served(IvfIndex.load(spark, src))
+    assert(served(cloned.get) === baseline)
+    // (b) the ledger travels: replaying the source's applied tag no-ops
+    assert(!IvfIndex.appendTo(spark, dst,
+      emb.limit(1), "vec_id", "embedding", "base"),
+      "a tag in the cloned ledger must replay as a no-op")
+    // (c) fresh-tag excise applies to the clone only
+    val takedown = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    assert(IvfIndex.excise(spark, dst, takedown, "vec_id", "clone-takedown"))
+    assert(served(IvfIndex.load(spark, dst)).forall(_._2 % 5 != 0))
+    assert(served(IvfIndex.load(spark, src)) === baseline,
+      "maintenance on the clone leaked into the source artifact")
+    assert(IvfIndex.loadIfValid(spark, src, "base").isDefined,
+      "the source manifest must still validate at its own tag")
+    assert(!new java.io.File(s"$src/tombstones").exists(),
+      "the clone's tombstones landed in the source directory")
+  }
 }
