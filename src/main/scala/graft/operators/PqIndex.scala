@@ -532,6 +532,29 @@ object PqIndex {
       nowMse > mseGrowth * math.max(buildMse, 1e-12) || frac >= appendedFrac)
   }
 
+  /** Drift-triggered codebook re-fit — [[IvfIndex.refitIfStale]]'s PQ
+    * twin, the actuation half of [[staleness]]: MEASURE (one bounded
+    * sample + manifest metadata), DECIDE against the growth/appended
+    * bounds, and [[retrain]]-and-swap ONLY when stale. The no-drift
+    * branch is a ZERO-build no-op (no encode, no fit — counter-fenced by
+    * the caller), so a scheduled maintenance job can call this blindly
+    * on every index it owns. `m`/`ksub` are the REFRESHED codebook's
+    * parameters — a refit is the natural moment to move a half-corpus
+    * bootstrap codebook to the full serving operating point. Returns
+    * true when a refit ran. */
+  def refitIfStale(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Int, ksub: Int, newSource: String, mseGrowth: Double = 2.0,
+      appendedFrac: Double = 0.5, seed: Long = 42L, maxIter: Int = 10,
+      sampleSize: Int = 4096): Boolean = {
+    val rep = staleness(spark, path, mseGrowth, appendedFrac)
+    if (!rep.stale) false
+    else {
+      retrain(spark, path, m, ksub, newSource, seed, maxIter, sampleSize)
+        .close() // loaded handle: close is a no-op, residency is the table
+      true
+    }
+  }
+
   /** Rebuild under a FRESH codebook fitted to everything the table now
     * holds and atomically swap it in — the recovery for a stale index.
     * Staging-dir write (the live table keeps serving reads), delete +

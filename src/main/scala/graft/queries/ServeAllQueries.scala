@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cold-start story a 100 TB deployment actually lives by: a fresh
   * session (or here, a fresh reopen past every session cache) opens
   * EVERY durable artifact the engine maintains — base, appended, excised,
-  * AND drift-refitted lifecycles, 18 reopens — through its validation
+  * AND drift-refitted lifecycles, 19 reopens — through its validation
   * manifest, runs ZERO
   * build/fit/train jobs doing so, and serves one bounded request from
   * each. One row per artifact:
@@ -59,7 +59,7 @@ object ServeAllQueries {
 
   /** The capstone's verdict rows, computed ONCE per (session, dir) — the
     * replay-row discipline: a cold-start check is a per-session event
-    * (reopen + fence + serve across 18 artifacts, ~15 s at sf0.1 on a
+    * (reopen + fence + serve across 19 artifacts, ~15 s at sf0.1 on a
     * quiet box — r17 judge re-bench: 15.4 s total, max 1.85 s per
     * artifact), not a per-pass derivation; every later call reads the
     * verdicts. */
@@ -104,7 +104,7 @@ object ServeAllQueries {
       timed.map(_._1)
     })
 
-  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 18
+  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 19
   // counter-fenced reopens, ~15 s of reopen at sf0.1 on a quiet box —
   // the bench's largest warm-up body) runs under the fan-out after
   // quiescing every SIBLING body — so no concurrent warm-up train can
@@ -150,6 +150,7 @@ object ServeAllQueries {
         |  ('ivfpq', TRUE, TRUE), ('markov', TRUE, TRUE),
         |  ('markov_appended', TRUE, TRUE),
         |  ('pq', TRUE, TRUE), ('pq_excised', TRUE, TRUE),
+        |  ('pq_refitted', TRUE, TRUE),
         |  ('trigram_lm', TRUE, TRUE))
         |  AS t(artifact, zero_build, served)
         |ORDER BY artifact""".stripMargin)

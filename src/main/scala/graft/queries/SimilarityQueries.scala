@@ -163,6 +163,12 @@ object SimilarityQueries {
         () => graft.operators.PqIndex.loadIfValid(spark,
             QueryArtifacts.path("target/pq-excised-index", dir),
             tag + "#excise-batch")
+          .map(_.topK(q5, k = 5, nCandidates = 64).count())),
+      ("pq_refitted",
+        () => { pqRefittedIndex(spark, dir); () },
+        () => graft.operators.PqIndex.loadIfValid(spark,
+            QueryArtifacts.path("target/pq-refit-index", dir),
+            tag + "#pq-refit-done")
           .map(_.topK(q5, k = 5, nCandidates = 64).count())))
   }
 
@@ -381,10 +387,46 @@ object SimilarityQueries {
       graft.operators.IvfIndex.load(spark, path)
     })
 
+  /** Drift-REMEDIATED durable PQ index (r18) — [[refittedIndex]]'s
+    * codebook twin, completing measure → decide → act for the code
+    * table: the stale starting state is CLONED from [[pqDriftIndexPath]]
+    * (codebook frozen on the odd half at the bootstrap ksub=16, even
+    * half encoded+appended under it — fracAppended >= 0.5, provably
+    * stale), then [[graft.operators.PqIndex.refitIfStale]] must FIRE
+    * exactly once — retraining to the full serving operating point
+    * (m=8, ksub=256: same params, corpus, and seed as the in-session
+    * [[pqIndex]], so the refreshed codebook is the proven one) — and the
+    * immediately repeated call must be a ZERO-build no-op (counter
+    * fence). Build-once via the manifest+ledger. */
+  private val pqRefitCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.PqIndex]
+
+  private def pqRefittedIndex(spark: SparkSession,
+      dir: String): graft.operators.PqIndex =
+    QueryArtifacts.runOnce(pqRefitCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/pq-refit-index", dir)
+      val refitTag = ivfSourceTag(spark, dir) + "#pq-refit-done"
+      if (graft.operators.PqIndex.loadIfValid(spark, path, refitTag).isEmpty) {
+        QueryArtifacts.cloneArtifact(pqDriftIndexPath(spark, dir), path)
+        require(graft.operators.PqIndex.refitIfStale(spark, path,
+          m = 8, ksub = 256, refitTag),
+          "the planted half/half drift must trigger a codebook refit")
+        val builds = graft.operators.PqIndex.buildCount
+        require(!graft.operators.PqIndex.refitIfStale(spark, path,
+          m = 8, ksub = 256, refitTag + "#again"),
+          "a just-refitted codebook must not be stale")
+        require(graft.operators.PqIndex.buildCount == builds,
+          "the no-drift branch must run zero build jobs")
+      }
+      graft.operators.PqIndex.load(spark, path)
+    })
+
   // Pseudo-replay WARM-UP: build + append + retrain is the family's
-  // heaviest cold chain — overlap it with the replay fan-out.
+  // heaviest cold chain — overlap it with the replay fan-out (the PQ
+  // refit chain piggybacks: its clone source is pqDriftIndexPath).
   ReplayOrchestrator.register("warm-ivf-refit") { (spark, dir) =>
     refittedIndex(spark, dir)
+    pqRefittedIndex(spark, dir)
     java.lang.Boolean.TRUE
   }
 
@@ -735,6 +777,7 @@ object SimilarityQueries {
     ivfExciseCache.clear() // no persist to release — file-backed
     pqExciseCache.clear() // no persist to release — file-backed
     refitCache.clear() // no persist to release — file-backed
+    pqRefitCache.clear() // no persist to release — file-backed
     fenceCache.clear() // no persist to release — verdict literals
     releaseTopicCells()
   }
@@ -1438,6 +1481,23 @@ object SimilarityQueries {
       recallOf(refittedIndex(spark, dir).topK(q, k = 5, nprobe = 8),
         spark, dir)
     }),
+    // Codebook-drift REMEDIATION gate (r18) — ann_ivf_drift_refit's PQ
+    // twin, closing measure -> decide -> act over the code table: on the
+    // refit-planted index (codebook frozen on half at the bootstrap
+    // ksub, other half encoded+appended, provably stale) refitIfStale
+    // must fire exactly once, the repeated call must be a zero-build
+    // no-op (both pinned inside pqRefittedIndex), and the REFRESHED
+    // index at the serving operating point must achieve full recall@5
+    // vs brute force — the ann_pq_recall gate applied to the post-refit
+    // codebook (exact-vs-exact oracle; a refit that lost a vector,
+    // kept a stale code, or broke the ADC ordering turns this row red).
+    "ann_pq_drift_refit" -> ((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      recallOf(pqRefittedIndex(spark, dir).topK(q, k = 5, nCandidates = 256),
+        spark, dir)
+    }),
     // Writer-fencing gate (r18) — the one-maintainer-at-a-time contract
     // on the driver's correctness surface (see fencingVerdicts): a live
     // foreign lease refuses by name leaving the artifact untouched, an
@@ -1937,6 +1997,9 @@ object SimilarityQueries {
         |ORDER BY fence_check""".stripMargin,
     // the refreshed quantizer at full probe is brute force exactly
     "ann_ivf_drift_refit" -> fullRecallOracle,
+    // the refreshed codebook at the serving operating point is brute
+    // force exactly (ADC top-256 shortlist -> exact re-rank)
+    "ann_pq_drift_refit" -> fullRecallOracle,
     "ann_pq_recall" -> fullRecallOracle,
     "ann_ivfpq_recall" -> fullRecallOracle,
     "ann_pq_persisted" ->

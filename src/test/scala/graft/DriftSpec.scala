@@ -162,6 +162,23 @@ class DriftSpec extends AnyFunSuite {
         newSource = "drift-day"), "retrain dropped the applied ledger")
       assert(PqIndex.loadIfValid(spark, path, "retrain-1").isDefined,
         "retrained manifest failed to validate")
+      // the actuation wrapper (r18, IvfIndex.refitIfStale's PQ twin): a
+      // healthy codebook is a ZERO-BUILD no-op...
+      val builds = PqIndex.buildCount
+      assert(!PqIndex.refitIfStale(spark, path, m = 8, ksub = 16, "refit-noop"),
+        "refitIfStale must not fire on a healthy codebook")
+      assert(PqIndex.buildCount === builds,
+        "the no-drift branch must run zero build jobs")
+      // ...and a re-drifted one fires exactly one refit and resets
+      val drifted2 = emb.filter(col("vec_id") % 2 =!= 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * 20.0f - 5.0f).as("embedding"))
+      assert(PqIndex.appendTo(spark, path, drifted2, "vec_id", "embedding",
+        newSource = "drift-day-2"))
+      assert(PqIndex.refitIfStale(spark, path, m = 8, ksub = 16, "refit-1"),
+        "refitIfStale must fire on the re-drifted codebook")
+      assert(!PqIndex.staleness(spark, path).stale)
+      assert(PqIndex.loadIfValid(spark, path, "refit-1").isDefined)
     } finally built.close()
   }
 }

@@ -42,6 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // same 8-row centroid broadcast; the refreshed quantizer's full
       // probe vs the <=5-row exact-side broadcast scan (r17 refit gate)
       "ann_ivf_drift_refit",
+      "ann_pq_drift_refit",
       // the <=5-row per-query ADC lookup-table broadcast of ann_pq_topk,
       // on both the appended-file and encode-fresh in-session side (r17)
       "ann_pq_appended",
