@@ -422,6 +422,11 @@ object InvertedIndex {
     // the index's ids) — verifying membership would cost a corpus-sized
     // postings scan per takedown.
     val deduped = excisedDocs.dropDuplicates(idCol)
+    // ONE tombstone read, created BEFORE the tombstone append below: its
+    // captured file listing is what every action over `batch` scans, so
+    // the batch can never anti-join against its OWN just-appended ids
+    // (a fresh spark.read.parquet after the append would). Keep it a
+    // single shared val — do not inline per use.
     val batch =
       if (priorTomb == 0L) deduped
       else deduped.join(spark.read.parquet(s"$path/tombstones"),
