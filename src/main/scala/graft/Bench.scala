@@ -168,20 +168,28 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName("bench_warmup").start()
       wq.awaitTermination()
-      // COMPLETE barrier on the prelaunched fan-out: the measured loop
-      // must never start while any warm-up body is in flight (r17's
-      // fixed 5-min grace was overrun by the grown 26-body fan-out —
-      // warm-serveall alone waits up to 10 min for its siblings before
-      // its reopen phase — and the overrun bled ~25 s of contention
-      // into each of the first measured queries). Warm-up wall time is
-      // unmeasured by design; a genuinely wedged body times out after
-      // the orchestrator's per-body bound and fails by name at its own
-      // row via the fail-sticky await accounting.
+    } catch { case _: Throwable => () }
+    // COMPLETE barrier on the prelaunched fan-out: the measured loop
+    // must never start while any warm-up body is in flight (r17's
+    // fixed 5-min grace was overrun by the grown 26-body fan-out —
+    // warm-serveall alone waits up to 10 min for its siblings before
+    // its reopen phase — and the overrun bled ~25 s of contention
+    // into each of the first measured queries). Warm-up wall time is
+    // unmeasured by design; a genuinely wedged body times out after
+    // the orchestrator's per-body bound and fails by name at its own
+    // row via the fail-sticky await accounting. OUTSIDE the warm-up
+    // try above: its catch swallows warm-up hiccups by design, and a
+    // swallowed failure between prelaunch and here must not silently
+    // skip the barrier (that would reproduce the r17 contamination).
+    try {
       val wedged = graft.queries.ReplayOrchestrator.awaitFanOut(spark, sfDir)
       if (wedged.nonEmpty)
         System.err.println("[bench] WARNING: warm-up bodies timed out " +
           s"(still running, will fail by name): ${wedged.mkString(", ")}")
-    } catch { case _: Throwable => () }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: fan-out barrier failed: $t")
+    }
     // min-of-2 per query: a single-shot timing on a shared box is
     // load-skew-prone (r4's driver run showed 5 phantom >2x regressions
     // that two clean A/B re-runs disproved); the min of two back-to-back

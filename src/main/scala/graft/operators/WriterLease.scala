@@ -132,6 +132,23 @@ object WriterLease {
           if (!Option(props.getProperty("owner")).contains(owner)) {
             usurped = true; return
           }
+          // NEVER renew a lease whose stamp has ALREADY lapsed (renewal
+          // outage longer than one TTL): a takeover may be legitimately
+          // in flight, and overwriting it here would reinstate our
+          // ownership ON TOP of the usurper's — two silent holders, the
+          // exact race the fence exists to prevent. Ownership is lost;
+          // fail the straggler loudly instead. While the stamp is live,
+          // the read-then-overwrite below cannot race a takeover: an
+          // acquirer reading an unexpired lease refuses, never deletes.
+          val lapsed = Option(props.getProperty("expiresAtMs"))
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .forall(_ < System.currentTimeMillis())
+          if (lapsed) { usurped = true; return }
+          // re-check AFTER the read: a shutdown (and release) may have
+          // happened while a slow FS call above blocked past the join
+          // bound — writing now would recreate a lease nobody holds,
+          // locking every maintainer out for a full TTL
+          if (stopLatch.getCount == 0) return
           val fresh = new java.util.Properties()
           fresh.setProperty("owner", owner)
           fresh.setProperty("expiresAtMs",

@@ -98,6 +98,14 @@ private[graft] object QueryArtifacts {
   def cloneArtifact(src: String, dst: String): Unit = {
     val d = new java.io.File(dst)
     org.apache.commons.io.FileUtils.deleteDirectory(d)
+    // a rebuild entry point must self-heal a crashed maintainer's leftover
+    // lease at the DESTINATION, exactly as build().write() (which this
+    // clone replaces in the lifecycle chains) does via WriterLease.clear —
+    // the lease is a SIBLING of the artifact dir, so the deleteDirectory
+    // above does not remove it, and without this a killed run would wedge
+    // the chain's first maintenance op for a full TTL
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$dst._LEASE.properties"))
     org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(src), d)
   }
 

@@ -71,8 +71,12 @@ object RagQueries {
       SimilarityQueries.ivfPersisted(spark, dir)
       CdcQueries.chunkPersisted(spark, dir)
       // QUIESCE: the warm-up fan-out's bodies call the same build paths;
-      // a concurrent build must not read as a serve-phase counter bump
-      ReplayOrchestrator.awaitQuiesce(spark, dir, 10.minutes)
+      // a concurrent build must not read as a serve-phase counter bump.
+      // COMPLETE per-body barrier (not a fixed all-bodies bound, which
+      // the grown fan-out can structurally overrun — the r17 bench
+      // lesson); safe here because no fan-out body calls this function,
+      // so there is no self-await to deadlock on.
+      ReplayOrchestrator.awaitFanOut(spark, dir)
       // FENCE + FRESH manifest reopens past every session cache: from
       // here to the MMR collect, zero build/train jobs may run
       val before = buildCounters()

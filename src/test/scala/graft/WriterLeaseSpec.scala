@@ -117,11 +117,13 @@ class WriterLeaseSpec extends AnyFunSuite {
 
   test("a maintainer running past its TTL renews instead of being usurped") {
     val path = "target/test-lease-renew"
-    // tiny TTL: the body deliberately outlives it several times over;
+    // short TTL: the body deliberately outlives it several times over;
     // the renewal thread (every ttl/4) must keep the lease live so a
-    // concurrent second maintainer still refuses by name
-    WriterLease.withLease(spark, path, ttlMs = 400, owner = "slow@host") {
-      Thread.sleep(1200) // 3x the TTL
+    // concurrent second maintainer still refuses by name. 2 s — not a
+    // few hundred ms — so one scheduler/GC stall of a renewal tick on a
+    // loaded box cannot lapse the lease and flake the test.
+    WriterLease.withLease(spark, path, ttlMs = 2000, owner = "slow@host") {
+      Thread.sleep(5000) // 2.5x the TTL
       val e = intercept[IllegalStateException] {
         WriterLease.withLease(spark, path, owner = "fast@host") { 1 }
       }
