@@ -11,7 +11,10 @@ object Bench {
   def summaryJson(results: Iterable[(String, (Double, Double))],
       leaked: Int, sfDir: String, loadAvg: Seq[Double] = Nil,
       reference: Option[(Double, Seq[Double])] = None,
-      reopenMs: Option[Seq[(String, Long)]] = None): String = {
+      reopenMs: Option[Seq[(String, Long)]] = None,
+      warmupBarrier: Option[String] = None,
+      measured: Option[(Seq[Double], Boolean, Long)] = None,
+      leakedRdds: Seq[String] = Nil): String = {
     def best(p: (Double, Double)): Double =
       if (p._1 < 0) p._2 else if (p._2 < 0) p._1 else math.min(p._1, p._2)
     val qs = results.map { case (k, p) => s"\"" + k + "\":" + best(p) }
@@ -29,6 +32,23 @@ object Bench {
     // swung ±40% with co-tenant load, so the artifact carries the
     // contamination evidence itself (empty when /proc/loadavg is absent)
     val load = loadAvg.mkString("[", ",", "]")
+    // barrier outcome: "ok" on a clean fan-out, "wedged:<names>" when
+    // bodies timed out (they fail by name at their own rows) — a
+    // contaminated run is distinguishable from a clean one IN the
+    // artifact, not just on stderr (r18 advice)
+    val barrier = warmupBarrier.map(b =>
+      s""","warmup_barrier":"$b"""").getOrElse("")
+    // the QUIET GATE's verdict: the 1/5/15-min load read immediately
+    // before pass 1 (after the bounded wait-for-quiet), whether the gate
+    // gave up waiting (measured_under_load=true means the headline total
+    // is load-contaminated BY ITS OWN TESTIMONY), and how long it waited.
+    // The driver invokes the bench on a shared box at arbitrary times;
+    // these fields make a red headline self-describing (r18's 339 s at
+    // loadavg 3.09 needed a judge session to adjudicate).
+    val meas = measured.map { case (la, under, waitSec) =>
+      s""","measured_loadavg":${la.mkString("[", ",", "]")}""" +
+        s""","measured_under_load":$under,"quiet_wait_sec":$waitSec"""
+    }.getOrElse("")
     // the PREVIOUS committed run's headline total + its loadavg: totals
     // on this box swing ±40% with co-tenant load, so the artifact
     // carries the comparison point a grader needs to spot contamination
@@ -46,7 +66,14 @@ object Bench {
       s""","serveall_reopen_ms":${ms.map { case (k, v) => s"\"$k\":$v" }
           .mkString("{", ",", "}")}"""
     }.getOrElse("")
-    s"""{"queries":$qs,"passes":$passes,"loadavg":$load$ref$reopen,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
+    // each leaked RDD's descriptor (id + name/site), not just the count:
+    // r18's driver artifact recorded leaked_persists:1 and nothing else —
+    // undiagnosable. Before the headline tail so long names cannot push
+    // the driver-tail contract fields out of the capture window.
+    val leakList = leakedRdds
+      .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    s"""{"queries":$qs,"passes":$passes,"loadavg":$load$barrier$meas$ref$reopen,"leaked_rdds":$leakList,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
   }
 
   /** BENCH_SUMMARY.json resolved against the repo root — the nearest
@@ -69,8 +96,79 @@ object Bench {
   /** 1-min loadavg above which a run's total is considered
     * load-contaminated and must NOT rotate in as the quiet comparison
     * point (observed: a loadavg-3.73 refresh ran 45% over the quiet
-    * total on identical binaries). */
+    * total on identical binaries). The same bound gates the measured
+    * loop itself ([[awaitQuiet]]). */
   private[graft] val QuietLoadBound = 2.0
+
+  /** Bounded wait-for-quiet before the measured loop: poll cadence and
+    * give-up ceiling. 15 min absorbs both our own warm-up's loadavg
+    * decay (~2 min from 5 to 2 at the 1-min time constant) and a typical
+    * co-tenant burst; a box busy longer than that is measured anyway,
+    * flagged `measured_under_load` (the run must not hang forever — the
+    * driver's invocation has its own deadline). */
+  private[graft] val QuietPollMs = 30000L
+  private[graft] val MaxQuietWaitMs = 15L * 60 * 1000
+
+  /** Wait (bounded) until the 1-min loadavg drops to `bound`, so the
+    * measured loop starts quiet BY CONSTRUCTION instead of by hope —
+    * r17 AND r18 committed contaminated headline totals because the
+    * harness measured whenever it was invoked. Returns
+    * (waitedMs, stillUnderLoad); a None read (no /proc/loadavg) exits
+    * immediately as quiet — an unreadable load is not evidence of a
+    * busy box, and the artifact records the empty loadavg. Injected
+    * read/sleep keep this testable without a 15-minute spec. */
+  private[graft] def awaitQuiet(read: () => Option[Double],
+      bound: Double = QuietLoadBound, maxWaitMs: Long = MaxQuietWaitMs,
+      pollMs: Long = QuietPollMs,
+      sleep: Long => Unit = Thread.sleep): (Long, Boolean) = {
+    var waited = 0L
+    var cur = read()
+    while (cur.exists(_ > bound) && waited < maxWaitMs) {
+      val step = math.min(pollMs, maxWaitMs - waited)
+      sleep(step)
+      waited += step
+      cur = read()
+    }
+    (waited, cur.exists(_ > bound))
+  }
+
+  /** Run the warm-up fan-out barrier, RE-AWAITING once on failure and
+    * ABORTING the bench (throwing, so no measured pass can follow) if
+    * the barrier itself fails twice — the prior catch-and-warn fallback
+    * reproduced exactly the contamination the barrier exists to prevent
+    * (a measured loop racing an unquiesced fan-out). Body timeouts are
+    * NOT barrier failures: they return as the wedged-names list and
+    * fail by name at their own rows. No artifact is written on abort —
+    * a zero-total summary could rotate in as the quiet reference. */
+  private[graft] def barrierOrAbort(await: () => Seq[String]): Seq[String] =
+    try await() catch {
+      case t1: Throwable =>
+        System.err.println(
+          s"[bench] fan-out barrier failed ($t1); re-awaiting once")
+        try await() catch {
+          case t2: Throwable =>
+            throw new IllegalStateException(
+              "fan-out barrier failed twice (" + t1 + "; then " + t2 +
+                ") — refusing to measure through an unquiesced warm-up " +
+                "fan-out; fix the barrier failure and re-run the bench",
+              t2)
+        }
+    }
+
+  /** Force-release every persisted RDD that survived the registered
+    * clearCaches() teardowns, returning one descriptor per leak (id +
+    * name or toString) for the artifact's `leaked_rdds` field — r18's
+    * `leaked_persists: 1` was undiagnosable because only the count was
+    * logged, and the leak itself outlived the bench JVM's storage. */
+  private[graft] def drainLeaked(spark: SparkSession): Seq[String] = {
+    val leaked = spark.sparkContext.getPersistentRDDs.toSeq.sortBy(_._1)
+    leaked.map { case (id, rdd) =>
+      val desc = Option(rdd.name).filter(_.nonEmpty).getOrElse(rdd.toString)
+      try rdd.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      s"id=$id $desc"
+    }
+  }
 
   /** Previous committed run's headline (total, loadavg) parsed from a
     * BENCH_SUMMARY.json body — None when malformed OR when the previous
@@ -78,13 +176,16 @@ object Bench {
     * factor (or another table dir) is not a comparable quiet-box
     * reference point and must be omitted, not presented.
     *
-    * LOAD GUARD: a previous run whose 1-min loadavg exceeded
-    * [[QuietLoadBound]] is itself contamination evidence, not a
-    * reference point — its total is refused and the OLDER quiet value it
-    * carried (its own reference_quiet_total fields, quiet by induction:
-    * only quiet totals are ever adopted) is carried forward instead, so
-    * one noisy driver refresh can never rotate the genuine quiet total
-    * out of the artifact chain. */
+    * LOAD GUARD: a previous run whose loadavg exceeded [[QuietLoadBound]]
+    * is itself contamination evidence, not a reference point — its total
+    * is refused and the OLDER quiet value it carried (its own
+    * reference_quiet_total fields, quiet by induction: only quiet totals
+    * are ever adopted) is carried forward instead, so one noisy driver
+    * refresh can never rotate the genuine quiet total out of the
+    * artifact chain. The load judged is `measured_loadavg` (read at the
+    * measured loop's start, present from r19 on) when available, else
+    * the at-launch `loadavg` — the measurement-time figure is the one
+    * the total was actually produced under. */
   private[graft] def referenceFrom(txt: String,
       sfDir: String): Option[(Double, Seq[Double])] = try {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
@@ -95,7 +196,8 @@ object Bench {
         Option(node.get(name)).map { a =>
           (0 until a.size()).map(a.get(_).asDouble()).toSeq
         }
-      val la = arr("loadavg").getOrElse(Seq.empty)
+      val la = arr("measured_loadavg").filter(_.nonEmpty)
+        .orElse(arr("loadavg")).getOrElse(Seq.empty)
       // absent loadavg = UNKNOWN load, not quiet: adopting it would let a
       // run recorded without /proc/loadavg rotate a contaminated total in
       if (la.headOption.exists(_ <= QuietLoadBound)) {
@@ -108,16 +210,19 @@ object Bench {
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** /proc/loadavg (1, 5, 15 min) — empty off-Linux. */
+  private def readLoadAvg(): Seq[Double] = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+  } catch { case scala.util.control.NonFatal(_) => Nil }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // capture BEFORE any Spark work: the 1-minute figure must reflect the
     // co-tenant load the run started under, not our own 32 threads
-    val loadAvg = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        .split("\\s+").take(3).toSeq.map(_.toDouble)
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+    val loadAvg = readLoadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -136,8 +241,8 @@ object Bench {
       // (~17 s charged to whichever replay row ran first in r14, then
       // +4.6 s of contention on the earliest measured queries when left
       // in flight past warm-up in r15's first cut). Launched here they
-      // run concurrently UNDER the rest of the warm-up, and the bounded
-      // quiesce below keeps them off the measured per-query clock — the
+      // run concurrently UNDER the rest of the warm-up, and the complete
+      // barrier below keeps them off the measured per-query clock — the
       // production shape: monitors run continuously, not inside a query.
       // Touching SparkEntry.queries forces the query objects'
       // initializers, which register the replays.
@@ -181,15 +286,26 @@ object Bench {
     // try above: its catch swallows warm-up hiccups by design, and a
     // swallowed failure between prelaunch and here must not silently
     // skip the barrier (that would reproduce the r17 contamination).
-    try {
-      val wedged = graft.queries.ReplayOrchestrator.awaitFanOut(spark, sfDir)
-      if (wedged.nonEmpty)
-        System.err.println("[bench] WARNING: warm-up bodies timed out " +
-          s"(still running, will fail by name): ${wedged.mkString(", ")}")
-    } catch {
-      case t: Throwable =>
-        System.err.println(s"[bench] WARNING: fan-out barrier failed: $t")
-    }
+    // A barrier that itself throws is re-awaited once, then ABORTS the
+    // bench — never warned past (see barrierOrAbort).
+    val wedged = barrierOrAbort(() =>
+      graft.queries.ReplayOrchestrator.awaitFanOut(spark, sfDir))
+    if (wedged.nonEmpty)
+      System.err.println("[bench] WARNING: warm-up bodies timed out " +
+        s"(still running, will fail by name): ${wedged.mkString(", ")}")
+    val warmupBarrier =
+      if (wedged.isEmpty) "ok" else "wedged:" + wedged.mkString(",")
+    // QUIET GATE: the measured loop starts only once the 1-min loadavg
+    // is back under the quiet bound (bounded wait) — the driver invokes
+    // this harness on a shared box at arbitrary times, and r17/r18 both
+    // committed headline totals that were pure co-tenant (or own-warm-up
+    // tail) load. If the bound never clears, measure anyway but flag the
+    // summary `measured_under_load` so a red headline is self-describing.
+    val (waitedMs, underLoad) = awaitQuiet(() => readLoadAvg().headOption)
+    if (waitedMs > 0)
+      System.err.println(f"[bench] quiet gate waited ${waitedMs / 1000}%d s " +
+        s"(measuring under load: $underLoad)")
+    val measuredLoad = readLoadAvg()
     // min-of-2 per query: a single-shot timing on a shared box is
     // load-skew-prone (r4's driver run showed 5 phantom >2x regressions
     // that two clean A/B re-runs disproved); the min of two back-to-back
@@ -240,9 +356,13 @@ object Bench {
     graft.queries.AnalyticsQueries.clearCaches()
     graft.queries.RagQueries.clearCaches()
     graft.queries.ServeAllQueries.clearCaches()
-    val leaked = spark.sparkContext.getPersistentRDDs.size
+    // name + force-unpersist every survivor (diagnosable from the
+    // artifact alone, and the storage is actually released)
+    val leakedRdds = drainLeaked(spark)
+    val leaked = leakedRdds.size
     if (leaked != 0)
-      System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked past clearCaches()")
+      System.err.println(s"[bench] WARNING: $leaked persisted RDDs leaked " +
+        s"past clearCaches() (force-unpersisted): ${leakedRdds.mkString("; ")}")
     // one summary string, used verbatim for stdout and the file artifact
     // (two hand-maintained copies drifted once already); see summaryJson
     // for the artifact contract (failure names, sentinel handling, field
@@ -257,7 +377,8 @@ object Bench {
         summaryPath()), "UTF-8"), sfDir)
     } catch { case scala.util.control.NonFatal(_) => None }
     val summary = summaryJson(results, leaked, sfDir, loadAvg, reference,
-      reopenMs)
+      reopenMs, Some(warmupBarrier),
+      Some((measuredLoad, underLoad, waitedMs / 1000)), leakedRdds)
     println(summary)
     // durable artifact: the driver's BENCH_r{N}.json stores only the
     // stdout TAIL, which truncates the total line and most per-query

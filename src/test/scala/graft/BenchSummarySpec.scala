@@ -140,6 +140,108 @@ class BenchSummarySpec extends AnyFunSuite {
       .contains((58.2, Seq(0.4, 0.5, 0.6))))
   }
 
+  test("quiet-gate fields ride in the artifact; headline still trails them") {
+    val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
+      loadAvg = Seq(4.0, 3.0, 2.0),
+      measured = Some((Seq(1.1, 2.2, 2.9), false, 120L)))
+    assert(s.contains(""""measured_loadavg":[1.1,2.2,2.9]"""), s)
+    assert(s.contains(""""measured_under_load":false"""), s)
+    assert(s.contains(""""quiet_wait_sec":120"""), s)
+    assert(s.indexOf("\"measured_loadavg\":") < s.indexOf("\"metric\":"), s)
+    // a gate that gave up flags the total as contaminated by its own
+    // testimony — the field every adjudication of r17/r18 had to infer
+    val under = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0,
+      sfDir = "d", measured = Some((Seq(3.5, 3.0, 2.0), true, 900L)))
+    assert(under.contains(""""measured_under_load":true"""), under)
+    // absent (a unit-spec call): no fields at all
+    val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
+    assert(!none.contains("measured_under_load"), none)
+  }
+
+  test("warmup barrier outcome rides in the artifact") {
+    val ok = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
+      warmupBarrier = Some("ok"))
+    assert(ok.contains(""""warmup_barrier":"ok""""), ok)
+    val wedged = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0,
+      sfDir = "d", warmupBarrier = Some("wedged:warm-inv,warm-ivf"))
+    assert(wedged.contains(""""warmup_barrier":"wedged:warm-inv,warm-ivf""""),
+      wedged)
+    assert(wedged.indexOf("\"warmup_barrier\":") < wedged.indexOf("\"metric\":"),
+      wedged)
+  }
+
+  test("leaked RDD descriptors ride in the artifact before the headline") {
+    val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 2, sfDir = "d",
+      leakedRdds = Seq("id=42 jaccard-pairs", "id=7 MapPartitionsRDD[7] \"x\""))
+    assert(s.contains(""""leaked_rdds":["id=42 jaccard-pairs","""), s)
+    // embedded quotes must stay escaped — the artifact is parsed JSON
+    assert(s.contains("""MapPartitionsRDD[7] \"x\""""), s)
+    assert(s.indexOf("\"leaked_rdds\":") < s.indexOf("\"metric\":"), s)
+    assert(s.contains(""""leaked_persists":2"""), s)
+    val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
+    assert(none.contains(""""leaked_rdds":[]"""), none)
+  }
+
+  test("awaitQuiet returns immediately on a quiet or unreadable box and " +
+      "bounds its wait on a busy one") {
+    var slept = 0L
+    val sleep = (ms: Long) => { slept += ms; () }
+    // quiet at first read: no wait
+    assert(Bench.awaitQuiet(() => Some(0.5), bound = 2.0,
+      maxWaitMs = 1000, pollMs = 100, sleep = sleep) === ((0L, false)))
+    assert(slept === 0L)
+    // no /proc/loadavg: unknown is not busy — no wait, not under load
+    assert(Bench.awaitQuiet(() => None, bound = 2.0,
+      maxWaitMs = 1000, pollMs = 100, sleep = sleep) === ((0L, false)))
+    // busy then quiet: waits exactly until the read clears
+    val reads = Iterator(5.0, 4.0, 1.5)
+    val (waited, under) = Bench.awaitQuiet(() => Some(reads.next()),
+      bound = 2.0, maxWaitMs = 10000, pollMs = 100, sleep = sleep)
+    assert(waited === 200L && !under)
+    // never quiet: gives up at the ceiling and reports under-load
+    val (gaveUp, still) = Bench.awaitQuiet(() => Some(9.0),
+      bound = 2.0, maxWaitMs = 500, pollMs = 200, sleep = sleep)
+    assert(gaveUp === 500L && still,
+      "the gate must give up at maxWaitMs and flag the load")
+  }
+
+  test("a twice-failing barrier ABORTS the bench instead of measuring through it") {
+    // r18 advice: the catch-and-warn fallback reproduced exactly the
+    // contamination the barrier prevents. One retry is allowed; a second
+    // failure must throw so no measured pass can follow.
+    var calls = 0
+    val boom = () => { calls += 1; throw new RuntimeException(s"fs down $calls") }
+    val e = intercept[IllegalStateException](Bench.barrierOrAbort(boom))
+    assert(calls === 2, "the barrier must be re-awaited exactly once")
+    assert(e.getMessage.contains("refusing to measure"), e.getMessage)
+    // first failure + clean retry: the wedged list passes through
+    var again = 0
+    val flaky = () => {
+      again += 1
+      if (again == 1) throw new RuntimeException("transient")
+      Seq("warm-x")
+    }
+    assert(Bench.barrierOrAbort(flaky) === Seq("warm-x"))
+  }
+
+  test("the quiet-rotation decision prefers the measurement-time loadavg") {
+    // launch loadavg quiet but the MEASURED loadavg noisy (a co-tenant
+    // burst arrived during warm-up, the gate gave up): the total was
+    // produced under load and must be refused as a reference
+    val prev = """{"queries":{"a":1.0},"loadavg":[0.5,0.6,0.7],""" +
+      """"measured_loadavg":[3.4,2.2,1.0],"measured_under_load":true,""" +
+      """"reference_quiet_total":61.0,"reference_loadavg":[0.4,0.4,0.4],""" +
+      """"metric":"total","value":95.0,"unit":"sec","sf":"/x"}"""
+    assert(Bench.referenceFrom(prev, "/x").contains((61.0, Seq(0.4, 0.4, 0.4))))
+    // the mirror: launched noisy, but the gate waited it out — the
+    // measured-quiet total IS a valid reference
+    val waitedOut = """{"queries":{"a":1.0},"loadavg":[4.2,3.0,2.0],""" +
+      """"measured_loadavg":[1.2,2.0,2.1],"measured_under_load":false,""" +
+      """"metric":"total","value":63.0,"unit":"sec","sf":"/x"}"""
+    assert(Bench.referenceFrom(waitedOut, "/x")
+      .contains((63.0, Seq(1.2, 2.0, 2.1))))
+  }
+
   test("reference fields are omitted when the previous run's sf differs") {
     val prev = """{"queries":{"a":1.0},"loadavg":[0.5,0.6,0.7],""" +
       """"metric":"total","value":61.9,"unit":"sec","failed_queries":0,""" +

@@ -51,6 +51,30 @@ class CacheLifecycleSpec extends AnyFunSuite {
       s"persists leaked past clearCaches(): ${(after -- baseline).toSeq.sorted}")
   }
 
+  test("drainLeaked names and force-releases an unregistered persist") {
+    // r18's driver bench recorded leaked_persists:1 with no way to say
+    // WHICH RDD leaked (and the leak outlived teardown). The drain must
+    // return a descriptor carrying the RDD's name and actually unpersist
+    // it. Run after the registered clears so the only strays are planted.
+    DedupQueries.clearCaches()
+    SimilarityQueries.clearCaches()
+    MultimodalQueries.clearCaches()
+    PipelineQueries.clearCaches()
+    TextQueries.clearCaches()
+    val planted = spark.sparkContext.parallelize(1 to 10, 2)
+    planted.setName("planted-unregistered-persist")
+    planted.persist().count()
+    assert(spark.sparkContext.getPersistentRDDs.contains(planted.id))
+    val drained = Bench.drainLeaked(spark)
+    assert(drained.exists(d => d.contains("planted-unregistered-persist") &&
+      d.contains(s"id=${planted.id}")),
+      s"planted leak not named in: $drained")
+    assert(!spark.sparkContext.getPersistentRDDs.contains(planted.id),
+      "drainLeaked must force-unpersist the leak, not just report it")
+    // a clean registry drains to nothing
+    assert(Bench.drainLeaked(spark).isEmpty)
+  }
+
   test("clearCaches is idempotent and caches rebuild after a clear") {
     DedupQueries.clearCaches()
     DedupQueries.clearCaches() // second call must not throw
