@@ -422,15 +422,25 @@ object InvertedIndex {
     // the index's ids) — verifying membership would cost a corpus-sized
     // postings scan per takedown.
     val deduped = excisedDocs.dropDuplicates(idCol)
-    // ONE tombstone read, created BEFORE the tombstone append below: its
-    // captured file listing is what every action over `batch` scans, so
-    // the batch can never anti-join against its OWN just-appended ids
-    // (a fresh spark.read.parquet after the append would). Keep it a
-    // single shared val — do not inline per use.
+    // MATERIALIZED snapshot of the pending tombstones, not a lazy scan:
+    // every action over `batch` (the dl aggregate, the tombstone append,
+    // the df deltas) runs AFTER the append below, and a lazy plan's
+    // captured file listing is only stable while nothing refreshes it
+    // (spark.sql.metadataCacheTTLSeconds, a REFRESH TABLE, a future
+    // listing-cache change). A refreshed listing would make this
+    // anti-join exclude the batch's OWN just-appended ids — deltaDf
+    // goes empty and a manifest with un-decremented df commits
+    // silently. The list is metadata-sized (priorTomb id rows), so
+    // collecting it to a local relation is bounded by construction and
+    // cannot move underneath the plan.
     val batch =
       if (priorTomb == 0L) deduped
-      else deduped.join(spark.read.parquet(s"$path/tombstones"),
-        Seq(idCol), "left_anti")
+      else {
+        val snap = spark.read.parquet(s"$path/tombstones").select(idCol)
+        val pending = spark.createDataFrame(
+          java.util.Arrays.asList(snap.collect(): _*), snap.schema)
+        deduped.join(pending, Seq(idCol), "left_anti")
+      }
     // batch deltas under build's exact semantics: dDocs counts EVERY
     // excised row (the idf N), dNl/dSumDl only tokenized rows (avgdl)
     val t = TextAnalysis.tokens(col(textCol))

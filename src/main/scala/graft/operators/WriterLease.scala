@@ -67,11 +67,14 @@ object WriterLease {
     * giant compaction, a stalled shuffle) keeps its lease live instead
     * of being silently usurped mid-write, so the TTL takeover path fires
     * only for genuinely dead holders. If renewal ever finds the lease
-    * gone or re-owned anyway (possible only when the whole process
-    * stalled a full TTL between ticks, or a rebuild's [[clear]] fired on
-    * a live maintainer), the straggler fails LOUDLY at completion
+    * gone, re-owned, or within a guard margin of lapsing (the process
+    * stalled most of a TTL between ticks, or a rebuild's [[clear]] fired
+    * on a live maintainer), the straggler fails LOUDLY at completion
     * instead of pretending its interleaved writes were fenced — and
-    * never deletes the usurper's lease. */
+    * never deletes the usurper's lease. Each renewal write is verified
+    * by a re-read (owner + per-write stamp), so a takeover that lands
+    * around the overwrite is detected at the tick that raced it, not
+    * silently papered over. */
   def withLease[T](spark: SparkSession, path: String,
       ttlMs: Long = DefaultTtlMs, owner: String = defaultOwner)(body: => T): T = {
     val lp = leasePath(path)
@@ -85,7 +88,7 @@ object WriterLease {
       bodyCompleted = true
       r
     } finally {
-      renewer.shutdown()
+      val terminated = renewer.shutdown()
       if (renewer.usurped) {
         // not ours anymore: never delete the usurper's live lease, and
         // surface the lapsed guarantee loudly (unless the body is
@@ -99,6 +102,18 @@ object WriterLease {
         else
           System.err.println(s"[writer-lease] WARNING: lease at $lp was " +
             s"lost mid-operation while the body of $owner was failing")
+      } else if (!terminated) {
+        // the renewer is still blocked in a slow FS call past the join
+        // bound: deleting the lease NOW could interleave with its
+        // in-flight renewal write, recreating an ownerless lease after
+        // this release — the wedge the shutdown recheck alone cannot
+        // close (it precedes the write non-atomically). Skip the
+        // release: the renewer deletes its own stamp the moment its
+        // write lands (post-write shutdown recheck), and TTL expiry
+        // recovers the worst case of a renewer that never wakes.
+        System.err.println(s"[writer-lease] WARNING: renewer for $lp did " +
+          "not stop within 5 s; skipping release (the renewer deletes " +
+          "its own stamp after shutdown, or the lease expires by TTL)")
       } else release(fs, lp, owner)
     }
   }
@@ -115,13 +130,24 @@ object WriterLease {
     @volatile var usurped = false
     private val stopLatch = new java.util.concurrent.CountDownLatch(1)
 
-    def shutdown(): Unit = {
+    /** Stop the loop and wait (bounded) for the thread to exit. Returns
+      * whether it actually terminated — a false return means a renewal
+      * write may still be in flight, and the caller must NOT release
+      * the lease out from under it (see withLease's finally). */
+    def shutdown(): Boolean = {
       stopLatch.countDown()
       join(5000)
+      !isAlive
     }
 
     override def run(): Unit = {
       val interval = math.max(ttlMs / 4, 100L)
+      // certainty margin: refuse to renew once the stamp is within one
+      // guard of lapsing, not only once it HAS lapsed — a healthy
+      // renewer ticks at ttl/4, so reading a stamp with < ttl/8 left
+      // means this thread already stalled ~5/8 of a TTL past schedule
+      // and a takeover may legally begin before our overwrite lands
+      val guardMs = math.max(ttlMs / 8, 50L)
       while (!stopLatch.await(interval,
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
         try {
@@ -132,30 +158,55 @@ object WriterLease {
           if (!Option(props.getProperty("owner")).contains(owner)) {
             usurped = true; return
           }
-          // NEVER renew a lease whose stamp has ALREADY lapsed (renewal
-          // outage longer than one TTL): a takeover may be legitimately
-          // in flight, and overwriting it here would reinstate our
-          // ownership ON TOP of the usurper's — two silent holders, the
-          // exact race the fence exists to prevent. Ownership is lost;
-          // fail the straggler loudly instead. While the stamp is live,
-          // the read-then-overwrite below cannot race a takeover: an
-          // acquirer reading an unexpired lease refuses, never deletes.
-          val lapsed = Option(props.getProperty("expiresAtMs"))
+          // NEVER renew a lease whose stamp has lapsed — or is within
+          // the guard margin of lapsing. Between this read and the
+          // overwrite below, an expiring stamp lets a legitimate
+          // takeover delete-and-recreate the lease; overwriting it then
+          // would reinstate our ownership ON TOP of the usurper's — two
+          // silent holders, the exact race the fence exists to prevent.
+          // Ownership certainty is gone; fail the straggler loudly.
+          val remaining = Option(props.getProperty("expiresAtMs"))
             .flatMap(s => scala.util.Try(s.toLong).toOption)
-            .forall(_ < System.currentTimeMillis())
-          if (lapsed) { usurped = true; return }
+            .map(_ - System.currentTimeMillis()).getOrElse(-1L)
+          if (remaining < guardMs) { usurped = true; return }
           // re-check AFTER the read: a shutdown (and release) may have
           // happened while a slow FS call above blocked past the join
           // bound — writing now would recreate a lease nobody holds,
           // locking every maintainer out for a full TTL
           if (stopLatch.getCount == 0) return
+          val stamp = java.lang.Long.toHexString(System.nanoTime())
           val fresh = new java.util.Properties()
           fresh.setProperty("owner", owner)
+          fresh.setProperty("stamp", stamp)
           fresh.setProperty("expiresAtMs",
             (System.currentTimeMillis() + ttlMs).toString)
           val out = fs.create(lp, true)
           try fresh.store(out, "graft writer lease (renewed)")
           finally out.close()
+          // VERIFY-READ: if a takeover slid in around our overwrite the
+          // file now carries the usurper's owner (or not our fresh
+          // stamp) — flip usurped and never touch the file again. The
+          // residual blind spot is a takeover create that our own
+          // create overwrote in the same instant (reads back as ours):
+          // narrowed from ~3/4 TTL of stall to the create call's own
+          // duration; the manifest-recount discipline backstops it.
+          val check = new java.util.Properties()
+          val in2 = fs.open(lp)
+          try check.load(in2) finally in2.close()
+          if (!Option(check.getProperty("owner")).contains(owner) ||
+              !Option(check.getProperty("stamp")).contains(stamp)) {
+            usurped = true; return
+          }
+          // shutdown began while the write was in flight: release() may
+          // already have run (and deleted nothing, or been skipped) —
+          // our write just recreated a lease nobody holds. Delete our
+          // own just-verified stamp; the lease is live, so no takeover
+          // can race this delete.
+          if (stopLatch.getCount == 0) {
+            try { fs.delete(lp, false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+            return
+          }
         } catch { case scala.util.control.NonFatal(_) => () }
       }
     }

@@ -135,6 +135,43 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(!leaseExists(path), "the straggler still releases cleanly")
   }
 
+  test("a lease overwritten by a foreign owner mid-body fails the " +
+      "straggler loudly and never deletes the usurper's lease") {
+    // the renewer's read-verify path: a takeover (or an out-of-band
+    // clear+re-acquire) lands while the body runs; the next renewal tick
+    // reads the foreign owner, flips usurped, and withLease must surface
+    // the lapsed fence at completion instead of releasing the usurper's
+    // live lease out from under it
+    val path = "target/test-lease-usurped"
+    WriterLease.clear(spark, path) // leftover from a prior failed run
+    // plant through the Hadoop FS, not a raw FileOutputStream: the lease
+    // was created via fs.create, so the local FS carries a .crc sidecar —
+    // a raw overwrite leaves a stale checksum and every renewal re-read
+    // fails as a (swallowed) ChecksumException instead of seeing the
+    // usurper
+    def plantFs(owner: String, expiresAtMs: Long): Unit = {
+      val lp = new org.apache.hadoop.fs.Path(s"$path._LEASE.properties")
+      val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+      val props = new java.util.Properties()
+      props.setProperty("owner", owner)
+      props.setProperty("expiresAtMs", expiresAtMs.toString)
+      val out = fs.create(lp, true)
+      try props.store(out, "planted") finally out.close()
+    }
+    val e = intercept[IllegalStateException] {
+      WriterLease.withLease(spark, path, ttlMs = 1000,
+          owner = "straggler@host") {
+        Thread.sleep(100)
+        plantFs("usurper@host", System.currentTimeMillis() + 60000)
+        Thread.sleep(1200) // several renewal ticks read the foreign owner
+        1
+      }
+    }
+    assert(e.getMessage.contains("lost mid-operation"), e.getMessage)
+    assert(leaseExists(path), "the usurper's lease must not be deleted")
+    new java.io.File(s"$path._LEASE.properties").delete()
+  }
+
   test("rebuild (write) clears a dead maintainer's lease — recovery does " +
       "not wait out the TTL") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
