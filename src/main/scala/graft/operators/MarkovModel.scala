@@ -176,6 +176,76 @@ object MarkovModel {
   def appendTo(spark: SparkSession, path: String, pairs: DataFrame,
       newSource: String): Boolean =
       WriterLease.withLease(spark, path) {
+    val (_, ledger) = validatedPrior(spark, path, op = "appending")
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val delta = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val merged = spark.read.parquet(s"$path/counts")
+      .unionByName(delta)
+      .groupBy("from_type", "to_type").agg(sum("n").cast("long").as("n"))
+    stageAndSwap(spark, path, merged, ledger + newSource, newSource)
+    true
+  }
+
+  /** EXACT UNLEARNING for the additive-count family — subtract an
+    * excised batch's transition-pair counts from a written model: the
+    * takedown / opt-out twin of [[appendTo]], completing
+    * train → append → EXCISE for the behavioral tier the way
+    * [[InvertedIndex.excise]] completes it for text. The model's
+    * sufficient statistics are additive integer counts over any
+    * entity-disjoint split of the pairs table, so subtracting the
+    * excised entities' pair counts yields EXACTLY the model a fresh
+    * train over the survivors produces — the same argument that makes
+    * the appended model hash against the full-train oracle, inverted;
+    * the `markov_model_excised` driver row hashes that equality at all
+    * three SFs, and unlike the index families no tombstone/compact
+    * phase is needed (the artifact is matrix-sized — the "rewrite" IS
+    * metadata-sized).
+    *
+    * `pairs` must be the excised entities' FULL pairs table under the
+    * same derivation the model was trained from ([[pairs]] over their
+    * events — entity-local, so the split is exact). A batch carrying
+    * transitions the model never saw (an unseen class, or more
+    * occurrences of a class than were trained) is a caller error and
+    * REFUSED — never clamped to zero, which would silently leave the
+    * model off the survivor truth. Classes whose count reaches exactly
+    * zero are dropped, as a fresh survivor train would. Ledger
+    * idempotence (replayed tag no-ops), crash safety (whole-directory
+    * staged swap, manifest last), and the writer lease are
+    * [[appendTo]]'s, via the shared commit. */
+  def exciseFrom(spark: SparkSession, path: String, pairs: DataFrame,
+      newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
+    val (_, ledger) = validatedPrior(spark, path, op = "excising")
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    val delta = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("dn"))
+    val live = spark.read.parquet(s"$path/counts")
+    // subset proof BEFORE any write (both checks are matrix-sized): an
+    // unseen class or an over-subtracted count means the batch was not
+    // part of the trained corpus — unlearning it is undefined
+    val unseen = delta.join(live, Seq("from_type", "to_type"), "left_anti")
+      .count()
+    val merged = live.join(delta, Seq("from_type", "to_type"), "left")
+      .select(col("from_type"), col("to_type"),
+        (col("n") - coalesce(col("dn"), lit(0L))).cast("long").as("n"))
+    val negative = merged.filter(col("n") < 0).count()
+    require(unseen == 0 && negative == 0,
+      s"excise batch is not a subset of the corpus the model at $path " +
+        s"was trained on ($unseen unseen transition classes, $negative " +
+        "over-subtracted) — a count model cannot unlearn data it never " +
+        "learned; rebuild over the survivors instead")
+    stageAndSwap(spark, path, merged.filter(col("n") > 0),
+      ledger + newSource, newSource)
+    true
+  }
+
+  /** Read + validate the live manifest for a maintenance op: version
+    * understood, counts/totals row counts matching the committed
+    * manifest (a torn prior append/excise is REFUSED — rebuild is the
+    * recovery). Returns the manifest and the applied-sources ledger. */
+  private def validatedPrior(spark: SparkSession, path: String,
+      op: String): (java.util.Properties, Set[String]) = {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = new java.util.Properties()
@@ -184,29 +254,37 @@ object MarkovModel {
     def field(k: String) = Option(prior.getProperty(k))
     require(field("version").contains(ManifestVersion),
       s"markov model at $path has manifest version " +
-        s"${field("version").getOrElse("<none>")}; this appender " +
-        s"understands only $ManifestVersion — rebuild instead of appending")
+        s"${field("version").getOrElse("<none>")}; this maintainer " +
+        s"understands only $ManifestVersion — rebuild instead of $op")
     val ledger = field("appliedSources")
       .map(_.split(SourceSep).toSet)
       .getOrElse(Set(prior.getProperty("source", "")))
-    if (ledger.contains(newSource)) return false // already applied: no-op
     require(
       spark.read.parquet(s"$path/counts").count() ==
         field("countRows").map(_.toLong).getOrElse(-1L) &&
         spark.read.parquet(s"$path/totals").count() ==
           field("totalRows").map(_.toLong).getOrElse(-1L),
       s"markov model at $path does not match its committed manifest — " +
-        "a previous append crashed mid-write; rebuild instead of appending")
-    val delta = pairs.groupBy("from_type", "to_type")
-      .agg(count(lit(1)).as("n"))
-    val merged = spark.read.parquet(s"$path/counts")
-      .unionByName(delta)
-      .groupBy("from_type", "to_type").agg(sum("n").cast("long").as("n"))
-    // stage the WHOLE next model beside the live one (see scaladoc)
+        s"a previous append or excise crashed mid-write; rebuild instead of $op")
+    (prior, ledger)
+  }
+
+  /** Stage the WHOLE next model (merged counts, totals re-derived from
+    * the staged counts so the two tables can never disagree, manifest
+    * LAST) beside the live one and swap it in by two directory renames —
+    * the shared crash-safe commit of [[appendTo]] and [[exciseFrom]]
+    * (see appendTo's scaladoc for why the swap must be whole-directory:
+    * a merge can change count VALUES without changing row counts, so
+    * per-table recounts cannot catch a crash that landed one table). */
+  private def stageAndSwap(spark: SparkSession, path: String,
+      mergedCounts: DataFrame, sources: Set[String],
+      newSource: String): Unit = {
+    val fs = manifestPath(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val next = s"$path-next"
     val nextPath = new org.apache.hadoop.fs.Path(next)
-    fs.delete(nextPath, true) // orphan from a crashed prior append
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$next/counts")
+    fs.delete(nextPath, true) // orphan from a crashed prior maintenance
+    mergedCounts.coalesce(1).write.mode("overwrite").parquet(s"$next/counts")
     // totals from the STAGED merged counts — one consistent derivation
     spark.read.parquet(s"$next/counts")
       .groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
@@ -217,7 +295,7 @@ object MarkovModel {
     props.setProperty("version", ManifestVersion)
     props.setProperty("source", newSource)
     props.setProperty("appliedSources",
-      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+      sources.toSeq.sorted.mkString(SourceSep))
     props.setProperty("countRows", countRows.toString)
     props.setProperty("totalRows", totalRows.toString)
     // staged manifest LAST: its presence marks the staged model complete
@@ -232,7 +310,6 @@ object MarkovModel {
     require(fs.rename(nextPath, livePath),
       s"could not rename $nextPath into place")
     fs.delete(oldPath, true)
-    true
   }
 
   /** Reopen a written model ONLY if its manifest proves it complete,

@@ -208,6 +208,38 @@ object AnalyticsQueries {
       graft.operators.MarkovModel.load(spark, path)
     })
 
+  /** Excised-model twin of [[markovAppended]] — EXACT UNLEARNING on one
+    * durable artifact (r19, completing train → append → EXCISE for the
+    * behavioral family): trained on ALL users, then the user_id%3==0
+    * takedown cohort's pairs subtracted by
+    * [[graft.operators.MarkovModel.exciseFrom]]. Counts are additive
+    * over the user-disjoint split, so the excised model must equal a
+    * fresh train over the surviving users EXACTLY — the driver row
+    * hashes that equality — with the replayed-ledger no-op pinned
+    * before first serve (the excised-family discipline). Build-once via
+    * the manifest+ledger: a manifest whose source is the EXCISE tag
+    * proves the whole chain completed; anything else rebuilds it. */
+  private val markovExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.MarkovModel]
+
+  private def markovExcised(spark: SparkSession,
+      dir: String): graft.operators.MarkovModel =
+    QueryArtifacts.runOnce(markovExciseCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/markov-model-excised", dir)
+      val baseTag = eventsSourceTag(spark, dir) + "#excise-base"
+      val exciseTag = eventsSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.MarkovModel.loadIfValid(spark, path, exciseTag).isEmpty) {
+        val pairs = transitionPairs(spark, dir)
+        graft.operators.MarkovModel.train(pairs).write(path, baseTag)
+        val takedown = pairs.filter(col("user_id") % 3 === 0)
+        graft.operators.MarkovModel.exciseFrom(spark, path, takedown, exciseTag)
+        require(!graft.operators.MarkovModel
+            .exciseFrom(spark, path, takedown, exciseTag),
+          "replaying an already-applied excise batch must be a ledger no-op")
+      }
+      graft.operators.MarkovModel.load(spark, path)
+    })
+
   /** The co-occurrence COUNT table (s1, s2, co >= 5) over the capped
     * interactions, persisted once per (session, dir) — the item-item
     * count model of collaborative filtering is an ARTIFACT (built
@@ -282,6 +314,12 @@ object AnalyticsQueries {
       () => graft.operators.MarkovModel.loadIfValid(spark,
           QueryArtifacts.path("target/markov-model-appended", dir),
           eventsSourceTag(spark, dir) + "#append-batch")
+        .map(_.transitions().count())),
+    ("markov_excised",
+      () => { markovExcised(spark, dir); () },
+      () => graft.operators.MarkovModel.loadIfValid(spark,
+          QueryArtifacts.path("target/markov-model-excised", dir),
+          eventsSourceTag(spark, dir) + "#excise-batch")
         .map(_.transitions().count())))
 
   /** Release the persisted trade-graph + transition-pairs + co-occurrence
@@ -297,6 +335,7 @@ object AnalyticsQueries {
     transitionPairsCache.clear()
     markovCache.clear()
     markovAppendCache.clear()
+    markovExciseCache.clear()
     cooccurKeptCache.values.foreach(_.unpersist())
     cooccurKeptCache.clear()
     cooccurPairsCache.values.foreach(_.unpersist())
@@ -675,6 +714,21 @@ object AnalyticsQueries {
     "markov_model_appended" -> ((spark, dir) =>
       markovAppended(spark, dir).transitions()
         .orderBy("from_type", "to_type")),
+    // EXCISE lifecycle for the Markov model (r19) — exact unlearning of
+    // the additive-count family: the matrix served from a model trained
+    // on ALL users from which the user_id%3==0 takedown cohort's pairs
+    // were then SUBTRACTED (exciseFrom — staged swap, batch ledger,
+    // subset refusal, replayed no-op pinned) must equal a fresh train
+    // over only the surviving users EXACTLY: the oracle re-derives the
+    // matrix from the survivor events, so a stale count, a lost class,
+    // an under-subtraction, or an excised user's transitions still
+    // shaping any probability turns exactly this row red while the
+    // build-once and appended rows stay green. The behavioral twin of
+    // bm25_excised's stats-refresh story: every survivor's probability
+    // has the excised cohort's mass removed from its denominator.
+    "markov_model_excised" -> ((spark, dir) =>
+      markovExcised(spark, dir).transitions()
+        .orderBy("from_type", "to_type")),
     // Supplier CO-OCCURRENCE similarity (r15): top-20 supplier pairs by
     // exact Jaccard over their customer sets — the related-source mining
     // of corpus curation (domains co-cited by the same pages, sources
@@ -929,6 +983,23 @@ object AnalyticsQueries {
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS to_type
         |  FROM events),
+        |p AS (SELECT event_type AS from_type, to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  round(p.n * 1.0 / t.n_from, 6) AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // exact unlearning: the excised model must equal a FRESH derivation
+    // over only the surviving (user_id % 3 <> 0) users — the same matrix
+    // SQL with the takedown cohort filtered out at the source
+    "markov_model_excised" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events WHERE user_id % 3 <> 0),
         |p AS (SELECT event_type AS from_type, to_type,
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),

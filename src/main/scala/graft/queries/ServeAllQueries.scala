@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The ZERO-BUILD serve-everything capstone — the cross-session
   * cold-start story a 100 TB deployment actually lives by: a fresh
   * session (or here, a fresh reopen past every session cache) opens
-  * EVERY durable artifact the engine maintains — base, appended, excised,
-  * AND drift-refitted lifecycles, 19 reopens — through its validation
+  * EVERY durable artifact the engine maintains — base, appended, excised
+  * (including the count-model exact-unlearning form), AND drift-refitted
+  * lifecycles, 20 reopens — through its validation
   * manifest, runs ZERO
   * build/fit/train jobs doing so, and serves one bounded request from
   * each. One row per artifact:
@@ -59,10 +60,11 @@ object ServeAllQueries {
 
   /** The capstone's verdict rows, computed ONCE per (session, dir) — the
     * replay-row discipline: a cold-start check is a per-session event
-    * (reopen + fence + serve across 19 artifacts, ~15 s at sf0.1 on a
-    * quiet box — r17 judge re-bench: 15.4 s total, max 1.85 s per
-    * artifact), not a per-pass derivation; every later call reads the
-    * verdicts. */
+    * (reopen + fence + serve across 20 artifacts, ~15 s at sf0.1 on a
+    * quiet box — r17 judge re-bench: 15.4 s total over the then-18, max
+    * 1.85 s per artifact; the markov_excised reopen added r19 is two
+    * matrix-sized scans), not a per-pass derivation; every later call
+    * reads the verdicts. */
   private val verdictCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(String, Boolean, Boolean)]]
 
@@ -104,7 +106,7 @@ object ServeAllQueries {
       timed.map(_._1)
     })
 
-  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 19
+  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 20
   // counter-fenced reopens, ~15 s of reopen at sf0.1 on a quiet box —
   // the bench's largest warm-up body) runs under the fan-out after
   // quiescing every SIBLING body — so no concurrent warm-up train can
@@ -149,6 +151,7 @@ object ServeAllQueries {
         |  ('ivf_excised', TRUE, TRUE), ('ivf_refitted', TRUE, TRUE),
         |  ('ivfpq', TRUE, TRUE), ('markov', TRUE, TRUE),
         |  ('markov_appended', TRUE, TRUE),
+        |  ('markov_excised', TRUE, TRUE),
         |  ('pq', TRUE, TRUE), ('pq_excised', TRUE, TRUE),
         |  ('pq_refitted', TRUE, TRUE),
         |  ('trigram_lm', TRUE, TRUE))

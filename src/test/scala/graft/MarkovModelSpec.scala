@@ -124,6 +124,61 @@ class MarkovModelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("manifest"))
   }
 
+  test("exciseFrom unlearns a cohort exactly, keeps a ledger, drops " +
+      "zeroed classes, and refuses non-subset batches") {
+    val path = "target/markov-model-test/excised"
+    val user2 = fixturePairs.filter(col("user_id") === 2)
+    MarkovModel.train(fixturePairs).write(path, source = "base")
+    assert(MarkovModel.exciseFrom(spark, path, user2, "takedown-1"))
+    // exact unlearning: excised == fresh train on the survivor, bit for
+    // bit — AND the a->a class (only user 2's) dropped at count zero
+    val excised = MarkovModel.load(spark, path)
+    val survivor = MarkovModel.train(
+      fixturePairs.filter(col("user_id") =!= 2))
+    assert(excised.transitions().collect().map(_.toSeq).toSet ===
+      survivor.transitions().collect().map(_.toSeq).toSet)
+    assert(excised.counts.filter(col("from_type") === "a" &&
+      col("to_type") === "a").count() === 0L,
+      "a class whose count reached zero must be dropped, as a fresh " +
+        "survivor train would")
+    // replayed excise is a ledger no-op; nothing double-subtracts
+    assert(!MarkovModel.exciseFrom(spark, path, user2, "takedown-1"))
+    assert(MarkovModel.load(spark, path).transitions()
+      .collect().map(_.toSeq).toSet ===
+      survivor.transitions().collect().map(_.toSeq).toSet)
+    // the excise tag reopens zero-train; the stale base tag refuses
+    val before = MarkovModel.trainCount
+    assert(MarkovModel.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(MarkovModel.trainCount === before)
+    assert(MarkovModel.loadIfValid(spark, path, "base").isEmpty)
+    // UNSEEN class: a batch with a transition the model never trained on
+    // is refused, never clamped
+    val unseen = Seq((9L, "z", "z")).toDF("user_id", "from_type", "to_type")
+    val e1 = intercept[IllegalArgumentException] {
+      MarkovModel.exciseFrom(spark, path, unseen, "takedown-2")
+    }
+    assert(e1.getMessage.contains("unseen"), e1.getMessage)
+    // OVER-SUBTRACTION: excising user 1's pairs twice as one batch would
+    // drive b->a negative — refused, and the refusal commits nothing
+    // (the tag stays replayable)
+    val user1 = fixturePairs.filter(col("user_id") === 1)
+    val doubled = user1.unionByName(user1)
+    val e2 = intercept[IllegalArgumentException] {
+      MarkovModel.exciseFrom(spark, path, doubled, "takedown-3")
+    }
+    assert(e2.getMessage.contains("over-subtracted"), e2.getMessage)
+    assert(MarkovModel.load(spark, path).transitions()
+      .collect().map(_.toSeq).toSet ===
+      survivor.transitions().collect().map(_.toSeq).toSet,
+      "a refused excise must leave the model untouched")
+    // a torn table (rows landed, manifest didn't) refuses further excises
+    excised.counts.limit(1).write.mode("append").parquet(s"$path/counts")
+    val e3 = intercept[IllegalArgumentException] {
+      MarkovModel.exciseFrom(spark, path, user1, "takedown-4")
+    }
+    assert(e3.getMessage.contains("manifest"))
+  }
+
   test("serve plans stay bounded: broadcast model join, no corpus window") {
     val m = MarkovModel.train(fixturePairs)
     val plan = m.scoreSessions(fixturePairs, "user_id")

@@ -22,7 +22,8 @@ class ServeAllSpec extends AnyFunSuite {
       "chunk_index_excised", "classifier", "inverted_index",
       "inverted_index_appended", "inverted_index_excised", "ivf",
       "ivf_appended", "ivf_excised", "ivf_refitted", "ivfpq", "markov",
-      "markov_appended", "pq", "pq_excised", "pq_refitted", "trigram_lm"))
+      "markov_appended", "markov_excised", "pq", "pq_excised",
+      "pq_refitted", "trigram_lm"))
     hs.foreach(_._2()) // ensure phase: builds are legal here
     // quiesce the replay fan-out other suites may have launched — its
     // bodies fill the same caches and would pollute the job count
