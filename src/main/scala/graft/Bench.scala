@@ -198,12 +198,21 @@ object Bench {
         }
       val la = arr("measured_loadavg").filter(_.nonEmpty)
         .orElse(arr("loadavg")).getOrElse(Seq.empty)
+      // a run with failed queries has an artificially SMALL total (the
+      // -1.0 sentinels are excluded from the sum), so even a quiet-box
+      // total from such a run is not a comparison point — adopting it
+      // would make every later HEALTHY run read as a regression against
+      // a reference that never measured those queries
+      val complete = Option(node.get("failed_queries"))
+        .forall(_.asInt(0) == 0)
       // absent loadavg = UNKNOWN load, not quiet: adopting it would let a
       // run recorded without /proc/loadavg rotate a contaminated total in
-      if (la.headOption.exists(_ <= QuietLoadBound)) {
+      if (complete && la.headOption.exists(_ <= QuietLoadBound)) {
         Some((node.get("value").asDouble(), la))
       } else {
-        // noisy previous run: carry the last QUIET total it recorded
+        // noisy or incomplete previous run: carry the last QUIET
+        // complete total it recorded (quiet by induction — only such
+        // totals are ever adopted)
         Option(node.get("reference_quiet_total")).map(rv =>
           (rv.asDouble(), arr("reference_loadavg").getOrElse(Seq.empty)))
       }

@@ -176,8 +176,13 @@ object MarkovModel {
   def appendTo(spark: SparkSession, path: String, pairs: DataFrame,
       newSource: String): Boolean =
       WriterLease.withLease(spark, path) {
-    val (_, ledger) = validatedPrior(spark, path, op = "appending")
+    val (prior, ledger) = readPrior(spark, path, op = "appending")
+    // ledger no-op BEFORE the recount: a replayed already-applied tag
+    // must return false even on an artifact a LATER op tore (the
+    // idempotent-retry contract a takedown/ingest queue replays
+    // against), and a healthy replay must not pay two count jobs
     if (ledger.contains(newSource)) return false // already applied: no-op
+    requireIntact(spark, path, prior, op = "appending")
     val delta = pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
     val merged = spark.read.parquet(s"$path/counts")
@@ -216,8 +221,9 @@ object MarkovModel {
   def exciseFrom(spark: SparkSession, path: String, pairs: DataFrame,
       newSource: String): Boolean =
       WriterLease.withLease(spark, path) {
-    val (_, ledger) = validatedPrior(spark, path, op = "excising")
+    val (prior, ledger) = readPrior(spark, path, op = "excising")
     if (ledger.contains(newSource)) return false // already applied: no-op
+    requireIntact(spark, path, prior, op = "excising")
     val delta = pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("dn"))
     val live = spark.read.parquet(s"$path/counts")
@@ -240,11 +246,12 @@ object MarkovModel {
     true
   }
 
-  /** Read + validate the live manifest for a maintenance op: version
-    * understood, counts/totals row counts matching the committed
-    * manifest (a torn prior append/excise is REFUSED — rebuild is the
-    * recovery). Returns the manifest and the applied-sources ledger. */
-  private def validatedPrior(spark: SparkSession, path: String,
+  /** Read the live manifest for a maintenance op: version understood,
+    * ledger parsed. Metadata only — the torn-table recount is the
+    * separate [[requireIntact]], run AFTER the caller's ledger no-op
+    * check (a replayed tag must no-op without paying count jobs, and
+    * must no-op even on an artifact a LATER op tore). */
+  private def readPrior(spark: SparkSession, path: String,
       op: String): (java.util.Properties, Set[String]) = {
     val mPath = manifestPath(path)
     val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -259,6 +266,15 @@ object MarkovModel {
     val ledger = field("appliedSources")
       .map(_.split(SourceSep).toSet)
       .getOrElse(Set(prior.getProperty("source", "")))
+    (prior, ledger)
+  }
+
+  /** Torn-state refusal: counts/totals row counts must match the
+    * committed manifest (a previous append/excise crashed mid-write —
+    * rebuild is the recovery). */
+  private def requireIntact(spark: SparkSession, path: String,
+      prior: java.util.Properties, op: String): Unit = {
+    def field(k: String) = Option(prior.getProperty(k))
     require(
       spark.read.parquet(s"$path/counts").count() ==
         field("countRows").map(_.toLong).getOrElse(-1L) &&
@@ -266,7 +282,6 @@ object MarkovModel {
           field("totalRows").map(_.toLong).getOrElse(-1L),
       s"markov model at $path does not match its committed manifest — " +
         s"a previous append or excise crashed mid-write; rebuild instead of $op")
-    (prior, ledger)
   }
 
   /** Stage the WHOLE next model (merged counts, totals re-derived from

@@ -172,8 +172,18 @@ object WriterLease {
           // re-check AFTER the read: a shutdown (and release) may have
           // happened while a slow FS call above blocked past the join
           // bound — writing now would recreate a lease nobody holds,
-          // locking every maintainer out for a full TTL
-          if (stopLatch.getCount == 0) return
+          // locking every maintainer out for a full TTL. And since a
+          // timed-out shutdown SKIPS the release (see withLease), the
+          // stamp just read — ours, live — must be deleted HERE, or
+          // nobody ever deletes it and the next maintainer waits out
+          // the TTL (e.g. the driver rows' immediate replay-no-op
+          // retry of the same op). Owner-verified by the read above;
+          // live, so no takeover can race the delete.
+          if (stopLatch.getCount == 0) {
+            try { fs.delete(lp, false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+            return
+          }
           val stamp = java.lang.Long.toHexString(System.nanoTime())
           val fresh = new java.util.Properties()
           fresh.setProperty("owner", owner)

@@ -242,6 +242,25 @@ class BenchSummarySpec extends AnyFunSuite {
       .contains((63.0, Seq(1.2, 2.0, 2.1))))
   }
 
+  test("a previous run with failed queries never rotates in as the reference") {
+    // failed passes are excluded from the total (the -1.0 sentinel), so
+    // a partially-failed run's total is artificially SMALL — adopting it
+    // even from a quiet box would make every later healthy run read as a
+    // regression against a reference that never measured those queries
+    val failedRun = """{"queries":{"a":1.0},"loadavg":[0.4,0.5,0.6],""" +
+      """"measured_loadavg":[0.5,0.5,0.5],"measured_under_load":false,""" +
+      """"reference_quiet_total":69.0,"reference_loadavg":[0.4,0.4,0.4],""" +
+      """"metric":"total","value":50.0,"unit":"sec","failed_queries":3,""" +
+      """"failed":["x","y","z"],"leaked_persists":0,"sf":"/x"}"""
+    assert(Bench.referenceFrom(failedRun, "/x")
+      .contains((69.0, Seq(0.4, 0.4, 0.4))),
+      "an incomplete total must be refused and the carried quiet one kept")
+    // complete quiet run: adopted as before
+    val clean = """{"queries":{"a":1.0},"loadavg":[0.4,0.5,0.6],""" +
+      """"metric":"total","value":63.0,"failed_queries":0,"sf":"/x"}"""
+    assert(Bench.referenceFrom(clean, "/x").contains((63.0, Seq(0.4, 0.5, 0.6))))
+  }
+
   test("reference fields are omitted when the previous run's sf differs") {
     val prev = """{"queries":{"a":1.0},"loadavg":[0.5,0.6,0.7],""" +
       """"metric":"total","value":61.9,"unit":"sec","failed_queries":0,""" +

@@ -55,12 +55,12 @@ class CacheLifecycleSpec extends AnyFunSuite {
     // r18's driver bench recorded leaked_persists:1 with no way to say
     // WHICH RDD leaked (and the leak outlived teardown). The drain must
     // return a descriptor carrying the RDD's name and actually unpersist
-    // it. Run after the registered clears so the only strays are planted.
-    DedupQueries.clearCaches()
-    SimilarityQueries.clearCaches()
-    MultimodalQueries.clearCaches()
-    PipelineQueries.clearCaches()
-    TextQueries.clearCaches()
+    // it. Quiesce the replay fan-out first (its daemon bodies fill caches
+    // concurrently — the ServeAllSpec discipline) and scope the asserts
+    // to the PLANTED id: the shared session may re-grow unrelated
+    // persists at any time, so absolute-empty is not assertable here.
+    graft.queries.ReplayOrchestrator.awaitQuiesce(spark, TestSpark.sfDir,
+      scala.concurrent.duration.Duration(10, "min"))
     val planted = spark.sparkContext.parallelize(1 to 10, 2)
     planted.setName("planted-unregistered-persist")
     planted.persist().count()
@@ -71,8 +71,9 @@ class CacheLifecycleSpec extends AnyFunSuite {
       s"planted leak not named in: $drained")
     assert(!spark.sparkContext.getPersistentRDDs.contains(planted.id),
       "drainLeaked must force-unpersist the leak, not just report it")
-    // a clean registry drains to nothing
-    assert(Bench.drainLeaked(spark).isEmpty)
+    // a second drain no longer reports the planted leak
+    assert(!Bench.drainLeaked(spark).exists(_.contains(
+      "planted-unregistered-persist")))
   }
 
   test("clearCaches is idempotent and caches rebuild after a clear") {

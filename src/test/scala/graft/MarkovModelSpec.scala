@@ -122,6 +122,11 @@ class MarkovModelSpec extends AnyFunSuite {
       MarkovModel.appendTo(spark, path, odd, "day-2")
     }
     assert(e.getMessage.contains("manifest"))
+    // ...but a replay of an ALREADY-APPLIED tag still no-ops on the torn
+    // artifact (the idempotent-retry contract: a queue replaying its
+    // backlog must skip applied batches, not crash on unrelated tears)
+    assert(!MarkovModel.appendTo(spark, path, odd, "day-1"),
+      "an applied tag must no-op before the torn-table recount")
   }
 
   test("exciseFrom unlearns a cohort exactly, keeps a ledger, drops " +
