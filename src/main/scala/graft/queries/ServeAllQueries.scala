@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cold-start story a 100 TB deployment actually lives by: a fresh
   * session (or here, a fresh reopen past every session cache) opens
   * EVERY durable artifact the engine maintains — base, appended, excised
-  * (including the count-model exact-unlearning form), AND drift-refitted
-  * lifecycles, 20 reopens — through its validation
+  * (including the count-model exact-unlearning forms), AND drift-refitted
+  * lifecycles, 21 reopens — through its validation
   * manifest, runs ZERO
   * build/fit/train jobs doing so, and serves one bounded request from
   * each. One row per artifact:
@@ -60,11 +60,11 @@ object ServeAllQueries {
 
   /** The capstone's verdict rows, computed ONCE per (session, dir) — the
     * replay-row discipline: a cold-start check is a per-session event
-    * (reopen + fence + serve across 20 artifacts, ~15 s at sf0.1 on a
+    * (reopen + fence + serve across 21 artifacts, ~15 s at sf0.1 on a
     * quiet box — r17 judge re-bench: 15.4 s total over the then-18, max
-    * 1.85 s per artifact; the markov_excised reopen added r19 is two
-    * matrix-sized scans), not a per-pass derivation; every later call
-    * reads the verdicts. */
+    * 1.85 s per artifact; the markov_excised and bigram_lm_excised
+    * reopens added r19 are matrix-/model-table-sized scans), not a
+    * per-pass derivation; every later call reads the verdicts. */
   private val verdictCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(String, Boolean, Boolean)]]
 
@@ -106,7 +106,7 @@ object ServeAllQueries {
       timed.map(_._1)
     })
 
-  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 20
+  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 21
   // counter-fenced reopens, ~15 s of reopen at sf0.1 on a quiet box —
   // the bench's largest warm-up body) runs under the fan-out after
   // quiescing every SIBLING body — so no concurrent warm-up train can
@@ -140,7 +140,8 @@ object ServeAllQueries {
     // genuinely and the oracle states as the required fixed point
     "serve_everything_cold" ->
       """SELECT * FROM (VALUES
-        |  ('bigram_lm', TRUE, TRUE), ('bpe', TRUE, TRUE),
+        |  ('bigram_lm', TRUE, TRUE),
+        |  ('bigram_lm_excised', TRUE, TRUE), ('bpe', TRUE, TRUE),
         |  ('chunk_index', TRUE, TRUE),
         |  ('chunk_index_excised', TRUE, TRUE),
         |  ('classifier', TRUE, TRUE),

@@ -1203,6 +1203,23 @@ object TextQueries {
         .score(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // EXCISE lifecycle for the reference LM (r19) — exact unlearning of
+    // the CCNet filter model: the held-out slice scored under a model
+    // from which the doc_id%3==0 training documents were SUBTRACTED
+    // (BigramLm.exciseFrom — cloned artifact, staged swap, batch ledger,
+    // subset refusal, replayed no-op pinned) must equal scoring under a
+    // fresh train over only the surviving training docs EXACTLY. The
+    // oracle re-derives model/ctx/v from the survivor slice, so a stale
+    // bigram count, a lost context, or — the subtle one — an
+    // un-refreshed vocabulary scalar (v sits in EVERY add-one smoothing
+    // denominator, the BM25-stats-refresh analogue) turns exactly this
+    // row red while the build-once rows stay green.
+    "lm_bigram_excised" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      bigramLmExcised(spark, dir)
+        .score(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Corpus-internal interpolated-trigram LM score (r12): the CCNet-style
     // perplexity signal upgraded from add-one bigram to a real backoff
     // chain — absolute discounting with the dyadic D = 1/2, so c - D and
@@ -1457,6 +1474,12 @@ object TextQueries {
         () => graft.operators.BigramLm.loadIfValid(spark,
             QueryArtifacts.path("target/bigram-lm", dir), tag)
           .map(_.score(docs3, "doc_id", "text").count())),
+      ("bigram_lm_excised",
+        () => { bigramLmExcised(spark, dir); () },
+        () => graft.operators.BigramLm.loadIfValid(spark,
+            QueryArtifacts.path("target/bigram-lm-excised", dir),
+            tag + "#excise-batch")
+          .map(_.score(docs3, "doc_id", "text").count())),
       ("trigram_lm",
         () => { trigramLmPersisted(spark, dir); () },
         () => graft.operators.TrigramLm.loadIfValid(spark,
@@ -1509,6 +1532,38 @@ object TextQueries {
           .write(path, tag)
         graft.operators.BigramLm.load(spark, path)
       }
+    })
+
+  /** Excised twin of [[bigramLmPersisted]] — EXACT UNLEARNING for the
+    * reference LM (r19, the MarkovModel excise recipe on the CCNet
+    * lifecycle): the %5!=0-trained durable model is cloned and the
+    * doc_id%3==0 slice of its TRAINING corpus subtracted by
+    * [[graft.operators.BigramLm.exciseFrom]] — bigram/context/word
+    * counts are additive over the doc-disjoint split and the smoothing
+    * scalar v re-derives as the surviving vocab rows, so held-out docs
+    * scored under the excised model must hash against a fresh
+    * survivor-only train; replayed-ledger no-op pinned. */
+  private val lmExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.BigramLm]
+
+  private def bigramLmExcised(spark: SparkSession,
+      dir: String): graft.operators.BigramLm =
+    QueryArtifacts.runOnce(lmExciseCache, (spark, dir))({
+      val srcPath = QueryArtifacts.path("target/bigram-lm", dir)
+      val path = QueryArtifacts.path("target/bigram-lm-excised", dir)
+      val exciseTag = lmSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.BigramLm.loadIfValid(spark, path, exciseTag).isEmpty) {
+        bigramLmPersisted(spark, dir) // ensure the source artifact exists
+        QueryArtifacts.cloneArtifact(srcPath, path)
+        val takedown = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 0)
+        graft.operators.BigramLm.exciseFrom(spark, path, takedown, "text",
+          exciseTag)
+        require(!graft.operators.BigramLm.exciseFrom(spark, path, takedown,
+            "text", exciseTag),
+          "replaying an already-applied excise batch must be a ledger no-op")
+      }
+      graft.operators.BigramLm.load(spark, path)
     })
 
   /** One durable trigram LM per (session, dir), trained on the %5!=0
@@ -2587,6 +2642,40 @@ object TextQueries {
       """WITH tr AS (
         |  SELECT string_split(lower(text), ' ') AS t FROM documents
         |  WHERE doc_id % 5 <> 0),
+        |ev AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |trocc AS (
+        |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM tr),
+        |model AS (SELECT bg, count(*) AS c12 FROM trocc GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |        FROM trocc GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM tr)),
+        |evocc AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM ev),
+        |doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM evocc GROUP BY doc_id, bg),
+        |j AS (
+        |  SELECT b.doc_id, b.k, m.c12, c.c1, voc.v
+        |  FROM doc_bg b
+        |  LEFT JOIN model m ON b.bg = m.bg
+        |  LEFT JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1, voc)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  round(sum(k * ((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v))) / sum(k), 6)
+        |    AS pred_prob,
+        |  round(avg(CASE WHEN c12 IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact unlearning: the excised model must equal a FRESH train over
+    // only the surviving training docs (doc_id%5<>0 AND doc_id%3<>0) —
+    // the heldout derivation with the takedown cohort filtered out of
+    // the training slice, v recomputed over the survivors included
+    "lm_bigram_excised" ->
+      """WITH tr AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0),
         |ev AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |  WHERE doc_id % 5 = 0),

@@ -65,6 +65,63 @@ class BigramLmPersistSpec extends AnyFunSuite {
     assert(math.abs(mixed.getDouble(3) - 0.5) < 1e-6)
   }
 
+  test("exciseFrom unlearns a doc batch exactly — counts, contexts, AND the " +
+      "vocabulary scalar — with ledger no-op and non-subset refusal") {
+    import spark.implicits._
+    val path = "target/bigram-lm-test/excised"
+    // doc 2 carries the ONLY occurrences of 'z': excising it must shrink
+    // v (the add-one denominator in EVERY score) — the un-refreshed-v
+    // silent corruption this lifecycle exists to prevent
+    val corpus = Seq((1L, "a b a c"), (2L, "a z b z"), (3L, "b a c a"))
+      .toDF("doc_id", "text")
+    val takedown = corpus.filter(col("doc_id") === 2)
+    BigramLm.train(corpus, "text").write(path, source = "base")
+    assert(BigramLm.exciseFrom(spark, path, takedown, "text", "takedown-1"))
+    val excised = BigramLm.load(spark, path)
+    val survivor = BigramLm.train(corpus.filter(col("doc_id") =!= 2), "text")
+    assert(excised.v === survivor.v, "v must re-derive over the survivors")
+    assert(excised.v < 4L, "'z' left the corpus; v must shrink")
+    def eval(lm: BigramLm) =
+      lm.score(Seq((9L, "a b z c"), (10L, "c a")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+    assert(eval(excised) === eval(survivor),
+      "excised model must score identically to a fresh survivor train")
+    // replayed excise is a ledger no-op; nothing double-subtracts
+    assert(!BigramLm.exciseFrom(spark, path, takedown, "text", "takedown-1"))
+    assert(eval(BigramLm.load(spark, path)) === eval(survivor))
+    // the excise tag reopens zero-train; the stale base tag refuses
+    val before = BigramLm.trainCount
+    assert(BigramLm.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(BigramLm.trainCount === before)
+    assert(BigramLm.loadIfValid(spark, path, "base").isEmpty)
+    // NON-SUBSET batches refuse before a byte is staged: a doc the model
+    // never trained on (unseen keys), and a double-counted batch
+    // (over-subtraction)
+    val foreign = Seq((7L, "q r s")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      BigramLm.exciseFrom(spark, path, foreign, "text", "takedown-2")
+    }
+    assert(e1.getMessage.contains("unseen"), e1.getMessage)
+    val doc1 = corpus.filter(col("doc_id") === 1)
+    val e2 = intercept[IllegalArgumentException] {
+      BigramLm.exciseFrom(spark, path, doc1.unionByName(doc1), "text",
+        "takedown-3")
+    }
+    assert(e2.getMessage.contains("over-subtracted"), e2.getMessage)
+    assert(eval(BigramLm.load(spark, path)) === eval(survivor),
+      "a refused excise must leave the model untouched")
+    // a torn table (rows landed, manifest didn't) refuses a NEW excise...
+    excised.model.limit(1).write.mode("append").parquet(s"$path/model")
+    val e3 = intercept[IllegalArgumentException] {
+      BigramLm.exciseFrom(spark, path, doc1, "text", "takedown-4")
+    }
+    assert(e3.getMessage.contains("manifest"))
+    // ...but a replay of an ALREADY-APPLIED tag still no-ops on it (the
+    // idempotent-retry contract — the no-op precedes the recount)
+    assert(!BigramLm.exciseFrom(spark, path, takedown, "text", "takedown-1"))
+  }
+
   test("score joins stay key-partitioned (no corpus broadcast, no BNLJ)") {
     val lm = BigramLm.train(train, "text")
     val plan = lm.score(heldout, "doc_id", "text")

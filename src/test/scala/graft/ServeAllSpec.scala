@@ -18,7 +18,8 @@ class ServeAllSpec extends AnyFunSuite {
       "and serves its bounded request") {
     val dir = TestSpark.sfDir
     val hs = ServeAllQueries.hooks(spark, dir)
-    assert(hs.map(_._1).sorted === Seq("bigram_lm", "bpe", "chunk_index",
+    assert(hs.map(_._1).sorted === Seq("bigram_lm", "bigram_lm_excised",
+      "bpe", "chunk_index",
       "chunk_index_excised", "classifier", "inverted_index",
       "inverted_index_appended", "inverted_index_excised", "ivf",
       "ivf_appended", "ivf_excised", "ivf_refitted", "ivfpq", "markov",
