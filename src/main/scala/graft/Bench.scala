@@ -37,7 +37,7 @@ object Bench {
     // contaminated run is distinguishable from a clean one IN the
     // artifact, not just on stderr (r18 advice)
     val barrier = warmupBarrier.map(b =>
-      s""","warmup_barrier":"$b"""").getOrElse("")
+      s""","warmup_barrier":"${jsonEscape(b)}"""").getOrElse("")
     // the QUIET GATE's verdict: the 1/5/15-min load read immediately
     // before pass 1 (after the bounded wait-for-quiet), whether the gate
     // gave up waiting (measured_under_load=true means the headline total
@@ -71,10 +71,18 @@ object Bench {
     // undiagnosable. Before the headline tail so long names cannot push
     // the driver-tail contract fields out of the capture window.
     val leakList = leakedRdds
-      .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .map(n => "\"" + jsonEscape(n) + "\"")
       .mkString("[", ",", "]")
     s"""{"queries":$qs,"passes":$passes,"loadavg":$load$barrier$meas$ref$reopen,"leaked_rdds":$leakList,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
   }
+
+  /** Minimal JSON string escape for every interpolated NAME in the
+    * summary (barrier verdicts, leaked-RDD descriptors): today's values
+    * are static identifiers, but any future body name carrying a quote
+    * or backslash would otherwise silently corrupt the artifact and
+    * break [[referenceFrom]] for every later run. */
+  private[graft] def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** BENCH_SUMMARY.json resolved against the repo root — the nearest
     * ancestor of `from` holding a build.sbt — so benching from a subdir

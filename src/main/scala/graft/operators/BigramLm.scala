@@ -260,7 +260,11 @@ object BigramLm {
     val mPath = manifestPath(path)
     try {
       val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(mPath)) return None
+      // a crash between exciseFrom's two renames leaves the complete
+      // next beside an empty live path — adopt it rather than force the
+      // corpus-sized retrain that is otherwise this family's recovery
+      if (!fs.exists(mPath) &&
+        !WriterLease.adoptOrphanNext(spark, path)) return None
       val props = new java.util.Properties()
       val in = fs.open(mPath)
       try props.load(in) finally in.close()

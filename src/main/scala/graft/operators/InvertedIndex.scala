@@ -162,6 +162,12 @@ object InvertedIndex {
 
   private val ManifestVersion = "1"
 
+  /** Largest pending-tombstone count [[excise]] still snapshots by
+    * collecting to a driver-side local relation; above it the snapshot
+    * is a localCheckpoint (same listing-pinning guarantee, no driver
+    * heap). 1M id rows ≈ tens of MB — comfortably driver-sized. */
+  private[operators] val SnapshotCollectBound: Long = 1000000L
+
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
 
@@ -430,15 +436,23 @@ object InvertedIndex {
     // listing-cache change). A refreshed listing would make this
     // anti-join exclude the batch's OWN just-appended ids — deltaDf
     // goes empty and a manifest with un-decremented df commits
-    // silently. The list is metadata-sized (priorTomb id rows), so
-    // collecting it to a local relation is bounded by construction and
-    // cannot move underneath the plan.
+    // silently. The list is takedown-sized (priorTomb id rows since the
+    // last compact), so a local-relation collect is USUALLY bounded —
+    // but "usually" is not a discipline: a bulk takedown followed by a
+    // second excise before compaction makes priorTomb arbitrarily
+    // large, so past SnapshotCollectBound the snapshot pins itself as a
+    // localCheckpoint instead (eager — the blocks are materialized
+    // before the append, so a refreshed listing cannot move the plan;
+    // cost is one cluster-side write of the id list, no driver heap).
     val batch =
       if (priorTomb == 0L) deduped
       else {
         val snap = spark.read.parquet(s"$path/tombstones").select(idCol)
-        val pending = spark.createDataFrame(
-          java.util.Arrays.asList(snap.collect(): _*), snap.schema)
+        val pending =
+          if (priorTomb <= SnapshotCollectBound)
+            spark.createDataFrame(
+              java.util.Arrays.asList(snap.collect(): _*), snap.schema)
+          else snap.localCheckpoint(true)
         deduped.join(pending, Seq(idCol), "left_anti")
       }
     // batch deltas under build's exact semantics: dDocs counts EVERY

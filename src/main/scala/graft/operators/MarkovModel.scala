@@ -336,7 +336,11 @@ object MarkovModel {
     val mPath = manifestPath(path)
     try {
       val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(mPath)) return None
+      // a crash between stageAndSwap's two renames leaves the complete
+      // next beside an empty live path — adopt it (cheaper than even
+      // this family's metadata-sized rebuild, and uniform with the LMs)
+      if (!fs.exists(mPath) &&
+        !WriterLease.adoptOrphanNext(spark, path)) return None
       val props = new java.util.Properties()
       val in = fs.open(mPath)
       try props.load(in) finally in.close()

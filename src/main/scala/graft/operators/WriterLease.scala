@@ -49,10 +49,25 @@ object WriterLease {
   private def leasePath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path._LEASE.properties")
 
-  /** pid@host — unique per maintainer process, readable in the refusal. */
+  /** pid@host — names the maintainer PROCESS, readable in the refusal. */
   private[operators] def defaultOwner: String =
     java.lang.ProcessHandle.current().pid() + "@" +
       java.net.InetAddress.getLocalHost.getHostName
+
+  private val invocationSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** pid@host#seq — unique per [[withLease]] INVOCATION, not just per
+    * process: every owner-verified decision in the renewer (most
+    * critically the shutdown-path deletes) must distinguish THIS
+    * operation's lease from a successor same-process op's fresh lease.
+    * With a process-wide owner, a renewer wedged past the 5 s join bound
+    * that wakes after TTL expiry can read the successor's live lease,
+    * pass the owner check, see its own latch at 0, and delete the
+    * successor's lease — re-enabling two concurrent maintainers. The
+    * per-invocation suffix makes that read fail the owner check
+    * (usurped), so a straggler can only ever delete a stamp it wrote. */
+  private def freshOwner: String =
+    defaultOwner + "#" + invocationSeq.incrementAndGet()
 
   /** Run `body` holding the exclusive maintainer lease for `path`.
     * Throws IllegalStateException NAMING the current holder and its
@@ -76,7 +91,7 @@ object WriterLease {
     * around the overwrite is detected at the tick that raced it, not
     * silently papered over. */
   def withLease[T](spark: SparkSession, path: String,
-      ttlMs: Long = DefaultTtlMs, owner: String = defaultOwner)(body: => T): T = {
+      ttlMs: Long = DefaultTtlMs, owner: String = WriterLease.freshOwner)(body: => T): T = {
     val lp = leasePath(path)
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     acquire(fs, lp, owner, ttlMs)
@@ -291,6 +306,51 @@ object WriterLease {
       if (Option(props.getProperty("owner")).contains(owner))
         fs.delete(lp, false)
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Crash recovery for the whole-directory staged-swap commit (the
+    * [[MarkovModel]]/[[BigramLm]] shape: stage `path-next` with its
+    * manifest LAST, rename live aside to `path-old`, rename next into
+    * place, drop old): a crash BETWEEN the two renames leaves no
+    * artifact at `path` while a complete next sits beside it. For the
+    * count models the documented fallback is a rebuild — for an LM that
+    * is a corpus-sized retrain, so reopen paths call this first: when
+    * the live manifest is absent and `path-next` carries one (manifest
+    * presence proves the staged copy complete), the next is ADOPTED —
+    * renamed into place under the writer lease, exactly the rename the
+    * crashed maintainer would have executed. Returns whether an
+    * adoption happened. Refuses (false) when anything lives at `path`
+    * (a manifest-less live dir is torn debris from a crashed `write` —
+    * renaming next onto it would nest directories; rebuild stays the
+    * recovery there) or when the lease is held (a live maintainer is
+    * mid-swap and will finish its own rename). */
+  def adoptOrphanNext(spark: SparkSession, path: String,
+      manifestName: String = "_MANIFEST.properties"): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = new org.apache.hadoop.fs.Path(s"$path-next")
+    val nextManifest = new org.apache.hadoop.fs.Path(next, manifestName)
+    // cheap pre-check outside the lease: the common reopen paths (live
+    // artifact healthy, or nothing anywhere) pay exists() calls only
+    if (fs.exists(live) || !fs.exists(nextManifest)) return false
+    try {
+      withLease(spark, path) {
+        // re-check under the lease: a maintainer may have finished its
+        // swap (live now present) or a retry deleted the orphan
+        if (fs.exists(live) || !fs.exists(nextManifest)) false
+        else {
+          require(fs.rename(next, live),
+            s"could not adopt staged artifact $next into place at $path")
+          // the pre-swap copy the crashed maintainer was about to drop
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path-old"), true)
+          true
+        }
+      }
+    } catch {
+      // lease held (live maintainer mid-swap) or adoption raced: the
+      // caller's reopen simply misses and takes its normal rebuild path
+      case scala.util.control.NonFatal(_) => false
+    }
   }
 
   /** Drop any lease at `path` — the rebuild entry point ([[IvfIndex#write]]

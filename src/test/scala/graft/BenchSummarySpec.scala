@@ -168,6 +168,12 @@ class BenchSummarySpec extends AnyFunSuite {
       wedged)
     assert(wedged.indexOf("\"warmup_barrier\":") < wedged.indexOf("\"metric\":"),
       wedged)
+    // a quote/backslash-bearing body name must not corrupt the JSON —
+    // the same escape leaked_rdds descriptors get (r19 advice)
+    val hostile = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0,
+      sfDir = "d", warmupBarrier = Some("""wedged:warm-"x"\y"""))
+    assert(hostile.contains(""""warmup_barrier":"wedged:warm-\"x\"\\y""""),
+      hostile)
   }
 
   test("leaked RDD descriptors ride in the artifact before the headline") {

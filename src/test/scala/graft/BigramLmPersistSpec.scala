@@ -122,6 +122,42 @@ class BigramLmPersistSpec extends AnyFunSuite {
     assert(!BigramLm.exciseFrom(spark, path, takedown, "text", "takedown-1"))
   }
 
+  test("a crash between exciseFrom's swap renames recovers by adopting " +
+      "the staged next — no corpus-sized retrain") {
+    import spark.implicits._
+    val path = "target/bigram-lm-test/adopt"
+    Seq(path, s"$path-next", s"$path-old").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    val corpus = Seq((1L, "a b a c"), (2L, "a z b z"), (3L, "b a c a"))
+      .toDF("doc_id", "text")
+    BigramLm.train(corpus, "text").write(path, source = "base")
+    assert(BigramLm.exciseFrom(spark, path,
+      corpus.filter(col("doc_id") === 2), "text", "takedown-1"))
+    val survivorScores = BigramLm.load(spark, path)
+      .score(Seq((9L, "a b z c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    // simulate the crash window: the excised model was staged at -next
+    // and the live dir renamed aside — the JVM died before the second
+    // rename, leaving no artifact at the live path
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path-next")))
+    new java.io.File(s"$path-old").mkdirs()
+    // reopen adopts the complete staged next instead of missing
+    val before = BigramLm.trainCount
+    val adopted = BigramLm.loadIfValid(spark, path, "takedown-1")
+    assert(adopted.isDefined,
+      "loadIfValid must adopt a complete orphaned -next, not rebuild")
+    assert(BigramLm.trainCount === before, "adoption runs zero training jobs")
+    assert(!new java.io.File(s"$path-next").exists())
+    assert(!new java.io.File(s"$path-old").exists())
+    assert(adopted.get
+      .score(Seq((9L, "a b z c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet === survivorScores,
+      "the adopted model is bit-identical to the staged excised model")
+  }
+
   test("score joins stay key-partitioned (no corpus broadcast, no BNLJ)") {
     val lm = BigramLm.train(train, "text")
     val plan = lm.score(heldout, "doc_id", "text")

@@ -188,4 +188,69 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(InvertedIndex.appendTo(spark, path,
       Seq((900001L, "fresh doc")).toDF("doc_id", "text"), "text", "day-1"))
   }
+
+  test("the default owner token is unique per withLease invocation — a " +
+      "same-process successor op's lease never passes a straggler's check") {
+    // with a process-wide pid@host owner, a renewer wedged past the join
+    // bound that wakes after TTL expiry could read a SUCCESSOR
+    // same-process op's fresh lease, pass the owner check, and delete it
+    // — two live maintainers. The per-invocation suffix makes every
+    // owner-verified decision distinguish the two operations.
+    val path = "target/test-lease-owner-nonce"
+    def ownerDuringBody(): String = WriterLease.withLease(spark, path) {
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(s"$path._LEASE.properties")
+      try props.load(in) finally in.close()
+      props.getProperty("owner")
+    }
+    val o1 = ownerDuringBody()
+    val o2 = ownerDuringBody()
+    assert(o1 != null && o2 != null)
+    assert(o1 !== o2,
+      s"two invocations in one process must hold distinct owner tokens: $o1")
+    assert(o1.contains("@") && o1.contains("#"),
+      s"the token must stay readable as pid@host#seq in refusals: $o1")
+  }
+
+  test("adoptOrphanNext recovers a mid-swap crash (complete -next, no " +
+      "live dir) and refuses torn live debris or a held lease") {
+    def rm(p: String) =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    def mkManifest(dir: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      val out = new java.io.FileOutputStream(s"$dir/_MANIFEST.properties")
+      try new java.util.Properties().store(out, "staged complete")
+      finally out.close()
+    }
+    val path = "target/test-lease-adopt"
+    Seq(path, s"$path-next", s"$path-old").foreach(rm)
+    // crash state between the two renames: -old holds the pre-op copy,
+    // -next the complete staged result, nothing at the live path
+    mkManifest(s"$path-next")
+    new java.io.File(s"$path-old").mkdirs()
+    assert(WriterLease.adoptOrphanNext(spark, path),
+      "a complete orphaned -next beside an empty live path must be adopted")
+    assert(new java.io.File(s"$path/_MANIFEST.properties").exists(),
+      "adoption is the rename the crashed maintainer would have executed")
+    assert(!new java.io.File(s"$path-next").exists())
+    assert(!new java.io.File(s"$path-old").exists(),
+      "the pre-swap copy is dropped, as the normal commit tail would")
+    assert(!leaseExists(path), "adoption releases its lease")
+    // live dir present (even manifest-less torn debris): refuse — a
+    // rename onto it would nest directories; rebuild stays the recovery
+    Seq(path, s"$path-next").foreach(rm)
+    new java.io.File(path).mkdirs()
+    mkManifest(s"$path-next")
+    assert(!WriterLease.adoptOrphanNext(spark, path),
+      "anything at the live path must refuse adoption")
+    assert(new java.io.File(s"$path-next/_MANIFEST.properties").exists())
+    // a held lease means a live maintainer is mid-swap: stay out
+    rm(path)
+    plant(path, "mid-swap@host", System.currentTimeMillis() + 600000)
+    assert(!WriterLease.adoptOrphanNext(spark, path))
+    new java.io.File(s"$path._LEASE.properties").delete()
+    // no staged next at all: a plain miss
+    rm(s"$path-next")
+    assert(!WriterLease.adoptOrphanNext(spark, path))
+  }
 }
