@@ -64,6 +64,8 @@ final class QualityClassifier private[operators] (
   /** Durable form: classes + counts tables and a validation manifest. */
   def write(path: String, source: String = ""): Unit = {
     val spark = classes.sparkSession
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(spark, path)
     classes.write.mode("overwrite").parquet(s"$path/classes")
     counts.write.mode("overwrite").parquet(s"$path/counts")
     // footer-stats counts of what was just written — metadata, not a scan
@@ -246,6 +248,9 @@ object QualityClassifier {
 
   private val ManifestVersion = "1"
 
+  /** Ledger separator — the IvfIndex escape-sequence convention. */
+  private val SourceSep = ""
+
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
 
@@ -272,6 +277,142 @@ object QualityClassifier {
     new QualityClassifier(classes, counts, v)
   }
 
+  /** EXACT UNLEARNING for the trained curation classifier — subtract an
+    * excised batch's labeled-seed statistics from a written model: the
+    * [[BigramLm.exciseFrom]] recipe on the DCLM/FineWeb-Edu lifecycle
+    * (a takedown of a labeled seed document must stop shaping EVERY
+    * keep/drop verdict the classifier issues). All sufficient
+    * statistics are additive integer counts over any doc-disjoint split
+    * of the seed set — per-(class, word) token counts, per-class doc
+    * counts and token totals — and the non-additive vocabulary scalar v
+    * re-derives exactly as the number of distinct words left in the
+    * subtracted counts table (a word is in the survivor vocabulary iff
+    * some class still counts it), so the excised model scores EVERY
+    * document bit-identically to a fresh train over the surviving
+    * seeds — priors, smoothing denominators (tot_c + v), argmax
+    * tie-breaks and all; the `classifier_excised` driver row hashes
+    * that equality. Classes whose doc count reaches zero are dropped,
+    * as a fresh survivor train would.
+    *
+    * `excisedDocs` must be seed rows being removed (same text/label
+    * columns the model was trained over) and a SUBSET of the training
+    * seed set: an unseen (class, word) key, an unseen class, or an
+    * over-subtracted count is refused before a byte is staged, never
+    * clamped. Ledger idempotence, whole-directory staged swap with the
+    * manifest last, and the writer lease follow the
+    * [[MarkovModel.exciseFrom]] commit discipline; a crash between the
+    * swap renames recovers by [[WriterLease.adoptOrphanNext]]. */
+  def exciseFrom(spark: SparkSession, path: String, excisedDocs: DataFrame,
+      textCol: String, labelCol: String, newSource: String): Boolean =
+    exciseFromFeatures(spark, path, excisedDocs,
+      split(lower(col(textCol)), " "), labelCol, newSource)
+
+  /** [[exciseFrom]] generalized to ANY array<string> feature extraction
+    * ([[trainFeatures]]' twin) — the batch must be excised under the
+    * SAME extraction the model was trained with. */
+  def exciseFromFeatures(spark: SparkSession, path: String,
+      excisedDocs: DataFrame, features: Column, labelCol: String,
+      newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    def field(k: String) = Option(prior.getProperty(k))
+    require(field("version").contains(ManifestVersion),
+      s"classifier at $path has manifest version " +
+        s"${field("version").getOrElse("<none>")}; this excisor " +
+        s"understands only $ManifestVersion — rebuild instead of excising")
+    val ledger = field("appliedSources")
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    require(
+      spark.read.parquet(s"$path/classes").count() ==
+        field("classRows").map(_.toLong).getOrElse(-1L) &&
+        spark.read.parquet(s"$path/counts").count() ==
+          field("countRows").map(_.toLong).getOrElse(-1L),
+      s"classifier at $path does not match its committed manifest — a " +
+        "previous excise crashed mid-write; rebuild instead of excising")
+    // batch deltas under trainFeatures' exact extraction
+    val occ = excisedDocs
+      .select(col(labelCol).as("label"), explode(features).as("w"))
+    val dCounts = occ.groupBy("label", "w").agg(count(lit(1)).as("dn"))
+    val dClasses = excisedDocs
+      .select(col(labelCol).as("label"), size(features).cast("long").as("n"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("d_docs"), sum("n").as("d_tot"))
+    // subset proof BEFORE any write: an unseen class or (class, word)
+    // key, or an over-subtracted count, means the batch was not part of
+    // the trained seed set — unlearning it is undefined, and clamping
+    // would leave the model silently off the survivor truth
+    val liveCounts = spark.read.parquet(s"$path/counts")
+    val unseenW = dCounts.join(liveCounts, Seq("label", "w"), "left_anti")
+      .count()
+    val nextCounts = liveCounts.join(dCounts, Seq("label", "w"), "left")
+      .select(col("label"), col("w"),
+        (col("c") - coalesce(col("dn"), lit(0L))).cast("long").as("c"))
+    val negW = nextCounts.filter(col("c") < 0).count()
+    require(unseenW == 0 && negW == 0,
+      s"excise batch is not a subset of the seed set the classifier at " +
+        s"$path was trained on ($unseenW unseen (class, word) keys, " +
+        s"$negW over-subtracted) — rebuild over the survivors instead")
+    val liveClasses = spark.read.parquet(s"$path/classes")
+    val unseenL = dClasses.join(liveClasses, Seq("label"), "left_anti")
+      .count()
+    val nextClasses = liveClasses.join(dClasses, Seq("label"), "left")
+      .select(col("label"),
+        (col("n_docs") - coalesce(col("d_docs"), lit(0L))).cast("long")
+          .as("n_docs"),
+        (col("tot") - coalesce(col("d_tot"), lit(0L))).cast("long").as("tot"))
+    // a class losing ALL its docs must lose all its tokens with them —
+    // a doc-count hitting zero with token mass left (or vice versa with
+    // surviving gram-less seed rows absent) is a non-subset batch
+    val badL = nextClasses.filter(col("n_docs") < 0 || col("tot") < 0 ||
+      (col("n_docs") === 0 && col("tot") > 0)).count()
+    require(unseenL == 0 && badL == 0,
+      s"excise batch is not a subset of the seed set the classifier at " +
+        s"$path was trained on ($unseenL unseen classes, $badL " +
+        "over-subtracted class rows) — rebuild over the survivors instead")
+    // stage the WHOLE next model beside the live one, manifest LAST —
+    // then swap by two directory renames (the MarkovModel commit shape)
+    val next = s"$path-next"
+    val nextPath = new org.apache.hadoop.fs.Path(next)
+    fs.delete(nextPath, true) // orphan from a crashed prior excise
+    nextClasses.filter(col("n_docs") > 0)
+      .write.mode("overwrite").parquet(s"$next/classes")
+    nextCounts.filter(col("c") > 0)
+      .write.mode("overwrite").parquet(s"$next/counts")
+    val classRows = spark.read.parquet(s"$next/classes").count()
+    // the survivor v IS the distinct surviving vocabulary — one bounded
+    // two-scalar action over the staged counts, exactly the value a
+    // fresh train over the surviving seeds computes
+    val cStats = spark.read.parquet(s"$next/counts")
+      .agg(count(lit(1)).cast("long"), countDistinct("w").cast("long"))
+      .head()
+    val (countRows, v) = (cStats.getLong(0), cStats.getLong(1))
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    props.setProperty("v", v.toString)
+    props.setProperty("classRows", classRows.toString)
+    props.setProperty("countRows", countRows.toString)
+    val nOut = fs.create(manifestPath(next), true)
+    try props.store(nOut, "graft quality-classifier manifest")
+    finally nOut.close()
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
+    require(fs.rename(nextPath, livePath),
+      s"could not rename $nextPath into place")
+    fs.delete(oldPath, true)
+    true
+  }
+
   /** Reopen a written model ONLY if its manifest proves it complete,
     * current, and trained from the caller's `source` — metadata-sized
     * validation, never a data scan, zero training jobs on a hit. */
@@ -280,7 +421,11 @@ object QualityClassifier {
     val mPath = manifestPath(path)
     try {
       val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(mPath)) return None
+      // a crash between exciseFrom's two renames leaves the complete
+      // next beside an empty live path — adopt it rather than force a
+      // retrain (uniform with the LM family's recovery)
+      if (!fs.exists(mPath) &&
+        !WriterLease.adoptOrphanNext(spark, path)) return None
       val props = new java.util.Properties()
       val in = fs.open(mPath)
       try props.load(in) finally in.close()

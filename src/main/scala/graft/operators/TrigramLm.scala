@@ -82,6 +82,8 @@ final class TrigramLm private[operators] (
     * load, not stored). */
   def write(path: String, source: String = ""): Unit = {
     val spark = tri.sparkSession
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(spark, path)
     tri.write.mode("overwrite").parquet(s"$path/tri")
     bi.write.mode("overwrite").parquet(s"$path/bi")
     uni.write.mode("overwrite").parquet(s"$path/uni")
@@ -157,6 +159,9 @@ object TrigramLm {
 
   private val ManifestVersion = "1"
 
+  /** Ledger separator — the IvfIndex escape-sequence convention. */
+  private val SourceSep = ""
+
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MANIFEST.properties")
 
@@ -204,6 +209,130 @@ object TrigramLm {
     new TrigramLm(tri, bi, uni, v = row.getLong(1), nTok = row.getLong(0))
   }
 
+  /** EXACT UNLEARNING for the interpolated trigram LM — subtract an
+    * excised batch's trigram/bigram/unigram counts from a written model:
+    * the [[BigramLm.exciseFrom]] recipe one order up. All three n-gram
+    * count tables are additive integer counts over any document-disjoint
+    * split, and BOTH non-additive scalars re-derive from the surviving
+    * unigram table — v as its row count, nTok as its count sum — so the
+    * unigram table plays the role BigramLm's r19 vocab sidecar was added
+    * for, with no manifest version bump needed. The derived backoff
+    * statistics (continuation totals and distinct-continuation counts,
+    * [[TrigramLm.ctx2]]/[[TrigramLm.ctx1]]) are aggregates OVER the
+    * stored tables, so they refresh for free — the excised model scores
+    * EVERY document bit-identically to a fresh train over the survivors,
+    * including every discount denominator and backoff branch the
+    * excision changed; the `lm_trigram_excised` driver row hashes that
+    * equality.
+    *
+    * `excisedDocs` must be corpus rows being removed (the same text
+    * column the model was trained over) and a SUBSET of the training
+    * corpus: an unseen key or an over-subtracted count in ANY of the
+    * three tables is refused before a byte is staged, never clamped.
+    * Keys reaching exactly zero are dropped, as a fresh survivor train
+    * would. Ledger idempotence (a replayed tag no-ops, checked BEFORE
+    * the torn-state recount), whole-directory staged swap with the
+    * manifest last, and the writer lease follow the
+    * [[MarkovModel.exciseFrom]] commit discipline; a crash between the
+    * swap renames recovers by [[WriterLease.adoptOrphanNext]] at the
+    * next reopen. */
+  def exciseFrom(spark: SparkSession, path: String, excisedDocs: DataFrame,
+      textCol: String, newSource: String): Boolean =
+      WriterLease.withLease(spark, path) {
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = new java.util.Properties()
+    val in = fs.open(mPath)
+    try prior.load(in) finally in.close()
+    def field(k: String) = Option(prior.getProperty(k))
+    require(field("version").contains(ManifestVersion),
+      s"trigram LM at $path has manifest version " +
+        s"${field("version").getOrElse("<none>")}; this excisor " +
+        s"understands only $ManifestVersion — rebuild instead of excising")
+    val ledger = field("appliedSources")
+      .map(_.split(SourceSep).toSet)
+      .getOrElse(Set(prior.getProperty("source", "")))
+    if (ledger.contains(newSource)) return false // already applied: no-op
+    require(
+      spark.read.parquet(s"$path/tri").count() ==
+        field("triRows").map(_.toLong).getOrElse(-1L) &&
+        spark.read.parquet(s"$path/bi").count() ==
+          field("biRows").map(_.toLong).getOrElse(-1L) &&
+        spark.read.parquet(s"$path/uni").count() ==
+          field("uniRows").map(_.toLong).getOrElse(-1L),
+      s"trigram LM at $path does not match its committed manifest — a " +
+        "previous excise crashed mid-write; rebuild instead of excising")
+    // batch deltas under train's exact tokenization
+    val t = split(lower(col(textCol)), " ")
+    val dTri = excisedDocs.select(explode(trigrams(textCol)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("dn"))
+    val bgs = zip_with(slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+    val dBi = excisedDocs.select(explode(bgs).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("dn"))
+    val dUni = excisedDocs.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("dn"))
+    // subset proof BEFORE any write, per table: an unseen key or an
+    // over-subtraction means the batch was not part of the trained
+    // corpus — unlearning it is undefined, and clamping would leave the
+    // model silently off the survivor truth
+    def subtracted(liveTable: String, key: String, cnt: String,
+        delta: DataFrame): DataFrame = {
+      val live = spark.read.parquet(s"$path/$liveTable")
+      val unseen = delta.join(live, Seq(key), "left_anti").count()
+      val merged = live.join(delta, Seq(key), "left")
+        .select(col(key),
+          (col(cnt) - coalesce(col("dn"), lit(0L))).cast("long").as(cnt))
+      val negative = merged.filter(col(cnt) < 0).count()
+      require(unseen == 0 && negative == 0,
+        s"excise batch is not a subset of the corpus the LM at $path was " +
+          s"trained on ($unseen unseen $liveTable keys, $negative " +
+          "over-subtracted) — rebuild over the survivors instead")
+      merged.filter(col(cnt) > 0)
+    }
+    val nextTri = subtracted("tri", "tg", "c123", dTri)
+    val nextBi = subtracted("bi", "bg", "c23", dBi)
+    val nextUni = subtracted("uni", "w", "c1u", dUni)
+    // stage the WHOLE next model beside the live one, manifest LAST —
+    // then swap by two directory renames (the MarkovModel commit shape)
+    val next = s"$path-next"
+    val nextPath = new org.apache.hadoop.fs.Path(next)
+    fs.delete(nextPath, true) // orphan from a crashed prior excise
+    nextTri.write.mode("overwrite").parquet(s"$next/tri")
+    nextBi.write.mode("overwrite").parquet(s"$next/bi")
+    nextUni.write.mode("overwrite").parquet(s"$next/uni")
+    val triRows = spark.read.parquet(s"$next/tri").count()
+    val biRows = spark.read.parquet(s"$next/bi").count()
+    // the survivor scalars re-derive from the staged unigram table in
+    // one bounded action: v IS its row count and nTok its count sum —
+    // exactly the values a fresh train over the survivors computes
+    val uniStats = spark.read.parquet(s"$next/uni")
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum("c1u"), lit(0L)).cast("long")).head()
+    val (uniRows, nTok) = (uniStats.getLong(0), uniStats.getLong(1))
+    val props = new java.util.Properties()
+    props.setProperty("version", ManifestVersion)
+    props.setProperty("source", newSource)
+    props.setProperty("appliedSources",
+      (ledger + newSource).toSeq.sorted.mkString(SourceSep))
+    props.setProperty("v", uniRows.toString)
+    props.setProperty("nTok", nTok.toString)
+    props.setProperty("triRows", triRows.toString)
+    props.setProperty("biRows", biRows.toString)
+    props.setProperty("uniRows", uniRows.toString)
+    val nOut = fs.create(manifestPath(next), true)
+    try props.store(nOut, "graft trigram-LM manifest")
+    finally nOut.close()
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
+    require(fs.rename(nextPath, livePath),
+      s"could not rename $nextPath into place")
+    fs.delete(oldPath, true)
+    true
+  }
+
   /** Reopen a written model ONLY if its manifest proves it complete,
     * current, and trained from the caller's `source` — metadata-sized
     * validation, zero training jobs on a hit. */
@@ -212,7 +341,11 @@ object TrigramLm {
     val mPath = manifestPath(path)
     try {
       val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(mPath)) return None
+      // a crash between exciseFrom's two renames leaves the complete
+      // next beside an empty live path — adopt it rather than force the
+      // corpus-sized retrain that is otherwise this family's recovery
+      if (!fs.exists(mPath) &&
+        !WriterLease.adoptOrphanNext(spark, path)) return None
       val props = new java.util.Properties()
       val in = fs.open(mPath)
       try props.load(in) finally in.close()

@@ -134,14 +134,55 @@ object ZOrderLayout {
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      cols: Seq[String], entries: Seq[String], applied: Seq[String]): Unit = {
+      cols: Seq[String], entries: Seq[String], applied: Seq[String],
+      excised: Seq[String] = Nil, tombstoneCol: Option[String] = None): Unit = {
     val json = "{\"cols\":[" + cols.map(c => s""""$c"""").mkString(",") +
       "],\"files\":[" + entries.mkString(",") +
-      "],\"applied\":[" + applied.map(t => s""""$t"""").mkString(",") + "]}"
+      "],\"applied\":[" + applied.map(t => s""""$t"""").mkString(",") +
+      "],\"excised\":[" + excised.map(t => s""""$t"""").mkString(",") +
+      "],\"tombstone_col\":[" +
+      tombstoneCol.map(c => s""""$c"""").getOrElse("") + "]}"
     val p = new org.apache.hadoop.fs.Path(path, ManifestName)
     val out = fs.create(p, true)
     out.write(json.getBytes("UTF-8"))
     out.close()
+  }
+
+  /** Parse a string-array ledger section ("applied"/"excised"/
+    * "tombstone_col") out of the engine-written manifest. */
+  private def ledgerSection(json: String, key: String): Seq[String] =
+    arraySection(json, key).toSeq
+      .flatMap(_.split(",")).map(_.replaceAll("\"", "")).filter(_.nonEmpty)
+
+  /** Directory holding one excise batch's tombstoned ids: a hidden
+    * (underscore-prefixed, so every data-path read ignores it) subdir
+    * keyed by a digest of the ledger tag — digesting sidesteps filesystem
+    * charset/length limits without constraining tags beyond appendTo's
+    * rules. */
+  private def tombstoneDir(path: String, tag: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"$path/_ZORDER_TOMBSTONES/$digest"
+  }
+
+  /** The pending tombstoned-id set of a layout: the union of every
+    * LEDGERED excise batch whose tombstone directory still exists (a
+    * compact folds the physical drop in and removes the data, keeping
+    * the ledger for replay idempotence; an orphan directory whose tag
+    * never committed to the ledger is invisible — the manifest is the
+    * commit point, exactly as for appendTo's data files). None when no
+    * tombstones are pending. */
+  private def pendingTombstones(spark: SparkSession, path: String,
+      json: String): Option[(String, DataFrame)] = {
+    val col = ledgerSection(json, "tombstone_col").headOption.getOrElse(
+      return None)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = ledgerSection(json, "excised")
+      .map(tombstoneDir(path, _))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty) None
+    else Some((col, spark.read.parquet(dirs: _*)))
   }
 
   private def readManifestJson(fs: org.apache.hadoop.fs.FileSystem,
@@ -223,7 +264,64 @@ object ZOrderLayout {
       .filter(p => p.getName.startsWith("part-") && !before(p.getName))
       .sortBy(_.toString).toSeq
     writeManifest(fs, path, cols, oldEntries ++ fileEntries(conf, cols, added),
-      applied :+ sourceTag)
+      applied :+ sourceTag,
+      // carry the takedown state: dropping the excise ledger here would
+      // un-tombstone every pending takedown on the next daily append
+      ledgerSection(json, "excised"),
+      ledgerSection(json, "tombstone_col").headOption)
+    true
+  }
+
+  /** DELETE rows from a written layout — the takedown path that completes
+    * write → append → compact with the lifecycle step every other
+    * appendable durable artifact in the engine already has: `ids` (one
+    * column, `idCol`) names the rows to remove; they are TOMBSTONED — a
+    * metadata-sized parquet write of the id list under a hidden subdir
+    * plus a manifest ledger entry, NEVER a rewrite of the clustered data
+    * files — and [[readBox]] anti-joins the pending tombstones after file
+    * pruning, so serving honors the takedown immediately. The physical
+    * drop folds into the next [[compact]] (which reads through the same
+    * anti-join), after which the tombstone data is gone and the box scan
+    * pays nothing.
+    *
+    * Idempotent under retry via the excised-source ledger (same contract
+    * as [[appendTo]]'s applied ledger): a `sourceTag` already ledgered
+    * no-ops (returns false) instead of re-staging. The MANIFEST rewrite
+    * is the commit point — a crash after the tombstone write but before
+    * it leaves an orphan directory no ledger names, which
+    * [[pendingTombstones]] never reads; the retry overwrites it and
+    * commits. Excising an id absent from the layout is a harmless
+    * no-op row-wise (the anti-join matches nothing), matching DELETE
+    * semantics. Every excise of a layout must use the SAME `idCol` —
+    * enforced against the manifest — since one layout has one row
+    * identity. */
+  def excise(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, sourceTag: String): Boolean = {
+    require(sourceTag.nonEmpty &&
+      !sourceTag.exists(c => c == '"' || c == ']' || c == ',' || c == '{' || c == '}'),
+      s"sourceTag must be non-empty without any of \" ] , {{ }}: $sourceTag")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val json = readManifestJson(fs, path)
+    val excised = ledgerSection(json, "excised")
+    if (excised.contains(sourceTag)) return false // already applied: no-op
+    ledgerSection(json, "tombstone_col").headOption.foreach { prior =>
+      require(prior == idCol,
+        s"layout at $path is tombstoned by '$prior'; an excise by " +
+          s"'$idCol' would leave two irreconcilable row identities")
+    }
+    // tombstone data first (overwrite — a crashed attempt's orphan is
+    // replaced), manifest ledger LAST as the commit point
+    ids.select(idCol).distinct()
+      .write.mode("overwrite").parquet(tombstoneDir(path, sourceTag))
+    writeManifest(fs, path,
+      ledgerSection(json, "cols"),
+      arraySection(json, "files").getOrElse("")
+        .split("\\},\\{").filter(_.nonEmpty)
+        .map(e => if (e.startsWith("{")) e else "{" + e)
+        .map(e => if (e.endsWith("}")) e else e + "}").toSeq,
+      ledgerSection(json, "applied"),
+      excised :+ sourceTag, Some(idCol))
     true
   }
 
@@ -248,22 +346,35 @@ object ZOrderLayout {
     val json = readManifestJson(fs, path)
     val cols = arraySection(json, "cols").getOrElse("")
       .split(",").map(_.replaceAll("\"", "")).filter(_.nonEmpty).toSeq
-    val applied = arraySection(json, "applied").toSeq
-      .flatMap(_.split(",")).map(_.replaceAll("\"", "")).filter(_.nonEmpty)
+    val applied = ledgerSection(json, "applied")
+    val excised = ledgerSection(json, "excised")
+    val tombCol = ledgerSection(json, "tombstone_col").headOption
     // read through the MANIFEST's file list (not a bare dir listing), so
     // orphan part-files from a crashed append stay invisible here too
     val files = filesFor(spark, path, Map.empty)
     require(files.nonEmpty, s"nothing to compact at $path")
+    // fold any pending takedowns into the rewrite: the same anti-join
+    // readBox serves through, so a compacted layout physically holds
+    // exactly what the tombstoned layout was serving
+    val survivors = pendingTombstones(spark, path, json) match {
+      case Some((c, tombs)) =>
+        spark.read.parquet(files: _*).join(tombs, Seq(c), "left_anti")
+      case None => spark.read.parquet(files: _*)
+    }
     val staging = s"$path.compact"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    write(spark.read.parquet(files: _*), cols, staging, nFiles, bitsPer)
-    if (applied.nonEmpty) { // carry the ledger into the fresh manifest
+    write(survivors, cols, staging, nFiles, bitsPer)
+    if (applied.nonEmpty || excised.nonEmpty) {
+      // carry BOTH ledgers into the fresh manifest (a late retry of any
+      // pre-compact append OR excise batch must still no-op); the
+      // tombstone DATA is gone with the old directory — the drop is now
+      // physical — so the carried excise ledger has nothing pending
       val sJson = readManifestJson(fs, staging)
       val entries = arraySection(sJson, "files").getOrElse("")
         .split("\\},\\{").filter(_.nonEmpty)
         .map(e => if (e.startsWith("{")) e else "{" + e)
         .map(e => if (e.endsWith("}")) e else e + "}").toSeq
-      writeManifest(fs, staging, cols, entries, applied)
+      writeManifest(fs, staging, cols, entries, applied, excised, tombCol)
     }
     fs.delete(dir, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), dir),
@@ -334,10 +445,20 @@ object ZOrderLayout {
       bounds: Map[String, (Double, Double)]): DataFrame = {
     import org.apache.spark.sql.types._
     val files = filesFor(spark, path, bounds)
-    val df =
+    val raw =
       if (files.isEmpty) {
         spark.read.parquet(path).limit(0)
       } else spark.read.parquet(files: _*)
+    // serve-time takedown honor: anti-join any pending tombstoned ids
+    // (metadata-sized — batches since the last compact) after file
+    // pruning, so an excised row can never surface between the takedown
+    // and the compact that folds it in physically
+    val fs = new org.apache.hadoop.fs.Path(path, ManifestName)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val df = pendingTombstones(spark, path, readManifestJson(fs, path)) match {
+      case Some((c, tombs)) => raw.join(tombs, Seq(c), "left_anti")
+      case None => raw
+    }
     bounds.foldLeft(df) { case (acc, (c, (lo, hi))) =>
       acc.schema(c).dataType match {
         case t @ (ByteType | ShortType | IntegerType | LongType) =>

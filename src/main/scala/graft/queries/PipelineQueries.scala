@@ -464,6 +464,27 @@ object PipelineQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // The layout's DELETE lifecycle (r20) — the takedown chapter that
+    // completes write -> append -> compact -> EXCISE for the one
+    // appendable durable artifact that lacked it: the o_orderkey%7==0
+    // rows are tombstoned (a metadata-sized id write + manifest ledger,
+    // no data-file rewrite; replayed tag no-op pinned), the PRE-compact
+    // box read — file pruning, then the tombstone anti-join the serving
+    // path runs — is required inside the builder to equal the
+    // POST-compact read (the physical drop), and the driver row is the
+    // same 2-d box scan over the compacted survivors. The oracle is the
+    // plain predicate over orders MINUS the excised cohort, so a
+    // tombstone that leaks through serving, a compact that loses or
+    // resurrects a row, or a ledger that forgets the fold each turn the
+    // row red.
+    "zorder_excised" -> ((spark, dir) => {
+      graft.operators.ZOrderLayout.readBox(spark,
+          zorderExcisedLayout(spark, dir),
+          Map("o_totalprice" -> ((50000.0, 150000.0)),
+            "o_custkey" -> ((40.0, 120.0))))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
     // Streaming snapshot-diff REPLAY — corpus_version_diff's streaming
     // twin on the driver ledger (the last implemented monitor that was
     // spec-only): the v2 snapshot arrives in three micro-batches through
@@ -596,15 +617,54 @@ object PipelineQueries {
       path
     })
 
-  // Pseudo-replay WARM-UP: the two z-order layout writes (bin + sort +
-  // 16/12-file write, then the append + compact lifecycle) are pure disk
-  // artifacts runOnce-shared by the two zorder rows — force them under
-  // the warm-up fan-out (see ReplayOrchestrator) so the rows pay only
-  // their statically-pruned reads. No teardown: the layouts are
-  // target/-resident files, not session persists.
+  /** Excised twin of [[zorderLifecycleLayout]] — the DELETE chapter: the
+    * appended-and-compacted layout is cloned, the o_orderkey%7==0 rows
+    * tombstoned ([[graft.operators.ZOrderLayout.excise]] — metadata-sized
+    * id write + manifest ledger commit; replayed tag no-op pinned), the
+    * pre-compact SERVING path (file pruning + tombstone anti-join)
+    * asserted equal to the post-compact physical drop on the gate's own
+    * box, then compacted. Rebuilt per session like its siblings (the
+    * layout caches are session-scoped, warm-up covers the build). */
+  private val zorderExciseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def zorderExcisedLayout(spark: SparkSession, dir: String): String =
+    QueryArtifacts.runOnce(zorderExciseCache, (spark, dir))({
+      val path = QueryArtifacts.path("target/zorder-excised", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      QueryArtifacts.cloneArtifact(zorderLifecycleLayout(spark, dir), path)
+      val ids = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
+      require(graft.operators.ZOrderLayout.excise(spark, path, ids,
+        "o_orderkey", "takedown-batch"))
+      require(!graft.operators.ZOrderLayout.excise(spark, path, ids,
+          "o_orderkey", "takedown-batch"),
+        "replaying an already-applied excise batch must be a ledger no-op")
+      val box = Map("o_totalprice" -> ((50000.0, 150000.0)),
+        "o_custkey" -> ((40.0, 120.0)))
+      // the PRE-compact read is the serving path a takedown relies on
+      // between notice and maintenance — pin it against the physical
+      // drop before the compact rewrites the files (box-sized snapshot)
+      val pre = graft.operators.ZOrderLayout.readBox(spark, path, box)
+        .select("o_orderkey", "o_custkey", "o_totalprice").localCheckpoint()
+      graft.operators.ZOrderLayout.compact(spark, path, nFiles = 16)
+      val post = graft.operators.ZOrderLayout.readBox(spark, path, box)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+        "tombstone-filtered serving must equal the compacted physical drop")
+      path
+    })
+
+  // Pseudo-replay WARM-UP: the three z-order layout writes (bin + sort +
+  // 16/12-file write, the append + compact lifecycle, and the excise +
+  // compact takedown chain) are pure disk artifacts runOnce-shared by
+  // the three zorder rows — force them under the warm-up fan-out (see
+  // ReplayOrchestrator) so the rows pay only their statically-pruned
+  // reads. No teardown: the layouts are target/-resident files, not
+  // session persists.
   ReplayOrchestrator.register("warm-zorder") { (spark, dir) =>
     zorderLayout(spark, dir)
-    zorderLifecycleLayout(spark, dir)
+    zorderExcisedLayout(spark, dir) // ensures zorderLifecycleLayout first
     java.lang.Boolean.TRUE
   }
 
@@ -1127,5 +1187,13 @@ object PipelineQueries {
     // the write->append->compact lifecycle never changes results; one
     // shared oracle keeps the twins in sync
     "zorder_box_scan" -> zorderBoxOracle,
-    "zorder_append_compact_scan" -> zorderBoxOracle)
+    "zorder_append_compact_scan" -> zorderBoxOracle,
+    // the same box predicate MINUS the excised cohort: exactly what a
+    // fresh write over the surviving orders would serve
+    "zorder_excised" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+        |  AND o_custkey >= 40 AND o_custkey <= 120
+        |  AND o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cold-start story a 100 TB deployment actually lives by: a fresh
   * session (or here, a fresh reopen past every session cache) opens
   * EVERY durable artifact the engine maintains — base, appended, excised
-  * (including the count-model exact-unlearning forms), AND drift-refitted
-  * lifecycles, 21 reopens — through its validation
+  * (including the exact-unlearning forms of every trained count model),
+  * AND drift-refitted lifecycles, 23 reopens — through its validation
   * manifest, runs ZERO
   * build/fit/train jobs doing so, and serves one bounded request from
   * each. One row per artifact:
@@ -60,10 +60,10 @@ object ServeAllQueries {
 
   /** The capstone's verdict rows, computed ONCE per (session, dir) — the
     * replay-row discipline: a cold-start check is a per-session event
-    * (reopen + fence + serve across 21 artifacts, ~15 s at sf0.1 on a
+    * (reopen + fence + serve across 23 artifacts, ~15 s at sf0.1 on a
     * quiet box — r17 judge re-bench: 15.4 s total over the then-18, max
-    * 1.85 s per artifact; the markov_excised and bigram_lm_excised
-    * reopens added r19 are matrix-/model-table-sized scans), not a
+    * 1.85 s per artifact; the excised-model
+    * reopens added r19/r20 are matrix-/model-table-sized scans), not a
     * per-pass derivation; every later call reads the verdicts. */
   private val verdictCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(String, Boolean, Boolean)]]
@@ -106,7 +106,7 @@ object ServeAllQueries {
       timed.map(_._1)
     })
 
-  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 21
+  // Pseudo-replay WARM-UP: the whole cold-start check (ensure + 23
   // counter-fenced reopens, ~15 s of reopen at sf0.1 on a quiet box —
   // the bench's largest warm-up body) runs under the fan-out after
   // quiescing every SIBLING body — so no concurrent warm-up train can
@@ -145,6 +145,7 @@ object ServeAllQueries {
         |  ('chunk_index', TRUE, TRUE),
         |  ('chunk_index_excised', TRUE, TRUE),
         |  ('classifier', TRUE, TRUE),
+        |  ('classifier_excised', TRUE, TRUE),
         |  ('inverted_index', TRUE, TRUE),
         |  ('inverted_index_appended', TRUE, TRUE),
         |  ('inverted_index_excised', TRUE, TRUE),
@@ -155,7 +156,8 @@ object ServeAllQueries {
         |  ('markov_excised', TRUE, TRUE),
         |  ('pq', TRUE, TRUE), ('pq_excised', TRUE, TRUE),
         |  ('pq_refitted', TRUE, TRUE),
-        |  ('trigram_lm', TRUE, TRUE))
+        |  ('trigram_lm', TRUE, TRUE),
+        |  ('trigram_lm_excised', TRUE, TRUE))
         |  AS t(artifact, zero_build, served)
         |ORDER BY artifact""".stripMargin)
 }

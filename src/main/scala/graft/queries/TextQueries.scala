@@ -1245,6 +1245,25 @@ object TextQueries {
         .score(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // EXCISE lifecycle for the trigram LM (r20) — the lm_bigram_excised
+    // unlearning gate one order up, completing exact unlearning for the
+    // whole reference-LM family: the held-out slice scored under a model
+    // from which the doc_id%3==0 training documents were SUBTRACTED
+    // (TrigramLm.exciseFrom — cloned artifact, staged swap, batch
+    // ledger, subset refusal, replayed no-op pinned) must equal scoring
+    // under a fresh train over only the surviving training docs
+    // EXACTLY. The oracle re-derives all three n-gram tables and both
+    // scalars from the survivor slice, so a stale count at ANY backoff
+    // level — or an un-refreshed v/nTok (they sit in the add-one
+    // unigram base every backoff chain bottoms out in) or a stale
+    // continuation statistic (re-derived from the subtracted tables) —
+    // turns exactly this row red while the build-once rows stay green.
+    "lm_trigram_excised" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      trigramLmExcised(spark, dir)
+        .score(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // TRAINED quality/domain classifier (the DCLM/FineWeb-Edu curation
     // step): Naive-Bayes sufficient statistics fitted ONCE on the labeled
     // %5==0 seed slice (label = the fixture's lang column), written
@@ -1258,6 +1277,25 @@ object TextQueries {
     // no transcendentals.
     "classifier_train_score" -> ((spark, dir) =>
       clfHeldScores(spark, dir).orderBy("doc_id")),
+    // EXCISE lifecycle for the trained curation classifier (r20) — exact
+    // unlearning for the DCLM/FineWeb-Edu filter model, completing the
+    // takedown story for every trained durable artifact: every held-out
+    // doc scored under a model from which the doc_id%3==0 labeled seed
+    // documents were SUBTRACTED (QualityClassifier.exciseFrom — cloned
+    // artifact, staged swap, batch ledger, subset refusal, replayed
+    // no-op pinned) must equal scoring under a fresh train over only the
+    // surviving seeds EXACTLY — priors, smoothing denominators, argmax
+    // tie-breaks and all. The oracle re-derives counts/classes/v from
+    // the survivor seed slice, so a stale per-class count, an
+    // un-shrunk prior, or an un-refreshed vocabulary scalar (v sits in
+    // every class's smoothing denominator) turns exactly this row red
+    // while the build-once rows stay green.
+    "classifier_excised" -> ((spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      clfExcised(spark, dir)
+        .score(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Classifier as a FILTER — the step a curation pipeline actually runs
     // with a trained quality/domain model (DCLM keeps docs the classifier
     // scores as reference-like): EVERY doc scored under the frozen
@@ -1485,6 +1523,12 @@ object TextQueries {
         () => graft.operators.TrigramLm.loadIfValid(spark,
             QueryArtifacts.path("target/trigram-lm", dir), tag)
           .map(_.score(docs3, "doc_id", "text").count())),
+      ("trigram_lm_excised",
+        () => { trigramLmExcised(spark, dir); () },
+        () => graft.operators.TrigramLm.loadIfValid(spark,
+            QueryArtifacts.path("target/trigram-lm-excised", dir),
+            tag + "#excise-batch")
+          .map(_.score(docs3, "doc_id", "text").count())),
       ("inverted_index",
         () => { invertedIndexPersisted(spark, dir); () },
         () => graft.operators.InvertedIndex.loadIfValid(spark,
@@ -1494,6 +1538,12 @@ object TextQueries {
         () => { clfPersisted(spark, dir); () },
         () => graft.operators.QualityClassifier.loadIfValid(spark,
             QueryArtifacts.path("target/quality-clf", dir), tag)
+          .map(_.score(docs3, "doc_id", "text").count())),
+      ("classifier_excised",
+        () => { clfExcised(spark, dir); () },
+        () => graft.operators.QualityClassifier.loadIfValid(spark,
+            QueryArtifacts.path("target/quality-clf-excised", dir),
+            tag + "#excise-batch")
           .map(_.score(docs3, "doc_id", "text").count())),
       ("inverted_index_appended",
         () => { invAppendedCompacted(spark, dir); () },
@@ -1585,6 +1635,38 @@ object TextQueries {
       }
     })
 
+  /** Excised twin of [[trigramLmPersisted]] — EXACT UNLEARNING for the
+    * interpolated trigram LM (r20, the [[bigramLmExcised]] chain one
+    * order up): the %5!=0-trained durable model is cloned and the
+    * doc_id%3==0 slice of its TRAINING corpus subtracted by
+    * [[graft.operators.TrigramLm.exciseFrom]] — all three n-gram tables
+    * are additive over the doc-disjoint split and both scalars (v,
+    * nTok) re-derive from the surviving unigram table, so held-out docs
+    * scored under the excised model must hash against a fresh
+    * survivor-only train; replayed-ledger no-op pinned. */
+  private val trigramExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.TrigramLm]
+
+  private def trigramLmExcised(spark: SparkSession,
+      dir: String): graft.operators.TrigramLm =
+    QueryArtifacts.runOnce(trigramExciseCache, (spark, dir))({
+      val srcPath = QueryArtifacts.path("target/trigram-lm", dir)
+      val path = QueryArtifacts.path("target/trigram-lm-excised", dir)
+      val exciseTag = lmSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.TrigramLm.loadIfValid(spark, path, exciseTag).isEmpty) {
+        trigramLmPersisted(spark, dir) // ensure the source artifact exists
+        QueryArtifacts.cloneArtifact(srcPath, path)
+        val takedown = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 0)
+        graft.operators.TrigramLm.exciseFrom(spark, path, takedown, "text",
+          exciseTag)
+        require(!graft.operators.TrigramLm.exciseFrom(spark, path, takedown,
+            "text", exciseTag),
+          "replaying an already-applied excise batch must be a ledger no-op")
+      }
+      graft.operators.TrigramLm.load(spark, path)
+    })
+
   /** One durable inverted index per (session, dir) — same build-once file
     * lifecycle as [[bigramLmPersisted]] (manifest-validated reopen, zero
     * tokenize jobs on a hit); serving reads only the query terms' hash
@@ -1631,6 +1713,40 @@ object TextQueries {
           .write(path, tag)
         graft.operators.QualityClassifier.load(spark, path)
       }
+    })
+
+  /** Excised twin of [[clfPersisted]] — EXACT UNLEARNING for the trained
+    * curation classifier (r20, the [[bigramLmExcised]] chain on the
+    * DCLM lifecycle): the %5==0-trained durable model is cloned and the
+    * doc_id%3==0 slice of its SEED set subtracted by
+    * [[graft.operators.QualityClassifier.exciseFrom]] — all NB
+    * sufficient statistics are additive over the doc-disjoint split and
+    * the vocabulary scalar v re-derives as the distinct surviving count
+    * words, so held-out docs scored under the excised model must hash
+    * against a fresh survivor-only train; replayed-ledger no-op
+    * pinned. */
+  private val clfExciseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.QualityClassifier]
+
+  private def clfExcised(spark: SparkSession,
+      dir: String): graft.operators.QualityClassifier =
+    QueryArtifacts.runOnce(clfExciseCache, (spark, dir))({
+      val srcPath = QueryArtifacts.path("target/quality-clf", dir)
+      val path = QueryArtifacts.path("target/quality-clf-excised", dir)
+      val exciseTag = lmSourceTag(spark, dir) + "#excise-batch"
+      if (graft.operators.QualityClassifier
+          .loadIfValid(spark, path, exciseTag).isEmpty) {
+        clfPersisted(spark, dir) // ensure the source artifact exists
+        QueryArtifacts.cloneArtifact(srcPath, path)
+        val takedown = seedSlice(spark, dir)
+          .filter(col("doc_id") % 3 === 0)
+        graft.operators.QualityClassifier.exciseFrom(spark, path, takedown,
+          "text", "lang", exciseTag)
+        require(!graft.operators.QualityClassifier.exciseFrom(spark, path,
+            takedown, "text", "lang", exciseTag),
+          "replaying an already-applied excise batch must be a ledger no-op")
+      }
+      graft.operators.QualityClassifier.load(spark, path)
     })
 
   /** One TRAINED char-trigram language-ID model per (session, dir) —
@@ -1704,6 +1820,117 @@ object TextQueries {
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   private val bm25Oracle = bm25OracleOver("documents")
+
+  /** The train/serve trigram oracle parametrized by the TRAINING-slice
+    * filter — ONE derivation shared by lm_trigram_score_heldout (the
+    * full %5!=0 train) and lm_trigram_excised (the survivor-only train
+    * the excised model must hash against): the LEFT-JOIN variant of the
+    * corpus-internal chain, every backoff branch of TrigramLm.score
+    * replayed exactly. */
+  /** The NB train+serve oracle parametrized by the SEED-slice filter —
+    * ONE derivation shared by classifier_train_score (the full %5==0
+    * seed set) and classifier_excised (the survivor-only train the
+    * excised model must hash against): sufficient statistics from the
+    * filtered seeds, prior-weighted expected-probability argmax over
+    * the %5!=0 docs, ties broken by label order (see QualityClassifier
+    * scaladoc). */
+  private def duckClassifierOracle(seedFilter: String): String =
+    s"""WITH seedtok AS (
+        |  SELECT doc_id, lang AS label,
+        |    unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE $seedFilter),
+        |counts AS (SELECT label, w, CAST(count(*) AS BIGINT) AS c
+        |           FROM seedtok GROUP BY label, w),
+        |classes AS (SELECT label,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM seedtok GROUP BY label),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM seedtok),
+        |doctok AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents WHERE doc_id % 5 <> 0)
+        |  GROUP BY doc_id, w),
+        |docn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens
+        |         FROM doctok GROUP BY doc_id),
+        |hits AS (
+        |  SELECT t.doc_id, c.label, CAST(sum(t.k * c.c) AS BIGINT) AS s
+        |  FROM doctok t JOIN counts c USING (w) GROUP BY t.doc_id, c.label),
+        |scored AS (
+        |  SELECT d.doc_id, d.n_tokens, cl.label,
+        |    coalesce(h.s, 0) + d.n_tokens AS num,
+        |    cl.tot + voc.v AS den,
+        |    CAST(cl.n_docs * (coalesce(h.s, 0) + d.n_tokens) AS DOUBLE)
+        |      / CAST(cl.tot + voc.v AS DOUBLE) AS dscore
+        |  FROM docn d CROSS JOIN classes cl CROSS JOIN voc
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = cl.label),
+        |best AS (
+        |  SELECT doc_id, n_tokens, label AS pred_label,
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+        |      AS expected_p,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY dscore DESC, label) AS rk
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, pred_label, expected_p
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  private def duckTrigramHeldoutOracle(trainFilter: String): String =
+    s"""WITH tr AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE $trainFilter),
+        |ev AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |tri AS (SELECT tg, CAST(count(*) AS BIGINT) AS c123 FROM (
+        |    SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS tg FROM tr)
+        |  GROUP BY tg),
+        |ctx2 AS (
+        |  SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS bg12,
+        |    CAST(sum(c123) AS BIGINT) AS c12, CAST(count(*) AS BIGINT) AS n3
+        |  FROM tri GROUP BY 1),
+        |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c23 FROM (
+        |    SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |    FROM tr)
+        |  GROUP BY bg),
+        |ctx1 AS (
+        |  SELECT split_part(bg, ' ', 1) AS w2c, CAST(sum(c23) AS BIGINT) AS c2,
+        |    CAST(count(*) AS BIGINT) AS n2
+        |  FROM bi GROUP BY 1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1u
+        |        FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntok,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT unnest(t) AS w FROM tr)),
+        |doctg AS (SELECT doc_id, tg, count(*) AS k FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |              for i in range(1, len(t) - 1)]) AS tg
+        |    FROM ev)
+        |  GROUP BY doc_id, tg),
+        |tj AS (
+        |  SELECT b.doc_id, b.k, tri.c123, x2.c12, x2.n3, bi.c23, x1.c2, x1.n2,
+        |    u.c1u, tot.ntok, tot.v
+        |  FROM doctg b
+        |  LEFT JOIN tri ON b.tg = tri.tg
+        |  LEFT JOIN ctx2 x2
+        |    ON split_part(b.tg, ' ', 1) || ' ' || split_part(b.tg, ' ', 2) = x2.bg12
+        |  LEFT JOIN bi ON split_part(b.tg, ' ', 2) || ' ' || split_part(b.tg, ' ', 3) = bi.bg
+        |  LEFT JOIN ctx1 x1 ON split_part(b.tg, ' ', 2) = x1.w2c
+        |  LEFT JOIN uni u ON split_part(b.tg, ' ', 3) = u.w, tot),
+        |p1s AS (SELECT *, (coalesce(c1u, 0) + 1.0) / (ntok + v) AS p1 FROM tj),
+        |p2s AS (SELECT *, CASE WHEN c2 IS NULL THEN p1
+        |    ELSE (greatest(coalesce(c23, 0) - 0.5, 0.0) + 0.5 * n2 * p1) / c2
+        |    END AS p2 FROM p1s),
+        |p3s AS (SELECT *, CASE WHEN c12 IS NULL THEN p2
+        |    ELSE (greatest(coalesce(c123, 0) - 0.5, 0.0) + 0.5 * n3 * p2) / c12
+        |    END AS p3 FROM p2s),
+        |ps AS (SELECT doc_id, k, c123,
+        |    CAST(round(p3 * 1e14) AS BIGINT) AS p14 FROM p3s)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+        |  round(CAST(sum(CAST(k AS HUGEINT) * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob,
+        |  round(avg(CASE WHEN c123 IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+        |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def duckScore(markers: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -2721,106 +2948,31 @@ object TextQueries {
     // floors at the add-one unigram — every backoff branch of
     // TrigramLm.score replayed exactly
     "lm_trigram_score_heldout" ->
-      """WITH tr AS (
-        |  SELECT string_split(lower(text), ' ') AS t FROM documents
-        |  WHERE doc_id % 5 <> 0),
-        |ev AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-        |  WHERE doc_id % 5 = 0),
-        |tri AS (SELECT tg, CAST(count(*) AS BIGINT) AS c123 FROM (
-        |    SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                   for i in range(1, len(t) - 1)]) AS tg FROM tr)
-        |  GROUP BY tg),
-        |ctx2 AS (
-        |  SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS bg12,
-        |    CAST(sum(c123) AS BIGINT) AS c12, CAST(count(*) AS BIGINT) AS n3
-        |  FROM tri GROUP BY 1),
-        |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c23 FROM (
-        |    SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
-        |    FROM tr)
-        |  GROUP BY bg),
-        |ctx1 AS (
-        |  SELECT split_part(bg, ' ', 1) AS w2c, CAST(sum(c23) AS BIGINT) AS c2,
-        |    CAST(count(*) AS BIGINT) AS n2
-        |  FROM bi GROUP BY 1),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1u
-        |        FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntok,
-        |    CAST(count(DISTINCT w) AS BIGINT) AS v
-        |  FROM (SELECT unnest(t) AS w FROM tr)),
-        |doctg AS (SELECT doc_id, tg, count(*) AS k FROM (
-        |    SELECT doc_id,
-        |      unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |              for i in range(1, len(t) - 1)]) AS tg
-        |    FROM ev)
-        |  GROUP BY doc_id, tg),
-        |tj AS (
-        |  SELECT b.doc_id, b.k, tri.c123, x2.c12, x2.n3, bi.c23, x1.c2, x1.n2,
-        |    u.c1u, tot.ntok, tot.v
-        |  FROM doctg b
-        |  LEFT JOIN tri ON b.tg = tri.tg
-        |  LEFT JOIN ctx2 x2
-        |    ON split_part(b.tg, ' ', 1) || ' ' || split_part(b.tg, ' ', 2) = x2.bg12
-        |  LEFT JOIN bi ON split_part(b.tg, ' ', 2) || ' ' || split_part(b.tg, ' ', 3) = bi.bg
-        |  LEFT JOIN ctx1 x1 ON split_part(b.tg, ' ', 2) = x1.w2c
-        |  LEFT JOIN uni u ON split_part(b.tg, ' ', 3) = u.w, tot),
-        |p1s AS (SELECT *, (coalesce(c1u, 0) + 1.0) / (ntok + v) AS p1 FROM tj),
-        |p2s AS (SELECT *, CASE WHEN c2 IS NULL THEN p1
-        |    ELSE (greatest(coalesce(c23, 0) - 0.5, 0.0) + 0.5 * n2 * p1) / c2
-        |    END AS p2 FROM p1s),
-        |p3s AS (SELECT *, CASE WHEN c12 IS NULL THEN p2
-        |    ELSE (greatest(coalesce(c123, 0) - 0.5, 0.0) + 0.5 * n3 * p2) / c12
-        |    END AS p3 FROM p2s),
-        |ps AS (SELECT doc_id, k, c123,
-        |    CAST(round(p3 * 1e14) AS BIGINT) AS p14 FROM p3s)
-        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
-        |  round(CAST(sum(CAST(k AS HUGEINT) * p14) AS DOUBLE) / sum(k) / 1e14, 6) AS pred_prob,
-        |  round(avg(CASE WHEN c123 IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
-        |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      duckTrigramHeldoutOracle("doc_id % 5 <> 0"),
+    // exact unlearning: the excised model must equal a FRESH train over
+    // only the surviving training docs (doc_id%5<>0 AND doc_id%3<>0) —
+    // the heldout derivation with the takedown cohort filtered out of
+    // the training slice; every count table, both scalars (v and nTok
+    // sit in the add-one unigram base every backoff chain bottoms out
+    // in), and the re-derived continuation statistics refresh over the
+    // survivors
+    "lm_trigram_excised" ->
+      duckTrigramHeldoutOracle("doc_id % 5 <> 0 AND doc_id % 3 <> 0"),
     // independent re-derivation of train + serve: NB sufficient statistics
     // from the %5==0 labeled slice, prior-weighted expected-probability
     // argmax over the %5!=0 docs — exact integer numerators over
     // class-constant denominators, one correctly-rounded division, ties
     // broken by label order (see QualityClassifier scaladoc)
     "classifier_train_score" ->
-      """WITH seedtok AS (
-        |  SELECT doc_id, lang AS label,
-        |    unnest(string_split(lower(text), ' ')) AS w
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |counts AS (SELECT label, w, CAST(count(*) AS BIGINT) AS c
-        |           FROM seedtok GROUP BY label, w),
-        |classes AS (SELECT label,
-        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |    CAST(count(*) AS BIGINT) AS tot
-        |  FROM seedtok GROUP BY label),
-        |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM seedtok),
-        |doctok AS (
-        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
-        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |        FROM documents WHERE doc_id % 5 <> 0)
-        |  GROUP BY doc_id, w),
-        |docn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens
-        |         FROM doctok GROUP BY doc_id),
-        |hits AS (
-        |  SELECT t.doc_id, c.label, CAST(sum(t.k * c.c) AS BIGINT) AS s
-        |  FROM doctok t JOIN counts c USING (w) GROUP BY t.doc_id, c.label),
-        |scored AS (
-        |  SELECT d.doc_id, d.n_tokens, cl.label,
-        |    coalesce(h.s, 0) + d.n_tokens AS num,
-        |    cl.tot + voc.v AS den,
-        |    CAST(cl.n_docs * (coalesce(h.s, 0) + d.n_tokens) AS DOUBLE)
-        |      / CAST(cl.tot + voc.v AS DOUBLE) AS dscore
-        |  FROM docn d CROSS JOIN classes cl CROSS JOIN voc
-        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = cl.label),
-        |best AS (
-        |  SELECT doc_id, n_tokens, label AS pred_label,
-        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
-        |      AS expected_p,
-        |    row_number() OVER (PARTITION BY doc_id
-        |                       ORDER BY dscore DESC, label) AS rk
-        |  FROM scored)
-        |SELECT doc_id, n_tokens, pred_label, expected_p
-        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+      duckClassifierOracle("doc_id % 5 = 0"),
+    // exact unlearning: the excised classifier must equal a FRESH train
+    // over only the surviving seeds (doc_id%5=0 AND doc_id%3<>0) — the
+    // train+serve derivation with the takedown cohort filtered out of
+    // the seed slice; counts, priors, token totals, and the vocabulary
+    // scalar v (every class's smoothing denominator) all refresh over
+    // the survivors
+    "classifier_excised" ->
+      duckClassifierOracle("doc_id % 5 = 0 AND doc_id % 3 <> 0"),
     // the char-trigram twin of classifier_train_score's oracle: the same
     // NB train + serve re-derivation with the feature extraction swapped
     // to the positional-substring comprehension (mirrors

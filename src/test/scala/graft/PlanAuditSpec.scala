@@ -64,6 +64,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "term_stats", "lm_bigram_quality", "bm25_rank",
       // |L|-row class-prior table broadcast into the per-doc scorer
       "classifier_train_score", "classifier_persisted", "corpus_filter_classifier",
+      // the same |L|-row class-prior broadcast, served from the
+      // excised durable model (r20 unlearning gate)
+      "classifier_excised",
       // the same |L|-row class-prior broadcast, char-trigram features
       "lang_id_trained",
       // exact side of the semantic-recall gate: full-corpus broadcast by

@@ -110,4 +110,72 @@ class QualityClassifierSpec extends AnyFunSuite {
       "doc_id", "text").head()
     assert(r.getString(2) === "p", s"tie must resolve to the first label: $r")
   }
+
+  test("exciseFrom unlearns a seed batch exactly — counts, priors, token " +
+      "totals, whole classes, AND the vocabulary scalar — with ledger " +
+      "no-op and non-subset refusals") {
+    val path = "target/quality-clf-spec-excised"
+    Seq(path, s"$path-next", s"$path-old").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    // doc 2 carries the only 'dog' (v must shrink) and doc 5 is the ONLY
+    // 'de' seed (the whole class must vanish, as a fresh survivor train
+    // would have no prior for it)
+    val seeds = Seq(
+      (1L, "the cat sat", "en"), (2L, "the dog sat sat", "en"),
+      (3L, "le chat assis", "fr"), (4L, "le chien assis", "fr"),
+      (5L, "der hund sitzt", "de"))
+      .toDF("doc_id", "text", "lang")
+    val takedown = seeds.filter(col("doc_id").isin(2L, 5L))
+    QualityClassifier.train(seeds, "text", "lang").write(path, "base")
+    assert(QualityClassifier.exciseFrom(spark, path, takedown, "text",
+      "lang", "takedown-1"))
+    val excised = QualityClassifier.load(spark, path)
+    val survivor = QualityClassifier.train(
+      seeds.filter(!col("doc_id").isin(2L, 5L)), "text", "lang")
+    assert(excised.v === survivor.v, "v must re-derive over the survivors")
+    assert(excised.classes.count() === 2L,
+      "the fully-excised 'de' class must be dropped")
+    def eval(c: QualityClassifier) =
+      c.score(Seq((9L, "the chat sat"), (10L, "der hund"), (11L, "le dog"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+    assert(eval(excised) === eval(survivor),
+      "excised model must score identically to a fresh survivor train")
+    // replayed excise is a ledger no-op; nothing double-subtracts
+    assert(!QualityClassifier.exciseFrom(spark, path, takedown, "text",
+      "lang", "takedown-1"))
+    assert(eval(QualityClassifier.load(spark, path)) === eval(survivor))
+    // the excise tag reopens zero-train; the stale base tag refuses
+    val before = QualityClassifier.trainCount
+    assert(QualityClassifier.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(QualityClassifier.trainCount === before)
+    assert(QualityClassifier.loadIfValid(spark, path, "base").isEmpty)
+    // NON-SUBSET batches refuse before a byte is staged: an unseen
+    // class, unseen (class, word) keys, and a double-counted batch
+    val foreignClass = Seq((7L, "hola mundo", "es")).toDF("doc_id", "text", "lang")
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.exciseFrom(spark, path, foreignClass, "text",
+        "lang", "takedown-2")
+    }
+    assert(e1.getMessage.contains("unseen"), e1.getMessage)
+    val doc1 = seeds.filter(col("doc_id") === 1)
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.exciseFrom(spark, path, doc1.unionByName(doc1),
+        "text", "lang", "takedown-3")
+    }
+    assert(e2.getMessage.contains("over-subtracted"), e2.getMessage)
+    assert(eval(QualityClassifier.load(spark, path)) === eval(survivor),
+      "a refused excise must leave the model untouched")
+    // a torn table (rows landed, manifest didn't) refuses a NEW excise...
+    excised.counts.limit(1).write.mode("append").parquet(s"$path/counts")
+    val e3 = intercept[IllegalArgumentException] {
+      QualityClassifier.exciseFrom(spark, path, doc1, "text", "lang",
+        "takedown-4")
+    }
+    assert(e3.getMessage.contains("manifest"))
+    // ...but a replay of an ALREADY-APPLIED tag still no-ops on it (the
+    // idempotent-retry contract — the no-op precedes the recount)
+    assert(!QualityClassifier.exciseFrom(spark, path, takedown, "text",
+      "lang", "takedown-1"))
+  }
 }

@@ -20,11 +20,12 @@ class ServeAllSpec extends AnyFunSuite {
     val hs = ServeAllQueries.hooks(spark, dir)
     assert(hs.map(_._1).sorted === Seq("bigram_lm", "bigram_lm_excised",
       "bpe", "chunk_index",
-      "chunk_index_excised", "classifier", "inverted_index",
+      "chunk_index_excised", "classifier", "classifier_excised",
+      "inverted_index",
       "inverted_index_appended", "inverted_index_excised", "ivf",
       "ivf_appended", "ivf_excised", "ivf_refitted", "ivfpq", "markov",
       "markov_appended", "markov_excised", "pq", "pq_excised",
-      "pq_refitted", "trigram_lm"))
+      "pq_refitted", "trigram_lm", "trigram_lm_excised"))
     hs.foreach(_._2()) // ensure phase: builds are legal here
     // quiesce the replay fan-out other suites may have launched — its
     // bodies fill the same caches and would pollute the job count

@@ -170,4 +170,72 @@ class TextLmSpec extends AnyFunSuite {
     val file = reopened.get.score(eval, "doc_id", "text").orderBy("doc_id").collect()
     assert(mem.toSeq === file.toSeq)
   }
+
+  test("trigram: exciseFrom unlearns a doc batch exactly — all three " +
+      "count tables AND both scalars — with ledger no-op and refusals") {
+    import spark.implicits._
+    val path = "target/test-trigram-lm/excised"
+    Seq(path, s"$path-next", s"$path-old").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    // doc 2 carries the ONLY occurrences of 'z': excising it must shrink
+    // v AND nTok (both sit in the add-one unigram base every backoff
+    // chain bottoms out in) — the un-refreshed-scalar silent corruption
+    // this lifecycle exists to prevent
+    val corpus = Seq((1L, "a b c a b"), (2L, "a z b z c"), (3L, "b a c a b"))
+      .toDF("doc_id", "text")
+    val takedown = corpus.filter(col("doc_id") === 2)
+    graft.operators.TrigramLm.train(corpus, "text").write(path, "base")
+    assert(graft.operators.TrigramLm.exciseFrom(spark, path, takedown,
+      "text", "takedown-1"))
+    val excised = graft.operators.TrigramLm.load(spark, path)
+    val survivor = graft.operators.TrigramLm.train(
+      corpus.filter(col("doc_id") =!= 2), "text")
+    assert(excised.v === survivor.v, "v must re-derive over the survivors")
+    assert(excised.nTok === survivor.nTok,
+      "nTok must re-derive over the survivors")
+    assert(excised.v < 4L, "'z' left the corpus; v must shrink")
+    // eval docs exercise every backoff branch: seen trigram, unseen
+    // trigram in seen context, unseen contexts down to the unigram base
+    def eval(lm: graft.operators.TrigramLm) =
+      lm.score(Seq((9L, "a b c a"), (10L, "b a z"), (11L, "z q a b"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+    assert(eval(excised) === eval(survivor),
+      "excised model must score identically to a fresh survivor train")
+    // replayed excise is a ledger no-op; nothing double-subtracts
+    assert(!graft.operators.TrigramLm.exciseFrom(spark, path, takedown,
+      "text", "takedown-1"))
+    assert(eval(graft.operators.TrigramLm.load(spark, path)) === eval(survivor))
+    // the excise tag reopens zero-train; the stale base tag refuses
+    val before = graft.operators.TrigramLm.trainCount
+    assert(graft.operators.TrigramLm.loadIfValid(spark, path, "takedown-1").isDefined)
+    assert(graft.operators.TrigramLm.trainCount === before)
+    assert(graft.operators.TrigramLm.loadIfValid(spark, path, "base").isEmpty)
+    // NON-SUBSET batches refuse before a byte is staged
+    val foreign = Seq((7L, "q r s t")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.TrigramLm.exciseFrom(spark, path, foreign, "text",
+        "takedown-2")
+    }
+    assert(e1.getMessage.contains("unseen"), e1.getMessage)
+    val doc1 = corpus.filter(col("doc_id") === 1)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.TrigramLm.exciseFrom(spark, path,
+        doc1.unionByName(doc1), "text", "takedown-3")
+    }
+    assert(e2.getMessage.contains("over-subtracted"), e2.getMessage)
+    assert(eval(graft.operators.TrigramLm.load(spark, path)) === eval(survivor),
+      "a refused excise must leave the model untouched")
+    // a torn table (rows landed, manifest didn't) refuses a NEW excise...
+    excised.tri.limit(1).write.mode("append").parquet(s"$path/tri")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.TrigramLm.exciseFrom(spark, path, doc1, "text",
+        "takedown-4")
+    }
+    assert(e3.getMessage.contains("manifest"))
+    // ...but a replay of an ALREADY-APPLIED tag still no-ops on it (the
+    // idempotent-retry contract — the no-op precedes the recount)
+    assert(!graft.operators.TrigramLm.exciseFrom(spark, path, takedown,
+      "text", "takedown-1"))
+  }
 }

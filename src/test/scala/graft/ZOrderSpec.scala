@@ -246,4 +246,68 @@ class ZOrderSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got === (1L to 100L).toSet)
   }
+
+  test("excise tombstones rows out of serving immediately, replays as a " +
+      "ledger no-op, and folds into the next compact physically") {
+    val epath = "target/zorder-test/orders-z-excise"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(epath))
+    ZOrderLayout.write(orders, Seq("o_custkey", "o_totalprice"), epath, 8)
+    val bounds = Map("o_custkey" -> midBounds("o_custkey"))
+    def boxIds() = ZOrderLayout.readBox(spark, epath, bounds)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val survivors = orders
+      .filter(col("o_custkey") >= bounds("o_custkey")._1 &&
+        col("o_custkey") <= bounds("o_custkey")._2 &&
+        col("o_orderkey") % 7 =!= 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val ids = orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
+    assert(ZOrderLayout.excise(spark, epath, ids, "o_orderkey", "takedown-1"))
+    // SERVING path: tombstones honored before any compact, with file
+    // skipping still intact (the anti-join rides on the pruned scan)
+    assert(boxIds() === survivors,
+      "tombstoned rows surfaced through the pre-compact serving path")
+    val everything = Map("o_custkey" -> ((Double.MinValue, Double.MaxValue)))
+    assert(ZOrderLayout.filesFor(spark, epath, everything).size === 8,
+      "excise must be a metadata write — no data file touched")
+    // replayed tag: ledger no-op
+    assert(!ZOrderLayout.excise(spark, epath, ids, "o_orderkey", "takedown-1"))
+    assert(boxIds() === survivors)
+    // a different row identity is refused (one layout, one id column)
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.excise(spark, epath,
+        orders.select(col("o_custkey")), "o_custkey", "takedown-2")
+    }
+    // an ORPHAN tombstone dir (crash after the data write, before the
+    // manifest commit) is invisible: only ledgered tags are served
+    val orphanIds = orders.filter(col("o_orderkey") % 7 === 1)
+      .select("o_orderkey").limit(50)
+    orphanIds.write.mode("overwrite")
+      .parquet(s"$epath/_ZORDER_TOMBSTONES/deadbeefdeadbeef")
+    assert(boxIds() === survivors,
+      "an uncommitted tombstone batch must not shape serving")
+    // compact folds the drop in physically and carries BOTH ledgers
+    ZOrderLayout.compact(spark, epath, nFiles = 4)
+    assert(boxIds() === survivors, "compact lost or resurrected rows")
+    assert(!new java.io.File(s"$epath/_ZORDER_TOMBSTONES").exists(),
+      "the folded tombstone data must be gone with the old directory")
+    assert(!ZOrderLayout.excise(spark, epath, ids, "o_orderkey", "takedown-1"),
+      "compact dropped the excise ledger")
+    // the id-column pin survives the compact too
+    intercept[IllegalArgumentException] {
+      ZOrderLayout.excise(spark, epath,
+        orders.select(col("o_custkey")), "o_custkey", "takedown-3")
+    }
+    // a LATER append after the excise keeps the pending-takedown state
+    val epath2 = "target/zorder-test/orders-z-excise-append"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(epath2))
+    ZOrderLayout.write(orders.filter(col("o_orderkey") % 2 === 1),
+      Seq("o_custkey", "o_totalprice"), epath2, 4)
+    assert(ZOrderLayout.excise(spark, epath2, ids, "o_orderkey", "td-1"))
+    assert(ZOrderLayout.appendTo(orders.filter(col("o_orderkey") % 2 === 0),
+      epath2, 2, sourceTag = "day-1"))
+    val got2 = ZOrderLayout.readBox(spark, epath2, bounds)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got2 === survivors,
+      "an append after an excise must not un-tombstone the takedown")
+  }
 }
