@@ -76,13 +76,25 @@ object Bench {
     s"""{"queries":$qs,"passes":$passes,"loadavg":$load$barrier$meas$ref$reopen,"leaked_rdds":$leakList,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
   }
 
-  /** Minimal JSON string escape for every interpolated NAME in the
+  /** Complete JSON string escape for every interpolated NAME in the
     * summary (barrier verdicts, leaked-RDD descriptors): today's values
-    * are static identifiers, but any future body name carrying a quote
-    * or backslash would otherwise silently corrupt the artifact and
-    * break [[referenceFrom]] for every later run. */
-  private[graft] def jsonEscape(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+    * are static identifiers, but any future body name carrying a quote,
+    * backslash, or control character (an RDD setName with a newline)
+    * would otherwise silently corrupt the artifact and break
+    * [[referenceFrom]] for every later run. */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 
   /** BENCH_SUMMARY.json resolved against the repo root — the nearest
     * ancestor of `from` holding a build.sbt — so benching from a subdir

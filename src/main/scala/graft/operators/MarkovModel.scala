@@ -317,14 +317,9 @@ object MarkovModel {
     val nOut = fs.create(manifestPath(next), true)
     try props.store(nOut, "graft markov-model manifest")
     finally nOut.close()
-    // directory swap: old aside, next into place, drop old
-    val livePath = new org.apache.hadoop.fs.Path(path)
-    val oldPath = new org.apache.hadoop.fs.Path(s"$path-old")
-    fs.delete(oldPath, true)
-    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
-    require(fs.rename(nextPath, livePath),
-      s"could not rename $nextPath into place")
-    fs.delete(oldPath, true)
+    // directory swap: old aside, next into place, drop old — the shared
+    // commit tail, so the adopt-orphan crash contract can never drift
+    WriterLease.swapStaged(fs, path)
   }
 
   /** Reopen a written model ONLY if its manifest proves it complete,

@@ -323,13 +323,7 @@ object TrigramLm {
     val nOut = fs.create(manifestPath(next), true)
     try props.store(nOut, "graft trigram-LM manifest")
     finally nOut.close()
-    val livePath = new org.apache.hadoop.fs.Path(path)
-    val oldPath = new org.apache.hadoop.fs.Path(s"$path-old")
-    fs.delete(oldPath, true)
-    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
-    require(fs.rename(nextPath, livePath),
-      s"could not rename $nextPath into place")
-    fs.delete(oldPath, true)
+    WriterLease.swapStaged(fs, path)
     true
   }
 

@@ -308,6 +308,25 @@ object WriterLease {
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** The whole-directory staged-swap COMMIT tail shared by the
+    * count-model maintenance ops ([[MarkovModel]], [[BigramLm]],
+    * [[TrigramLm]], [[QualityClassifier]]): the caller has already
+    * staged the COMPLETE next artifact — tables first, manifest LAST —
+    * at `path-next`; this swaps it live by two directory renames and
+    * drops the pre-swap copy. One definition so the crash-window
+    * contract ([[adoptOrphanNext]] recovers between the renames) can
+    * never drift between families. */
+  private[operators] def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path-old")
+    fs.delete(oldPath, true)
+    require(fs.rename(livePath, oldPath), s"could not move $livePath aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path-next"), livePath),
+      s"could not rename $path-next into place")
+    fs.delete(oldPath, true)
+  }
+
   /** Crash recovery for the whole-directory staged-swap commit (the
     * [[MarkovModel]]/[[BigramLm]] shape: stage `path-next` with its
     * manifest LAST, rename live aside to `path-old`, rename next into

@@ -154,6 +154,16 @@ object ZOrderLayout {
     arraySection(json, key).toSeq
       .flatMap(_.split(",")).map(_.replaceAll("\"", "")).filter(_.nonEmpty)
 
+  /** The manifest's file-entry objects, re-braced after the "},{"-split
+    * round-trip — THE one parse shared by append/excise/compact so the
+    * entry format can never silently diverge between maintenance
+    * paths. */
+  private def filesSection(json: String): Seq[String] =
+    arraySection(json, "files").getOrElse("")
+      .split("\\},\\{").filter(_.nonEmpty)
+      .map(e => if (e.startsWith("{")) e else "{" + e)
+      .map(e => if (e.endsWith("}")) e else e + "}").toSeq
+
   /** Directory holding one excise batch's tombstoned ids: a hidden
     * (underscore-prefixed, so every data-path read ignores it) subdir
     * keyed by a digest of the ledger tag — digesting sidesteps filesystem
@@ -207,6 +217,8 @@ object ZOrderLayout {
   def write(df: DataFrame, cols: Seq[String], path: String, nFiles: Int,
       bitsPer: Int = 12): Unit = {
     require(nFiles >= 1)
+    // rebuild IS the crash recovery: drop any lease a dead maintainer left
+    WriterLease.clear(df.sparkSession, path)
     zWrite(df, cols, path, nFiles, bitsPer, "overwrite")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -244,19 +256,21 @@ object ZOrderLayout {
       !sourceTag.exists(c => c == '"' || c == ']' || c == ',' || c == '{' || c == '}'),
       s"sourceTag must be non-empty without any of \" ] , {{ }}: $sourceTag")
     val spark = df.sparkSession
+    // one maintainer at a time (the index-family writer contract): an
+    // append reads the manifest, spends minutes in the clustered write,
+    // then rewrites the manifest from its stale read — a concurrent
+    // excise or second append committing inside that window would be
+    // silently lost-updated out of the ledger (a committed TAKEDOWN
+    // resurfacing is the worst case)
+    WriterLease.withLease(spark, path) {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
     val json = readManifestJson(fs, path)
-    val applied = arraySection(json, "applied").toSeq
-      .flatMap(_.split(",")).map(_.replaceAll("\"", "")).filter(_.nonEmpty)
+    val applied = ledgerSection(json, "applied")
     if (applied.contains(sourceTag)) return false
-    val cols = arraySection(json, "cols").getOrElse("")
-      .split(",").map(_.replaceAll("\"", "")).filter(_.nonEmpty).toSeq
-    val oldEntries = arraySection(json, "files").getOrElse("")
-      .split("\\},\\{").filter(_.nonEmpty)
-      .map(e => if (e.startsWith("{")) e else "{" + e)
-      .map(e => if (e.endsWith("}")) e else e + "}").toSeq
+    val cols = ledgerSection(json, "cols")
+    val oldEntries = filesSection(json)
     val before = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("part-")).toSet
     zWrite(df, cols, path, nFiles, bitsPer, "append")
@@ -270,6 +284,7 @@ object ZOrderLayout {
       ledgerSection(json, "excised"),
       ledgerSection(json, "tombstone_col").headOption)
     true
+    }
   }
 
   /** DELETE rows from a written layout — the takedown path that completes
@@ -291,15 +306,29 @@ object ZOrderLayout {
     * it leaves an orphan directory no ledger names, which
     * [[pendingTombstones]] never reads; the retry overwrites it and
     * commits. Excising an id absent from the layout is a harmless
-    * no-op row-wise (the anti-join matches nothing), matching DELETE
-    * semantics. Every excise of a layout must use the SAME `idCol` —
-    * enforced against the manifest — since one layout has one row
-    * identity. */
+    * no-op row-wise (the anti-join matches nothing). Every excise of a
+    * layout must use the SAME `idCol` — enforced against the manifest
+    * AND against the layout's own schema before the commit point (a
+    * mistyped column would otherwise brick every later read with no
+    * repair path, since the identity pin refuses the correction) —
+    * because one layout has one row identity.
+    *
+    * TAKEDOWN-BY-ID contract, stated precisely: a tombstoned id is
+    * suppressed from serving — including rows for it APPENDED after the
+    * excise — until the next [[compact]] folds the drop in physically
+    * and clears the tombstone data (the ledger stays, so the tag
+    * replays as a no-op). Re-ingesting the same id after that fold
+    * serves again: ids are not banned forever (gate re-ingestion with
+    * the blocklist operators if the takedown must outlive the
+    * artifact's own maintenance cycle). */
   def excise(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String, sourceTag: String): Boolean = {
     require(sourceTag.nonEmpty &&
       !sourceTag.exists(c => c == '"' || c == ']' || c == ',' || c == '{' || c == '}'),
       s"sourceTag must be non-empty without any of \" ] , {{ }}: $sourceTag")
+    // same fencing as appendTo: the read-manifest -> write-manifest
+    // window must not interleave with another maintainer's
+    WriterLease.withLease(spark, path) {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val json = readManifestJson(fs, path)
@@ -310,19 +339,28 @@ object ZOrderLayout {
         s"layout at $path is tombstoned by '$prior'; an excise by " +
           s"'$idCol' would leave two irreconcilable row identities")
     }
+    // schema proof BEFORE the commit point: one footer read of one
+    // manifest file — a column the layout doesn't have would commit a
+    // ledger entry every later readBox/compact fails on
+    filesSection(json).headOption.foreach { entry =>
+      val f = entry.split(",(?=\")").head
+        .stripPrefix("{").split(":", 2)(1).replaceAll("\"", "")
+      val schema = spark.read.parquet(f).schema
+      require(schema.fieldNames.contains(idCol),
+        s"layout at $path has no column '$idCol' (columns: " +
+          s"${schema.fieldNames.mkString(", ")}) — an excise by it " +
+          "would brick every later read")
+    }
     // tombstone data first (overwrite — a crashed attempt's orphan is
     // replaced), manifest ledger LAST as the commit point
     ids.select(idCol).distinct()
       .write.mode("overwrite").parquet(tombstoneDir(path, sourceTag))
     writeManifest(fs, path,
-      ledgerSection(json, "cols"),
-      arraySection(json, "files").getOrElse("")
-        .split("\\},\\{").filter(_.nonEmpty)
-        .map(e => if (e.startsWith("{")) e else "{" + e)
-        .map(e => if (e.endsWith("}")) e else e + "}").toSeq,
+      ledgerSection(json, "cols"), filesSection(json),
       ledgerSection(json, "applied"),
       excised :+ sourceTag, Some(idCol))
     true
+    }
   }
 
   /** Rewrite a fragmented layout as ONE fresh z-ordered table — the
@@ -340,18 +378,20 @@ object ZOrderLayout {
   def compact(spark: SparkSession, path: String, nFiles: Int,
       bitsPer: Int = 12): Unit = {
     require(nFiles >= 1)
+    // same fencing as appendTo/excise: a compact swapping the directory
+    // out from under a concurrent maintainer is the canonical disaster
+    WriterLease.withLease(spark, path) {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
     val json = readManifestJson(fs, path)
-    val cols = arraySection(json, "cols").getOrElse("")
-      .split(",").map(_.replaceAll("\"", "")).filter(_.nonEmpty).toSeq
+    val cols = ledgerSection(json, "cols")
     val applied = ledgerSection(json, "applied")
     val excised = ledgerSection(json, "excised")
     val tombCol = ledgerSection(json, "tombstone_col").headOption
     // read through the MANIFEST's file list (not a bare dir listing), so
     // orphan part-files from a crashed append stay invisible here too
-    val files = filesFor(spark, path, Map.empty)
+    val files = filesForJson(json, Map.empty)
     require(files.nonEmpty, s"nothing to compact at $path")
     // fold any pending takedowns into the rewrite: the same anti-join
     // readBox serves through, so a compacted layout physically holds
@@ -370,11 +410,8 @@ object ZOrderLayout {
       // tombstone DATA is gone with the old directory — the drop is now
       // physical — so the carried excise ledger has nothing pending
       val sJson = readManifestJson(fs, staging)
-      val entries = arraySection(sJson, "files").getOrElse("")
-        .split("\\},\\{").filter(_.nonEmpty)
-        .map(e => if (e.startsWith("{")) e else "{" + e)
-        .map(e => if (e.endsWith("}")) e else e + "}").toSeq
-      writeManifest(fs, staging, cols, entries, applied, excised, tombCol)
+      writeManifest(fs, staging, cols, filesSection(sJson), applied,
+        excised, tombCol)
     }
     fs.delete(dir, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), dir),
@@ -388,6 +425,30 @@ object ZOrderLayout {
     val out = fs.create(mp, true)
     out.write(moved.getBytes("UTF-8"))
     out.close()
+    }
+  }
+
+  /** Re-home a byte-copied layout's manifest onto its NEW directory:
+    * manifest file entries record ABSOLUTE paths, so a copy of a layout
+    * (a takedown clone, a backup restore) still points every read at
+    * the SOURCE's part-files — silently correct while the source is
+    * byte-identical and alive, FileNotFound (or worse, stale data) the
+    * moment it isn't. Rewrites each entry's directory component to
+    * `path` (file names, bounds, and both ledgers preserved) — the same
+    * substitution [[compact]] applies after its staging rename. Call
+    * immediately after copying a layout directory. */
+  def rehome(spark: SparkSession, path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val here = fs.makeQualified(dir).toString.stripSuffix("/")
+    val json = readManifestJson(fs, path)
+    val rehomed = """"file":"[^"]*/([^/"]+)"""".r
+      .replaceAllIn(json, m => java.util.regex.Matcher
+        .quoteReplacement(s""""file":"$here/${m.group(1)}""""))
+    val mp = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val out = fs.create(mp, true)
+    out.write(rehomed.getBytes("UTF-8"))
+    out.close()
   }
 
   /** Files whose manifest box intersects the predicate box. Bounds are
@@ -398,20 +459,25 @@ object ZOrderLayout {
       bounds: Map[String, (Double, Double)]): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(path, ManifestName)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    filesForJson(readManifestJson(fs, path), bounds)
+  }
+
+  /** [[filesFor]] over an already-read manifest — so a caller composing
+    * several manifest-driven decisions ([[readBox]]'s prune + tombstone
+    * pair, [[compact]]'s file list + ledgers) reads and parses the
+    * manifest ONCE, from one consistent version. */
+  private def filesForJson(json: String,
+      bounds: Map[String, (Double, Double)]): Seq[String] = {
     // manifest is engine-written, schema-fixed: parse with the same
     // minimal quoting rules Verify uses for emission
-    val json = readManifestJson(fs, path)
-    val clustered = arraySection(json, "cols").getOrElse("")
-      .split(",").map(_.replaceAll("\"", "")).filter(_.nonEmpty).toSet
+    val clustered = ledgerSection(json, "cols").toSet
     bounds.keys.foreach { c =>
       require(clustered.contains(c),
         s"column '$c' is not in this layout's manifest (clustered " +
           s"columns: ${clustered.mkString(", ")}) — only clustering " +
           "columns can drive file skipping")
     }
-    val entries = arraySection(json, "files").getOrElse("")
-      .split("\\},\\{").toSeq.filter(_.nonEmpty)
-    entries.flatMap { e =>
+    filesSection(json).flatMap { e =>
       val body = e.stripPrefix("{").stripSuffix("}")
       val fields = body.split(",(?=\")").map { kv =>
         val Array(k, v) = kv.split(":", 2)
@@ -444,7 +510,14 @@ object ZOrderLayout {
   def readBox(spark: SparkSession, path: String,
       bounds: Map[String, (Double, Double)]): DataFrame = {
     import org.apache.spark.sql.types._
-    val files = filesFor(spark, path, bounds)
+    // ONE manifest read drives both decisions (prune + tombstones): the
+    // serving hot path pays a single driver-side open, and both views
+    // come from the same manifest version (no skew between a file list
+    // and a tombstone ledger read moments apart)
+    val fs = new org.apache.hadoop.fs.Path(path, ManifestName)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val json = readManifestJson(fs, path)
+    val files = filesForJson(json, bounds)
     val raw =
       if (files.isEmpty) {
         spark.read.parquet(path).limit(0)
@@ -453,9 +526,7 @@ object ZOrderLayout {
     // (metadata-sized — batches since the last compact) after file
     // pruning, so an excised row can never surface between the takedown
     // and the compact that folds it in physically
-    val fs = new org.apache.hadoop.fs.Path(path, ManifestName)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val df = pendingTombstones(spark, path, readManifestJson(fs, path)) match {
+    val df = pendingTombstones(spark, path, json) match {
       case Some((c, tombs)) => raw.join(tombs, Seq(c), "left_anti")
       case None => raw
     }

@@ -633,6 +633,10 @@ object PipelineQueries {
       val path = QueryArtifacts.path("target/zorder-excised", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
       QueryArtifacts.cloneArtifact(zorderLifecycleLayout(spark, dir), path)
+      // the copied manifest's file entries are absolute paths under the
+      // SOURCE layout — without this every read of the clone would serve
+      // the lifecycle layout's files (latent until the source moves)
+      graft.operators.ZOrderLayout.rehome(spark, path)
       val ids = Tables.load(spark, dir, "orders")
         .filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
       require(graft.operators.ZOrderLayout.excise(spark, path, ids,

@@ -310,4 +310,54 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got2 === survivors,
       "an append after an excise must not un-tombstone the takedown")
   }
+
+  test("excise refuses a column the layout doesn't have BEFORE the " +
+      "commit point — a typo must not brick every later read") {
+    val tpath = "target/zorder-test/orders-z-typo"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tpath))
+    val sub = orders.orderBy("o_orderkey").limit(200) // deterministic subset
+    ZOrderLayout.write(sub, Seq("o_custkey", "o_totalprice"), tpath, 2)
+    val ids = sub.orderBy("o_orderkey").limit(10)
+      .select(col("o_orderkey").as("oorderkey")) // the typo'd identity
+    val e = intercept[IllegalArgumentException] {
+      ZOrderLayout.excise(spark, tpath, ids, "oorderkey", "typo-batch")
+    }
+    assert(e.getMessage.contains("no column"), e.getMessage)
+    // nothing committed: the layout still reads, and a CORRECT excise
+    // under a fresh tag is not blocked by a poisoned identity pin
+    val bounds = Map("o_custkey" -> ((Double.MinValue, Double.MaxValue)))
+    assert(ZOrderLayout.readBox(spark, tpath, bounds).count() === 200L)
+    assert(ZOrderLayout.excise(spark, tpath,
+      sub.orderBy("o_orderkey").limit(10).select("o_orderkey"),
+      "o_orderkey", "real-batch"))
+    assert(ZOrderLayout.readBox(spark, tpath, bounds).count() === 190L)
+  }
+
+  test("rehome points a byte-copied layout's manifest at its own files") {
+    val src = "target/zorder-test/orders-z-clone-src"
+    val dst = "target/zorder-test/orders-z-clone-dst"
+    Seq(src, dst).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    val sub = orders.orderBy("o_orderkey").limit(300) // deterministic subset
+    ZOrderLayout.write(sub, Seq("o_custkey", "o_totalprice"), src, 4)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), new java.io.File(dst))
+    // before rehome the copied manifest still names the SOURCE's files
+    assert(ZOrderLayout.filesFor(spark, dst, Map.empty)
+      .forall(_.contains("orders-z-clone-src")))
+    ZOrderLayout.rehome(spark, dst)
+    val files = ZOrderLayout.filesFor(spark, dst, Map.empty)
+    assert(files.nonEmpty && files.forall(_.contains("orders-z-clone-dst")),
+      s"rehome must move every entry to the clone's directory: $files")
+    // the decisive proof: delete the source — the clone must still serve
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    val bounds = Map("o_custkey" -> ((Double.MinValue, Double.MaxValue)))
+    assert(ZOrderLayout.readBox(spark, dst, bounds).count() === 300L)
+    // and the maintenance chain over the re-homed clone stays whole
+    assert(ZOrderLayout.excise(spark, dst,
+      sub.orderBy("o_orderkey").limit(20).select("o_orderkey"),
+      "o_orderkey", "clone-td"))
+    ZOrderLayout.compact(spark, dst, nFiles = 2)
+    assert(ZOrderLayout.readBox(spark, dst, bounds).count() === 280L)
+  }
 }
