@@ -266,6 +266,15 @@ class ZOrderSpec extends AnyFunSuite {
     // skipping still intact (the anti-join rides on the pruned scan)
     assert(boxIds() === survivors,
       "tombstoned rows surfaced through the pre-compact serving path")
+    // and the box predicate still reaches the parquet scan THROUGH the
+    // anti-join (Catalyst pushes left-side filters below a left_anti) —
+    // losing row-group pruning on the unskippable files would be the
+    // silent cost of the tombstone filter
+    val tombPlan = ZOrderLayout.readBox(spark, epath, bounds)
+      .queryExecution.executedPlan.toString
+    assert(tombPlan.contains("PushedFilters: [IsNotNull(o_custkey), " +
+      "GreaterThanOrEqual(o_custkey"),
+      s"box predicate no longer pushed below the tombstone anti-join:\n$tombPlan")
     val everything = Map("o_custkey" -> ((Double.MinValue, Double.MaxValue)))
     assert(ZOrderLayout.filesFor(spark, epath, everything).size === 8,
       "excise must be a metadata write — no data file touched")
