@@ -39,12 +39,53 @@ object CatalogScanner {
   /** One table's catalog rows (footer read only). */
   private def scanTable(spark: SparkSession, table: String, path: String,
       banned: Set[String]): Seq[CatalogRow] = {
-    val schema = spark.read.parquet(path).schema
-    schema.fields.iterator.zipWithIndex.collect {
+    val schema = tableSchemaFields(spark, path)
+    schema.iterator.zipWithIndex.collect {
       // ORDINAL_POSITION is 1-based in information schema
-      case (f, i) if !banned.contains(f.name) => CatalogRow(table, f.name, i + 1)
+      case (name, i) if !banned.contains(name) => CatalogRow(table, name, i + 1)
     }.toSeq
   }
+
+  /** Top-level field NAMES of a Parquet table, in footer order.
+    *
+    * The catalog needs names and ordinals only, so read ONE footer with
+    * the bare parquet-hadoop API instead of `spark.read.parquet(path)`:
+    * the DataFrameReader path builds a full InMemoryFileIndex + inferred
+    * StructType per table PER CATALOG CALL — ~100 ms of driver-side
+    * machinery each — while the footer's top-level field names (what
+    * Spark's own inference returns, in the same order) cost one ~ms
+    * metadata read. A directory table reads its first data file's footer
+    * (the same single-footer choice non-merging Spark inference makes;
+    * catalog tables here are written with one schema). Falls back to the
+    * DataFrameReader on anything unexpected (empty dir, corrupt footer)
+    * so error behavior is unchanged. */
+  private def tableSchemaFields(spark: SparkSession, path: String): Seq[String] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      val dataFile =
+        if (st.isDirectory) {
+          val parts = fs.listStatus(p).iterator
+            .filter { s =>
+              val n = s.getPath.getName
+              s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+                s.getLen > 0
+            }
+            .toSeq.sortBy(_.getPath.getName)
+          parts.headOption.getOrElse(sys.error(s"no data files under $path")).getPath
+        } else p
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataFile, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val fields = reader.getFooter.getFileMetaData.getSchema.getFields
+        (0 until fields.size()).map(i => fields.get(i).getName)
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(path).schema.fields.toSeq.map(_.name)
+    }
 
   /** Chunked fallback — 27 INDEPENDENT scans keyed on first letter `_,A..Z`
     * (builder.py:101-147, queries.py:23-33): each chunk lists and reads only
@@ -57,8 +98,12 @@ object CatalogScanner {
       bannedColumnNames: Seq[String]): Seq[CatalogRow] = {
     graft.Tables.prepare(spark)
     val banned = bannedColumnNames.toSet
+    // one directory listing shared by the 27 chunks: each chunk still
+    // scans only its own tables' footers (the reference's independence
+    // property is about the per-chunk FOOTER work, not the listing)
+    val tables = listTables(schemaDir)
     ("_" + ('A' to 'Z').mkString).flatMap { letter =>
-      listTables(schemaDir)
+      tables
         .filter { case (t, _) => t.nonEmpty && t.charAt(0).toUpper == letter }
         .flatMap { case (table, path) => scanTable(spark, table, path, banned) }
     }

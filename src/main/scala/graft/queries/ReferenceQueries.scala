@@ -42,16 +42,22 @@ object ReferenceQueries {
       DemoApp.build(spark, dir)
       spark.table("LMS_events").orderBy("event_id")
     }),
-    // Catalog scan (ops 1-3, 6): full information-schema equivalent
+    // Catalog scan (ops 1-3, 6): full information-schema equivalent.
+    // The result is metadata-sized AT ANY corpus scale (one row per
+    // column), so the deterministic order comes from a single-partition
+    // sort — same rows, same order as the previous global orderBy, minus
+    // its range-partitioning Exchange and the sampling job that plans it.
     "catalog_scan" -> ((spark, dir) => {
       val rows = CatalogScanner.run(spark, "TPCH", dir, Nil)
-      CatalogScanner.catalogDF(spark, rows).orderBy("table_name", "column_index")
+      CatalogScanner.catalogDF(spark, rows)
+        .coalesce(1).sortWithinPartitions("table_name", "column_index")
     }),
     // Banned-column anti-filter (op 5): metadata-level projection pushdown
     "catalog_banned_columns" -> ((spark, dir) => {
       val banned = Seq("c_name", "s_name", "props")
       val rows = CatalogScanner.run(spark, "TPCH", dir, banned)
-      CatalogScanner.catalogDF(spark, rows).orderBy("table_name", "column_index")
+      CatalogScanner.catalogDF(spark, rows)
+        .coalesce(1).sortWithinPartitions("table_name", "column_index")
     }),
     // Include/exclude relation filter (op 10) + alias derivation (op 12)
     "relation_filter_exclude" -> ((spark, dir) => {
@@ -65,8 +71,10 @@ object ReferenceQueries {
           (r.sourceRelationName, r.relation, r.newSafeRelationName, r.newPiiRelationName)
         }
       import spark.implicits._
+      // relation lists are metadata-sized at any scale: single-partition
+      // sort, no range Exchange (see catalog_scan)
       relations.toDF("source_name", "alias", "safe_name", "pii_name")
-        .orderBy("source_name")
+        .coalesce(1).sortWithinPartitions("source_name")
     }),
     // Prefix aliasing (ops 12, 14): PREFIX=STG applied to every table name
     "keyword_prefix_alias" -> ((spark, dir) => {
@@ -77,7 +85,8 @@ object ReferenceQueries {
         (r.sourceRelationName, r.relation, r.newSafeRelationName)
       }
       import spark.implicits._
-      relations.toDF("source_name", "alias", "safe_name").orderBy("source_name")
+      relations.toDF("source_name", "alias", "safe_name")
+        .coalesce(1).sortWithinPartitions("source_name")
     }),
     // Duplicate detection (op 23) as a distributed group-count over the
     // downstream union of SAFE+PII registrations from two raw schemas
@@ -91,7 +100,9 @@ object ReferenceQueries {
       entries.toDF("qualified_name")
         .groupBy("qualified_name").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
-        .select("qualified_name").orderBy("qualified_name")
+        // the distributed group-count above is the operator; its result
+        // is registration-list-sized, so order it single-partition
+        .select("qualified_name").coalesce(1).sortWithinPartitions("qualified_name")
     }))
 
   private val catalogValues =

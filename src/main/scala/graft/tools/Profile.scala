@@ -103,6 +103,27 @@ object Profile {
             time(args(2) + " warm")(fn(spark, dir).count())
           case None => println(s"unknown query ${args(2)}")
         }
+      case "timeN" =>
+        // repeated warm timings for A/B work: one cold pass, then N warm
+        // passes with per-pass wall times and their min (the bench's
+        // min-of-2 warm semantics, but with enough samples to see the
+        // load-noise floor)
+        val n = args.drop(3).headOption.map(_.toInt).getOrElse(5)
+        args(2).split(",").foreach { q =>
+          graft.SparkEntry.queries.get(q) match {
+            case Some(fn) =>
+              time(q + " cold")(fn(spark, dir).count())
+              val laps = (1 to n).map { i =>
+                val t0 = System.nanoTime()
+                val rows = fn(spark, dir).count()
+                val s = (System.nanoTime() - t0) / 1e9
+                println(f"[profile] $q warm#$i ${s}%8.3fs rows=$rows")
+                s
+              }
+              println(f"[profile] $q warm-min ${laps.min}%8.3fs median ${laps.sorted.apply(n / 2)}%8.3fs")
+            case None => println(s"unknown query $q")
+          }
+        }
       case "explain" =>
         graft.SparkEntry.queries.get(args(2)) match {
           case Some(fn) => fn(spark, dir).explain("formatted")
