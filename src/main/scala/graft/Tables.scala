@@ -25,11 +25,26 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** One analyzed lake-table plan per (session, dir, table) — the role a
+    * metastore/catalog plays in production: `spark.read.parquet` re-lists
+    * the table's files and re-infers its schema from footers on EVERY
+    * call (~150-250 ms of driver work + a footer job under interleaved
+    * load), and the bench surface calls [[load]] 1-4 times per query per
+    * pass. The cached value is a LAZY DataFrame — pure plan metadata
+    * (file list + schema), NEVER rows: every action on it still scans
+    * the parquet inputs. Lake dirs here are immutable fixtures (tests
+    * that write parquet use fresh temp dirs), so the snapshot semantics
+    * match a catalog's. Bounded: #tables x #dirs entries per session. */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   /** Load `<dir>/<name>.parquet`, normalizing known event-time columns. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     prepare(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTime(df, "ts") else df
+    planCache.getOrElseUpdate((spark, dir, name), {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEventTime(df, "ts") else df
+    })
   }
 
   /** Normalize an event-time column to TimestampType in place (same name,

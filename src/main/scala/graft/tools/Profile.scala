@@ -124,6 +124,60 @@ object Profile {
             case None => println(s"unknown query $q")
           }
         }
+      case "loadcost" =>
+        // cost of Tables.load itself (file listing + footer schema
+        // inference) per call, warm
+        Seq("lineitem", "orders", "customer", "documents", "embeddings",
+          "events", "nation").foreach { t =>
+          graft.Tables.load(spark, dir, t) // warm
+          val t0 = System.nanoTime()
+          (1 to 10).foreach(_ => graft.Tables.load(spark, dir, t))
+          println(f"[loadcost] $t%-12s ${(System.nanoTime() - t0) / 1e7 / 10}%6.1f ms/call")
+        }
+      case "q5steps" =>
+        // decompose q5_nation_revenue's DataFrame-construction cost
+        (1 to 3).foreach { i =>
+          def lap[T](label: String)(f: => T): T = {
+            val t0 = System.nanoTime()
+            val r = f
+            println(f"[q5steps] #$i $label%-14s ${(System.nanoTime() - t0) / 1e6}%7.1f ms")
+            r
+          }
+          val nation = lap("load nation")(graft.Tables.load(spark, dir, "nation"))
+          val customer = lap("load customer")(graft.Tables.load(spark, dir, "customer"))
+          val orders = lap("load orders")(graft.Tables.load(spark, dir, "orders"))
+          val lineitem = lap("load lineitem")(graft.Tables.load(spark, dir, "lineitem"))
+          val j1 = lap("join orders")(lineitem.join(orders, col("l_orderkey") === col("o_orderkey")))
+          val j2 = lap("join customer")(j1.join(customer, col("o_custkey") === col("c_custkey")))
+          val j3 = lap("join nation")(j2.join(broadcast(nation), col("c_nationkey") === col("n_nationkey")))
+          val g = lap("groupBy/agg")(j3.groupBy("n_name").agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems")))
+          val o = lap("orderBy")(g.orderBy("n_name"))
+          lap("count")(o.count())
+        }
+      case "plantime" =>
+        // split a warm pass into construct+analyze+optimize+plan (driver
+        // only, no job) vs execute: tells whether a query is
+        // planning-bound or compute-bound at this scale
+        args(2).split(",").foreach { q =>
+          graft.SparkEntry.queries.get(q) match {
+            case Some(fn) =>
+              fn(spark, dir).count() // warm lifecycle caches
+              (1 to 3).foreach { i =>
+                val t0 = System.nanoTime()
+                val df = fn(spark, dir)
+                val t1 = System.nanoTime()
+                df.queryExecution.executedPlan // force analyze+optimize+plan
+                val t2 = System.nanoTime()
+                val rows = df.count()
+                val t3 = System.nanoTime()
+                println(f"[plantime] $q#$i build=${(t1 - t0) / 1e9}%6.3f " +
+                  f"plan=${(t2 - t1) / 1e9}%6.3f exec=${(t3 - t2) / 1e9}%6.3f rows=$rows")
+              }
+            case None => println(s"unknown query $q")
+          }
+        }
       case "explain" =>
         graft.SparkEntry.queries.get(args(2)) match {
           case Some(fn) => fn(spark, dir).explain("formatted")
