@@ -154,7 +154,6 @@ final class QualityClassifier private[operators] (
           .join(counts, Seq("w"))
           .groupBy(idCol, "label").agg(sum(col("k") * col("c")).as("s"))
     def round6(c: org.apache.spark.sql.Column) = round(c * 1e6, 0) / 1e6
-    val w = Window.partitionBy(idCol).orderBy(desc("dscore"), col("label"))
     docN.crossJoin(broadcast(classes))
       .join(hits, Seq(idCol, "label"), "left")
       .withColumn("num", coalesce(col("s"), lit(0L)) + col("n_tokens"))
@@ -164,10 +163,21 @@ final class QualityClassifier private[operators] (
       // one correctly-rounded division — bit-identical across engines.
       .withColumn("dscore",
         (col("n_docs") * col("num")).cast("double") / col("den").cast("double"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("n_tokens"), col("label").as("pred_label"),
-        round6(col("num").cast("double") / col("den").cast("double"))
+      // argmax as ONE aggregation: min over (-dscore, label) structs
+      // replays the former window's (dscore DESC, label ASC) order
+      // exactly — negation is an exact double flip and dscore > 0
+      // (num >= 1, n_docs >= 1, den >= 1), so the winning label and its
+      // num/den are identical — while a map-side partial min replaces
+      // the Exchange+Sort+Window+Filter plan: the doc-keyed shuffle
+      // carries at most one struct per (doc, partition) instead of
+      // every (doc, label) row. QualityClassifierSpec pins the
+      // hand-computed argmax and the tie-break.
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("dscore")).as("nds"), col("label"),
+        col("num"), col("den"), col("n_tokens"))).as("__w"))
+      .select(col(idCol), col("__w.n_tokens").as("n_tokens"),
+        col("__w.label").as("pred_label"),
+        round6(col("__w.num").cast("double") / col("__w.den").cast("double"))
           .as("expected_p"))
   }
 

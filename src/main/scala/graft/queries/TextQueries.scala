@@ -992,8 +992,12 @@ object TextQueries {
       graft.operators.Dedup.withShingles(
           Tables.load(spark, dir, "documents"), "text", 13)
         .select(col("doc_id"), explode(col("shingles")).as("ngram"))
+        // the shingle kernel emits a per-doc DISTINCT set, so every
+        // (ngram, doc_id) row is unique and count(1) IS the distinct doc
+        // count — same n_docs, one aggregation exchange instead of the
+        // two countDistinct plans (partial-distinct regroup + final)
         .groupBy("ngram")
-        .agg(countDistinct("doc_id").as("n_docs"))
+        .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
         .orderBy(desc("n_docs"), col("ngram"))
         .limit(25)
