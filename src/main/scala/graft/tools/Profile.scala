@@ -156,6 +156,41 @@ object Profile {
           val o = lap("orderBy")(g.orderBy("n_name"))
           lap("count")(o.count())
         }
+      case "jobs" =>
+        // per-job wall-time breakdown of one warm pass: how many Spark
+        // jobs a query launches and where the wall clock goes (many small
+        // jobs = driver round-trips / eager materializations; one big job
+        // = stage work)
+        args(2).split(",").foreach { q =>
+          graft.SparkEntry.queries.get(q) match {
+            case Some(fn) =>
+              fn(spark, dir).count() // warm lifecycle caches
+              val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+              val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int)]()
+              val l = new org.apache.spark.scheduler.SparkListener {
+                override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+                  jobs.put(e.jobId, (e.time,
+                    Option(e.properties.getProperty("spark.job.description")).getOrElse("")))
+                override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+                  Option(jobs.get(e.jobId)).foreach { case (t0, _) =>
+                    done.add((e.jobId, e.time - t0, 0))
+                  }
+              }
+              spark.sparkContext.addSparkListener(l)
+              val t0 = System.nanoTime()
+              val rows = fn(spark, dir).count()
+              val wall = (System.nanoTime() - t0) / 1e9
+              Thread.sleep(500) // let the listener bus drain
+              spark.sparkContext.removeSparkListener(l)
+              val ds = done.toArray(Array.empty[(Int, Long, Int)]).sortBy(_._1)
+              println(f"[jobs] $q wall=$wall%6.3f s rows=$rows njobs=${ds.length} jobsum=${ds.map(_._2).sum / 1000.0}%6.3f gap=${wall - ds.map(_._2).sum / 1000.0}%6.3f")
+              ds.foreach { case (id, ms, _) =>
+                val desc = jobs.get(id)._2.take(90)
+                println(f"[jobs]   job#$id ${ms}%5d ms  $desc")
+              }
+            case None => println(s"unknown query $q")
+          }
+        }
       case "plantime" =>
         // split a warm pass into construct+analyze+optimize+plan (driver
         // only, no job) vs execute: tells whether a query is
