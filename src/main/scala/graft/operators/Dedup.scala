@@ -666,6 +666,40 @@ object Dedup {
       smallGraphThreshold: Long = 1L << 17): DataFrame = {
     val edges0 = pairs.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
+    // ADAPTIVE strategy switch, same spirit as the broadcast-join size
+    // threshold: dup-pair graphs are usually MUCH smaller than the corpus
+    // (they hold only near-duplicates), and below the threshold the exact
+    // union-find on the driver beats any number of distributed label
+    // rounds. The probe IS the collect: limit(threshold+1) bounds the
+    // driver transfer (~16 B/pair) whatever the pair count, and a result
+    // within the bound is by construction the complete pair list — one
+    // bounded job, versus the previous count-then-collect over a persisted
+    // symmetrized+deduped edge table (two jobs, a shuffle, and persist
+    // churn that union-find never needed: duplicate pairs, orientation,
+    // and self-loops are all no-ops to it). Identical output either way
+    // (exact connected components, min-id labels).
+    val cap = math.min(smallGraphThreshold, Int.MaxValue - 2L).toInt
+    val probe = edges0.limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      Dedup.lastCcRounds.set(0) // driver union-find: no distributed rounds
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      probe.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keys.toSeq.map(v => (v, find(v))).sortBy(_._1)
+      return labels.toDF("id", "comp")
+    }
     // symmetrized + SELF-LOOPED edge list: (v,v) for every vertex makes
     // "min over incoming neighbor labels" include the vertex's own label,
     // so each propagation round is a single join+groupBy. Built with ONE
@@ -682,36 +716,6 @@ object Dedup {
         struct(col("v").as("u"), col("v").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    // ADAPTIVE strategy switch, same spirit as the broadcast-join size
-    // threshold: dup-pair graphs are usually MUCH smaller than the corpus
-    // (they hold only near-duplicates), and below the threshold the exact
-    // union-find on the driver beats any number of distributed label
-    // rounds — collect is bounded by the threshold (~16 B/edge), and the
-    // result returns as a LocalRelation. Above it, the distributed
-    // pointer-jumping loop below runs unchanged. Identical output either
-    // way (exact connected components, min-id labels).
-    val nEdges = edges.count() // also materializes the persist for the loop
-    if (nEdges <= smallGraphThreshold) {
-      Dedup.lastCcRounds.set(0) // driver union-find: no distributed rounds
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
-        r
-      }
-      edges.collect().foreach { row =>
-        val u = row.getLong(0); val v = row.getLong(1)
-        parent.getOrElseUpdate(u, u)
-        parent.getOrElseUpdate(v, v)
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
-      }
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val labels = parent.keys.toSeq.map(v => (v, find(v))).sortBy(_._1)
-      edges.unpersist()
-      return labels.toDF("id", "comp")
-    }
     // init fuses the first propagation round: l0(v) = min(v, neighbors(v))
     // (self-loops make the min include v itself). localCheckpoint is
     // EAGER: it materializes AND truncates lineage to a LogicalRDD.
