@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Blocked exact all-pairs cosine scoring — the kernel behind
+  * `Dedup.embeddingCosinePairsExact`'s fast path. Each input is one
+  * BLOCK of vectors, array<struct<id: bigint, v: array<float|double>,
+  * nrm: double>>; the kernel scores every cross pair of the two blocks
+  * (upper triangle only when `same` says both sides are the same block)
+  * and returns the pairs at or above `minCosine` as
+  * array<struct<vec_id_1, vec_id_2, cosine>> with vec_id_1 < vec_id_2.
+  *
+  * Why a kernel: the former formulation was a broadcast nested-loop
+  * cross join whose every candidate pair materialized a joined row
+  * CARRYING BOTH d-float vectors (a ~0.5 KB row copy per pair at d=64)
+  * before the dot product ran — per-pair join machinery dominated the
+  * arithmetic several times over. Here the join moves one row per BLOCK
+  * PAIR and the inner loop touches the vectors in place, so the per-pair
+  * cost is the dot product itself.
+  *
+  * Bit-exactness vs the join formulation: the dot accumulates in double
+  * in index order over min-length (VectorKernels.dot — the same kernel
+  * vec_dot compiles to), IEEE multiplication commutes so pair
+  * orientation cannot change the value, and the threshold keeps
+  * `cosine >= minCosine` semantics (a NaN from a zero norm fails the
+  * predicate and drops, exactly as the join's filter did). Pairs of
+  * EQUAL ids never emit — the strict `vec_id_1 < vec_id_2` contract.
+  */
+case class CosinePairsBlock(first: Expression, second: Expression,
+    third: Expression, minCosine: Double)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id_1", LongType, nullable = false),
+    StructField("vec_id_2", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+
+  private def blockOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, ArrayType(FloatType, _), _, _),
+      StructField(_, DoubleType, _, _))), _) => true
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, ArrayType(DoubleType, _), _, _),
+      StructField(_, DoubleType, _, _))), _) => true
+    case _ => false
+  }
+
+  private lazy val vecIsFloat = first.dataType match {
+    case ArrayType(StructType(Array(_, StructField(_, ArrayType(FloatType, _), _, _), _)), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!blockOk(first.dataType) || first.dataType != second.dataType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two identical array<struct<bigint, " +
+          s"array<float|double>, double>> blocks, got ${first.dataType} " +
+          s"and ${second.dataType}")
+    else if (third.dataType != BooleanType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a boolean same-block flag, got ${third.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any, same: Any): Any =
+    CosinePairsBlock.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      same.asInstanceOf[Boolean], vecIsFloat, minCosine)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, s) =>
+      s"${ev.value} = graft.functions.CosinePairsBlock.score($a, $b, $s, " +
+        s"$vecIsFloat, $minCosine);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): CosinePairsBlock = copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "cosine_pairs_block"
+}
+
+object CosinePairsBlock {
+
+  /** Score one block pair; `same = true` restricts to the upper triangle
+    * (both sides hold the same block, so (i, j) and (j, i) would both
+    * visit every unordered pair). */
+  def score(a: ArrayData, b: ArrayData, same: Boolean, vFloat: Boolean,
+      minCos: Double): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var i = 0
+    while (i < na) {
+      val ra = a.getStruct(i, 3)
+      val ida = ra.getLong(0)
+      val va = ra.getArray(1)
+      val nra = ra.getDouble(2)
+      var j = if (same) i + 1 else 0
+      while (j < nb) {
+        val rb = b.getStruct(j, 3)
+        val idb = rb.getLong(0)
+        if (ida != idb) {
+          val cos = VectorKernels.dot(va, rb.getArray(1), vFloat, vFloat) /
+            (nra * rb.getDouble(2))
+          if (cos >= minCos) {
+            val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+            out += (new GenericInternalRow(Array[Any](lo, hi, cos)): InternalRow)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -134,4 +134,41 @@ class SemDedupSpec extends AnyFunSuite {
     assert(noEval.toSeq ===
       Seq((0L, true, false), (1L, true, false), (3L, true, false), (11L, true, false)))
   }
+
+  test("blocked exact kernel equals the generic join formulation " +
+      "(duplicate ids, zero norms, cross-block orientation)") {
+    // ids chosen to scatter across xxhash64 blocks in both orientations;
+    // a duplicate-id row (7L twice) must pair with OTHERS but never with
+    // its twin (strict vec_id_1 < vec_id_2), and the all-zero vector must
+    // drop at the threshold via its NaN cosine
+    val rows = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 3 + d) * 0.7).toFloat))
+    } ++ Seq(
+      (7L, Array.tabulate(8)(d => (math.cos(d) * 0.5).toFloat)),
+      (41L, Array.fill(8)(0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // reference: the generic-id fallback path, forced by widening the id
+    // to a non-long type the fast path refuses (decimal), then casting
+    // the output back. The zero-norm row is excluded HERE only: under
+    // ANSI the join formulation's engine-side divide throws on a zero
+    // divisor, while the kernel keeps the documented NaN-drop contract —
+    // asserting set equality against the zero-free reference plus the
+    // explicit no-41 assertion below pins exactly that.
+    val ref = Dedup.embeddingCosinePairsExact(
+        df.filter(col("vec_id") =!= 41L)
+          .withColumn("vec_id", col("vec_id").cast("decimal(20,0)")),
+        "vec_id", "embedding", minCosine = 0.35)
+      .select(col("vec_id_1").cast("long"), col("vec_id_2").cast("long"),
+        col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.embeddingCosinePairsExact(df, "vec_id", "embedding",
+        minCosine = 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast === ref, "blocked kernel must reproduce the join formulation")
+    assert(fast.nonEmpty && fast.exists { case (a, b, _) => a == 7L || b == 7L },
+      "fixture must exercise duplicate-id pairing")
+    assert(!fast.exists { case (a, b, _) => a == b }, "no self pairs")
+    assert(!fast.exists { case (a, b, _) => a == 41L || b == 41L },
+      "zero-norm vector must drop at the threshold")
+  }
 }
