@@ -595,9 +595,13 @@ object AnalyticsQueries {
           s"array(us2 div $weekUs - 1, us2 div $weekUs, us2 div $weekUs + 1)")))
       a.join(b, Seq("o_custkey", "bucket"))
         .filter(col("k1") < col("k2") && abs(col("us1") - col("us2")) <= weekUs)
+        // no dedup needed: the build side's three exploded buckets are
+        // DISTINCT values and the probe side carries exactly one bucket,
+        // so a given (k1, k2) pair can match in at most one bucket — the
+        // former .distinct() re-shuffled the whole pair table to drop
+        // nothing (guide: "a distinct on data that is already unique")
         .select(col("o_custkey"), col("k1"), col("k2"),
           abs(col("us1") - col("us2")).as("gap_us"))
-        .distinct()
         .orderBy("o_custkey", "k1", "k2")
     }),
     // Fixed-point PageRank (operators/PageRank) over the customer ~
