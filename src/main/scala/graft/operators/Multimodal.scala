@@ -276,7 +276,18 @@ object Multimodal {
   def perceptualDupPairsFromHashes(h: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding is only provably exact at hamming <= 3, got $maxHamming")
-    val bands = h.select(col("doc_id"), col("bits"),
+    // the four LSB-first 16-bit band values jointly encode the whole
+    // 64-bit fingerprint, so the bucket join carries ONE packed long per
+    // side instead of the 64-int bits array (~8 B vs ~300 B through the
+    // self-join and dedup exchanges), and the verifier is the codegen'd
+    // bit_count over an XOR instead of an interpreted zip_with/aggregate
+    // fold — Σ|b1_i - b2_i| == popcount(h1 ^ h2) exactly, since band_j
+    // == Σ bits[16j+i]·2^i (see aHash)
+    val packedBits = col("band0").cast("long")
+      .bitwiseOR(shiftleft(col("band1").cast("long"), 16))
+      .bitwiseOR(shiftleft(col("band2").cast("long"), 32))
+      .bitwiseOR(shiftleft(col("band3").cast("long"), 48))
+    val bands = h.select(col("doc_id"), packedBits.as("hl"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band_idx", "band_val")))
     bands.as("a").join(bands.as("b"),
@@ -284,12 +295,10 @@ object Multimodal {
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        col("a.bits").as("bits1"), col("b.bits").as("bits2"))
+        col("a.hl").as("hl1"), col("b.hl").as("hl2"))
       .dropDuplicates("doc_id_1", "doc_id_2")
-      .withColumn("hamming", aggregate(
-        zip_with(col("bits1"), col("bits2"),
-          (x, y) => when(x =!= y, 1L).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("hamming",
+        expr("bit_count(hl1 ^ hl2)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_id_1", "doc_id_2", "hamming")
   }
