@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses graft.Bench's one-line JSON summary from
+// stdout; sbt's trailing "[success] Total time ..." footer otherwise
+// follows it as the LAST stdout line and defeats a parse-the-last-line
+// reader. SPARK_GRAFT_SF_DIR is set exactly on bench invocations, so
+// only those drop the footer — compile/test runs keep their epilogue.
+showSuccess := !sys.env.contains("SPARK_GRAFT_SF_DIR")
+// Forked `run` output is otherwise re-logged with an "[info] " prefix
+// (the default LoggedOutput strategy), which would turn the bench's
+// summary into "[info] {...}" and defeat any JSON-line parser. Emit the
+// child's stdout verbatim instead.
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is consumed by sbt's command engine, not by a task —
+// exempt it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,10 +4,24 @@ object Bench {
 
   /** Build the one summary line stdout and BENCH_SUMMARY.json share.
     * Pure so BenchSummarySpec can pin the artifact contract: failed
-    * queries appear BY NAME, the -1.0 sentinel stays out of the total,
-    * and the headline comparables sit at the END of the line (the
-    * driver's artifact keeps only the stdout TAIL — the bulky per-query
-    * maps are what truncation eats). */
+    * queries appear BY NAME and the -1.0 sentinel stays out of the total.
+    *
+    * FIELD ORDER IS THE DRIVER CONTRACT (changed r21): the line now
+    * STARTS with the documented headline shape —
+    * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}` —
+    * because every BENCH_r{N}.json through r20 recorded `parsed: null`:
+    * a parser that locates the summary by its `{"metric"` prefix (or
+    * json-loads the LAST stdout line, see build.sbt's bench-scoped
+    * `showSuccess` suppression of sbt's trailing `[success]` footer)
+    * could never match the old headline-at-the-end layout. `sf` is now
+    * the NUMERIC scale factor parsed from the data dir (the driver's own
+    * artifacts record `"sf": 0.1`); the dir itself rides as `sf_dir` and
+    * [[referenceFrom]] keys the artifact chain on it (legacy `sf`-as-dir
+    * artifacts still match). The small diagnostic scalars (loadavg,
+    * quiet-gate verdict, reference totals, failure names, `total_sec`
+    * duplicating `value`) still sit at the very END of the line so the
+    * driver's 2000-char stdout-TAIL capture keeps them — the bulky
+    * per-query maps in the middle are what truncation eats, as before. */
   def summaryJson(results: Iterable[(String, (Double, Double))],
       leaked: Int, sfDir: String, loadAvg: Seq[Double] = Nil,
       reference: Option[(Double, Seq[Double])] = None,
@@ -73,7 +87,22 @@ object Bench {
     val leakList = leakedRdds
       .map(n => "\"" + jsonEscape(n) + "\"")
       .mkString("[", ",", "]")
-    s"""{"queries":$qs,"passes":$passes,"loadavg":$load$barrier$meas$ref$reopen,"leaked_rdds":$leakList,"metric":"total","value":$total,"unit":"sec","failed_queries":${failedQueries.size},"failed":$failedJson,"leaked_persists":$leaked,"sf":"$sfDir"}"""
+    // numeric scale factor from the dir name (sf0.1 -> 0.1); a dir that
+    // carries no sf token emits as a JSON string so the line stays valid
+    val sfJson = sfNumber(sfDir).map(_.toString)
+      .getOrElse("\"" + jsonEscape(sfDir) + "\"")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfJson,"sf_dir":"${jsonEscape(sfDir)}","passes":$passes$reopen,"leaked_rdds":$leakList,"loadavg":$load$barrier$meas$ref,"failed_queries":${failedQueries.size},"failed":$failedJson,"total_sec":$total,"leaked_persists":$leaked}"""
+  }
+
+  /** Numeric scale factor parsed from a data-dir path's last `sfN[.N]`
+    * token (`/root/testdata/sf0.1` -> 0.1) — None when the path carries
+    * none. */
+  private[graft] def sfNumber(sfDir: String): Option[Double] = {
+    val m = java.util.regex.Pattern.compile("sf([0-9]+(?:\\.[0-9]+)?)")
+      .matcher(sfDir)
+    var last: Option[Double] = None
+    while (m.find()) last = Some(m.group(1).toDouble)
+    last
   }
 
   /** Complete JSON string escape for every interpolated NAME in the
@@ -209,7 +238,11 @@ object Bench {
   private[graft] def referenceFrom(txt: String,
       sfDir: String): Option[(Double, Seq[Double])] = try {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-    val prevSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
+    // r21+: the data dir rides as sf_dir (sf is the numeric scale
+    // factor); pre-r21 artifacts carried the dir IN sf — accept either
+    // so the committed quiet chain survives the format change
+    val prevSf = Option(node.get("sf_dir")).orElse(Option(node.get("sf")))
+      .map(_.asText()).getOrElse("")
     if (prevSf != sfDir) None
     else {
       def arr(name: String): Option[Seq[Double]] =

@@ -27,8 +27,12 @@ import org.apache.spark.sql.types._
   * in index order over min-length (VectorKernels.dot — the same kernel
   * vec_dot compiles to), IEEE multiplication commutes so pair
   * orientation cannot change the value, and the threshold keeps
-  * `cosine >= minCosine` semantics (a NaN from a zero norm fails the
-  * predicate and drops, exactly as the join's filter did). Pairs of
+  * `cosine >= minCosine` semantics for every REAL cosine. Zero-norm
+  * vectors score NaN and DROP here (Java `>=` is false on NaN) — note
+  * this is NOT what a raw Spark `col >= lit` filter does (Spark's
+  * nan-safe ordering sorts NaN above all values, so NaN >= x is TRUE);
+  * `Dedup.embeddingCosinePairsExact` pre-filters `nrm > 0` on its join
+  * fallback so both paths agree on the NaN-drop contract. Pairs of
   * EQUAL ids never emit — the strict `vec_id_1 < vec_id_2` contract.
   */
 case class CosinePairsBlock(first: Expression, second: Expression,
@@ -86,9 +90,20 @@ case class CosinePairsBlock(first: Expression, second: Expression,
 
 object CosinePairsBlock {
 
-  /** Score one block pair; `same = true` restricts to the upper triangle
-    * (both sides hold the same block, so (i, j) and (j, i) would both
-    * visit every unordered pair). */
+  /** Score one block pair. `same = true` means both sides hold the SAME
+    * logical block; each unordered pair then appears in the cross
+    * product twice — once per orientation — and the strict `ida < idb`
+    * guard keeps exactly one, BY ID, not by array position. The former
+    * positional upper triangle (`j = i + 1`) silently assumed rows1 and
+    * rows2 arrived in identical order, but the arrays come from a
+    * non-deterministic `collect_list` evaluated independently on the
+    * stream and broadcast sides of the block join: a shuffle-fetch-order
+    * difference between the two evaluations would permute one side and
+    * the triangle would miss and/or double-emit pairs (r20 advice).
+    * ID-keyed orientation is order-independent by construction; the
+    * extra cost is one redundant dot product per qualifying diagonal
+    * orientation — diagonal blocks are 1/(nBlocks+1) of the block pairs,
+    * ~3% more arithmetic at the default 32 blocks. */
   def score(a: ArrayData, b: ArrayData, same: Boolean, vFloat: Boolean,
       minCos: Double): ArrayData = {
     val na = a.numElements()
@@ -100,11 +115,14 @@ object CosinePairsBlock {
       val ida = ra.getLong(0)
       val va = ra.getArray(1)
       val nra = ra.getDouble(2)
-      var j = if (same) i + 1 else 0
+      var j = 0
       while (j < nb) {
         val rb = b.getStruct(j, 3)
         val idb = rb.getLong(0)
-        if (ida != idb) {
+        // same block: keep one orientation per unordered pair by ID;
+        // cross block: every (ida, idb) pair appears exactly once, emit
+        // it normalized (equal ids never emit — the strict contract)
+        if (if (same) ida < idb else ida != idb) {
           val cos = VectorKernels.dot(va, rb.getArray(1), vFloat, vFloat) /
             (nra * rb.getDouble(2))
           if (cos >= minCos) {

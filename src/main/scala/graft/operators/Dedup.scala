@@ -409,9 +409,15 @@ object Dedup {
           .select(col("p.vec_id_1").as("vec_id_1"),
             col("p.vec_id_2").as("vec_id_2"), col("p.cosine").as("cosine"))
       case _ =>
-        // generic-id fallback: the original broadcast cross join
-        val a = emb.select(col("vec_id").as("vec_id_1"), col("v").as("v1"), col("nrm").as("nrm1"))
-        val b = emb.select(col("vec_id").as("vec_id_2"), col("v").as("v2"), col("nrm").as("nrm2"))
+        // generic-id fallback: the original broadcast cross join. The
+        // nrm > 0 pre-filter pins the zero-norm contract to the kernel
+        // path's: a zero-norm vector's cosine is NaN and the kernel's
+        // Java `>=` drops it, but Spark's nan-safe comparison sorts NaN
+        // ABOVE all values, so `cosine >= minCosine` alone would KEEP
+        // NaN pairs here (r20 advice) — the two paths must agree.
+        val pos = emb.filter(col("nrm") > 0)
+        val a = pos.select(col("vec_id").as("vec_id_1"), col("v").as("v1"), col("nrm").as("nrm1"))
+        val b = pos.select(col("vec_id").as("vec_id_2"), col("v").as("v2"), col("nrm").as("nrm2"))
         a.crossJoin(broadcast(b)).filter(col("vec_id_1") < col("vec_id_2"))
           .withColumn("cosine", vec_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
           .filter(col("cosine") >= minCosine)
@@ -693,6 +699,14 @@ object Dedup {
     * the reference (standard RDD GC-based cleanup). Throws if maxIters
     * rounds don't converge — silently-partial components would let
     * duplicate clusters keep multiple survivors downstream.
+    *
+    * `smallGraphThreshold` gates on the RAW pair-row count of `pairs`
+    * (the bounded `limit(threshold+1)` collect probe), NOT on the
+    * distinct symmetrized edge count it gated on before r20: a pair
+    * list with heavy duplication over a tiny graph takes the
+    * distributed path where it previously ran driver union-find.
+    * Output is exact either way; callers tuning the threshold should
+    * size it against raw pair rows (~16 B of driver transfer each).
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25,
@@ -784,6 +798,10 @@ object Dedup {
           least(col("a.comp"), coalesce(col("b.ccomp"), col("a.comp"))).as("comp"))
         .localCheckpoint() // eager; lineage reset for the next round
       val newSum = labelSum(jumped)
+      // the eager checkpoint above just read (and so superseded) the
+      // previous round's label blocks — release them deterministically
+      // (GC-based cleanup can lag past a bench leak check)
+      org.apache.spark.sql.graft.bridge.unpersistCheckpoints(labels)
       labels = jumped
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

@@ -161,6 +161,11 @@ object Hits {
     var hubs = nodes.withColumn("score_scaled", lit(scale))
     if (eager) hubs = hubs.localCheckpoint()
     var auths: DataFrame = null
+    // last plan-depth checkpoints of the LAZY path, tracked so each new
+    // checkpoint can release the pair it just superseded (GC-based
+    // cleanup can lag past a bench leak check)
+    var lastCkptA: DataFrame = null
+    var lastCkptH: DataFrame = null
     var i = 0
     var converged = false
     while (i < iterations && !converged) {
@@ -177,9 +182,22 @@ object Hits {
         // the PageRank tolerance-path discipline)
         val aMat = a.localCheckpoint(false)
         val hMat = h.localCheckpoint(false)
-        converged = tolScaled.exists { tol =>
-          maxDelta(aMat, auths) < tol && maxDelta(hMat, hubs) < tol
-        }
+        // BOTH deltas run every round (no && short-circuit) and round
+        // 1's missing-prev side gets a priming count: the new round must
+        // be fully materialized and lineage-truncated BEFORE the
+        // superseded previous round's blocks are released below —
+        // unpersisting a block a lazy checkpoint still needs would make
+        // it unrecomputable
+        val dA = maxDelta(aMat, auths)
+        val dH = maxDelta(hMat, hubs)
+        if (auths == null) aMat.count()
+        converged = tolScaled.exists(tol => dA < tol && dH < tol)
+        // deterministic release of the superseded round (r20 bench
+        // recorded a GC-lagged leak at exactly this site): nothing can
+        // read the previous round's checkpoint blocks again
+        if (auths != null)
+          org.apache.spark.sql.graft.bridge.unpersistCheckpoints(auths)
+        org.apache.spark.sql.graft.bridge.unpersistCheckpoints(hubs)
         auths = aMat
         hubs = hMat
       } else {
@@ -193,8 +211,18 @@ object Hits {
         // TWICE (main + max branch — ReuseExchange collapses the
         // runtime cost, but the tree itself doubles per half-round)
         if (i % 3 == 0 && i < iterations) {
-          auths = auths.localCheckpoint()
+          val pa = lastCkptA
+          val ph = lastCkptH
+          auths = auths.localCheckpoint() // eager: materializes NOW
           hubs = hubs.localCheckpoint()
+          // the new checkpoints just read (and so superseded) the
+          // previous pair — release those blocks deterministically
+          if (pa != null)
+            org.apache.spark.sql.graft.bridge.unpersistCheckpoints(pa)
+          if (ph != null)
+            org.apache.spark.sql.graft.bridge.unpersistCheckpoints(ph)
+          lastCkptA = auths
+          lastCkptH = hubs
         }
       }
     }

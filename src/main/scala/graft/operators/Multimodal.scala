@@ -272,10 +272,32 @@ object Multimodal {
     * image bytes), while the banded pair join over the 64-bit fingerprints
     * is cheap and re-runnable at any radius <= 3. Callers that query
     * repeatedly (or at several radii) persist the hash table and pay the
-    * decode exactly once. */
+    * decode exactly once.
+    *
+    * BANDING CONTRACT: `band0..band3` MUST be [[aHash]]'s LSB-first
+    * 16-bit packing of `bits` — band_j == Σ bits[16j+i]·2^i, each in
+    * [0, 65535] — because the hamming verifier reconstructs the 64-bit
+    * fingerprint from the bands alone (`popcount(h1 ^ h2)`). Hashes
+    * packed under any other banding convention (or sign-extended band
+    * values) would verify against the WRONG fingerprint; the range
+    * guard below rejects them loudly instead of silently mis-scoring
+    * (the pre-r20 zip_with over `bits` was banding-agnostic — this
+    * packed form is not). */
   def perceptualDupPairsFromHashes(h: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding is only provably exact at hamming <= 3, got $maxHamming")
+    // enforce the banding contract on arbitrary caller-supplied hashes:
+    // every band must be an unsigned 16-bit value or the packed-long
+    // reconstruction is not the aHash fingerprint. The guard lives
+    // INSIDE every band reference (not a droppable side column) so
+    // column pruning cannot optimize it away.
+    def checkedBand(j: Int) = {
+      val c = col(s"band$j")
+      when(c >= 0 && c <= 65535, c).otherwise(raise_error(concat(
+        lit("perceptualDupPairsFromHashes: band values must be the " +
+          s"aHash LSB-first 16-bit packing (0..65535); band$j = "),
+        c.cast("string"))))
+    }
     // the four LSB-first 16-bit band values jointly encode the whole
     // 64-bit fingerprint, so the bucket join carries ONE packed long per
     // side instead of the 64-int bits array (~8 B vs ~300 B through the
@@ -283,10 +305,10 @@ object Multimodal {
     // bit_count over an XOR instead of an interpreted zip_with/aggregate
     // fold — Σ|b1_i - b2_i| == popcount(h1 ^ h2) exactly, since band_j
     // == Σ bits[16j+i]·2^i (see aHash)
-    val packedBits = col("band0").cast("long")
-      .bitwiseOR(shiftleft(col("band1").cast("long"), 16))
-      .bitwiseOR(shiftleft(col("band2").cast("long"), 32))
-      .bitwiseOR(shiftleft(col("band3").cast("long"), 48))
+    val packedBits = checkedBand(0).cast("long")
+      .bitwiseOR(shiftleft(checkedBand(1).cast("long"), 16))
+      .bitwiseOR(shiftleft(checkedBand(2).cast("long"), 32))
+      .bitwiseOR(shiftleft(checkedBand(3).cast("long"), 48))
     val bands = h.select(col("doc_id"), packedBits.as("hl"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band_idx", "band_val")))

@@ -286,6 +286,15 @@ object PageRank {
     val eagerRounds = hasDangling || tolScaled.isDefined
     var ranks = nodes.withColumn("rank_scaled", onSeeds(scale))
     if (eagerRounds) ranks = ranks.localCheckpoint()
+    // superseded-round release bookkeeping: on the tolerance path each
+    // round is materialized by its own maxΔ aggregate, so the PREVIOUS
+    // round's checkpoint blocks can be unpersisted deterministically
+    // instead of waiting for the ContextCleaner's GC sweep. The
+    // dangling-only path stays GC-released: its rounds checkpoint
+    // LAZILY (materialized by the NEXT round's dShare aggregate), so at
+    // swap time the previous blocks may still be needed.
+    var prevTolCkpt: DataFrame = if (tolScaled.isDefined) ranks else null
+    var lastLazyCkpt: DataFrame = null
     var i = 0
     var converged = false
     while (i < iterations && !converged) {
@@ -320,6 +329,12 @@ object PageRank {
             val d = withPrev
               .agg(max(abs(col("rank_scaled") - col("prev_scaled")))).head()
             converged = (if (d.isNullAt(0)) 0L else d.getLong(0)) < tol
+            // the aggregate above materialized withPrev's checkpoint, so
+            // the previous round's blocks can never be read again —
+            // release them now rather than at the next GC sweep
+            if (prevTolCkpt != null)
+              org.apache.spark.sql.graft.bridge.unpersistCheckpoints(prevTolCkpt)
+            prevTolCkpt = withPrev
             ranks = withPrev.select("node", "rank_scaled")
           case None =>
             // dangling-only: the NEXT round's dShare aggregate is the
@@ -331,9 +346,20 @@ object PageRank {
         ranks = next
         // bound plan depth for long loops without paying the per-round
         // materialization tax at the common small iteration counts
-        if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+        if (i % 4 == 0 && i < iterations) {
+          val prev = lastLazyCkpt
+          ranks = ranks.localCheckpoint() // eager: materializes NOW
+          if (prev != null)
+            org.apache.spark.sql.graft.bridge.unpersistCheckpoints(prev)
+          lastLazyCkpt = ranks
+        }
       }
     }
+    // the dangling node set is read only by the per-round dShare
+    // aggregates — never by the returned plan (dShare rides as an
+    // embedded literal) — so its checkpoint blocks release here
+    if (hasDangling)
+      org.apache.spark.sql.graft.bridge.unpersistCheckpoints(dangling)
     (ranks, i)
   }
 }

@@ -524,13 +524,17 @@ object PipelineQueries {
       (0 until 3).map(i => v2.filter(col("doc_id") % 3 === i)))
     val stream = spark.readStream.schema(v2.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
-    val q = graft.streaming.StreamingOps
-      .snapshotDiffStream(stream, v1, "doc_id", "text")
+    val (diff, releaseRef) = graft.streaming.StreamingOps
+      .snapshotDiffStreamWithRelease(stream, v1, "doc_id", "text")
+    val q = diff
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("parquet").option("path", out).start()
     q.awaitTermination()
+    // the frozen v1 reference's checkpoint blocks are read only by the
+    // (now finished) micro-batches — release them deterministically
+    releaseRef()
     out
   }
 

@@ -328,16 +328,27 @@ object StreamingOps {
     * otherwise re-scan and re-hash the whole frozen snapshot every
     * trigger. */
   def snapshotDiffStream(stream: DataFrame, reference: DataFrame,
-      idCol: String, payloadCol: String): DataFrame = {
+      idCol: String, payloadCol: String): DataFrame =
+    snapshotDiffStreamWithRelease(stream, reference, idCol, payloadCol)._1
+
+  /** [[snapshotDiffStream]] plus a release handle for the frozen
+    * reference's checkpoint blocks: call it once the streaming query has
+    * terminated (the r20 bench recorded a GC-lagged leak of exactly this
+    * checkpoint). The handle is idempotent and must not run while the
+    * query is still executing — micro-batches read the blocks. */
+  private[graft] def snapshotDiffStreamWithRelease(stream: DataFrame,
+      reference: DataFrame, idCol: String, payloadCol: String)
+      : (DataFrame, () => Unit) = {
     val ref = graft.operators.Versioning
       .collapse(reference, idCol, payloadCol, "ref_md5", "in_ref")
       .localCheckpoint()
-    graft.operators.Versioning
+    val out = graft.operators.Versioning
       .collapse(stream, idCol, payloadCol, "new_md5", "in_new")
       .drop("in_new")
       .join(ref, Seq(idCol), "left")
       .select(col(idCol), graft.operators.Versioning
         .arrivalClass("ref_md5", "in_ref").as("change"))
+    (out, () => org.apache.spark.sql.graft.bridge.unpersistCheckpoints(ref))
   }
 
   /** Continuous-ingest TRAINED-CLASSIFIER gate: the streaming twin of the

@@ -4,8 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench artifact contract (`Bench.summaryJson`): a planted failure
   * must be visible IN the artifact by name, the -1.0 sentinel must stay
-  * out of the total, and the headline comparables must sit at the END of
-  * the line so the driver's stdout-tail capture keeps them. */
+  * out of the total, the line must START with the documented
+  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`
+  * headline (the driver's parser keys on it — r21), and the small
+  * diagnostic scalars (`total_sec`, failure names, leak count, quiet-gate
+  * verdict) must still sit at the END of the line so the driver's
+  * stdout-tail capture keeps them. */
 class BenchSummarySpec extends AnyFunSuite {
 
   private val results = Seq(
@@ -22,12 +26,30 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""q_flaky":2.0"""), s)
   }
 
-  test("headline fields trail the line so a stdout-tail capture keeps them") {
-    val s = Bench.summaryJson(results, leaked = 0, sfDir = "/x/sf")
+  test("line starts with the documented headline; scalar diagnostics trail it") {
+    val s = Bench.summaryJson(results, leaked = 0, sfDir = "/x/sf0.5")
+    // the driver contract prefix, verbatim order: metric, value, unit,
+    // queries, sf — a parser keying on the `{"metric"` prefix (or
+    // json-loading the whole last line) must find the headline first
+    assert(s.startsWith("""{"metric":"total","value":"""), s)
+    assert(s.indexOf("\"unit\":\"sec\"") < s.indexOf("\"queries\":"), s)
+    assert(s.indexOf("\"queries\":") < s.indexOf("\"sf\":"), s)
+    // numeric sf parsed from the dir; the dir itself rides as sf_dir
+    assert(s.contains(""""sf":0.5,"sf_dir":"/x/sf0.5""""), s)
+    // the tail capture still keeps the failure names + leak count +
+    // duplicated headline total
     val tail = s.takeRight(200)
-    Seq("\"metric\":\"total\"", "\"value\":", "\"failed\":", "\"leaked_persists\":",
-        "\"sf\":").foreach(f => assert(tail.contains(f), s"$f not in tail: $tail"))
-    assert(s.indexOf("\"queries\":") < s.indexOf("\"metric\":"), s)
+    Seq("\"total_sec\":", "\"failed\":", "\"leaked_persists\":")
+      .foreach(f => assert(tail.contains(f), s"$f not in tail: $tail"))
+  }
+
+  test("sf token parsing: last sfN[.N] wins; absent token falls back to the dir string") {
+    assert(Bench.sfNumber("/root/testdata/sf0.1").contains(0.1))
+    assert(Bench.sfNumber("/root/testdata/sf1").contains(1.0))
+    assert(Bench.sfNumber("/sf2/testdata/sf0.001").contains(0.001))
+    assert(Bench.sfNumber("/tmp/fixtures").isEmpty)
+    val s = Bench.summaryJson(results, leaked = 0, sfDir = "/tmp/fixtures")
+    assert(s.contains(""""sf":"/tmp/fixtures","sf_dir":"/tmp/fixtures""""), s)
   }
 
   test("clean run reports an empty failure list") {
@@ -49,18 +71,22 @@ class BenchSummarySpec extends AnyFunSuite {
     val s = Bench.summaryJson(many, leaked = 2, sfDir = "/x/sf",
       loadAvg = Seq(1.0, 2.0, 3.0))
     val tail = s.takeRight(300)
-    Seq("\"value\":", "\"failed\":", "\"leaked_persists\":").foreach(f =>
+    Seq("\"total_sec\":", "\"failed\":", "\"leaked_persists\":").foreach(f =>
       assert(tail.contains(f), s"$f not in last-300 tail: $tail"))
     assert(tail.contains("q_dead_tail"),
       "the failed-query NAME must survive the tail capture too")
+    // and the parseable headline still LEADS the line at any query count
+    assert(s.startsWith("""{"metric":"total","value":"""), s.take(80))
   }
 
   test("serveall reopen wall-times ride in the artifact before the headline") {
     val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
       reopenMs = Some(Seq("ivf" -> 120L, "pq" -> 45L)))
     assert(s.contains(""""serveall_reopen_ms":{"ivf":120,"pq":45}"""), s)
-    assert(s.indexOf("serveall_reopen_ms") < s.indexOf("\"metric\":"),
-      "reopen times must not displace the tail headline fields")
+    assert(s.indexOf("serveall_reopen_ms") > s.indexOf("\"queries\":"),
+      "reopen times ride after the headline queries map")
+    assert(s.indexOf("serveall_reopen_ms") < s.indexOf("\"leaked_persists\":"),
+      "reopen times must not displace the tail scalar fields")
     // absent when the capstone didn't run (e.g. a filtered bench)
     val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
     assert(!none.contains("serveall_reopen_ms"), none)
@@ -70,7 +96,8 @@ class BenchSummarySpec extends AnyFunSuite {
     val s = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d",
       loadAvg = Seq(1.5, 2.25, 3.0))
     assert(s.contains(""""loadavg":[1.5,2.25,3.0]"""), s)
-    assert(s.indexOf("\"loadavg\":") < s.indexOf("\"metric\":"), s)
+    assert(s.indexOf("\"loadavg\":") > s.indexOf("\"sf\":"), s)
+    assert(s.indexOf("\"loadavg\":") < s.indexOf("\"leaked_persists\":"), s)
     // absent on platforms without /proc: emitted as an empty array, valid JSON
     val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
     assert(none.contains(""""loadavg":[]"""), none)
@@ -83,7 +110,7 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""reference_quiet_total":61.9"""), s)
     assert(s.contains(""""reference_loadavg":[0.48,0.6,0.7]"""), s)
     // still valid JSON with the headline trailing (driver-tail contract)
-    assert(s.indexOf("\"reference_quiet_total\":") < s.indexOf("\"metric\":"), s)
+    assert(s.indexOf("\"reference_quiet_total\":") < s.indexOf("\"leaked_persists\":"), s)
     // first run ever: no reference fields at all (not empty/null ones)
     val first = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
     assert(!first.contains("reference_quiet_total"), first)
@@ -147,7 +174,7 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""measured_loadavg":[1.1,2.2,2.9]"""), s)
     assert(s.contains(""""measured_under_load":false"""), s)
     assert(s.contains(""""quiet_wait_sec":120"""), s)
-    assert(s.indexOf("\"measured_loadavg\":") < s.indexOf("\"metric\":"), s)
+    assert(s.indexOf("\"measured_loadavg\":") < s.indexOf("\"leaked_persists\":"), s)
     // a gate that gave up flags the total as contaminated by its own
     // testimony — the field every adjudication of r17/r18 had to infer
     val under = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0,
@@ -166,7 +193,7 @@ class BenchSummarySpec extends AnyFunSuite {
       sfDir = "d", warmupBarrier = Some("wedged:warm-inv,warm-ivf"))
     assert(wedged.contains(""""warmup_barrier":"wedged:warm-inv,warm-ivf""""),
       wedged)
-    assert(wedged.indexOf("\"warmup_barrier\":") < wedged.indexOf("\"metric\":"),
+    assert(wedged.indexOf("\"warmup_barrier\":") < wedged.indexOf("\"leaked_persists\":"),
       wedged)
     // a quote/backslash-bearing body name must not corrupt the JSON —
     // the same escape leaked_rdds descriptors get (r19 advice)
@@ -182,7 +209,7 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(s.contains(""""leaked_rdds":["id=42 jaccard-pairs","""), s)
     // embedded quotes must stay escaped — the artifact is parsed JSON
     assert(s.contains("""MapPartitionsRDD[7] \"x\""""), s)
-    assert(s.indexOf("\"leaked_rdds\":") < s.indexOf("\"metric\":"), s)
+    assert(s.indexOf("\"leaked_rdds\":") < s.indexOf("\"leaked_persists\":"), s)
     assert(s.contains(""""leaked_persists":2"""), s)
     val none = Bench.summaryJson(Seq("a" -> ((1.0, 2.0))), leaked = 0, sfDir = "d")
     assert(none.contains(""""leaked_rdds":[]"""), none)
@@ -279,5 +306,13 @@ class BenchSummarySpec extends AnyFunSuite {
     // sf field absent (pre-r13 artifact shape) or malformed JSON: omitted
     assert(Bench.referenceFrom("""{"value":5.0}""", "/x").isEmpty)
     assert(Bench.referenceFrom("not json", "/x").isEmpty)
+    // r21+ artifact shape: numeric sf, dir in sf_dir — matched on sf_dir
+    val r21 = """{"metric":"total","value":41.5,"unit":"sec",""" +
+      """"queries":{"a":1.0},"sf":0.1,"sf_dir":"/root/testdata/sf0.1",""" +
+      """"loadavg":[0.5,0.6,0.7],"failed_queries":0,"failed":[],""" +
+      """"total_sec":41.5,"leaked_persists":0}"""
+    assert(Bench.referenceFrom(r21, "/root/testdata/sf0.1")
+      .contains((41.5, Seq(0.5, 0.6, 0.7))))
+    assert(Bench.referenceFrom(r21, "/root/testdata/sf0.01").isEmpty)
   }
 }

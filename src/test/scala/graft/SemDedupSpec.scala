@@ -149,14 +149,13 @@ class SemDedupSpec extends AnyFunSuite {
     val df = rows.toDF("vec_id", "embedding")
     // reference: the generic-id fallback path, forced by widening the id
     // to a non-long type the fast path refuses (decimal), then casting
-    // the output back. The zero-norm row is excluded HERE only: under
-    // ANSI the join formulation's engine-side divide throws on a zero
-    // divisor, while the kernel keeps the documented NaN-drop contract —
-    // asserting set equality against the zero-free reference plus the
-    // explicit no-41 assertion below pins exactly that.
+    // the output back. The zero-norm row 41 goes through BOTH paths: the
+    // kernel drops its NaN cosine at the Java `>=`, and the fallback's
+    // nrm > 0 pre-filter (r20 advice — Spark's nan-safe `>=` would KEEP
+    // NaN pairs) drops it identically, so set equality plus the explicit
+    // no-41 assertion below pins the shared zero-norm contract.
     val ref = Dedup.embeddingCosinePairsExact(
-        df.filter(col("vec_id") =!= 41L)
-          .withColumn("vec_id", col("vec_id").cast("decimal(20,0)")),
+        df.withColumn("vec_id", col("vec_id").cast("decimal(20,0)")),
         "vec_id", "embedding", minCosine = 0.35)
       .select(col("vec_id_1").cast("long"), col("vec_id_2").cast("long"),
         col("cosine"))
@@ -170,5 +169,38 @@ class SemDedupSpec extends AnyFunSuite {
     assert(!fast.exists { case (a, b, _) => a == b }, "no self pairs")
     assert(!fast.exists { case (a, b, _) => a == 41L || b == 41L },
       "zero-norm vector must drop at the threshold")
+  }
+
+  test("kernel same-block enumeration is independent of array order (r20 advice)") {
+    // the diagonal block pair's two sides come from INDEPENDENT
+    // evaluations of a non-deterministic collect_list: the kernel must
+    // emit the same pair set when one side arrives permuted, which the
+    // former positional triangle (j = i + 1) did not guarantee
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def entry(id: Long): Any = {
+      val v = Array.tabulate(6)(d => math.sin(id * 5 + d) * 0.8)
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      new GenericInternalRow(Array[Any](id,
+        new GenericArrayData(v.map(_.asInstanceOf[Any])), nrm))
+    }
+    val ids = (1L to 12L).toArray
+    val ordered = new GenericArrayData(ids.map(entry))
+    val permuted = new GenericArrayData(
+      (ids.drop(5) ++ ids.take(5)).reverse.map(entry))
+    def pairs(b: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until graft.functions.CosinePairsBlock
+        .score(ordered, b, same = true, vFloat = false, minCos = 0.2)
+        .numElements()).map { i =>
+        val r = graft.functions.CosinePairsBlock
+          .score(ordered, b, same = true, vFloat = false, minCos = 0.2)
+          .getStruct(i, 3)
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      }.toSet
+    val same = pairs(ordered)
+    assert(same.nonEmpty, "fixture must produce qualifying pairs")
+    assert(pairs(permuted) === same,
+      "a permuted same-block side must yield the identical pair set")
+    assert(same.forall { case (a, b, _) => a < b }, "strict id order")
   }
 }
