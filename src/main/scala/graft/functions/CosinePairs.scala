@@ -88,6 +88,109 @@ case class CosinePairsBlock(first: Expression, second: Expression,
   override def prettyName: String = "cosine_pairs_block"
 }
 
+/** Max cosine of one vector against a BLOCK of vectors — the kernel
+  * behind the semantic-decontamination "max eval cosine" passes. Inputs:
+  * the probe vector (array<float|double>), its precomputed L2 norm
+  * (double), and the eval block as array<struct<v: array<float|double>,
+  * nrm: double>>. Returns the UNROUNDED maximum of
+  * dot(v, e.v) / (nrm * e.nrm) over the block, or NULL for an empty
+  * block — exactly what `max(cos)` over the former broadcast
+  * nested-loop cross join computed (max over zero rows is null).
+  *
+  * Bit-exactness vs the join formulation: each cosine is the same
+  * index-ordered double accumulation ([[VectorKernels.dot]]) over the
+  * same operands; max is order-independent; and NaN wins the max
+  * exactly as Spark's nan-safe max aggregate orders NaN above every
+  * value (a zero-norm vector on either side yields NaN, which then IS
+  * the max). Callers that rounded each pair cosine BEFORE the max can
+  * round the kernel's output instead: rounding is monotone
+  * non-decreasing, so max(round(x)) == round(max(x)) — pinned by
+  * FunctionsSpec. The block join moves one row per (probe, block)
+  * instead of one joined row per (probe, eval) pair carrying both
+  * vectors — the CosinePairsBlock rationale applied to the max shape. */
+case class CosineMaxBlock(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def vecOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def blockOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(
+      StructField(_, v, _, _),
+      StructField(_, DoubleType, _, _))), _) => vecOk(v)
+    case _ => false
+  }
+
+  private lazy val probeFloat = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private lazy val blockFloat = third.dataType match {
+    case ArrayType(StructType(Array(StructField(_, ArrayType(FloatType, _), _, _), _)), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!vecOk(first.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float|double> probe vector, got ${first.dataType}")
+    else if (second.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double probe norm, got ${second.dataType}")
+    else if (!blockOk(third.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<struct<array<float|double>, double>> " +
+          s"block, got ${third.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(v: Any, n: Any, b: Any): Any =
+    CosineMaxBlock.score(v.asInstanceOf[ArrayData],
+      n.asInstanceOf[Double], b.asInstanceOf[ArrayData],
+      probeFloat, blockFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n, b) => s"""
+      |java.lang.Double ${ev.value}_r = graft.functions.CosineMaxBlock.score(
+      |  $v, $n, $b, $probeFloat, $blockFloat);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): CosineMaxBlock = copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "cosine_max_block"
+}
+
+object CosineMaxBlock {
+
+  /** Max cosine of (v, nrm) against the block; null on an empty block;
+    * NaN wins (Spark's nan-safe max ordering). */
+  def score(v: ArrayData, nrm: Double, block: ArrayData,
+      probeFloat: Boolean, blockFloat: Boolean): java.lang.Double = {
+    val n = block.numElements()
+    if (n == 0) return null
+    var best = Double.NegativeInfinity
+    var sawNaN = false
+    var i = 0
+    while (i < n && !sawNaN) {
+      val e = block.getStruct(i, 2)
+      val cos = VectorKernels.dot(v, e.getArray(0), probeFloat, blockFloat) /
+        (nrm * e.getDouble(1))
+      if (java.lang.Double.isNaN(cos)) sawNaN = true
+      else if (cos > best) best = cos
+      i += 1
+    }
+    if (sawNaN) Double.NaN else best
+  }
+}
+
 object CosinePairsBlock {
 
   /** Score one block pair. `same = true` means both sides hold the SAME

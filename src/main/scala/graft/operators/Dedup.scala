@@ -1218,13 +1218,22 @@ object Dedup {
     * per-row higher-order filter — the corpus itself never re-shuffles. */
   def exciseDupLines(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n", minOcc: Int = 2, keepFirst: Boolean = true,
-      expectedDupLines: Long = 1L << 20): DataFrame = {
-    require(minOcc >= 2, s"need minOcc >= 2, got $minOcc")
+      expectedDupLines: Long = 1L << 20): DataFrame =
+    exciseDupLinesWith(df, idCol, textCol,
+      duplicateLines(df, idCol, textCol, delim, minOcc), delim, keepFirst,
+      expectedDupLines)
+
+  /** Bloom literal over a [[duplicateLines]] table's line keys — the
+    * filter half of the duplicate-line detection artifact (EAGER: runs
+    * the one tiny aggregate job over `dups`). None when the table is
+    * empty (no duplicated lines anywhere). Same key recipe as the
+    * [[exciseDupLinesWith]] probe side: XxHash64 over xxhash64(line_md5). */
+  def dupLinesBloom(dups: DataFrame,
+      expectedDupLines: Long = 1L << 20): Option[Array[Byte]] = {
     import org.apache.spark.sql.graft.bridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
-    val spark = df.sparkSession
+    val spark = dups.sparkSession
     val maxItems = spark.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val maxBits = spark.conf
@@ -1233,23 +1242,50 @@ object Dedup {
       s"expectedDupLines=$expectedDupLines exceeds the bloom conf caps " +
         s"(maxNumItems=$maxItems, maxNumBits=$maxBits); raise the runtime " +
         "bloom filter confs or the filter would clamp and lose its fpp bound")
-    val lines = linesOf(df, idCol, textCol, delim)
     val bloomAgg = bridge.column(BloomFilterAggregate(
-      new XxHash64(Seq(bridge.expression(col("h")))),
+      new XxHash64(Seq(bridge.expression(xxhash64(col("line_md5"))))),
       Literal(expectedDupLines), Literal(expectedDupLines * 8L), 0, 0)
       .toAggregateExpression())
-    val bloomBytes = lines.select(xxhash64(col("line_md5")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= minOcc)
-      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    Option(dups.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0))
+  }
+
+  /** [[exciseDupLines]] against a PRECOMPUTED [[duplicateLines]] table —
+    * the detect+apply split the substring family already has
+    * (`substringRepeatIntervals` / `exciseByIntervals`): a real pipeline
+    * reports and applies ONE duplicate-line table, not two derivations of
+    * it, and a caller that persists `dups` pays the corpus-wide line
+    * aggregation once instead of per invocation.
+    *
+    * Scale shape as before, but CHEAPER: the bloom literal is now built
+    * from the duplicate-line-sized detection table (one tiny scan), not
+    * from a second corpus-wide hash aggregation, and the verify join
+    * needs no occurrence recount — `dups` already carries the exact
+    * corpus-wide counts and first occurrences, so bloom false positives
+    * simply find no join partner and die. Only bloom-positive line
+    * occurrences shuffle; the corpus itself never re-shuffles.
+    *
+    * `bloom` short-circuits the eager filter-build job: a caller that
+    * persists `dups` can derive the literal once via [[dupLinesBloom]]
+    * and serve it with the table (one detection ARTIFACT — table +
+    * filter — exactly like an index manifest). Some(None) means "built
+    * and empty" (no duplicate lines). */
+  def exciseDupLinesWith(df: DataFrame, idCol: String, textCol: String,
+      dups: DataFrame, delim: String = "\n", keepFirst: Boolean = true,
+      expectedDupLines: Long = 1L << 20,
+      bloom: Option[Option[Array[Byte]]] = None): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    val lines = linesOf(df, idCol, textCol, delim)
+    val bloomBytes = bloom.getOrElse(dupLinesBloom(dups, expectedDupLines))
+      .orNull
     val cand = if (bloomBytes == null) lines.limit(0) else lines.filter(
       bridge.column(BloomFilterMightContain(
         Literal.create(bloomBytes, BinaryType),
         new XxHash64(Seq(bridge.expression(xxhash64(col("line_md5"))))))))
-    val firsts = cand.groupBy("line_md5")
-      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= minOcc)
+    val firsts = dups.select(col("line_md5"),
+      struct(col("first_doc_id").as("doc_id"),
+        col("first_line_idx").as("line_idx")).as("first"))
     val dropRows = cand.join(firsts, "line_md5")
     val drops = (if (keepFirst)
         dropRows.filter(struct(col("doc_id"), col("line_idx")) =!= col("first"))

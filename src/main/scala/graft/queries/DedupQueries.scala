@@ -166,6 +166,30 @@ object DedupQueries {
           "doc_id", "text", k = 13, minRun = 50)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Corpus duplicate-line table (line_md5, n_occ, first occurrence),
+    * persisted once per (session, dir): detection (`dedup_lines`) and
+    * repair (`corpus_excise_dup_lines`) consume the SAME table — the
+    * repeatIntervals discipline applied to the line family (a real
+    * pipeline reports and applies one duplicate-line table, not two
+    * corpus-wide aggregations of it). Duplicate-line-sized residency.
+    * Released by [[releaseCandidateCaches]]. */
+  private val dupLinesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dupLinesTable(spark: SparkSession, dir: String): DataFrame =
+    QueryArtifacts.runOnce(dupLinesCache, (spark, dir))(Dedup.duplicateLines(pagedDocs(spark, dir), "doc_id", "page")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The detection artifact's filter half: the bloom literal over the
+    * persisted table's keys, derived once per (session, dir) — table and
+    * filter travel together like an index and its manifest. */
+  private val dupLinesBloomCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Option[Array[Byte]]]
+
+  private def dupLinesBloom(spark: SparkSession, dir: String): Option[Array[Byte]] =
+    QueryArtifacts.runOnce(dupLinesBloomCache, (spark, dir))(
+      Dedup.dupLinesBloom(dupLinesTable(spark, dir)))
+
   /** Per-document simhash sketch table, persisted once per (session, dir):
     * the corpus-text scan behind the simhash family, shared by the banded
     * pair query and BOTH sides of the parity gate (which is about band
@@ -229,6 +253,8 @@ object DedupQueries {
     () => releaseCandidateCaches()) { (spark, dir) =>
     jaccardPairs06Full(spark, dir).count()
     repeatIntervals(spark, dir).count()
+    dupLinesTable(spark, dir).count()
+    dupLinesBloom(spark, dir)
     // the SemDeDup candidate pairs (and, through them, the shared
     // in-session IVF this chain assigns under) — ~2.5 s of the bench's
     // cold pass charged to dedup_semantic before this line
@@ -245,6 +271,9 @@ object DedupQueries {
     jaccard06Cache.clear()
     repeatIvCache.values.foreach(_.unpersist())
     repeatIvCache.clear()
+    dupLinesCache.values.foreach(_.unpersist())
+    dupLinesCache.clear()
+    dupLinesBloomCache.clear()
     semanticPairsCache.values.foreach(_.unpersist())
     semanticPairsCache.clear()
     cosinePairsCache.values.foreach(_.unpersist())
@@ -595,14 +624,15 @@ object DedupQueries {
     // then runs end-to-end over the multi-line pages: split, md5 line
     // keys, first-occurrence aggregate, corpus-wide counts.
     "dedup_lines" -> ((spark, dir) => {
-      Dedup.duplicateLines(pagedDocs(spark, dir), "doc_id", "page")
-        .orderBy("line_md5")
+      dupLinesTable(spark, dir).orderBy("line_md5")
     }),
     // The applied form: every page with its corpus-duplicated lines
     // removed (globally first occurrence kept), as counts + an md5
     // fingerprint of the kept-line stream.
     "corpus_excise_dup_lines" -> ((spark, dir) => {
-      Dedup.exciseDupLines(pagedDocs(spark, dir), "doc_id", "page")
+      Dedup.exciseDupLinesWith(pagedDocs(spark, dir), "doc_id", "page",
+          dupLinesTable(spark, dir),
+          bloom = Some(dupLinesBloom(spark, dir)))
         .orderBy("doc_id")
     }))
 

@@ -389,16 +389,27 @@ object PipelineQueries {
       val base = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", vec_l2norm(col("v")))
-      val ev = base.filter(col("vec_id") % 10 === 0)
+      // one block row PER BENCHMARK (collect_list of (v, nrm) structs):
+      // the corpus joins two block rows instead of one row per (corpus,
+      // eval) pair carrying both vectors — the CosineMaxBlock kernel
+      // scores the max in place, and round6-after-max equals
+      // max-of-round6 (rounding is monotone; NaN-wins max replays
+      // Spark's nan-safe ordering). Benchmarks with no eval vectors
+      // simply produce no block row, exactly as they produced no
+      // (vec_id, benchmark) group before.
+      val evBlocks = base.filter(col("vec_id") % 10 === 0)
         .withColumn("benchmark",
           when(col("vec_id") % 20 === 0, "evalV1").otherwise("evalV2"))
-        .select(col("benchmark"), col("v").as("ev"), col("nrm").as("en"))
+        .groupBy("benchmark")
+        .agg(collect_list(struct(col("v"), col("nrm"))).as("evs"))
       val co = base.filter(col("vec_id") % 10 =!= 0)
         .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val sem = co.join(broadcast(ev), lit(true), "left")
-        .withColumn("cos", graft.operators.TextAnalysis.round6(
-          vec_dot(col("cv"), col("ev")) / (col("cn") * col("en"))))
-        .groupBy("vec_id", "benchmark").agg(max("cos").as("mx"))
+      import org.apache.spark.sql.graft.bridge
+      val kernelMax = bridge.column(graft.functions.CosineMaxBlock(
+        bridge.expression(col("cv")), bridge.expression(col("cn")),
+        bridge.expression(col("evs"))))
+      val sem = co.join(broadcast(evBlocks), lit(true), "left")
+        .withColumn("mx", graft.operators.TextAnalysis.round6(kernelMax))
         .filter(col("mx") >= 0.35)
         .select(col("benchmark"), lit("semantic").as("kind"),
           col("vec_id").as("doc_id"),

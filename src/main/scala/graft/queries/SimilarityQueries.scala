@@ -900,25 +900,33 @@ object SimilarityQueries {
     val base = emb.withColumn("__is_eval", isEval)
       .select(col("vec_id"), col("embedding").as("v"), col("__is_eval"))
       .withColumn("nrm", vec_l2norm(col("v")))
-    val ev = base.filter(col("__is_eval"))
-      .select(col("v").as("ev"), col("nrm").as("en"))
+    // the whole eval side collapses to ONE block row (collect_list of
+    // (v, nrm) structs): the former broadcast nested-loop cross join
+    // materialized one joined row per (corpus, eval) PAIR carrying both
+    // d-float vectors before the dot product ran — per-pair join
+    // machinery over the arithmetic, the CosinePairsBlock finding (r20)
+    // applied to the max shape. An EMPTY eval set still produces one
+    // row holding an EMPTY array (ungrouped agg), so every corpus
+    // vector reports a null max, unflagged — the same edge the former
+    // left-join-on-true pinned (the streaming twin's left-anti against
+    // an empty side keeps everything; the two verdicts must agree)
+    val evBlock = base.filter(col("__is_eval"))
+      .agg(collect_list(struct(col("v"), col("nrm"))).as("evs"))
     val co = base.filter(!col("__is_eval"))
       .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // LEFT join on true (== a cross join whenever the eval set is
-    // non-empty): an EMPTY eval set must report every corpus vector
-    // unflagged with a null max — a plain cross join would emit zero
-    // rows, silently vanishing the corpus, while the streaming twin's
-    // left-anti against an empty side keeps everything; the two verdicts
-    // must agree on this edge too
-    // the rounded cosine MUST be the same structural expression as the
-    // streaming gate's (one shared helper): the two >= minCosine verdicts
-    // are pinned equal by StreamingSpec, and a 1-ulp divergence between
-    // round(x, 6) and the scaled form can flip a boundary verdict
-    co.join(broadcast(ev), lit(true), "left")
-      .withColumn("cos", graft.operators.TextAnalysis.round6(
-        vec_dot(col("cv"), col("ev")) / (col("cn") * col("en"))))
-      .groupBy("vec_id")
-      .agg(max("cos").as("max_eval_cosine"))
+    // round6 AFTER the kernel max: rounding is monotone non-decreasing,
+    // so round6(max(cos)) == max(round6(cos)) — the rounded value is the
+    // same structural round6 the streaming gate applies per pair
+    // (StreamingSpec pins the two >= minCosine verdicts equal), and the
+    // kernel's NaN-wins max replays Spark's nan-safe max ordering
+    import org.apache.spark.sql.graft.bridge
+    val kernelMax = bridge.column(graft.functions.CosineMaxBlock(
+      bridge.expression(col("cv")), bridge.expression(col("cn")),
+      bridge.expression(col("evs"))))
+    co.join(broadcast(evBlock), lit(true), "left")
+      .withColumn("max_eval_cosine",
+        graft.operators.TextAnalysis.round6(kernelMax))
+      .select(col("vec_id"), col("max_eval_cosine"))
       .withColumn("flagged",
         coalesce(col("max_eval_cosine") >= minCosine, lit(false)))
   }

@@ -119,4 +119,43 @@ class FunctionsSpec extends AnyFunSuite {
       .count()
     assert(n > 0)
   }
+
+  test("CosineMaxBlock: max-vs-block equals the pairwise join max " +
+      "(empty block null, NaN wins, round6-after-max == max-of-round6)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def vec(xs: Double*): GenericArrayData =
+      new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+    def entry(xs: Seq[Double]): Any = {
+      val nrm = math.sqrt(xs.map(x => x * x).sum)
+      new GenericInternalRow(Array[Any](vec(xs: _*), nrm))
+    }
+    val probe = Seq(0.4, -0.3, 0.8)
+    val pn = math.sqrt(probe.map(x => x * x).sum)
+    val evs = Seq(Seq(0.1, 0.9, -0.2), Seq(0.5, 0.5, 0.5), Seq(-0.4, 0.3, -0.8))
+    val block = new GenericArrayData(evs.map(entry).toArray)
+    val got = graft.functions.CosineMaxBlock.score(vec(probe: _*), pn, block,
+      probeFloat = false, blockFloat = false)
+    // reference: the former join formulation's per-pair cosine then max
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val ref = evs.map { e =>
+      dot(probe, e) / (pn * math.sqrt(e.map(x => x * x).sum))
+    }.max
+    assert(got != null && got.doubleValue() === ref)
+    // round6 is monotone, so rounding the max equals the max of roundeds
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r6(got.doubleValue()) === evs.map { e =>
+      r6(dot(probe, e) / (pn * math.sqrt(e.map(x => x * x).sum)))
+    }.max)
+    // empty block: null (the join's max-over-zero-rows), not 0 or -inf
+    assert(graft.functions.CosineMaxBlock.score(vec(probe: _*), pn,
+      new GenericArrayData(Array.empty[Any]), false, false) == null)
+    // a zero-norm block entry scores NaN and NaN wins the max, exactly
+    // as Spark's nan-safe max orders NaN above every double
+    val withZero = new GenericArrayData((evs :+ Seq(0.0, 0.0, 0.0)).map(entry).toArray)
+    val nan = graft.functions.CosineMaxBlock.score(vec(probe: _*), pn,
+      withZero, false, false)
+    assert(nan != null && nan.doubleValue().isNaN)
+  }
 }

@@ -102,6 +102,29 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("precomputed detection table + cached bloom reproduce the one-shot path") {
+    // the query layer persists ONE duplicateLines table (+ its bloom
+    // literal) and feeds both detection and repair — the split must be
+    // invisible in the output (r21: exciseDupLines now delegates, and
+    // the bloom can ride in precomputed)
+    val dups = Dedup.duplicateLines(planted, "doc_id", "text")
+    val bloom = Dedup.dupLinesBloom(dups)
+    assert(bloom.isDefined, "planted corpus has duplicated lines")
+    val oneShot = Dedup.exciseDupLines(planted, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val split = Dedup.exciseDupLinesWith(planted, "doc_id", "text", dups)
+      .orderBy("doc_id").collect().toSeq
+    val cachedBloom = Dedup.exciseDupLinesWith(planted, "doc_id", "text",
+        dups, bloom = Some(bloom))
+      .orderBy("doc_id").collect().toSeq
+    assert(split === oneShot)
+    assert(cachedBloom === oneShot)
+    // a dup-free corpus yields no bloom and a whole pass-through
+    val clean = Seq((9L, "only page\nno repeats")).toDF("doc_id", "text")
+    assert(Dedup.dupLinesBloom(Dedup.duplicateLines(clean, "doc_id", "text"))
+      .isEmpty)
+  }
+
   test("a corpus with no duplicated lines passes through whole") {
     val df = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "text")
     val out = Dedup.exciseDupLines(df, "doc_id", "text")
