@@ -28,7 +28,8 @@ object Bench {
       reopenMs: Option[Seq[(String, Long)]] = None,
       warmupBarrier: Option[String] = None,
       measured: Option[(Seq[Double], Boolean, Long)] = None,
-      leakedRdds: Seq[String] = Nil): String = {
+      leakedRdds: Seq[String] = Nil,
+      cpus: Option[Int] = None): String = {
     def best(p: (Double, Double)): Double =
       if (p._1 < 0) p._2 else if (p._2 < 0) p._1 else math.min(p._1, p._2)
     val qs = results.map { case (k, p) => s"\"" + k + "\":" + best(p) }
@@ -91,14 +92,22 @@ object Bench {
     // carries no sf token emits as a JSON string so the line stays valid
     val sfJson = sfNumber(sfDir).map(_.toString)
       .getOrElse("\"" + jsonEscape(sfDir) + "\"")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfJson,"sf_dir":"${jsonEscape(sfDir)}","passes":$passes$reopen,"leaked_rdds":$leakList,"loadavg":$load$barrier$meas$ref,"failed_queries":${failedQueries.size},"failed":$failedJson,"total_sec":$total,"leaked_persists":$leaked}"""
+    // the core count rides in the artifact so [[referenceFrom]] can
+    // refuse cross-cpu rotation: the driver benches the SAME sf dir at
+    // 32 AND 8 cores, and without this field an 8-core total could
+    // rotate in as the "quiet reference" every 32-core run then reads
+    // as a regression against
+    val cpusField = cpus.map(c => s""","cpus":$c""").getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfJson,"sf_dir":"${jsonEscape(sfDir)}"$cpusField,"passes":$passes$reopen,"leaked_rdds":$leakList,"loadavg":$load$barrier$meas$ref,"failed_queries":${failedQueries.size},"failed":$failedJson,"total_sec":$total,"leaked_persists":$leaked}"""
   }
 
   /** Numeric scale factor parsed from a data-dir path's last `sfN[.N]`
     * token (`/root/testdata/sf0.1` -> 0.1) — None when the path carries
-    * none. */
+    * none. The lookbehind anchors `sf` to a token start so an embedded
+    * substring (`/mnt/xsf2data`) never fabricates a scale factor. */
   private[graft] def sfNumber(sfDir: String): Option[Double] = {
-    val m = java.util.regex.Pattern.compile("sf([0-9]+(?:\\.[0-9]+)?)")
+    val m = java.util.regex.Pattern
+      .compile("(?<![A-Za-z0-9])sf([0-9]+(?:\\.[0-9]+)?)")
       .matcher(sfDir)
     var last: Option[Double] = None
     while (m.find()) last = Some(m.group(1).toDouble)
@@ -236,14 +245,24 @@ object Bench {
     * the at-launch `loadavg` — the measurement-time figure is the one
     * the total was actually produced under. */
   private[graft] def referenceFrom(txt: String,
-      sfDir: String): Option[(Double, Seq[Double])] = try {
+      sfDir: String, cpus: Option[Int] = None): Option[(Double, Seq[Double])] = try {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     // r21+: the data dir rides as sf_dir (sf is the numeric scale
     // factor); pre-r21 artifacts carried the dir IN sf — accept either
     // so the committed quiet chain survives the format change
     val prevSf = Option(node.get("sf_dir")).orElse(Option(node.get("sf")))
       .map(_.asText()).getOrElse("")
-    if (prevSf != sfDir) None
+    // a total measured at a DIFFERENT core count is not a comparison
+    // point at this one (the driver benches the same dir at 32 and 8
+    // cores): refuse the artifact outright when both counts are known
+    // and differ; a legacy artifact without the field is accepted (the
+    // committed chain predates mixed-cpu runs)
+    val prevCpus = Option(node.get("cpus")).map(_.asInt())
+    val cpuMismatch = (prevCpus, cpus) match {
+      case (Some(p), Some(c)) => p != c
+      case _ => false
+    }
+    if (prevSf != sfDir || cpuMismatch) None
     else {
       def arr(name: String): Option[Seq[Double]] =
         Option(node.get(name)).map { a =>
@@ -434,13 +453,14 @@ object Bench {
     // referenceFrom); best-effort — a malformed, absent, or
     // different-scale file yields no reference fields, never a failed
     // bench
+    val nCpus = scala.util.Try(cpus.toInt).toOption
     val reference = try {
       referenceFrom(new String(java.nio.file.Files.readAllBytes(
-        summaryPath()), "UTF-8"), sfDir)
+        summaryPath()), "UTF-8"), sfDir, nCpus)
     } catch { case scala.util.control.NonFatal(_) => None }
     val summary = summaryJson(results, leaked, sfDir, loadAvg, reference,
       reopenMs, Some(warmupBarrier),
-      Some((measuredLoad, underLoad, waitedMs / 1000)), leakedRdds)
+      Some((measuredLoad, underLoad, waitedMs / 1000)), leakedRdds, nCpus)
     println(summary)
     // durable artifact: the driver's BENCH_r{N}.json stores only the
     // stdout TAIL, which truncates the total line and most per-query

@@ -203,10 +203,12 @@ object CosinePairsBlock {
     * stream and broadcast sides of the block join: a shuffle-fetch-order
     * difference between the two evaluations would permute one side and
     * the triangle would miss and/or double-emit pairs (r20 advice).
-    * ID-keyed orientation is order-independent by construction; the
-    * extra cost is one redundant dot product per qualifying diagonal
-    * orientation — diagonal blocks are 1/(nBlocks+1) of the block pairs,
-    * ~3% more arithmetic at the default 32 blocks. */
+    * ID-keyed orientation is order-independent by construction, and
+    * CHEAP: the strict guard runs BEFORE the dot product, so the dot
+    * count is unchanged (exactly n(n-1)/2 on a diagonal block, as the
+    * positional triangle had) — the full cross product only doubles the
+    * per-position struct/id decodes on diagonal blocks, which are
+    * 1/(nBlocks+1) of all block pairs. */
   def score(a: ArrayData, b: ArrayData, same: Boolean, vFloat: Boolean,
       minCos: Double): ArrayData = {
     val na = a.numElements()

@@ -410,12 +410,14 @@ object Dedup {
             col("p.vec_id_2").as("vec_id_2"), col("p.cosine").as("cosine"))
       case _ =>
         // generic-id fallback: the original broadcast cross join. The
-        // nrm > 0 pre-filter pins the zero-norm contract to the kernel
-        // path's: a zero-norm vector's cosine is NaN and the kernel's
-        // Java `>=` drops it, but Spark's nan-safe comparison sorts NaN
-        // ABOVE all values, so `cosine >= minCosine` alone would KEEP
-        // NaN pairs here (r20 advice) — the two paths must agree.
-        val pos = emb.filter(col("nrm") > 0)
+        // norm pre-filter pins the NaN-cosine contract to the kernel
+        // path's: a zero-norm (or NaN-component) vector's cosine is NaN
+        // and the kernel's Java `>=` drops it, but Spark's nan-safe
+        // comparison sorts NaN ABOVE all values, so `cosine >= minCosine`
+        // alone would KEEP NaN pairs here (r20 advice) — the two paths
+        // must agree. NaN norms need the explicit isnan guard for the
+        // same reason: NaN > 0 is TRUE under the nan-safe ordering.
+        val pos = emb.filter(col("nrm") > 0 && !isnan(col("nrm")))
         val a = pos.select(col("vec_id").as("vec_id_1"), col("v").as("v1"), col("nrm").as("nrm1"))
         val b = pos.select(col("vec_id").as("vec_id_2"), col("v").as("v2"), col("nrm").as("nrm2"))
         a.crossJoin(broadcast(b)).filter(col("vec_id_1") < col("vec_id_2"))

@@ -296,7 +296,9 @@ object Multimodal {
       when(c >= 0 && c <= 65535, c).otherwise(raise_error(concat(
         lit("perceptualDupPairsFromHashes: band values must be the " +
           s"aHash LSB-first 16-bit packing (0..65535); band$j = "),
-        c.cast("string"))))
+        // a NULL band must not null-propagate through concat and raise
+        // with an empty message — name it
+        coalesce(c.cast("string"), lit("NULL")))))
     }
     // the four LSB-first 16-bit band values jointly encode the whole
     // 64-bit fingerprint, so the bucket join carries ONE packed long per

@@ -397,7 +397,8 @@ object PipelineQueries {
       // Spark's nan-safe ordering). Benchmarks with no eval vectors
       // simply produce no block row, exactly as they produced no
       // (vec_id, benchmark) group before.
-      val evBlocks = base.filter(col("vec_id") % 10 === 0)
+      val evBlocks = base.filter(col("vec_id") % 10 === 0 &&
+          col("v").isNotNull && col("nrm").isNotNull)
         .withColumn("benchmark",
           when(col("vec_id") % 20 === 0, "evalV1").otherwise("evalV2"))
         .groupBy("benchmark")

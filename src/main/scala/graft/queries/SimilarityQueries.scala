@@ -889,11 +889,12 @@ object SimilarityQueries {
     * paraphrased/reworded eval leakage that token overlap misses.
     *
     * Scale contract: eval benchmarks are BOUNDED (thousands of rows)
-    * however large the corpus, so the eval side broadcasts and the corpus
-    * streams through one scan — the ann_bruteforce_topk posture with the
-    * roles reversed. The per-vector max is a partial aggregate (map-side
-    * combine), so the only shuffle is |corpus| 1-row groups, and the
-    * rounded-max is order-independent, keeping the row fully
+    * however large the corpus, so the eval side broadcasts — as ONE
+    * block row of (v, nrm) structs since r21 — and the corpus streams
+    * through one scan with the [[graft.functions.CosineMaxBlock]] kernel
+    * scoring each vector's max in place: no per-pair joined row, no
+    * aggregate, NO shuffle at all. The rounded max is order-independent
+    * (max commutes; rounding is monotone), keeping the row fully
     * hash-checkable. Output: (vec_id, max_eval_cosine, flagged). */
   private[graft] def semanticContaminationOn(emb: DataFrame,
       isEval: Column, minCosine: Double): DataFrame = {
@@ -910,7 +911,11 @@ object SimilarityQueries {
     // vector reports a null max, unflagged — the same edge the former
     // left-join-on-true pinned (the streaming twin's left-anti against
     // an empty side keeps everything; the two verdicts must agree)
-    val evBlock = base.filter(col("__is_eval"))
+    // null embeddings must stay out of the block: the former join's
+    // null cosine was skipped by max(), and the kernel (which never
+    // sees a null struct field as "skip") must see the same eval set
+    val evBlock = base.filter(col("__is_eval") &&
+        col("v").isNotNull && col("nrm").isNotNull)
       .agg(collect_list(struct(col("v"), col("nrm"))).as("evs"))
     val co = base.filter(!col("__is_eval"))
       .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn"))

@@ -48,8 +48,33 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(Bench.sfNumber("/root/testdata/sf1").contains(1.0))
     assert(Bench.sfNumber("/sf2/testdata/sf0.001").contains(0.001))
     assert(Bench.sfNumber("/tmp/fixtures").isEmpty)
+    // sf embedded inside a word is NOT a scale-factor token
+    assert(Bench.sfNumber("/mnt/xsf2data/fixtures").isEmpty)
     val s = Bench.summaryJson(results, leaked = 0, sfDir = "/tmp/fixtures")
     assert(s.contains(""""sf":"/tmp/fixtures","sf_dir":"/tmp/fixtures""""), s)
+  }
+
+  test("core count rides in the artifact and gates reference rotation") {
+    val s = Bench.summaryJson(results, leaked = 0, sfDir = "/x/sf0.5",
+      cpus = Some(32))
+    assert(s.contains(""""sf_dir":"/x/sf0.5","cpus":32"""), s)
+    // a unit-spec call without a count emits no field at all
+    val none = Bench.summaryJson(results, leaked = 0, sfDir = "/x/sf0.5")
+    assert(!none.contains("\"cpus\""), none)
+    // the driver benches the SAME dir at 32 and 8 cores: an 8-core total
+    // must never rotate in as the 32-core quiet reference
+    val c8 = """{"queries":{"a":1.0},"sf":0.1,"sf_dir":"/x","cpus":8,""" +
+      """"loadavg":[0.4,0.5,0.6],"metric":"total","value":48.4,""" +
+      """"failed_queries":0}"""
+    assert(Bench.referenceFrom(c8, "/x", Some(32)).isEmpty)
+    assert(Bench.referenceFrom(c8, "/x", Some(8))
+      .contains((48.4, Seq(0.4, 0.5, 0.6))))
+    // legacy artifact without the field: accepted as before (the
+    // committed chain predates mixed-cpu runs)
+    val legacy = """{"queries":{"a":1.0},"sf":"/x","loadavg":[0.4,0.5,0.6],""" +
+      """"metric":"total","value":41.0,"failed_queries":0}"""
+    assert(Bench.referenceFrom(legacy, "/x", Some(32))
+      .contains((41.0, Seq(0.4, 0.5, 0.6))))
   }
 
   test("clean run reports an empty failure list") {

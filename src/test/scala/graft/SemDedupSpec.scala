@@ -188,15 +188,14 @@ class SemDedupSpec extends AnyFunSuite {
     val ordered = new GenericArrayData(ids.map(entry))
     val permuted = new GenericArrayData(
       (ids.drop(5) ++ ids.take(5)).reverse.map(entry))
-    def pairs(b: org.apache.spark.sql.catalyst.util.ArrayData) =
-      (0 until graft.functions.CosinePairsBlock
+    def pairs(b: org.apache.spark.sql.catalyst.util.ArrayData) = {
+      val out = graft.functions.CosinePairsBlock
         .score(ordered, b, same = true, vFloat = false, minCos = 0.2)
-        .numElements()).map { i =>
-        val r = graft.functions.CosinePairsBlock
-          .score(ordered, b, same = true, vFloat = false, minCos = 0.2)
-          .getStruct(i, 3)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 3)
         (r.getLong(0), r.getLong(1), r.getDouble(2))
       }.toSet
+    }
     val same = pairs(ordered)
     assert(same.nonEmpty, "fixture must produce qualifying pairs")
     assert(pairs(permuted) === same,
